@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Relational capability queries over the TPC-H-ish testdata (SURVEY §2.8:
+  * joins, windows, rollup — supplied by Spark built-ins; the reference has
+  * only the anti/semi patterns O7-O9).
+  *
+  * Float-determinism contract shared with the DuckDB oracles: money
+  * aggregates are summed as DECIMAL (exact, order-independent) and cast to
+  * DOUBLE at the end; per-row double arithmetic (IEEE, same in both
+  * engines) may feed the decimal cast. Averages are exact-decimal sums
+  * divided as doubles. This keeps hash-compares bit-exact while the real
+  * engine still benefits from codegen'd decimal aggregation.
+  */
+object RelationalQueries {
+
+  private def dec182(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  /** Exact discounted price: inputs are 2-decimal money/rate values, so
+    * decimal-cast-then-multiply is exact (4 decimals) — no double rounding
+    * anywhere, hence bit-identical to the DuckDB oracle at any SF and
+    * partition count. */
+  private def discPrice(ep: org.apache.spark.sql.Column,
+                        disc: org.apache.spark.sql.Column) =
+    (dec182(ep) * (lit(1) - dec182(disc))).cast(DecimalType(18, 4))
+  private val discPriceSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
+  /** q1_agg — pricing summary (scan + hash aggregate; maps A1-family to the
+    * TPC-H shape). Filter pushes to parquet; aggregation is partial
+    * map-side then one shuffle on the 2-key group. */
+  val q1 = Q("q1_agg",
+    (s, dir) => Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec182(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec182(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum((discPrice(col("l_extendedprice"), col("l_discount"))
+          * (lit(1) + dec182(col("l_tax")))).cast(DecimalType(28, 6)))
+          .cast("double").as("sum_charge"),
+        (sum(dec182(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST($discPriceSql * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** q3_top — shipping-priority style 3-way join + top-10 by revenue.
+    * Customer/orders filters push down; the (revenue, key) total order
+    * makes the LIMIT deterministic. */
+  val q3 = Q("q3_top",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-03-15"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+    },
+    Some(s"""SELECT l_orderkey,
+      |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  /** q5_region — 5-way star join, revenue per nation for one region/year.
+    * Dimension sides (region/nation/supplier) are broadcast — no shuffle
+    * for them even at 100 TB fact scale. */
+  val q5 = Q("q5_region",
+    (s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val su = Tables.supplier(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+    Some(s"""SELECT n_name,
+      |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin))
+
+  /** q_semi_join — O9 membership semi-join: orders having a big lineitem. */
+  val qSemi = Q("q_semi_join",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderstatus""".stripMargin))
+
+  /** q_anti_join — customers with no orders (same left_anti shape as the
+    * O7/O8 reconciliation). */
+  val qAnti = Q("q_anti_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
+
+  /** q_topk_per_group — ranking window (A7's general form): top-3
+    * customers by balance per market segment. */
+  val qTopK = Q("q_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("c_mktsegment", "rk", "c_custkey", "c_name", "c_acctbal")
+    },
+    Some("""SELECT c_mktsegment, rk, c_custkey, c_name, c_acctbal FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM customer) WHERE rk <= 3""".stripMargin))
+
+  /** q_rollup — grouping-sets capability: rollup over flag/status. */
+  val qRollup = Q("q_rollup",
+    (s, dir) => Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec182(col("l_quantity"))).cast("double").as("sum_qty")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin))
+
+  def all: Seq[Q] = Seq(q1, q3, q5, qSemi, qAnti, qTopK, qRollup)
+}

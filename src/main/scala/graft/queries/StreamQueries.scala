@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Event-stream semantics over the `events` table, validated in batch mode
+  * (batch/streaming unification: the same groupBy(window(...)) plan runs
+  * under readStream — see graft.streaming.Streams and its spec). Windows
+  * are epoch-aligned exactly like Structured Streaming's `window()`.
+  */
+object StreamQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private val hourFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** q_events_hourly — tumbling 1-hour windows per event_type. Uses the
+    * native `window()` operator (streaming-compatible); the start is
+    * projected as a string for engine-agnostic comparison. */
+  val qHourly = Q("q_events_hourly",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), hourFmt).as("window_start"),
+        col("event_type"), col("n"), col("sum_value")),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** q_events_sliding — 2-hour windows sliding every hour (each event lands
+    * in two windows). Oracle mirrors the window set by exploding offsets. */
+  val qSliding = Q("q_events_sliding",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), hourFmt).as("window_start"),
+        col("event_type"), col("n")),
+    Some("""SELECT strftime(date_trunc('hour', ts) - off * INTERVAL 1 HOUR,
+      |                '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n
+      |FROM events CROSS JOIN (VALUES (0), (1)) t(off)
+      |GROUP BY 1, 2""".stripMargin))
+
+  /** q_sessionize — 30-minute-gap sessions per user via lag + running sum
+    * (the batch equivalent of flatMapGroupsWithState sessionization). */
+  val qSessionize = Q("q_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      Tables.events(s, dir)
+        .withColumn("prev_us",
+          lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts").cast("timestamp")) - col("prev_us") > gapUs,
+            1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+    },
+    Some("""WITH gaps AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM gaps)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      |FROM sess GROUP BY user_id, session_id""".stripMargin))
+
+  /** q_events_json — JSON prop extraction + bucket aggregation. */
+  val qJson = Q("q_events_json",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin))
+
+  def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson)
+}
