@@ -1,18 +1,68 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+
+/** Benchmark main: every registered query at SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout.
+  *
+  * Harness rules (so the numbers mean something):
+  *  - stable alphabetical order — no run-order lottery;
+  *  - one untimed warmup pass first (JVM/JIT/codegen caches, parquet footer
+  *    reads) so timed runs measure the query, not startup;
+  *  - median of 3 timed runs per query;
+  *  - full materialization: agg of xxhash64 over all columns — count()
+  *    would let Catalyst prune the projections away, so e.g. a hash-key
+  *    query would never compute a single hash;
+  *  - failures are reported per query (`"errors"` field) and excluded from
+  *    the total rather than silently timed as success.
+  */
 object Bench {
+  /** Forces computation of every column of every row: bit_xor of per-row
+    * xxhash64 over the full struct (xor, unlike sum, cannot overflow under
+    * ANSI mode). Cheap relative to any real query, and nothing upstream
+    * can be pruned because the hash reads all columns. */
+  private def materialize(df: DataFrame): Unit = {
+    df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // warmup (untimed); a query that fails here is skipped in timed runs
+    val runnable = names.filter { name =>
+      try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        false
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val timings = runnable.map { name =>
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(SparkEntry.queries(name)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> runs(runs.size / 2) // median
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenization, word-shingling, MinHash and SimHash — the text-dedup
+  * toolkit of the LLM-data-pipeline north star. The reference deduplicates
+  * only exact (question,response) pairs
+  * (commercial_rfp_raw_data_ingestion_and_cleaning.py:251); near-dup is the
+  * scale extension.
+  *
+  * Hash parity with the DuckDB oracle: every hash is `md5` of a plain
+  * string (seed-prefixed shingle / token), identical in any engine, and
+  * MinHash minima are lexicographic minima over hex strings — no
+  * engine-specific hash function anywhere.
+  *
+  * Scale design: MinHash signatures are one groupBy over exploded shingles
+  * (map-side partial min, one shuffle); LSH banding means candidate pairs
+  * only ever form inside a (band, signature) bucket — an equi-join, never
+  * an all-pairs cross join. SimHash is one groupBy with 16 conditional
+  * sums. All shuffles are on keys with corpus-size cardinality, so the
+  * plan survives a 100× scale-up unchanged.
+  */
+object Shingles {
+
+  /** Whitespace tokens of `textCol` (oracle: string_split_regex '\s+'). */
+  def tokens(df: DataFrame, idCol: String, textCol: String,
+             lowered: Boolean = false): DataFrame = {
+    val t = if (lowered) lower(col(textCol)) else col(textCol)
+    df.select(col(idCol), explode(split(trim(t), "\\s+")).as("tok"))
+  }
+
+  /** Distinct word 3-gram shingles per document. Documents with fewer than
+    * 3 tokens yield no shingles (they cannot near-duplicate). */
+  def shingles3(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("w")) - 2), i =>
+          concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2)))).as("s"))
+      .distinct()
+  }
+
+  /** MinHash signature: per doc, min(md5("seed:" || shingle)) for each of
+    * `numHashes` seeds — one hash-partitioned aggregation. */
+  def minhash(shing: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    shing.groupBy(col(idCol))
+      .agg(
+        min(md5(concat(lit("0:"), col("s")))).as("h0"),
+        (1 until numHashes).map(k =>
+          min(md5(concat(lit(s"$k:"), col("s")))).as(s"h$k")): _*)
+
+  /** LSH banding of an 8-hash signature into 4 bands of 2 rows:
+    * (doc, band, sig) rows; docs sharing (band, sig) are candidates. */
+  def bands4x2(minh: DataFrame, idCol: String): DataFrame =
+    minh.select(col(idCol), posexplode(array(
+        concat(col("h0"), col("h1")), concat(col("h2"), col("h3")),
+        concat(col("h4"), col("h5")), concat(col("h6"), col("h7")))))
+      .toDF(idCol, "band", "sig")
+
+  /** 16-bit SimHash over token occurrences: bit b is the sign of
+    * Σ_tokens (bit b of md5(token) ? +1 : −1), packed MSB-first. */
+  def simhash16(toks: DataFrame, idCol: String): DataFrame = {
+    def bitOf(b: Int): Column =
+      expr(s"(cast(conv(substring(h, ${1 + b / 4}, 1), 16, 10) as bigint) " +
+        s"div ${1 << (3 - b % 4)}) % 2")
+    val sums = toks.withColumn("h", md5(col("tok")))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(bitOf(0) === 1, 1).otherwise(-1)).as("s0"),
+        (1 until 16).map(b =>
+          sum(when(bitOf(b) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+    val packed = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, lit(1L << (15 - b))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col(idCol), packed.cast("long").as("simhash"))
+  }
+}

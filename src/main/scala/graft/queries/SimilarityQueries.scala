@@ -1,9 +1,350 @@
 package graft.queries
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.{Chunk, Shingles, Vectors}
 
-/** Similarity / dedup-at-scale queries (MinHash-LSH, SimHash, Jaccard,
-  * kNN, cosine near-dup) — filled in the similarity build phase. */
+/** North-star similarity family over `documents` / `embeddings`:
+  * chunking (V1/V4), exact + approximate cosine retrieval (V3), and the
+  * dedup ladder (exact content hash → MinHash/LSH near-dup → SimHash →
+  * embedding-cosine near-dup).
+  *
+  * Near-dup queries need near-duplicates to exist, so they run over a
+  * deterministic augmented corpus: the base table unioned with exact
+  * copies (doc_id+2e6 / vec_id shifts) and slightly perturbed variants
+  * (doc_id+1e6: two appended tokens; vec_id+1e6: x*1.01+0.001). Both
+  * sides — Spark and the DuckDB oracle — construct the identical corpus.
+  *
+  * Scale posture: no all-pairs joins anywhere. Candidates form only inside
+  * LSH buckets (equi-joins); exact kNN is a broadcast of the small query
+  * set against a linear scan; signatures/fingerprints are single-shuffle
+  * aggregations.
+  */
 object SimilarityQueries {
-  def all: Seq[Q] = Seq()
+
+  // ------------------------------------------------------------ corpora ---
+
+  /** documents + near-dup variants; mirrors [[corpusSql]]. */
+  private def docCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionAll(
+        d.filter(col("doc_id") % 10 === 5).select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz yy")).as("text")))
+      .unionAll(
+        d.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 2000000).as("doc_id"), col("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' zz yy' FROM documents WHERE doc_id % 10 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  private val shingSql =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+      |shing AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(w)-2)) AS g(i)
+      |  WHERE len(w) >= 3
+      |)""".stripMargin
+
+  /** embeddings + perturbed near-dup variants; mirrors [[vcorpusSql]].
+    * The perturbation arithmetic (float→double, *1.01, +0.001, cast back
+    * to float) is IEEE-identical in both engines. */
+  private def vecCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    e.unionAll(
+      e.filter(col("vec_id") % 10 === 3).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.01) + lit(0.001)).cast("float")).as("embedding")))
+  }
+
+  private val vcorpusSql =
+    """vcorpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |         list_transform(embedding, x -> CAST(x * 1.01 + 0.001 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 10 = 3
+      |)""".stripMargin
+
+  /** Fixed-point-exact dot/norm triple over parallel-unnested lists — the
+    * oracle analog of [[Vectors.dotExact]] (see its scaladoc for why
+    * scaled-long summation makes both engines bit-identical). */
+  private def dotsSql(src: String, aCol: String, bCol: String,
+                      keys: String): String =
+    s"""prod AS (
+       |  SELECT $keys,
+       |    CAST(unnest($aCol) AS DOUBLE) AS x, CAST(unnest($bCol) AS DOUBLE) AS y
+       |  FROM $src
+       |), dots AS (
+       |  SELECT $keys,
+       |    CAST(SUM(CAST(round(x*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxy,
+       |    CAST(SUM(CAST(round(x*x*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxx,
+       |    CAST(SUM(CAST(round(y*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dyy
+       |  FROM prod GROUP BY $keys
+       |)""".stripMargin
+
+  /** Buckets CTE shared by the LSH oracles (mirrors [[Vectors.lshBucket]]:
+    * 6 md5-derived hyperplanes, fixed-point-exact sign). */
+  private def bucketsSql(src: String): String =
+    s"""elems AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         unnest(generate_series(0, len(embedding)-1)) AS i
+       |  FROM $src
+       |), planes AS (
+       |  SELECT p, i,
+       |    CAST(('0x' || substr(md5(p || '_' || i), 1, 4))::BIGINT AS DOUBLE)/65536.0 - 0.5 AS w
+       |  FROM unnest(generate_series(0, 5)) AS a(p), unnest(generate_series(0, 63)) AS b(i)
+       |), buckets AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN sgn > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT e.vec_id, pl.p, (CAST(1 AS BIGINT) << pl.p) AS pw,
+       |      CASE WHEN SUM(CAST(round(e.x * pl.w * 1e15) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS sgn
+       |    FROM elems e JOIN planes pl ON e.i = pl.i
+       |    GROUP BY e.vec_id, pl.p
+       |  ) t GROUP BY vec_id
+       |)""".stripMargin
+
+  private val numPlanes = 6
+  private val embDims = 64
+
+  // ------------------------------------------------------------ queries ---
+
+  /** q_chunk — V1/V4 overlapping chunker with parent/child rows. The
+    * reference's 2000/500 SplitSkill parameters are [[Chunk.refMaxLen]];
+    * the query uses 120/30 so the short testdata documents actually split
+    * into multiple chunks. */
+  val qChunk = Q("q_chunk",
+    (s, dir) => Chunk.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+      maxLen = 120, overlap = 30),
+    Some("""WITH offs AS (
+      |  SELECT doc_id, text, i AS off
+      |  FROM documents, unnest(generate_series(0, greatest(length(text)-1, 0), 90)) AS g(i)
+      |  WHERE i = 0 OR i < length(text) - 30
+      |)
+      |SELECT doc_id AS parent_id,
+      |  doc_id || '_' || CAST(off // 90 AS VARCHAR) AS chunk_id,
+      |  off // 90 AS chunk_idx,
+      |  substring(text, off+1, 120) AS chunk
+      |FROM offs""".stripMargin),
+    "ref commercial_rfp_indexer.py:164-176,192-209")
+
+  /** Adds double-vector `v` and its decimal-exact squared norm `dxx`. */
+  private def withNorm(e: DataFrame): DataFrame = {
+    val v = Vectors.toDoubleArr(col("embedding"))
+    e.withColumn("v", v)
+      .withColumn("dxx", Vectors.dotExact(col("v"), col("v")))
+      .drop("embedding")
+  }
+
+  private def topK(pairs: DataFrame, k: Int, outCols: Seq[String]): DataFrame = {
+    val score = round(Vectors.cosineFromParts(
+      Vectors.dotExact(col("v"), col("qv")), col("dxx"), col("qxx")), 6)
+    pairs.withColumn("score", score)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("nbr_id"))))
+      .filter(col("rk") <= k)
+      .select(outCols.map(col): _*)
+  }
+
+  /** q_knn — exact brute-force cosine top-5: broadcast the (small) query
+    * set, one linear codegen'd scan over the corpus, one shuffle for the
+    * per-query ranking window. The correctness baseline for q_ann_lsh. */
+  val qKnn = Q("q_knn",
+    (s, dir) => {
+      val base = withNorm(Tables.embeddings(s, dir))
+      val qs = base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("dxx").as("qxx"))
+      val pairs = base.withColumnRenamed("vec_id", "nbr_id")
+        .crossJoin(broadcast(qs))
+        .filter(col("nbr_id") =!= col("query_id"))
+      topK(pairs, 5, Seq("query_id", "rk", "nbr_id", "label", "score"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+      |pairs AS (
+      |  SELECT e.vec_id AS nbr_id, e.label, q.query_id, e.embedding AS nv, q.qv
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      |), """.stripMargin +
+      dotsSql("pairs", "nv", "qv", "query_id, nbr_id, label") + """
+      |SELECT query_id, rk, nbr_id, label, score FROM (
+      |  SELECT query_id, nbr_id, label,
+      |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |  FROM dots) t WHERE rk <= 5""".stripMargin),
+    "ref commercial_rfp_indexer.py:95-124 (exhaustive-KNN fallback)")
+
+  /** q_ann_lsh — the approximate scale path: 6-plane random-hyperplane
+    * LSH; candidates only within the query's bucket, exact rerank inside.
+    * Bucket assignment is a pure projection (plane constants inlined). */
+  val qAnnLsh = Q("q_ann_lsh",
+    (s, dir) => {
+      val planes = Vectors.planeWeights(numPlanes, embDims)
+      val base = withNorm(Tables.embeddings(s, dir)
+        .withColumn("bucket", Vectors.lshBucket(
+          Vectors.toDoubleArr(col("embedding")), planes)))
+      val qs = base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("dxx").as("qxx"), col("bucket").as("qbucket"))
+      val pairs = base.withColumnRenamed("vec_id", "nbr_id")
+        .join(broadcast(qs), col("bucket") === col("qbucket") &&
+          col("nbr_id") =!= col("query_id"))
+      topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
+    },
+    Some("WITH " + bucketsSql("embeddings") + """,
+      |q AS (
+      |  SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qv
+      |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+      |  WHERE b.vec_id % 100 = 0
+      |), cand AS (
+      |  SELECT q.query_id, q.qv, b.vec_id AS nbr_id, e.embedding AS nv
+      |  FROM q JOIN buckets b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+      |       JOIN embeddings e ON e.vec_id = b.vec_id
+      |), """.stripMargin +
+      dotsSql("cand", "nv", "qv", "query_id, nbr_id") + """
+      |SELECT query_id, rk, nbr_id, score FROM (
+      |  SELECT query_id, nbr_id,
+      |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |  FROM dots) t WHERE rk <= 3""".stripMargin),
+    "ref commercial_rfp_indexer.py:95-124 (HNSW analog, LSH-bucketed)")
+
+  /** q_near_dup — MinHash(8) + LSH(4 bands × 2 rows) candidate generation,
+    * exact 3-gram Jaccard verification ≥ 0.5. Candidates form only inside
+    * a band bucket — never all-pairs. */
+  val qNearDup = Q("q_near_dup",
+    (s, dir) => {
+      val sh = Shingles.shingles3(docCorpus(s, dir), "doc_id", "text")
+      val bands = Shingles.bands4x2(
+        Shingles.minhash(sh, "doc_id", 8), "doc_id")
+      val cand = bands.toDF("doc_a", "band", "sig")
+        .join(bands.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val inter = cand
+        .join(sh.toDF("doc_a", "s"), "doc_a")
+        .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("jac",
+          col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+    },
+    Some("WITH " + corpusSql + ",\n" + shingSql + """,
+      |minh AS (
+      |  SELECT doc_id,
+      |    min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+      |    min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+      |    min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+      |    min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      |  FROM shing GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM minh
+      |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM minh
+      |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM minh
+      |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM minh
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+      |  FROM cand c
+      |    JOIN shing sa ON sa.doc_id = c.doc_a
+      |    JOIN shing sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.doc_a, i.doc_b,
+      |  round(CAST(i.ni AS DOUBLE)/(na.n + nb.n - i.ni), 6) AS jaccard
+      |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+      |             JOIN sizes nb ON nb.doc_id = i.doc_b
+      |WHERE CAST(i.ni AS DOUBLE)/(na.n + nb.n - i.ni) >= 0.5""".stripMargin),
+    "north star: MinHash+LSH near-dup (ref has only exact dedup, :251)")
+
+  /** q_doc_dedup — exact content dedup via hash-groupBy on the normalized
+    * text fingerprint: first-wins keeper + copy count per content group. */
+  val qDocDedup = Q("q_doc_dedup",
+    (s, dir) => docCorpus(s, dir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("content_md5"))
+      .groupBy("content_md5")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+    Some("WITH " + corpusSql + """
+      |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM corpus GROUP BY 1""".stripMargin),
+    "north star: exact dedup by content hash (ref :251 analog)")
+
+  /** q_embed_dup — embedding-cosine near-dup: LSH-bucketed candidate pairs
+    * (equi-join on bucket), exact cosine ≥ 0.99. */
+  val qEmbedDup = Q("q_embed_dup",
+    (s, dir) => {
+      val planes = Vectors.planeWeights(numPlanes, embDims)
+      val vc = withNorm(vecCorpus(s, dir)
+        .withColumn("bucket", Vectors.lshBucket(
+          Vectors.toDoubleArr(col("embedding")), planes)))
+      val a = vc.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("dxx").as("na2"), col("bucket"))
+      val b = vc.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("dxx").as("nb2"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Vectors.cosineFromParts(
+          Vectors.dotExact(col("va"), col("vb")), col("na2"), col("nb2")))
+        .filter(col("cos") >= 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+    },
+    Some("WITH " + vcorpusSql + ",\n" + bucketsSql("vcorpus") + """,
+      |cand AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |), pairs AS (
+      |  SELECT c.id_a, c.id_b, va.embedding AS av, vb.embedding AS bv
+      |  FROM cand c JOIN vcorpus va ON va.vec_id = c.id_a
+      |              JOIN vcorpus vb ON vb.vec_id = c.id_b
+      |), """.stripMargin +
+      dotsSql("pairs", "av", "bv", "id_a, id_b") + """
+      |SELECT id_a, id_b, round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS cosine
+      |FROM dots WHERE dxy/(sqrt(dxx)*sqrt(dyy)) >= 0.99""".stripMargin),
+    "north star: embedding-cosine near-dup, LSH-bucketed")
+
+  /** q_simhash — 16-bit SimHash fingerprint per document (one shuffle:
+    * groupBy doc with 16 conditional sums over token hashes). */
+  val qSimhash = Q("q_simhash",
+    (s, dir) => Shingles.simhash16(
+      Shingles.tokens(Tables.documents(s, dir), "doc_id", "text"), "doc_id"),
+    Some {
+      val bitsum = (0 until 16).map { b =>
+        s"SUM(CASE WHEN (('0x' || substr(h,${1 + b / 4},1))::BIGINT // ${1 << (3 - b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n    ")
+      val simval = (0 until 16).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << (15 - b)} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+         |), th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+         |bits AS (SELECT doc_id, $bitsum FROM th GROUP BY doc_id)
+         |SELECT doc_id, CAST($simval AS BIGINT) AS simhash FROM bits""".stripMargin
+    },
+    "north star: SimHash fingerprinting")
+
+  def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qNearDup, qDocDedup,
+    qEmbedDup, qSimhash)
 }

@@ -74,8 +74,8 @@ object StreamQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sess AS (
       |  SELECT user_id, ts,
-      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM gaps)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start

@@ -1,9 +1,189 @@
 package graft.queries
 
-import graft.Q
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.Shingles
 
-/** Text-analysis queries (chunking, tokens, lang-id, quality,
-  * fingerprinting) — filled in the text-analysis build phase. */
+/** Text-analysis family over `documents` (north star: language-ID, quality
+  * scoring, token statistics, document fingerprinting — the text half of a
+  * training-data pipeline; the reference only chunks text server-side,
+  * commercial_rfp_indexer.py:164-176).
+  *
+  * Every query is one explode + one hash aggregation (or a pure
+  * projection) — single shuffle, map-side partial aggregation, no collect,
+  * so the shapes hold at corpus scale.
+  */
 object TextQueries {
-  def all: Seq[Q] = Seq()
+
+  /** q_text_stats — per-document token statistics: counts, distincts,
+    * average token length, type-token ratio. */
+  val qTextStats = Q("q_text_stats",
+    (s, dir) => Shingles.tokens(
+        Tables.documents(s, dir).select("doc_id", "lang", "text"),
+        "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(length(col("tok"))).as("n_chars_tok"),
+        round(sum(length(col("tok"))).cast("double") / count(lit(1)), 6)
+          .as("avg_tok_len"),
+        round(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
+          .as("ttr"))
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "n_tokens", "n_distinct", "n_chars_tok",
+        "avg_tok_len", "ttr"),
+    Some("""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+      |), st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(length(tok)) AS BIGINT) AS n_chars_tok,
+      |    round(CAST(SUM(length(tok)) AS DOUBLE)/count(*), 6) AS avg_tok_len,
+      |    round(CAST(count(DISTINCT tok) AS DOUBLE)/count(*), 6) AS ttr
+      |  FROM toks GROUP BY doc_id)
+      |SELECT st.doc_id, d.lang, n_tokens, n_distinct, n_chars_tok, avg_tok_len, ttr
+      |FROM st JOIN documents d ON d.doc_id = st.doc_id""".stripMargin),
+    "north star: token counting / text statistics")
+
+  /** Marker-token sets for the lang-id heuristic (shared with the oracle
+    * SQL verbatim). A real pipeline would use char-n-gram profiles; the
+    * mechanism — per-language evidence counts + argmax — is the same. */
+  private val markers = Seq(
+    "s_en" -> Seq("the", "a", "and", "of", "fast", "slow"),
+    "s_de" -> Seq("der", "die", "das", "und", "von"),
+    "s_fr" -> Seq("le", "la", "et", "de", "les"),
+    "s_es" -> Seq("el", "los", "y", "en", "una"))
+
+  /** q_lang_id — language identification by marker-token evidence counts
+    * with a deterministic argmax (ties break toward the earlier language,
+    * 'und' when no evidence). */
+  val qLangId = Q("q_lang_id",
+    (s, dir) => {
+      val toks = Shingles.tokens(Tables.documents(s, dir), "doc_id", "text",
+        lowered = true)
+      val aggs = markers.map { case (name, words) =>
+        sum(when(col("tok").isin(words: _*), 1).otherwise(0)).as(name)
+      }
+      toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+              col("s_de") > 0, "de")
+            .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+            .when(col("s_es") > 0, "es")
+            .otherwise("und"))
+        .select("doc_id", "pred_lang", "s_en", "s_de", "s_fr", "s_es")
+    },
+    Some {
+      val sums = markers.map { case (name, words) =>
+        val list = words.map(w => s"'$w'").mkString(",")
+        s"SUM(CASE WHEN tok IN ($list) THEN 1 ELSE 0 END) AS $name"
+      }.mkString(",\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
+         |), scores AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |       WHEN s_es > 0 THEN 'es'
+         |       ELSE 'und' END AS pred_lang,
+         |  CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+         |  CAST(s_fr AS BIGINT) AS s_fr, CAST(s_es AS BIGINT) AS s_es
+         |FROM scores""".stripMargin
+    },
+    "north star: language-ID heuristic")
+
+  private val stopWords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** q_quality — quality scoring from length / punctuation / stop-word
+    * features, 4-point score, keep score ≥ 3 (the training-data quality
+    * gate pattern). Pure projection + filter: no shuffle at all. */
+  val qQuality = Q("q_quality",
+    (s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val stopArr = typedLit(stopWords)
+      Tables.documents(s, dir)
+        .withColumn("text_len", length(col("text")))
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_punct", length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", "")))
+        .withColumn("n_stop", size(filter(split(trim(lower(col("text"))), "\\s+"),
+          t => array_contains(stopArr, t))))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("punct_ratio",
+          col("n_punct").cast("double") / col("text_len"))
+        .withColumn("quality",
+          (when(col("text_len") >= 100, 1).otherwise(0) +
+            when(col("n_tokens") >= 20, 1).otherwise(0) +
+            when(col("stop_ratio") >= 0.02, 1).otherwise(0) +
+            when(col("punct_ratio") <= 0.1, 1).otherwise(0)).cast("long"))
+        .filter(col("quality") >= 3)
+        .select(col("doc_id"), col("lang"), col("text_len"), col("n_tokens"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"), col("quality"))
+    },
+    Some {
+      val list = stopWords.map(w => s"'$w'").mkString(",")
+      s"""WITH feats AS (
+         |  SELECT doc_id, lang, length(text) AS text_len,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        t -> t IN ($list))) AS n_stop
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id, lang, text_len, n_tokens,
+         |    CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+         |    CAST(n_punct AS DOUBLE)/text_len AS punct_ratio,
+         |    (CASE WHEN text_len >= 100 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END
+         |     + CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens >= 0.02 THEN 1 ELSE 0 END
+         |     + CASE WHEN CAST(n_punct AS DOUBLE)/text_len <= 0.1 THEN 1 ELSE 0 END) AS quality
+         |  FROM feats)
+         |SELECT doc_id, lang, text_len, n_tokens,
+         |  round(stop_ratio, 6) AS stop_ratio, round(punct_ratio, 6) AS punct_ratio,
+         |  CAST(quality AS BIGINT) AS quality
+         |FROM scored WHERE quality >= 3""".stripMargin
+    },
+    "north star: quality scoring / filtering")
+
+  /** q_top_terms — corpus-level top-20 terms by frequency with document
+    * frequency (the df side of tf-idf). Deterministic (tf, tok) order. */
+  val qTopTerms = Q("q_top_terms",
+    (s, dir) => Shingles.tokens(Tables.documents(s, dir), "doc_id", "text",
+        lowered = true)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(20),
+    Some("""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents
+      |)
+      |SELECT tok, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM toks GROUP BY tok ORDER BY tf DESC, tok LIMIT 20""".stripMargin),
+    "north star: term statistics (tf/df)")
+
+  /** q_fingerprint — content fingerprints: md5 of the whitespace-normalized
+    * lowered text plus a 60-bit integer fingerprint from its prefix. Pure
+    * projection. */
+  val qFingerprint = Q("q_fingerprint",
+    (s, dir) => {
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(norm).as("content_md5"),
+        conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp64"))
+    },
+    Some("""WITH n AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5
+      |  FROM documents)
+      |SELECT doc_id, content_md5,
+      |  ('0x' || substr(content_md5, 1, 15))::BIGINT AS fp64
+      |FROM n""".stripMargin),
+    "north star: document fingerprinting")
+
+  def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms, qFingerprint)
 }
