@@ -16,6 +16,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     queries.RfpQueries.all ++
+      queries.PipelineQueries.all ++
       queries.RelationalQueries.all ++
       queries.TextQueries.all ++
       queries.SimilarityQueries.all ++

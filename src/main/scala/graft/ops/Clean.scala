@@ -42,6 +42,17 @@ object Clean {
     try_to_date(c, "y-M-d"),
     try_to_date(c, "d-M-y"))
 
+  /** P7 — required-column validation, failing with the available columns
+    * as suggestions (ref :188-196,211-219). Runs driver-side against the
+    * schema — a zero-cost pre-stage, not a data pass. */
+  def requireColumns(df: DataFrame, required: Seq[String]): Unit = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    val missing = required.filterNot(c => have(c.toLowerCase))
+    require(missing.isEmpty,
+      s"missing required column(s): ${missing.mkString(", ")}; " +
+        s"available: ${df.columns.mkString(", ")}")
+  }
+
   /** P5 + P6 — drop null dates, keep a 36-month recency horizon relative
     * to a *parameter* asOf (ref :202,206-208; divergence note 3). */
   def recencyFilter(df: DataFrame, dateCol: String, asOf: String): DataFrame =

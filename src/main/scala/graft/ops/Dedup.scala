@@ -73,4 +73,28 @@ object Dedup {
   /** A8 — duplicate-key audit: keys occurring more than once (ref :195-204). */
   def duplicateKeys(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+
+  /** Skew-hardened variant of [[dedupExact]] — the salting escape hatch for
+    * a dominant dedup key. Two phases: (1) pick the per-(key, salt-bucket)
+    * winner, so a hot key's rows spread over `buckets` partitions instead
+    * of serializing in one; (2) pick the final winner among the ≤`buckets`
+    * survivors per key. First-wins semantics and the deterministic
+    * tiebreak are preserved because min-by-order is associative — the
+    * result is row-identical to [[dedupExact]] (DedupSpec asserts it).
+    * Salt is a hash of the order columns: deterministic, and rows of the
+    * same group land in different buckets whenever their tiebreaks differ. */
+  def dedupExactSalted(df: DataFrame, keys: Seq[String],
+                       orderCols: Seq[String], buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(orderCols.map(col): _*), lit(buckets.toLong)))
+    val w1 = Window.partitionBy((keys :+ "__salt").map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val survivors = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1).drop("__rn")
+    val w2 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    survivors.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__salt")
+  }
 }

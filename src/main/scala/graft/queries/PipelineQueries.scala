@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{ManifestSynth, Q, RfpSynth, Tables}
+import graft.ops.{Clean, Dedup, Keys, Render}
+
+/** Pipeline-stage queries beyond the cleaning core: document rendering
+  * (S9/P15/S10/P16), latest-file selection (S5/S6/T2/A10), manifest-shaped
+  * sync reconciliation (O7/O8 with the P12 filename filters), scalar
+  * utilities (K4/K5/K6, O10), duplicate-census scalars (A2/A3), and set
+  * operations (§2.8 capability row).
+  *
+  * Listing-shaped inputs come from [[ManifestSynth]]; RFP-shaped inputs
+  * from [[RfpSynth]] via the same cleaning chain the RFP family uses.
+  */
+object PipelineQueries {
+
+  private def cleaned(s: SparkSession, dir: String): DataFrame =
+    Clean.cleanRfp(RfpSynth.frame(Tables.documents(s, dir)))
+
+  private def manifest(s: SparkSession, dir: String): DataFrame =
+    ManifestSynth.frame(Tables.documents(s, dir))
+
+  /** q_doc_render — S9/P15 fixed-order blank-skipping document body plus
+    * the S10/P16 key_hash-or-fallback file naming. key_hash is computed on
+    * the cleaned fields here (q_keys covers the raw-frame derivation) and
+    * synthetically nulled for doc_id % 17 = 0 to exercise the fallback. */
+  val qDocRender = Q("q_doc_render",
+    (s, dir) => {
+      val dateStr = date_format(col("date"), "yyyy-MM-dd")
+      val key = concat_ws("_", col("client"), dateStr, col("rfp_type"),
+        col("consultant"), substring(col("question"), 1, 120),
+        substring(col("response"), 1, 120))
+      val kh = when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+        .otherwise(Keys.keyHash(key))
+      cleaned(s, dir).select(
+        col("doc_id"),
+        Render.docName(kh, col("doc_id")).as("file_name"),
+        Render.docBody(col("client"), col("rfp_type"), col("consultant"),
+          dateStr, col("sme"), col("question"), col("response")).as("doc_text"))
+    },
+    Some(s"""${RfpSynth.cleanedSql}
+      |SELECT doc_id,
+      |  COALESCE(
+      |    NULLIF(CASE WHEN doc_id % 17 = 0 THEN NULL
+      |      ELSE 'RFP_Content_' || md5(substring(regexp_replace(
+      |        concat_ws('_', client, strftime(date, '%Y-%m-%d'), rfp_type, consultant,
+      |          substring(question, 1, 120), substring(response, 1, 120)),
+      |        '\\s+', '', 'g'), 1, 120)) END, ''),
+      |    'RFP_Content_Library_' || CAST(CAST(CAST(doc_id AS DOUBLE) AS BIGINT) AS VARCHAR)) || '.docx' AS file_name,
+      |  concat_ws(chr(10),
+      |    'Client Name: ' || NULLIF(trim(client), ''),
+      |    'RFP Type: ' || NULLIF(trim(rfp_type), ''),
+      |    'Consultant: ' || NULLIF(trim(consultant), ''),
+      |    'Date: ' || NULLIF(trim(strftime(date, '%Y-%m-%d')), ''),
+      |    'SME: ' || NULLIF(trim(sme), ''),
+      |    'Question: ' || NULLIF(trim(question), ''),
+      |    'Response: ' || NULLIF(trim(response), '')) AS doc_text
+      |FROM cleaned""".stripMargin),
+    "ref commercial_rfp_content_doc_library_creation.py:46-69,103-131")
+
+  /** q_latest_file — the two latest-file selections: S5 (max ISO-Z
+    * modified over excel-extension names, K4) and S6 (max name-embedded
+    * yyyymmdd over RFP-prefixed workbooks, K5). orderBy+limit compiles to
+    * TakeOrdered — no global sort at scale. */
+  val qLatestFile = Q("q_latest_file",
+    (s, dir) => {
+      val excel = manifest(s, dir)
+        .filter(col("name").rlike("\\.(xlsx|xls|xlsm)$"))
+      val byMod = excel
+        .withColumn("ts", to_timestamp(col("modified"), "yyyy-MM-dd'T'HH:mm:ssX"))
+        .orderBy(col("ts").desc, col("name")).limit(1)
+        .select(lit("by_modified").as("method"), col("name"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("picked"))
+      val byName = excel
+        .filter(col("name").startsWith("RFP_content_library_"))
+        .withColumn("d", substring(col("name"), 21, 8))
+        .orderBy(col("d").desc, col("name")).limit(1)
+        .select(lit("by_name_date").as("method"), col("name"),
+          date_format(to_date(col("d"), "yyyyMMdd"), "yyyy-MM-dd HH:mm:ss")
+            .as("picked"))
+      byMod.unionAll(byName)
+    },
+    Some("WITH " + ManifestSynth.sql + """,
+      |by_mod AS (
+      |  SELECT 'by_modified' AS method, name,
+      |    strftime(strptime(modified, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%d %H:%M:%S') AS picked
+      |  FROM manifest
+      |  WHERE regexp_matches(name, '\.(xlsx|xls|xlsm)$')
+      |  QUALIFY row_number() OVER (ORDER BY strptime(modified, '%Y-%m-%dT%H:%M:%SZ') DESC, name) = 1
+      |), by_name AS (
+      |  SELECT 'by_name_date' AS method, name,
+      |    strftime(strptime(substring(name, 21, 8), '%Y%m%d'), '%Y-%m-%d %H:%M:%S') AS picked
+      |  FROM manifest
+      |  WHERE substring(name, 1, 20) = 'RFP_content_library_'
+      |    AND regexp_matches(name, '\.(xlsx|xls|xlsm)$')
+      |  QUALIFY row_number() OVER (ORDER BY substring(name, 21, 8) DESC, name) = 1
+      |)
+      |SELECT * FROM by_mod UNION ALL SELECT * FROM by_name""".stripMargin),
+    "ref commercial_rfp_raw_data_ingestion_and_cleaning.py:131-141; " +
+      "commercial_rfp_content_doc_library_creation.py:24-44")
+
+  // --- O7/O8 sync reconciliation over two listing frames ----------------
+
+  private def blobListing(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id")
+    d.filter(id % 3 =!= 0).select(
+        concat(lit("RFP_Content_"), md5(concat(lit("f"), id.cast("string"))),
+          lit(".docx")).as("name"))
+      .unionAll(d.filter(id % 50 === 0).select(
+        concat(lit("audit_"), id.cast("string"), lit(".log")).as("name")))
+  }
+
+  private def spListing(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id")
+    d.filter(id % 3 =!= 1).select(
+        concat(lit("RFP_Content_"), md5(concat(lit("f"), id.cast("string"))),
+          lit(".docx")).as("name"))
+      .unionAll(d.filter(id % 60 === 0).select(
+        concat(lit("readme_"), id.cast("string"), lit(".txt")).as("name")))
+  }
+
+  private val syncSql =
+    """blobs AS (
+      |  SELECT 'RFP_Content_' || md5('f' || CAST(doc_id AS VARCHAR)) || '.docx' AS name
+      |  FROM documents WHERE doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'audit_' || CAST(doc_id AS VARCHAR) || '.log' FROM documents WHERE doc_id % 50 = 0
+      |), sp AS (
+      |  SELECT 'RFP_Content_' || md5('f' || CAST(doc_id AS VARCHAR)) || '.docx' AS name
+      |  FROM documents WHERE doc_id % 3 <> 1
+      |  UNION ALL
+      |  SELECT 'readme_' || CAST(doc_id AS VARCHAR) || '.txt' FROM documents WHERE doc_id % 60 = 0
+      |)""".stripMargin
+
+  /** q_sync_upload — O7: blob .docx files absent from the SharePoint
+    * listing (left_anti on name, P12 extension filter both sides). */
+  val qSyncUpload = Q("q_sync_upload",
+    (s, dir) => blobListing(s, dir).filter(col("name").endsWith(".docx"))
+      .join(spListing(s, dir).filter(col("name").endsWith(".docx")),
+        Seq("name"), "left_anti"),
+    Some("WITH " + syncSql + """
+      |SELECT b.name FROM blobs b
+      |WHERE b.name LIKE '%.docx'
+      |  AND b.name NOT IN (SELECT name FROM sp WHERE name LIKE '%.docx')""".stripMargin),
+    "ref commercial_rfp_content_citation_upload_mapping_creation.py:133-164")
+
+  /** q_sync_delete — O8: SharePoint .docx files absent from the blob
+    * container. upload ∪ delete reconciles the two listings (property
+    * tested in SyncSpec). */
+  val qSyncDelete = Q("q_sync_delete",
+    (s, dir) => spListing(s, dir).filter(col("name").endsWith(".docx"))
+      .join(blobListing(s, dir).filter(col("name").endsWith(".docx")),
+        Seq("name"), "left_anti"),
+    Some("WITH " + syncSql + """
+      |SELECT s.name FROM sp s
+      |WHERE s.name LIKE '%.docx'
+      |  AND s.name NOT IN (SELECT name FROM blobs WHERE name LIKE '%.docx')""".stripMargin),
+    "ref commercial_rfp_content_citation_upload_mapping_creation.py:47-113")
+
+  /** q_util_scalars — the small scalar operators in one projection:
+    * K4 ISO-Z timestamp parse, K5 yyyymmdd decode, K6 URL unquote + path
+    * normalize (percent-decode expressed as an explicit %20 replace so the
+    * oracle matches; Spark's url_decode is the general form), O10
+    * date-prefix anti-filter flag, P16 float→int normalize. */
+  val qUtilScalars = Q("q_util_scalars",
+    (s, dir) => {
+      val urlClean = trim(regexp_replace(col("url"), "%20", " "), "/")
+      manifest(s, dir).filter(col("doc_id") % 4 === 0).select(
+        col("doc_id"),
+        date_format(to_timestamp(col("modified"), "yyyy-MM-dd'T'HH:mm:ssX"),
+          "yyyy-MM-dd HH:mm:ss").as("modified_ts"),
+        date_format(to_date(substring(col("name"), 21, 8), "yyyyMMdd"),
+          "yyyy-MM-dd").as("name_date"),
+        when(!col("created_date").startsWith("2025-01-01"), 1).otherwise(0)
+          .as("delete_flag"),
+        urlClean.as("url_path"),
+        element_at(split(urlClean, "/"), -1).as("url_leaf"),
+        col("doc_id").cast("double").cast("long").as("ref_int"))
+    },
+    Some("WITH " + ManifestSynth.sql + """
+      |SELECT doc_id,
+      |  strftime(strptime(modified, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%d %H:%M:%S') AS modified_ts,
+      |  strftime(strptime(substring(name, 21, 8), '%Y%m%d'), '%Y-%m-%d') AS name_date,
+      |  CASE WHEN created_date NOT LIKE '2025-01-01%' THEN 1 ELSE 0 END AS delete_flag,
+      |  trim(replace(url, '%20', ' '), '/') AS url_path,
+      |  list_element(string_split(trim(replace(url, '%20', ' '), '/'), '/'), -1) AS url_leaf,
+      |  CAST(CAST(doc_id AS DOUBLE) AS BIGINT) AS ref_int
+      |FROM manifest WHERE doc_id % 4 = 0""".stripMargin),
+    "ref K4 :138-139, K5 doc_library :35-36, K6 utils :60-73, O10 utils :90-106, P16 doc_library :122-123")
+
+  /** q_dup_stats — A2 scalar sum + A3 distinct-group count over the
+    * duplicate census, as one single-row aggregate. */
+  val qDupStats = Q("q_dup_stats",
+    (s, dir) => Dedup.duplicateGroups(cleaned(s, dir),
+        Seq("question", "response"))
+      .agg(count(lit(1)).as("n_dup_groups"),
+        coalesce(sum(col("cnt")), lit(0L)).as("n_dup_rows")),
+    Some(s"""${RfpSynth.cleanedSql}
+      |SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+      |  CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_dup_rows
+      |FROM (SELECT question, response, count(*) AS cnt FROM cleaned
+      |      GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin),
+    "ref :247-250 (total dup rows, distinct dup combos)")
+
+  /** q_setops — union / intersect / except capability (§2.8): BUILDING
+    * customers vs high-balance customers, row-tagged by operation. */
+  val qSetOps = Q("q_setops",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      def tag(df: DataFrame, t: String) =
+        df.select(lit(t).as("op"), col("c_custkey"))
+      tag(a.union(b).distinct(), "union")
+        .unionAll(tag(a.intersect(b), "intersect"))
+        .unionAll(tag(a.except(b), "except"))
+    },
+    Some("""WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |SELECT 'union' AS op, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'intersect', c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'except', c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""".stripMargin),
+    "§2.8 set-operation capability")
+
+  def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
+    qUtilScalars, qDupStats, qSetOps)
+}

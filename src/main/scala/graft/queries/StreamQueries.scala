@@ -14,16 +14,12 @@ object StreamQueries {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
   private val hourFmt = "yyyy-MM-dd HH:mm:ss"
 
-  /** q_events_hourly — tumbling 1-hour windows per event_type. Uses the
-    * native `window()` operator (streaming-compatible); the start is
-    * projected as a string for engine-agnostic comparison. */
+  /** q_events_hourly — tumbling 1-hour windows per event_type: the exact
+    * [[graft.streaming.Streams.hourlyCounts]] plan run in batch mode (the
+    * watermark is a no-op there; StreamingSpec asserts the readStream run
+    * of the same function matches). */
   val qHourly = Q("q_events_hourly",
-    (s, dir) => Tables.events(s, dir)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("sum_value"))
-      .select(date_format(col("w.start"), hourFmt).as("window_start"),
-        col("event_type"), col("n"), col("sum_value")),
+    (s, dir) => graft.streaming.Streams.hourlyCounts(Tables.events(s, dir)),
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, count(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM-wide session — Spark
+  * startup dominates test time otherwise). */
+object SparkTestSession {
+  lazy val get: SparkSession = {
+    val s = Sessions.builder("4").appName("graft-test").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  /** Runs a ScalaCheck property and fails the ScalaTest test if it does
+    * not hold (the scalatest/scalacheck bridge artifact is not available
+    * offline, so properties are checked through scalacheck directly). */
+  def checkProp(p: org.scalacheck.Prop, minTests: Int = 20): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(minTests).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop}
+
+/** O7/O8 reconciliation property (SURVEY §5): upload ∪ delete covers the
+  * symmetric difference of the two listings, and after applying both the
+  * listings agree. */
+class SyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def anti(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r, Seq("name"), "left_anti")
+
+  test("property: upload/delete reconcile two arbitrary listings") {
+    val gen = Gen.listOf(Gen.choose(0, 30))
+    checkProp(Prop.forAll(gen, gen) { (blobIds: List[Int], spIds: List[Int]) =>
+      val blobs = blobIds.distinct.map(i => s"f$i.docx").toDF("name")
+      val sp = spIds.distinct.map(i => s"f$i.docx").toDF("name")
+      val upload = anti(blobs, sp).as[String].collect().toSet
+      val del = anti(sp, blobs).as[String].collect().toSet
+      val b = blobIds.distinct.map(i => s"f$i.docx").toSet
+      val s = spIds.distinct.map(i => s"f$i.docx").toSet
+      // post-sync SharePoint state = (sp − delete) ∪ upload = blobs
+      upload == b.diff(s) && del == s.diff(b) &&
+        s.diff(del).union(upload) == b
+    }, minTests = 10)
+  }
+}

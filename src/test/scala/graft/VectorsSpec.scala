@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Vectors
+
+/** Vector kernels: fixed-point dot exactness, cosine sanity, LSH buckets. */
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dot(a: Seq[Double], b: Seq[Double]): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(Vectors.dotExact(col("a"), col("b")).as("d"))
+      .as[Double].head()
+
+  test("dotExact matches the plain dot product to fixed-point precision") {
+    val a = Seq(0.25, -0.5, 0.125)
+    val b = Seq(1.0, 2.0, -4.0)
+    assert(math.abs(dot(a, b) - (0.25 - 1.0 - 0.5)) < 1e-12)
+  }
+
+  test("dotExact is invariant to element order pairings (exact sums)") {
+    val a = Seq.tabulate(64)(i => math.sin(i + 1))
+    val d1 = dot(a, a)
+    val d2 = dot(a.reverse, a.reverse)
+    assert(d1 === d2) // bit-identical: integer summation is commutative
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val a = Seq.tabulate(16)(i => 0.1 * (i + 1))
+    val df = Seq((a, a)).toDF("a", "b").select(
+      Vectors.cosineFromParts(
+        Vectors.dotExact(col("a"), col("b")),
+        Vectors.dotExact(col("a"), col("a")),
+        Vectors.dotExact(col("b"), col("b"))).as("c"))
+    assert(math.abs(df.as[Double].head() - 1.0) < 1e-9)
+  }
+
+  test("planeWeights is deterministic and bounded in [-0.5, 0.5)") {
+    val p1 = Vectors.planeWeights(6, 64)
+    val p2 = Vectors.planeWeights(6, 64)
+    assert(p1.flatten.toSeq === p2.flatten.toSeq)
+    assert(p1.flatten.forall(w => w >= -0.5 && w < 0.5))
+  }
+
+  test("lshBucket: same vector same bucket; scaled copy same bucket") {
+    val planes = Vectors.planeWeights(6, 8)
+    val v = Seq(0.3, -0.2, 0.7, 0.1, -0.9, 0.4, 0.0, 0.2)
+    val df = Seq((v, v.map(_ * 2.0))).toDF("a", "b").select(
+      Vectors.lshBucket(col("a"), planes).as("ba"),
+      Vectors.lshBucket(col("b"), planes).as("bb"))
+    val (ba, bb) = df.as[(Long, Long)].head()
+    assert(ba === bb) // hyperplane signs are scale-invariant
+    assert(ba >= 0 && ba < 64)
+  }
+}
