@@ -20,6 +20,7 @@ object Registry {
       queries.RelationalQueries.all ++
       queries.TextQueries.all ++
       queries.SimilarityQueries.all ++
+      queries.MultimodalQueries.all ++
       queries.StreamQueries.all
 
   lazy val byName: Map[String, Q] = {

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support (north star): media as opaque `binary`
+  * columns with a typed metadata struct, plus frame sampling and batch
+  * feature extraction.
+  *
+  * The decode step is STUBBED — image/audio codecs are not available in
+  * this environment — with deterministic byte-level statistics standing in
+  * for pixel/sample decoding. Everything around the stub is real Spark
+  * plumbing: BinaryType content, nested StructType metadata, codegen'd
+  * binary slicing for frame sampling, and a typed `mapPartitions` pass
+  * (the JVM analog of a vectorized batch-UDF decode: one iterator per
+  * partition, so a real codec would amortize model/codec init per
+  * partition, not per row).
+  *
+  * Scale: content stays opaque until the last step — predicates and
+  * metadata projections never touch the bytes, so column pruning keeps
+  * scans narrow; frame sampling is a bounded explode (≤ maxFrames rows per
+  * asset); feature extraction is embarrassingly parallel.
+  */
+object Multimodal {
+
+  /** One extracted feature row per media asset ([[extractFeatures]]). */
+  final case class MediaFeature(doc_id: Long, modality: String,
+                                n_bytes: Int, checksum: Long,
+                                peak_byte: Int)
+
+  /** Bounded frame sampling: up to `maxFrames` frames of `frameBytes`
+    * each, sliced out of the binary content (codegen'd `substr` on
+    * BinaryType — no UDF). Adds (frame_idx, frame). */
+  def sampleFrames(df: DataFrame, contentCol: String,
+                   frameBytes: Int = 256, maxFrames: Int = 4): DataFrame = {
+    val nFrames = least(lit(maxFrames),
+      ceil(length(col(contentCol)).cast("double") / frameBytes).cast("long"))
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0L), greatest(nFrames - 1, lit(0L)))))
+      .withColumn("frame",
+        expr(s"substr($contentCol, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
+  }
+
+  /** Batch feature extraction over (doc_id, modality, content) — the
+    * stubbed decode. Deterministic byte statistics replace codec output;
+    * the partition-iterator shape is what a real decoder would use. */
+  def extractFeatures(df: DataFrame): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (codec/model load)
+        it.map { case (id, modality, bytes) =>
+          val hist = new Array[Int](256)
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            hist(b) += 1
+            sum = sum * 31 + b
+            i += 1
+          }
+          val peak = if (bytes.isEmpty) -1 else hist.indexOf(hist.max)
+          MediaFeature(id, modality, bytes.length, sum, peak)
+        }
+      }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.Multimodal
+
+/** Multimodal-column queries (north star): a synthesized media corpus —
+  * binary content (UTF-8 bytes of the document text standing in for
+  * encoded media; the corpus text is ASCII, so byte offsets == char
+  * offsets and the DuckDB oracle can hash the equivalent string slices),
+  * a modality tag, and a typed metadata struct — flowing through metadata
+  * projection, binary frame sampling, and content hashing.
+  *
+  * The feature-extraction path (typed mapPartitions, the stubbed decode)
+  * is registered oracle-less — q_media_features gets the driver's
+  * rows-only check and a full equivalence spec in MultimodalSpec.
+  */
+object MultimodalQueries {
+
+  /** documents → media corpus: (doc_id, modality, content: binary,
+    * meta: struct). Mirrors [[mediaSql]]. */
+  private def media(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    Tables.documents(s, dir).select(
+      id,
+      when(id % 3 === 0, "image").when(id % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        when(id % 3 === 0, (lit(64) + id % 512).cast("int"))
+          .otherwise(lit(null).cast("int")).as("width"),
+        when(id % 3 === 0, (lit(64) + (id * 7) % 512).cast("int"))
+          .otherwise(lit(null).cast("int")).as("height"),
+        when(id % 3 === 1, when(id % 2 === 0, 16000).otherwise(44100))
+          .otherwise(lit(null).cast("int")).as("sample_rate"),
+        when(id % 3 === 2, (lit(24) + id % 7).cast("int"))
+          .otherwise(lit(null).cast("int")).as("fps")).as("meta"))
+  }
+
+  private val mediaSql =
+    """media AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    text AS content_str,
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(64 + doc_id % 512 AS INTEGER) END AS width,
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(64 + (doc_id * 7) % 512 AS INTEGER) END AS height,
+      |    CASE WHEN doc_id % 3 = 1 THEN CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END END AS sample_rate,
+      |    CASE WHEN doc_id % 3 = 2 THEN CAST(24 + doc_id % 7 AS INTEGER) END AS fps
+      |  FROM documents
+      |)""".stripMargin
+
+  /** q_media_meta — typed-metadata projection + per-modality stats: the
+    * "never touch the bytes" path (content is pruned from the scan). */
+  val qMediaMeta = Q("q_media_meta",
+    (s, dir) => media(s, dir)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("content"))).as("total_bytes"),
+        sum(col("meta.width").cast("long")).as("sum_width"),
+        sum(col("meta.sample_rate").cast("long")).as("sum_sample_rate")),
+    Some("WITH " + mediaSql + """
+      |SELECT modality, count(*) AS n,
+      |  CAST(SUM(octet_length(encode(content_str))) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(width) AS BIGINT) AS sum_width,
+      |  CAST(SUM(sample_rate) AS BIGINT) AS sum_sample_rate
+      |FROM media GROUP BY modality""".stripMargin),
+    "north star: multimodal metadata columns")
+
+  /** q_media_frames — bounded binary frame sampling + per-frame hash
+    * (the decode input shape: ≤4 frames × 256 bytes per asset). */
+  val qMediaFrames = Q("q_media_frames",
+    (s, dir) => Multimodal.sampleFrames(media(s, dir), "content")
+      .select(col("doc_id"), col("modality"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_md5")),
+    Some("WITH " + mediaSql + """,
+      |frames AS (
+      |  SELECT doc_id, modality, content_str, f AS frame_idx
+      |  FROM media, unnest(generate_series(0,
+      |    greatest(least(4, CAST(ceil(octet_length(encode(content_str))/256.0) AS BIGINT)) - 1, 0))) AS g(f)
+      |)
+      |SELECT doc_id, modality, frame_idx,
+      |  length(substring(content_str, CAST(frame_idx*256 + 1 AS INTEGER), 256)) AS frame_bytes,
+      |  md5(substring(content_str, CAST(frame_idx*256 + 1 AS INTEGER), 256)) AS frame_md5
+      |FROM frames""".stripMargin),
+    "north star: frame sampling over binary media columns")
+
+  /** q_media_features — the stubbed-decode feature extraction (typed
+    * mapPartitions). No SQL oracle (imperative per-partition pass);
+    * driver records the rows-only check, MultimodalSpec asserts the
+    * feature values against an independent implementation. */
+  val qMediaFeatures = Q("q_media_features",
+    (s, dir) => Multimodal.extractFeatures(media(s, dir)).toDF(),
+    None,
+    "north star: batch feature extraction (decode stub)")
+
+  def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaFeatures)
+}

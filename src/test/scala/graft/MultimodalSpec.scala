@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** Multimodal plumbing: binary frame sampling and the stubbed-decode
+  * feature extraction (verified against an independent in-test
+  * implementation, since the mapPartitions pass has no SQL oracle). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDf = Seq(
+    (1L, "image", "0123456789" * 60), // 600 bytes → 3 frames (capped at 4)
+    (2L, "audio", "abc"),             // 3 bytes → 1 frame
+    (3L, "video", "z" * 2000)         // 2000 bytes → capped at 4 frames
+  ).toDF("doc_id", "modality", "text")
+    .withColumn("content", encode(col("text"), "UTF-8"))
+
+  test("sampleFrames: bounded count, correct slicing, binary stays binary") {
+    val out = Multimodal.sampleFrames(mediaDf, "content")
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("len"),
+        col("frame").cast("string").as("s"))
+      .as[(Long, Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(_._3).toSeq === Seq(256, 256, 88))
+    assert(out(1L).head._4 === ("0123456789" * 60).take(256))
+    assert(out(2L).map(_._3).toSeq === Seq(3))
+    assert(out(3L).size === 4) // 2000/256 = 7.8 frames, capped at maxFrames
+  }
+
+  test("extractFeatures matches an independent byte-stat implementation") {
+    val got = Multimodal.extractFeatures(mediaDf)
+      .collect().map(f => f.doc_id -> f).toMap
+    val texts = Map(1L -> "0123456789" * 60, 2L -> "abc", 3L -> "z" * 2000)
+    texts.foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val expectedSum = bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+      assert(got(id).n_bytes === bytes.length)
+      assert(got(id).checksum === expectedSum)
+      val counts = bytes.groupBy(b => b & 0xff).view.mapValues(_.length)
+      val maxCount = counts.values.max
+      assert(got(id).peak_byte === counts.filter(_._2 == maxCount).keys.min)
+    }
+  }
+}
