@@ -228,6 +228,29 @@ object PipelineQueries {
       |SELECT 'except', c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""".stripMargin),
     "§2.8 set-operation capability")
 
+  /** q_inline_scan — S3 list-of-lists scan: a driver-side header+rows
+    * literal becomes a DataFrame (ref convert_list_to_dataframe,
+    * commercial_rfp_raw_data_ingestion_and_cleaning.py:153-157), used as a
+    * broadcast dimension against the documents fact — the tiny-dim join
+    * pattern at any scale. */
+  val qInlineScan = Q("q_inline_scan",
+    (s, dir) => {
+      val header = Seq("lang", "family")
+      val rows = Seq(("en", "germanic"), ("de", "germanic"),
+        ("fr", "romance"), ("es", "romance"), ("zh", "sinitic"))
+      val dim = s.createDataFrame(rows).toDF(header: _*)
+      Tables.documents(s, dir)
+        .join(broadcast(dim), "lang")
+        .groupBy("family").agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT f.family, count(*) AS n
+      |FROM documents d
+      |JOIN (VALUES ('en','germanic'), ('de','germanic'), ('fr','romance'),
+      |             ('es','romance'), ('zh','sinitic')) f(lang, family)
+      |  ON d.lang = f.lang
+      |GROUP BY 1""".stripMargin),
+    "ref :153-157 (S3 list-of-lists scan)")
+
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
-    qUtilScalars, qDupStats, qSetOps)
+    qUtilScalars, qDupStats, qSetOps, qInlineScan)
 }

@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.{RelationalQueries, RfpQueries, SimilarityQueries}
+import graft.ops.Chunk
+
+/** Physical-plan regression tests: the scale posture (pushdown, broadcast,
+  * shuffle counts) is asserted, not just hoped for — a refactor that
+  * silently adds an exchange or drops a pushed filter fails here.
+  * Runs against sf0.001 (plans, not data, are under test). */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: Q): String =
+    q.fn(spark, dir).queryExecution.executedPlan.toString
+
+  private def countOcc(s: String, needle: String): Int =
+    s.sliding(needle.length).count(_ == needle)
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan(RelationalQueries.q1)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q5_region broadcasts the dimension sides") {
+    val p = plan(RelationalQueries.q5)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q3_top compiles the deterministic top-10 to TakeOrdered") {
+    assert(plan(RelationalQueries.q3).contains("TakeOrderedAndProject"))
+  }
+
+  test("window dedups cost exactly one shuffle") {
+    val p = plan(RfpQueries.qDedupExact)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1)
+  }
+
+  test("q_chunk is shuffle-free (pure narrow chunking)") {
+    assert(!plan(SimilarityQueries.qChunk).contains("Exchange"))
+  }
+
+  test("q_knn broadcasts the query set (no shuffle before ranking)") {
+    val p = plan(SimilarityQueries.qKnn)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // only the final per-query ranking window shuffles
+    assert(countOcc(p, "Exchange hashpartitioning") === 1)
+  }
+
+  test("cleaning chain is a single fused scan stage (no shuffle)") {
+    assert(!plan(RfpQueries.qClean).contains("Exchange"))
+  }
+}
