@@ -24,8 +24,21 @@ import org.apache.spark.sql.functions._
   * engine-independent.
   */
 object Vectors {
-  /** Scaled-long dot product Σ round(a_i*b_i*1e15) — the exact kernel. */
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Scaled-long dot product Σ round(a_i*b_i*1e15) — the exact kernel,
+    * as the codegen'd [[graft.expressions.FixedPointDot]] (see there for
+    * why this is a custom Expression and not the equivalent
+    * zip_with+aggregate HOF chain). */
   def dotScaled(a: Column, b: Column): Column =
+    GraftSqlBridge.column(graft.expressions.FixedPointDot(
+      GraftSqlBridge.expression(a.cast("array<double>")),
+      GraftSqlBridge.expression(b.cast("array<double>"))))
+
+  /** The HOF formulation of [[dotScaled]] — semantically identical
+    * (VectorsSpec asserts bit-equality); kept as the reference
+    * implementation and codegen cross-check. */
+  def dotScaledHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => round(x * y * lit(1e15)).cast("long")),
       lit(0L), (acc, z) => acc + z)
 

@@ -226,7 +226,12 @@ object SimilarityQueries {
     * a band bucket — never all-pairs. */
   val qNearDup = Q("q_near_dup",
     (s, dir) => {
+      // The shingle frame feeds four consumers (signatures, both sides of
+      // the intersection join, sizes); without persist Spark re-derives
+      // the explode+distinct per consumer. MEMORY_AND_DISK keeps the
+      // plan safe under executor-memory pressure at scale.
       val sh = Shingles.shingles3(docCorpus(s, dir), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = Shingles.bands4x2(
         Shingles.minhash(sh, "doc_id", 8), "doc_id")
       val cand = bands.toDF("doc_a", "band", "sig")

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters — the
+  * standard pattern for third-party Catalyst extensions (a custom
+  * Expression is useless without a way to wrap it in a user-facing
+  * Column). Everything referenced here is Apache Spark's own API; only
+  * the package placement grants access.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

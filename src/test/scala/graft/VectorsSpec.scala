@@ -35,6 +35,21 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(df.as[Double].head() - 1.0) < 1e-9)
   }
 
+  test("codegen FixedPointDot is bit-identical to the HOF formulation") {
+    val vecs = Seq(
+      Seq.tabulate(64)(i => math.sin(i * 1.7) * 1.3),
+      Seq.tabulate(64)(i => math.cos(i * 0.9) * -0.7),
+      Seq(0.49999999999999994, -0.5, 2.5, -2.5, 0.0, 1e-16))
+    vecs.combinations(2).foreach { case Seq(a, b0) =>
+      val b = b0.take(a.length).padTo(a.length, 0.1)
+      val df = Seq((a, b)).toDF("a", "b").select(
+        Vectors.dotScaled(col("a"), col("b")).as("gen"),
+        Vectors.dotScaledHof(col("a"), col("b")).as("hof"))
+      val (g, h) = df.as[(Long, Long)].head()
+      assert(g === h)
+    }
+  }
+
   test("planeWeights is deterministic and bounded in [-0.5, 0.5)") {
     val p1 = Vectors.planeWeights(6, 64)
     val p2 = Vectors.planeWeights(6, 64)
