@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StringType}
 import graft.RfpSynth
 
 /** Cleaning stage of the reference's E2 dataflow, Spark-first.
@@ -64,6 +64,17 @@ object Clean {
   def dropNullLiterals(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) =>
       d.filter(col(c).isNotNull && !lower(col(c)).isin("none", "nan")))
+
+  /** P9 — polymorphic length (ref get_length :159-167): strings/binary →
+    * length, arrays/maps → element count, scalars → 1, null → null. The
+    * reference dispatches on Python runtime types; Spark types are static
+    * per column, so dispatch happens at plan-build time on the schema. */
+  def polyLength(c: Column, dt: DataType): Column = dt match {
+    case StringType | BinaryType => length(c)
+    case _: ArrayType | _: MapType =>
+      when(c.isNull, lit(null).cast("int")).otherwise(size(c))
+    case _ => when(c.isNull, lit(null).cast("int")).otherwise(lit(1))
+  }
 
   /** P10 — drop empty responses (ref :230-231). */
   def dropEmpty(df: DataFrame, c: String): DataFrame =

@@ -251,6 +251,20 @@ object PipelineQueries {
       |GROUP BY 1""".stripMargin),
     "ref :153-157 (S3 list-of-lists scan)")
 
+  /** q_binary_scan — S8 blob-listing scan: the `binaryFile` source reads
+    * a directory as (path, modificationTime, length, content) metadata
+    * rows — the engine-native form of a blob-container listing. Content
+    * is never selected, so column pruning keeps the scan metadata-only.
+    * No SQL oracle (file mtimes aren't visible to DuckDB): driver records
+    * the rows-only check. */
+  val qBinaryScan = Q("q_binary_scan",
+    (s, dir) => s.read.format("binaryFile").load(s"$dir/*.parquet")
+      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"))
+      .orderBy("file_name"),
+    None,
+    "ref commercial_rfp_content_citation_upload_mapping_creation.py:59-64 (S8)")
+
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
-    qUtilScalars, qDupStats, qSetOps, qInlineScan)
+    qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan)
 }

@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * startup dominates test time otherwise). */
 object SparkTestSession {
   lazy val get: SparkSession = {
-    val s = Sessions.builder("4").appName("graft-test").getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    val s = Sessions.builder("4").appName("graft-test")
+      .config("spark.sql.warehouse.dir", wh.toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
