@@ -20,6 +20,53 @@ import org.apache.spark.sql.types.DecimalType
 object Streams {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Per-user open-session state carried across micro-batches. */
+  final case class OpenSession(session_id: Long, n_events: Long,
+                               start_us: Long, last_us: Long)
+
+  /** Stateful streaming sessionization: `flatMapGroupsWithState` holding
+    * exactly one open session per user. A session closes (and is emitted)
+    * when a later event arrives more than `gapMinutes` after the
+    * session's last event — including across micro-batch boundaries,
+    * which is what the GroupState buys over the batch
+    * [[graft.ops.Sessionize]]. The still-open tail session is emitted
+    * only when a later batch closes it. State per key is one fixed-size
+    * record — bounded regardless of history length.
+    *
+    * Within a batch the group iterator is not time-ordered; events are
+    * sorted in memory (bounded by that user's per-batch volume). */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[graft.ops.Sessionize.Event],
+                       gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[graft.ops.Sessionize.Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.ops.Sessionize.{Event, Session}
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          val evs = it.toArray
+          java.util.Arrays.sort(evs,
+            Ordering.by((e: Event) => (e.ts_us, e.event_id)))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption
+          for (e <- evs) {
+            open match {
+              case Some(o) if e.ts_us - o.last_us <= gapUs =>
+                open = Some(o.copy(n_events = o.n_events + 1, last_us = e.ts_us))
+              case Some(o) =>
+                closed += Session(uid, o.session_id, o.n_events, o.start_us)
+                open = Some(OpenSession(o.session_id + 1, 1L, e.ts_us, e.ts_us))
+              case None =>
+                open = Some(OpenSession(1L, 1L, e.ts_us, e.ts_us))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Tumbling 1-hour windows per event_type with a 2-hour watermark —
     * the q_events_hourly plan. */
   def hourlyCounts(events: DataFrame): DataFrame = events

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.Sessionize
+import graft.streaming.Streams
+
+/** Stateful streaming sessionization: GroupState must carry each user's
+  * open session across micro-batch boundaries. The input is split into
+  * two time-ordered files processed as separate micro-batches
+  * (maxFilesPerTrigger=1), so sessions spanning the split only close
+  * correctly if the state handoff works. */
+class StatefulStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState closes sessions across micro-batches") {
+    val dir = Files.createTempDirectory("graft-sess").toFile
+    dir.deleteOnExit()
+    val src = s"${dir.getAbsolutePath}/events"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id").cast("long"))
+    val cutoff = ev.agg(percentile_approx(col("ts_us"), lit(0.5), lit(100)))
+      .as[Long].head()
+    // two time-ordered files → two micro-batches (no per-user inversion:
+    // every batch-1 event precedes every batch-2 event in (ts, id) order)
+    ev.filter(col("ts_us") < cutoff).coalesce(1).write.parquet(src)
+    ev.filter(col("ts_us") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[Sessionize.Event]
+    val q = Streams.sessionizeStream(stream).writeStream
+      .format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // expected: every batch session except each user's final (still-open) one
+    val all = Sessionize.sessions(Tables.events(spark, "/root/testdata/sf0.001"))
+      .toDF()
+    val lastPerUser = all.groupBy("user_id")
+      .agg(max(col("session_id")).as("session_id"))
+    val expectedClosed = all.join(lastPerUser, Seq("user_id", "session_id"),
+      "left_anti")
+    val got = spark.table("sess_stream")
+
+    assert(got.count() > 0)
+    assert(got.count() === expectedClosed.count())
+    assert(expectedClosed.except(got).isEmpty && got.except(expectedClosed).isEmpty)
+  }
+}
