@@ -49,4 +49,18 @@ class PlanSpec extends SparkSpec {
   test("cleaning chain is a single fused scan stage (no shuffle)") {
     assert(!plan(RfpQueries.qClean).contains("Exchange"))
   }
+
+  test("no registered query plans a cartesian product") {
+    Registry.all.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+    }
+  }
+
+  test("fixed_point_dot is SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT fixed_point_dot(array(0.5D, 2.0D), array(2.0D, 0.25D)) AS d")
+      .collect()(0).getLong(0)
+    assert(r === 1500000000000000L) // (1.0 + 0.5) * 1e15
+  }
 }
