@@ -3,30 +3,29 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
+import graft.ops.Money
 
 /** Relational capability queries over the TPC-H-ish testdata (SURVEY §2.8:
   * joins, windows, rollup — supplied by Spark built-ins; the reference has
   * only the anti/semi patterns O7-O9).
   *
   * Float-determinism contract shared with the DuckDB oracles: money
-  * aggregates are summed as DECIMAL (exact, order-independent) and cast to
-  * DOUBLE at the end; per-row double arithmetic (IEEE, same in both
-  * engines) may feed the decimal cast. Averages are exact-decimal sums
-  * divided as doubles. This keeps hash-compares bit-exact while the real
-  * engine still benefits from codegen'd decimal aggregation.
+  * aggregates are exact fixed-point LONG sums ([[Money]]) converted to
+  * DOUBLE once per group — order-independent and bit-identical to the
+  * oracle's sum-as-DECIMAL formulation (the oracle SQL keeps the decimal
+  * spelling; see Money's scaladoc for the equivalence argument), while
+  * the per-row hot path stays 64-bit integer codegen. Averages are exact
+  * sums divided as doubles.
   */
 object RelationalQueries {
 
-  private def dec182(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
-  /** Exact discounted price: inputs are 2-decimal money/rate values, so
-    * decimal-cast-then-multiply is exact (4 decimals) — no double rounding
-    * anywhere, hence bit-identical to the DuckDB oracle at any SF and
-    * partition count. */
-  private def discPrice(ep: org.apache.spark.sql.Column,
-                        disc: org.apache.spark.sql.Column) =
-    (dec182(ep) * (lit(1) - dec182(disc))).cast(DecimalType(18, 4))
+  /** Exact scaled discounted price: cents(ep) × (100 − cents(disc)) is an
+    * integer at scale 4 — bit-identical to the oracle's
+    * DECIMAL(18,2)×(1−DECIMAL(18,2)) at any SF and partition count. */
+  private def discPrice4(ep: org.apache.spark.sql.Column,
+                         disc: org.apache.spark.sql.Column) =
+    Money.cents(ep) * (lit(100L) - Money.cents(disc))
   private val discPriceSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
 
@@ -38,14 +37,14 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec182(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec182(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(discPrice(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("sum_disc_price"),
-        sum((discPrice(col("l_extendedprice"), col("l_discount"))
-          * (lit(1) + dec182(col("l_tax")))).cast(DecimalType(28, 6)))
-          .cast("double").as("sum_charge"),
-        (sum(dec182(col("l_quantity"))).cast("double") / count(lit(1)))
+        Money.toDouble(sum(Money.cents(col("l_quantity"))), 2).as("sum_qty"),
+        Money.toDouble(sum(Money.cents(col("l_extendedprice"))), 2)
+          .as("sum_base_price"),
+        Money.toDouble(sum(discPrice4(col("l_extendedprice"),
+          col("l_discount"))), 4).as("sum_disc_price"),
+        Money.toDouble(sum(discPrice4(col("l_extendedprice"), col("l_discount"))
+          * (lit(100L) + Money.cents(col("l_tax")))), 6).as("sum_charge"),
+        (Money.toDouble(sum(Money.cents(col("l_quantity"))), 2) / count(lit(1)))
           .as("avg_qty"),
         count(lit(1)).as("count_order")),
     Some(s"""SELECT l_returnflag, l_linestatus,
@@ -70,8 +69,8 @@ object RelationalQueries {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"))
+        .agg(Money.toDouble(sum(discPrice4(col("l_extendedprice"),
+          col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
         .select(col("l_orderkey"), col("revenue"),
@@ -108,8 +107,8 @@ object RelationalQueries {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"))
+        .agg(Money.toDouble(sum(discPrice4(col("l_extendedprice"),
+          col("l_discount"))), 4).as("revenue"))
     },
     Some(s"""SELECT n_name,
       |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
@@ -170,7 +169,7 @@ object RelationalQueries {
     (s, dir) => Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(dec182(col("l_quantity"))).cast("double").as("sum_qty")),
+        Money.toDouble(sum(Money.cents(col("l_quantity"))), 2).as("sum_qty")),
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin))
