@@ -16,19 +16,22 @@ import graft.ops.Shingles
 object TextQueries {
 
   /** q_text_stats — per-document token statistics: counts, distincts,
-    * average token length, type-token ratio. */
+    * average token length, type-token ratio. Two-phase aggregation
+    * ((doc, tok) partial counts, then per-doc rollup) instead of
+    * countDistinct, which would Expand every row into per-aggregate
+    * copies; outputs are value-identical. */
   val qTextStats = Q("q_text_stats",
     (s, dir) => Shingles.tokens(
         Tables.documents(s, dir).select("doc_id", "lang", "text"),
         "doc_id", "text")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_distinct"),
-        sum(length(col("tok"))).as("n_chars_tok"),
-        round(sum(length(col("tok"))).cast("double") / count(lit(1)), 6)
-          .as("avg_tok_len"),
-        round(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
-          .as("ttr"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(length(col("tok")) * col("cnt")).as("n_chars_tok"),
+        round(sum(length(col("tok")) * col("cnt")).cast("double")
+          / sum(col("cnt")), 6).as("avg_tok_len"),
+        round(count(lit(1)).cast("double") / sum(col("cnt")), 6).as("ttr"))
       .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
       .select("doc_id", "lang", "n_tokens", "n_distinct", "n_chars_tok",
         "avg_tok_len", "ttr"),
