@@ -8,10 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the full E2 cleaning chain (SURVEY §3) on the synthesized dirty
-    * RFP frame. */
+    * Runs the reference's FULL E2 pipeline (keys → clean → dedup ladder →
+    * canonicalize → rendered documents) as one composed plan. */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("q_clean").fn(spark, "/root/testdata/sf0.001")
+    Registry.byName("q_pipeline_e2e").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -265,6 +265,91 @@ object PipelineQueries {
     None,
     "ref commercial_rfp_content_citation_upload_mapping_creation.py:59-64 (S8)")
 
+  /** q_pipeline_e2e — the reference's FULL E2 dataflow as one composed
+    * plan (SURVEY §3: keys on the raw frame → clean → exact dedup →
+    * latest-per-question → longest-per-question → Confirmed
+    * canonicalization → rendered document with key_hash naming). The
+    * flagship "a reference user could switch" query: its output is the
+    * reference pipeline's final artifact set. Lazy composition means
+    * Catalyst fuses the whole chain: all narrow stages collapse into the
+    * scan pass and only the three dedup windows shuffle. */
+  val qPipelineE2e = Q("q_pipeline_e2e",
+    (s, dir) => {
+      val keyed = Keys.addRfpKeys(RfpSynth.frame(Tables.documents(s, dir)))
+      // cleanRfp whitespace-normalizes every string column, including the
+      // raw-built key — replicating the reference's clean-after-keys order
+      val cleanedK = Clean.cleanRfp(keyed)
+      val d1 = Dedup.dedupExact(cleanedK, Seq("question", "response"),
+        Seq("date", "doc_id"))
+      val d2 = Dedup.latestPerGroup(d1, "question", "date")
+      val d3 = Dedup.longestPerGroup(d2, "question", "response", "doc_id")
+      d3.withColumn("response", Keys.canonicalizeConfirmed(col("response")))
+        .select(col("doc_id"),
+          concat(col("key_hash"), lit(".docx")).as("file_name"),
+          graft.ops.Render.docBody(col("client"), col("rfp_type"),
+            col("consultant"), date_format(col("date"), "yyyy-MM-dd"),
+            col("sme"), col("question"), col("response")).as("doc_text"))
+    },
+    Some {
+      val key = """concat_ws('_', trim(client),
+        |  COALESCE(strftime(COALESCE(
+        |    try_strptime(date, '%m/%d/%Y'),
+        |    try_strptime(date, '%Y-%m-%d'),
+        |    try_strptime(date, '%d-%m-%Y')), '%Y-%m-%d'), 'nan'),
+        |  trim(rfp_type), trim(consultant),
+        |  substring(trim(question), 1, 120), substring(trim(response), 1, 120))""".stripMargin
+      def norm(c: String) = s"trim(regexp_replace($c, '\\s+', ' ', 'g'))"
+      s"""${RfpSynth.sql},
+         |keyed AS (
+         |  SELECT doc_id, client, rfp_type, consultant, date, question, response, sme,
+         |    'RFP_Content_' || md5(substring(regexp_replace($key, '\\s+', '', 'g'), 1, 120)) AS key_hash
+         |  FROM rfp
+         |), cleaned AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id,
+         |      ${norm("client")} AS client, ${norm("rfp_type")} AS rfp_type,
+         |      ${norm("consultant")} AS consultant,
+         |      COALESCE(try_strptime(${norm("date")}, '%m/%d/%Y'),
+         |               try_strptime(${norm("date")}, '%Y-%m-%d'),
+         |               try_strptime(${norm("date")}, '%d-%m-%Y'))::DATE AS date,
+         |      ${norm("question")} AS question, ${norm("response")} AS response,
+         |      ${norm("sme")} AS sme, key_hash
+         |    FROM keyed)
+         |  WHERE date IS NOT NULL AND date >= DATE '${RfpSynth.cutoff}'
+         |    AND question IS NOT NULL AND lower(question) NOT IN ('none','nan')
+         |    AND response IS NOT NULL AND lower(response) NOT IN ('none','nan')
+         |    AND length(response) <> 0
+         |    AND lower(response) NOT IN ('n/a','not applicable.')
+         |    AND lower(question) <> 'contact'
+         |), d1 AS (
+         |  SELECT * FROM cleaned QUALIFY row_number() OVER (
+         |    PARTITION BY question, response ORDER BY date, doc_id) = 1
+         |), d2 AS (
+         |  SELECT * FROM d1 QUALIFY date = max(date) OVER (PARTITION BY question)
+         |), d3 AS (
+         |  SELECT * FROM d2 QUALIFY row_number() OVER (
+         |    PARTITION BY question ORDER BY length(response) DESC, doc_id) = 1
+         |), canon AS (
+         |  SELECT doc_id, key_hash, client, rfp_type, consultant, date, sme, question,
+         |    regexp_replace(response,
+         |      '(?i)(CONFIRMED|CONFIRMED\\.|Confirmed via BlueInsights\\.|Confirmed via mail\\.|Confirmed\\.|Yes\\.\\s*Confirmed\\.)',
+         |      'Confirmed', 'g') AS response
+         |  FROM d3
+         |)
+         |SELECT doc_id, key_hash || '.docx' AS file_name,
+         |  concat_ws(chr(10),
+         |    'Client Name: ' || NULLIF(trim(client), ''),
+         |    'RFP Type: ' || NULLIF(trim(rfp_type), ''),
+         |    'Consultant: ' || NULLIF(trim(consultant), ''),
+         |    'Date: ' || NULLIF(trim(strftime(date, '%Y-%m-%d')), ''),
+         |    'SME: ' || NULLIF(trim(sme), ''),
+         |    'Question: ' || NULLIF(trim(question), ''),
+         |    'Response: ' || NULLIF(trim(response), '')) AS doc_text
+         |FROM canon""".stripMargin
+    },
+    "ref E2 end-to-end: commercial_rfp_raw_data_ingestion_and_cleaning.py:279-322" +
+      " + commercial_rfp_content_doc_library_creation.py:46-131")
+
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
-    qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan)
+    qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan, qPipelineE2e)
 }
