@@ -350,6 +350,34 @@ object SimilarityQueries {
     },
     "north star: SimHash fingerprinting")
 
+  /** q_chunk_index — the search-index chunk-table projection (FIXTURES
+    * A5 / ref commercial_rfp_indexer.py:87-94): chunk rows keyed
+    * chunk_id with parent_id and title, joined to the parent's embedding
+    * (V2 — vectors ride along as an opaque typed column; only their
+    * dimensionality is projected here). */
+  val qChunkIndex = Q("q_chunk_index",
+    (s, dir) => Chunk.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+        maxLen = 120, overlap = 30)
+      .join(Tables.embeddings(s, dir),
+        col("parent_id") === col("vec_id"))
+      .select(col("chunk_id"), col("parent_id"),
+        concat(lit("doc_"), col("parent_id").cast("string")).as("title"),
+        col("chunk"), size(col("embedding")).as("vec_dims"), col("label")),
+    Some("""WITH offs AS (
+      |  SELECT doc_id, text, i AS off
+      |  FROM documents, unnest(generate_series(0, greatest(length(text)-1, 0), 90)) AS g(i)
+      |  WHERE i = 0 OR i < length(text) - 30
+      |), chunks AS (
+      |  SELECT doc_id AS parent_id,
+      |    doc_id || '_' || CAST(off // 90 AS VARCHAR) AS chunk_id,
+      |    substring(text, off+1, 120) AS chunk
+      |  FROM offs
+      |)
+      |SELECT c.chunk_id, c.parent_id, 'doc_' || CAST(c.parent_id AS VARCHAR) AS title,
+      |  c.chunk, CAST(len(e.embedding) AS INTEGER) AS vec_dims, e.label
+      |FROM chunks c JOIN embeddings e ON e.vec_id = c.parent_id""".stripMargin),
+    "ref commercial_rfp_indexer.py:87-94 (chunk index schema, V2/V4)")
+
   def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qNearDup, qDocDedup,
-    qEmbedDup, qSimhash)
+    qEmbedDup, qSimhash, qChunkIndex)
 }

@@ -12,7 +12,6 @@ import graft.{Q, Tables}
 object StreamQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
-  private val hourFmt = "yyyy-MM-dd HH:mm:ss"
 
   /** q_events_hourly — tumbling 1-hour windows per event_type: the exact
     * [[graft.streaming.Streams.hourlyCounts]] plan run in batch mode (the
@@ -25,15 +24,11 @@ object StreamQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin))
 
-  /** q_events_sliding — 2-hour windows sliding every hour (each event lands
-    * in two windows). Oracle mirrors the window set by exploding offsets. */
+  /** q_events_sliding — 2-hour windows sliding every hour (each event
+    * lands in two windows): [[graft.streaming.Streams.slidingCounts]] in
+    * batch mode. Oracle mirrors the window set by exploding offsets. */
   val qSliding = Q("q_events_sliding",
-    (s, dir) => Tables.events(s, dir)
-      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(date_format(col("w.start"), hourFmt).as("window_start"),
-        col("event_type"), col("n")),
+    (s, dir) => graft.streaming.Streams.slidingCounts(Tables.events(s, dir)),
     Some("""SELECT strftime(date_trunc('hour', ts) - off * INTERVAL 1 HOUR,
       |                '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, count(*) AS n

@@ -76,4 +76,13 @@ object Streams {
       sum(dec(col("value"))).cast("double").as("sum_value"))
     .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
       col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 2-hour/1-hour windows per event_type with a 2-hour
+    * watermark — the q_events_sliding plan. */
+  def slidingCounts(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "2 hours")
+    .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+    .agg(count(lit(1)).as("n"))
+    .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("event_type"), col("n"))
 }

@@ -9,8 +9,10 @@ import graft.streaming.Streams
   * source produces the same result as the batch run on the same input. */
 class StreamingSpec extends SparkSpec {
 
-  test("hourlyCounts: readStream result equals batch result") {
-    val dir = Files.createTempDirectory("graft-stream").toFile
+  private def assertBatchStreamEqual(
+      name: String,
+      plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val dir = Files.createTempDirectory(s"graft-stream-$name").toFile
     dir.deleteOnExit()
     val src = s"${dir.getAbsolutePath}/events"
     val ckpt = s"${dir.getAbsolutePath}/ckpt"
@@ -19,21 +21,26 @@ class StreamingSpec extends SparkSpec {
     events.write.mode("overwrite").parquet(src)
     val schema = spark.read.parquet(src).schema
 
-    val batch = Streams.hourlyCounts(spark.read.parquet(src))
-
-    val stream = Streams.hourlyCounts(
-      spark.readStream.schema(schema).parquet(src))
-    val q = stream.writeStream
-      .format("memory").queryName("hourly_stream")
+    val batch = plan(spark.read.parquet(src))
+    val q = plan(spark.readStream.schema(schema).parquet(src)).writeStream
+      .format("memory").queryName(name)
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
 
-    val streamed = spark.table("hourly_stream")
+    val streamed = spark.table(name)
     assert(streamed.count() === batch.count())
     assert(batch.except(streamed).isEmpty)
     assert(streamed.except(batch).isEmpty)
+  }
+
+  test("hourlyCounts: readStream result equals batch result") {
+    assertBatchStreamEqual("hourly_stream", Streams.hourlyCounts)
+  }
+
+  test("slidingCounts: readStream result equals batch result") {
+    assertBatchStreamEqual("sliding_stream", Streams.slidingCounts)
   }
 }
