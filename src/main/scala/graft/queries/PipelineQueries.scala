@@ -272,7 +272,9 @@ object PipelineQueries {
     * flagship "a reference user could switch" query: its output is the
     * reference pipeline's final artifact set. Lazy composition means
     * Catalyst fuses the whole chain: all narrow stages collapse into the
-    * scan pass and only the three dedup windows shuffle. */
+    * scan pass and the three dedup windows cost only TWO exchanges — the
+    * latest/longest stages both partition by (question), so the second
+    * window reuses the third's partitioning (pinned in PlanSpec). */
   val qPipelineE2e = Q("q_pipeline_e2e",
     (s, dir) => {
       val keyed = Keys.addRfpKeys(RfpSynth.frame(Tables.documents(s, dir)))

@@ -50,6 +50,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan(RfpQueries.qClean).contains("Exchange"))
   }
 
+  test("e2e pipeline: narrow stages fuse, 3 dedup windows cost 2 shuffles") {
+    val p = plan(graft.queries.PipelineQueries.qPipelineE2e)
+    assert(countOcc(p, "Exchange hashpartitioning") === 2)
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
