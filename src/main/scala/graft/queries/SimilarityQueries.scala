@@ -378,6 +378,23 @@ object SimilarityQueries {
       |FROM chunks c JOIN embeddings e ON e.vec_id = c.parent_id""".stripMargin),
     "ref commercial_rfp_indexer.py:87-94 (chunk index schema, V2/V4)")
 
+  /** q_centroids — per-label embedding centroids via the typed
+    * [[graft.ops.Centroids.centroid]] Aggregator (fixed-point-exact
+    * means, so the oracle's unnest-and-average reproduces them
+    * bit-for-bit). One row per (label, dimension). */
+  val qCentroids = Q("q_centroids",
+    (s, dir) => graft.ops.Centroids.perLabel(
+      Tables.embeddings(s, dir).select("label", "embedding")),
+    Some("""WITH elems AS (
+      |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         unnest(generate_series(0, len(embedding)-1)) AS dim
+      |  FROM embeddings
+      |)
+      |SELECT label, CAST(dim AS INTEGER) AS dim,
+      |  CAST(SUM(CAST(round(x*1e15) AS BIGINT)) AS DOUBLE)/1e15/count(*) AS c
+      |FROM elems GROUP BY label, dim""".stripMargin),
+    "north star: typed Aggregator (IVF coarse-quantizer building block)")
+
   def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qNearDup, qDocDedup,
-    qEmbedDup, qSimhash, qChunkIndex)
+    qEmbedDup, qSimhash, qChunkIndex, qCentroids)
 }
