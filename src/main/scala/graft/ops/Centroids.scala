@@ -49,8 +49,9 @@ object Centroids {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
     }
 
-  /** (label, dim, c) centroid rows for a frame with (label, embedding). */
-  def perLabel(df: DataFrame): DataFrame = {
+  /** (label, centroid: array&lt;double&gt;) — the codebook form an IVF
+    * index probes against. */
+  def perLabelVec(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("label").cast("int"),
@@ -59,7 +60,11 @@ object Centroids {
       .groupByKey(_.label)
       .agg(centroid.toColumn.name("centroid"))
       .toDF("label", "centroid")
+  }
+
+  /** (label, dim, c) centroid rows for a frame with (label, embedding). */
+  def perLabel(df: DataFrame): DataFrame =
+    perLabelVec(df)
       .select(col("label"), posexplode(col("centroid")))
       .toDF("label", "dim", "c")
-  }
 }

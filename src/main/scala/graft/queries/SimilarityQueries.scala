@@ -395,6 +395,67 @@ object SimilarityQueries {
       |FROM elems GROUP BY label, dim""".stripMargin),
     "north star: typed Aggregator (IVF coarse-quantizer building block)")
 
+  /** q_ann_ivf — IVF-style approximate kNN, the second scale path next
+    * to q_ann_lsh: the centroid codebook (here the per-label centroids; a
+    * production index would k-means them) is broadcast, every vector is
+    * assigned to its max-inner-product cell in one linear pass, and
+    * queries probe only their own cell before the exact rerank. */
+  val qAnnIvf = Q("q_ann_ivf",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val base = e.select(col("vec_id"),
+          Vectors.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("dxx", Vectors.dotExact(col("v"), col("v")))
+      val cents = graft.ops.Centroids.perLabelVec(
+          e.select("label", "embedding"))
+        .select(col("label").as("cl"), col("centroid"))
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("siml", Vectors.dotScaled(col("v"), col("centroid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("siml").desc, col("cl"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl").as("cell"), col("v"), col("dxx"))
+      val qs = assigned.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("cell").as("qcell"),
+          col("v").as("qv"), col("dxx").as("qxx"))
+      val pairs = assigned.withColumnRenamed("vec_id", "nbr_id")
+        .join(broadcast(qs), col("cell") === col("qcell") &&
+          col("nbr_id") =!= col("query_id"))
+      topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
+    },
+    Some("""WITH elems AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         unnest(generate_series(0, len(embedding)-1)) AS dim
+      |  FROM embeddings
+      |), cents AS (
+      |  SELECT label AS cl, dim,
+      |    CAST(SUM(CAST(round(x*1e15) AS BIGINT)) AS DOUBLE)/1e15/count(*) AS c
+      |  FROM elems GROUP BY label, dim
+      |), assign AS (
+      |  SELECT vec_id, cl AS cell FROM (
+      |    SELECT e.vec_id, ct.cl,
+      |      SUM(CAST(round(e.x * ct.c * 1e15) AS BIGINT)) AS siml
+      |    FROM elems e JOIN cents ct ON ct.dim = e.dim
+      |    GROUP BY e.vec_id, ct.cl
+      |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY siml DESC, cl) = 1
+      |), q AS (
+      |  SELECT a.vec_id AS query_id, a.cell, e.embedding AS qv
+      |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+      |  WHERE a.vec_id % 100 = 0
+      |), cand AS (
+      |  SELECT q.query_id, q.qv, a.vec_id AS nbr_id, e.embedding AS nv
+      |  FROM q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+      |       JOIN embeddings e ON e.vec_id = a.vec_id
+      |), """.stripMargin +
+      dotsSql("cand", "nv", "qv", "query_id, nbr_id") + """
+      |SELECT query_id, rk, nbr_id, score FROM (
+      |  SELECT query_id, nbr_id,
+      |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |  FROM dots) t WHERE rk <= 3""".stripMargin),
+    "north star: IVF-style ANN (codebook broadcast + cell probe)")
+
   def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qNearDup, qDocDedup,
-    qEmbedDup, qSimhash, qChunkIndex, qCentroids)
+    qEmbedDup, qSimhash, qChunkIndex, qCentroids, qAnnIvf)
 }
