@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fixed_point_dot"),
       new ExpressionInfo(classOf[FixedPointDot].getName, "fixed_point_dot"),
       (exprs: Seq[Expression]) => FixedPointDot(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

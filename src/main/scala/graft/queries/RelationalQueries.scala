@@ -174,5 +174,20 @@ object RelationalQueries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin))
 
-  def all: Seq[Q] = Seq(q1, q3, q5, qSemi, qAnti, qTopK, qRollup)
+  /** q_topk_native — q_topk_per_group's exact semantics through the
+    * custom [[graft.plans.TopKPerGroupNode]] operator instead of the
+    * window: same oracle, differential proof the operator is correct.
+    * Bounded per-group heaps prune map-side, so only ≤ k·|groups| rows
+    * ever shuffle (the window formulation shuffles every row). */
+  val qTopKNative = Q("q_topk_native",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      graft.ops.TopK.perGroup(c, Seq(c("c_mktsegment")),
+          Seq(c("c_acctbal") -> true, c("c_custkey") -> false), 3)
+        .select("c_mktsegment", "rk", "c_custkey", "c_name", "c_acctbal")
+    },
+    qTopK.oracle,
+    "custom LogicalPlan+Strategy+SparkPlan (SURVEY §7 custom-op ladder tier c)")
+
+  def all: Seq[Q] = Seq(q1, q3, q5, qSemi, qAnti, qTopK, qTopKNative, qRollup)
 }
