@@ -41,6 +41,18 @@ class TopKSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning(g"))
   }
 
+  test("empty grouping = global top-k (k rows total, not per partition)") {
+    val df = mkSample.repartition(11)
+    val out = TopK.perGroup(df, Seq.empty,
+        Seq(df("score") -> true, df("id") -> false), 5)
+      .select("rk", "score", "id").as[(Int, Int, Long)].collect()
+      .sortBy(_._1).toSeq
+    val expected = mkSample.orderBy(col("score").desc, col("id").asc)
+      .limit(5).select("score", "id").as[(Int, Long)].collect()
+      .zipWithIndex.map { case ((s, i), r) => (r + 1, s, i) }.toSeq
+    assert(out === expected)
+  }
+
   test("result is partition-count independent") {
     def run(parts: Int): Seq[(String, Int, Long)] =
       custom(mkSample.repartition(parts), 4)
