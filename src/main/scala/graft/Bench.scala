@@ -42,13 +42,19 @@ object Bench {
       }
     }
 
-    val timings = runnable.map { name =>
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        materialize(SparkEntry.queries(name)(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> runs(runs.size / 2) // median
+    val timings = runnable.flatMap { name =>
+      try {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          materialize(SparkEntry.queries(name)(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Some(name -> runs(runs.size / 2)) // median
+      } catch { // a timed-run failure must not lose the whole report
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          None
+      }
     }
 
     def jstr(s: String): String =

@@ -17,7 +17,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("fixed_point_dot"),
       new ExpressionInfo(classOf[FixedPointDot].getName, "fixed_point_dot"),
-      (exprs: Seq[Expression]) => FixedPointDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"fixed_point_dot requires 2 arguments, got ${exprs.length}")
+        // coerce here (the analyzer has no implicit-cast rule for custom
+        // expressions): array<float> inputs would otherwise be misread
+        val arrDouble = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)
+        FixedPointDot(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, arrDouble),
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), arrDouble))
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

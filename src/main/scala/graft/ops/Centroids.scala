@@ -26,8 +26,10 @@ object Centroids {
       override def zero: Buf = Buf(Array.emptyLongArray, 0L)
       override def reduce(b: Buf, a: LabeledVec): Buf = {
         val s = if (b.sums.isEmpty) new Array[Long](a.v.length) else b.sums
+        require(a.v.length == s.length,
+          s"ragged embedding: expected ${s.length} dims, got ${a.v.length}")
         var i = 0
-        while (i < a.v.length && i < s.length) {
+        while (i < a.v.length) {
           s(i) += graft.expressions.FixedPointDot.scaledRound(a.v(i))
           i += 1
         }
@@ -37,6 +39,8 @@ object Centroids {
         if (x.sums.isEmpty) y
         else if (y.sums.isEmpty) x
         else {
+          require(x.sums.length == y.sums.length,
+            s"ragged embedding: ${x.sums.length} vs ${y.sums.length} dims")
           var i = 0
           while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
           Buf(x.sums, x.n + y.n)

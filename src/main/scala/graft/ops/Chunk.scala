@@ -26,6 +26,8 @@ object Chunk {
 
   /** Offsets array for one text value. */
   def offsets(text: Column, maxLen: Int, overlap: Int): Column = {
+    require(maxLen > 0 && overlap >= 0 && overlap < maxLen,
+      s"need 0 <= overlap < maxLen, got maxLen=$maxLen overlap=$overlap")
     val stride = maxLen - overlap
     filter(
       sequence(lit(0), greatest(length(text) - 1, lit(0)), lit(stride)),

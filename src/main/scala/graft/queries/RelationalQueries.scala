@@ -37,14 +37,14 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        Money.toDouble(sum(Money.cents(col("l_quantity"))), 2).as("sum_qty"),
-        Money.toDouble(sum(Money.cents(col("l_extendedprice"))), 2)
+        Money.sumExact(Money.cents(col("l_quantity")), 2).as("sum_qty"),
+        Money.sumExact(Money.cents(col("l_extendedprice")), 2)
           .as("sum_base_price"),
-        Money.toDouble(sum(discPrice4(col("l_extendedprice"),
-          col("l_discount"))), 4).as("sum_disc_price"),
-        Money.toDouble(sum(discPrice4(col("l_extendedprice"), col("l_discount"))
-          * (lit(100L) + Money.cents(col("l_tax")))), 6).as("sum_charge"),
-        (Money.toDouble(sum(Money.cents(col("l_quantity"))), 2) / count(lit(1)))
+        Money.sumExact(discPrice4(col("l_extendedprice"),
+          col("l_discount")), 4).as("sum_disc_price"),
+        Money.sumExact(discPrice4(col("l_extendedprice"), col("l_discount"))
+          * (lit(100L) + Money.cents(col("l_tax"))), 6).as("sum_charge"),
+        (Money.sumExact(Money.cents(col("l_quantity")), 2) / count(lit(1)))
           .as("avg_qty"),
         count(lit(1)).as("count_order")),
     Some(s"""SELECT l_returnflag, l_linestatus,
@@ -69,8 +69,8 @@ object RelationalQueries {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(Money.toDouble(sum(discPrice4(col("l_extendedprice"),
-          col("l_discount"))), 4).as("revenue"))
+        .agg(Money.sumExact(discPrice4(col("l_extendedprice"),
+          col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
         .select(col("l_orderkey"), col("revenue"),
@@ -107,8 +107,8 @@ object RelationalQueries {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(Money.toDouble(sum(discPrice4(col("l_extendedprice"),
-          col("l_discount"))), 4).as("revenue"))
+        .agg(Money.sumExact(discPrice4(col("l_extendedprice"),
+          col("l_discount")), 4).as("revenue"))
     },
     Some(s"""SELECT n_name,
       |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
@@ -169,7 +169,7 @@ object RelationalQueries {
     (s, dir) => Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        Money.toDouble(sum(Money.cents(col("l_quantity"))), 2).as("sum_qty")),
+        Money.sumExact(Money.cents(col("l_quantity")), 2).as("sum_qty")),
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin))

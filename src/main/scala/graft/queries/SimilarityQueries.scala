@@ -229,7 +229,11 @@ object SimilarityQueries {
       // The shingle frame feeds four consumers (signatures, both sides of
       // the intersection join, sizes); without persist Spark re-derives
       // the explode+distinct per consumer. MEMORY_AND_DISK keeps the
-      // plan safe under executor-memory pressure at scale.
+      // plan safe under executor-memory pressure at scale. Lifecycle:
+      // the Q contract returns an unevaluated frame, so this entry lives
+      // until session end — acceptable because the cache manager dedupes
+      // identical plans (repeat invocations share ONE entry) and LRU
+      // eviction reclaims it under pressure.
       val sh = Shingles.shingles3(docCorpus(s, dir), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = Shingles.bands4x2(

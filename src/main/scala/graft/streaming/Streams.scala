@@ -29,9 +29,15 @@ object Streams {
     * when a later event arrives more than `gapMinutes` after the
     * session's last event — including across micro-batch boundaries,
     * which is what the GroupState buys over the batch
-    * [[graft.ops.Sessionize]]. The still-open tail session is emitted
-    * only when a later batch closes it. State per key is one fixed-size
-    * record — bounded regardless of history length.
+    * [[graft.ops.Sessionize]].
+    *
+    * State-bounding caveat: with NoTimeout a user's final session is
+    * emitted only when a later event closes it, and state holds one
+    * record per user id ever seen — fine for bounded key universes and
+    * for the deterministic batch-equivalence test, but a production
+    * deployment should use [[sessionizeStreamWithTimeout]], which flushes
+    * idle sessions once the watermark passes last-event + gap and drops
+    * their state.
     *
     * Within a batch the group iterator is not time-ordered; events are
     * sorted in memory (bounded by that user's per-batch volume). */
@@ -64,6 +70,61 @@ object Streams {
           }
           open.foreach(state.update)
           closed.iterator
+      }
+  }
+
+  /** Event carrying the raw timestamp (micros reconstructed exactly from
+    * the Timestamp's millis+nanos, so gap decisions match the batch
+    * sessionizer bit-for-bit). */
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,
+                              event_id: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** [[sessionizeStream]] plus event-time timeout: input must carry a
+    * watermark on `ts`; an open session whose `last + gap` falls behind
+    * the watermark is emitted and its state dropped — state is bounded by
+    * ACTIVE users, and every session is eventually emitted. */
+  def sessionizeStreamWithTimeout(
+      events: org.apache.spark.sql.Dataset[TimedEvent], gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[graft.ops.Sessionize.Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.ops.Sessionize.Session
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TimedEvent], state: GroupState[OpenSession]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(Session(uid, o.session_id, o.n_events, o.start_us))
+          } else {
+            val evs = it.toArray
+            java.util.Arrays.sort(evs,
+              Ordering.by((e: TimedEvent) => (micros(e.ts), e.event_id)))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption
+            for (e <- evs) {
+              val tUs = micros(e.ts)
+              open match {
+                case Some(o) if tUs - o.last_us <= gapUs =>
+                  open = Some(o.copy(n_events = o.n_events + 1, last_us = tUs))
+                case Some(o) =>
+                  closed += Session(uid, o.session_id, o.n_events, o.start_us)
+                  open = Some(OpenSession(o.session_id + 1, 1L, tUs, tUs))
+                case None =>
+                  open = Some(OpenSession(1L, 1L, tUs, tUs))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o.last_us / 1000L + gapMinutes * 60000L)
+            }
+            closed.iterator
+          }
       }
   }
 

@@ -55,4 +55,49 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got.count() === expectedClosed.count())
     assert(expectedClosed.except(got).isEmpty && got.except(expectedClosed).isEmpty)
   }
+
+  test("event-time timeout flushes idle sessions and emits every session") {
+    val dir = Files.createTempDirectory("graft-sess-to").toFile
+    dir.deleteOnExit()
+    val src = s"${dir.getAbsolutePath}/events"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"))
+    val cutoffTs = ev.agg(percentile_approx(unix_micros(col("ts")),
+      lit(0.5), lit(100))).as[Long].head()
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).as[Long].head()
+    ev.filter(unix_micros(col("ts")) < cutoffTs).coalesce(1).write.parquet(src)
+    ev.filter(unix_micros(col("ts")) >= cutoffTs).coalesce(1)
+      .write.mode("append").parquet(src)
+    // two far-future sentinel files: the first advances the watermark past
+    // every real session's last+gap; processing the second fires the
+    // timeouts that flush all real users' open sessions
+    def sentinel(daysAhead: Int, id: Long) = Seq(
+      (-1L, new java.sql.Timestamp(maxTs / 1000 + daysAhead * 86400000L), id))
+      .toDF("user_id", "ts", "event_id")
+    sentinel(10, 9000001L).coalesce(1).write.mode("append").parquet(src)
+    sentinel(20, 9000002L).coalesce(1).write.mode("append").parquet(src)
+
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .withWatermark("ts", "0 seconds")
+      .as[Streams.TimedEvent]
+    val q = Streams.sessionizeStreamWithTimeout(stream).writeStream
+      .format("memory").queryName("sess_timeout_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // with the flush, EVERY real user session is emitted, not just closed ones
+    val expectedAll = Sessionize.sessions(
+      Tables.events(spark, "/root/testdata/sf0.001")).toDF()
+    val got = spark.table("sess_timeout_stream").filter(col("user_id") >= 0)
+    assert(got.count() === expectedAll.count())
+    assert(expectedAll.except(got).isEmpty && got.except(expectedAll).isEmpty)
+  }
 }
