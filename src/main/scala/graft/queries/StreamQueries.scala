@@ -84,5 +84,22 @@ object StreamQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin))
 
-  def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson)
+  /** q_events_topk — the custom TopKPerGroup operator on the events
+    * fact (top-3 by value per type): map-side heap pruning means only
+    * 3·|types| rows reach the exchange regardless of event volume. */
+  val qEventsTopK = Q("q_events_topk",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.ops.TopK.perGroup(e, Seq(e("event_type")),
+          Seq(e("value") -> true, e("event_id") -> false), 3)
+        .select("event_type", "rk", "event_id", "value")
+    },
+    Some("""SELECT event_type, rk, event_id, value FROM (
+      |  SELECT event_type, event_id, value, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+      |  FROM events) t WHERE rk <= 3""".stripMargin),
+    "custom operator on the event fact table")
+
+  def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson, qEventsTopK)
 }

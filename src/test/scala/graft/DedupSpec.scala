@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.ops.Dedup
 
 /** Dedup family (SURVEY §2.4): deterministic tiebreaks, idempotence, and
@@ -67,5 +68,21 @@ class DedupSpec extends SparkSpec {
     val salted = Dedup.dedupExactSalted(frame, Seq("question", "response"),
       Seq("date", "doc_id"), buckets = 4)
     assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
+  }
+
+  test("property: salted == plain on random frames incl. a dominant key") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.listOfN(60, Gen.zip(
+      Gen.oneOf("hot", "k1", "k2", "k3"), // skewed toward few keys
+      Gen.choose(1, 5), Gen.choose(1L, 1000L)))
+    checkProp(Prop.forAll(gen) { rows =>
+      val df = rows.map { case (k, d, id) => (k, f"2024-01-0$d", id) }
+        .toDF("question", "response", "doc_id")
+        .withColumn("date", col("response"))
+      val plain = Dedup.dedupExact(df, Seq("question"), Seq("date", "doc_id"))
+      val salted = Dedup.dedupExactSalted(df, Seq("question"),
+        Seq("date", "doc_id"), buckets = 3)
+      plain.except(salted).isEmpty && salted.except(plain).isEmpty
+    }, minTests = 10)
   }
 }
