@@ -188,5 +188,50 @@ object TextQueries {
       |FROM n""".stripMargin),
     "north star: document fingerprinting")
 
-  def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms, qFingerprint)
+  /** q_tfidf — top-5 terms per selected document by tf·idf. Document
+    * frequencies come from the FULL corpus; term frequencies only for the
+    * selected documents (the filter prunes before the expensive side).
+    * idf = ln(N/df) in double on both engines; scores are rounded to 6
+    * decimals before ranking so a 1-ulp libm difference cannot flip
+    * ranks. The corpus-count scalar joins in as a broadcast single-row
+    * frame — no collect. */
+  val qTfidf = Q("q_tfidf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = Shingles.tokens(docs, "doc_id", "text", lowered = true)
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
+      val dfreq = toks.distinct()
+        .groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      val tf = toks.filter(col("doc_id") % 50 === 0)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 6))
+      scored.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("tfidf").desc, col("tok"))))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "rk", "tok", "tfidf")
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents
+      |), n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |dfreq AS (
+      |  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY tok
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM toks
+      |  WHERE doc_id % 50 = 0 GROUP BY doc_id, tok
+      |), scored AS (
+      |  SELECT t.doc_id, t.tok,
+      |    round(t.tf * ln(n.n / d.df), 6) AS tfidf
+      |  FROM tf t JOIN dfreq d ON d.tok = t.tok CROSS JOIN n_docs n
+      |)
+      |SELECT doc_id, rk, tok, tfidf FROM (
+      |  SELECT doc_id, tok, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+      |  FROM scored) t WHERE rk <= 5""".stripMargin),
+    "north star: tf-idf term scoring")
+
+  def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
+    qFingerprint, qTfidf)
 }
