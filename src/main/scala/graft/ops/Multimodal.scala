@@ -43,7 +43,10 @@ object Multimodal {
 
   /** Batch feature extraction over (doc_id, modality, content) — the
     * stubbed decode. Deterministic byte statistics replace codec output;
-    * the partition-iterator shape is what a real decoder would use. */
+    * the partition-iterator shape is what a real decoder would use. The
+    * checksum is the position-weighted byte sum Σ (i+1)·bᵢ — order-
+    * sensitive (detects byte swaps) yet expressible as a commutative SQL
+    * aggregate, which is what lets q_media_features be oracle-checked. */
   def extractFeatures(df: DataFrame): Dataset[MediaFeature] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -58,7 +61,7 @@ object Multimodal {
           while (i < bytes.length) {
             val b = bytes(i) & 0xff
             hist(b) += 1
-            sum = sum * 31 + b
+            sum += (i + 1).toLong * b
             i += 1
           }
           val peak = if (bytes.isEmpty) -1 else hist.indexOf(hist.max)

@@ -87,13 +87,33 @@ object MultimodalQueries {
     "north star: frame sampling over binary media columns")
 
   /** q_media_features — the stubbed-decode feature extraction (typed
-    * mapPartitions). No SQL oracle (imperative per-partition pass);
-    * driver records the rows-only check, MultimodalSpec asserts the
-    * feature values against an independent implementation. */
+    * mapPartitions). Oracle-checked: the byte statistics are chosen to be
+    * SQL-expressible (position-weighted checksum, modal byte), so even the
+    * imperative decode path gets the differential gate; MultimodalSpec
+    * additionally asserts against an independent implementation. */
   val qMediaFeatures = Q("q_media_features",
     (s, dir) => Multimodal.extractFeatures(media(s, dir)).toDF(),
-    None,
-    "north star: batch feature extraction (decode stub)")
+    Some("WITH " + mediaSql + """,
+      |bytes AS (
+      |  SELECT doc_id, modality, i,
+      |    ord(substring(content_str, CAST(i AS INTEGER), 1)) AS b
+      |  FROM media, unnest(generate_series(1, length(content_str))) AS g(i)
+      |), stats AS (
+      |  SELECT doc_id, any_value(modality) AS modality,
+      |    CAST(count(*) AS INTEGER) AS n_bytes,
+      |    CAST(SUM(b * i) AS BIGINT) AS checksum
+      |  FROM bytes GROUP BY doc_id
+      |), freq AS (
+      |  SELECT doc_id, b, count(*) AS c FROM bytes GROUP BY doc_id, b
+      |), peak AS (
+      |  SELECT doc_id, CAST(b AS INTEGER) AS peak_byte FROM (
+      |    SELECT doc_id, b, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY c DESC, b) AS rn
+      |    FROM freq) t WHERE rn = 1
+      |)
+      |SELECT s.doc_id, s.modality, s.n_bytes, s.checksum, p.peak_byte
+      |FROM stats s JOIN peak p ON p.doc_id = s.doc_id""".stripMargin),
+    "north star: batch feature extraction (decode stub), oracle-checked")
 
   def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaFeatures)
 }

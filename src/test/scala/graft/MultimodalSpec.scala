@@ -35,7 +35,8 @@ class MultimodalSpec extends SparkSpec {
     val texts = Map(1L -> "0123456789" * 60, 2L -> "abc", 3L -> "z" * 2000)
     texts.foreach { case (id, t) =>
       val bytes = t.getBytes("UTF-8")
-      val expectedSum = bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+      val expectedSum = bytes.zipWithIndex
+        .map { case (b, i) => (i + 1).toLong * (b & 0xff) }.sum
       assert(got(id).n_bytes === bytes.length)
       assert(got(id).checksum === expectedSum)
       val counts = bytes.groupBy(b => b & 0xff).view.mapValues(_.length)
