@@ -27,6 +27,22 @@ class CleanSpec extends SparkSpec {
     assert(got === Array(Some(expected), Some(expected), Some(expected), None))
   }
 
+  test("P3 property: every supported format round-trips any valid date") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.choose(0L, 365L * 80).map(d =>
+      java.time.LocalDate.of(1990, 1, 1).plusDays(d))
+    checkProp(Prop.forAll(gen) { d =>
+      val variants = Seq(
+        f"${d.getMonthValue}%d/${d.getDayOfMonth}%d/${d.getYear}%d",
+        d.toString, // yyyy-MM-dd
+        f"${d.getDayOfMonth}%d-${d.getMonthValue}%d-${d.getYear}%d")
+      val parsed = variants.toDF("s")
+        .select(date_format(Clean.parseDateMulti(col("s")), "yyyy-MM-dd"))
+        .as[String].collect()
+      parsed.forall(_ == d.toString)
+    }, minTests = 15)
+  }
+
   test("P5/P6 recency filter drops null and stale dates, keeps the edge") {
     val df = Seq("2023-06-01", "2023-05-31", "2026-01-01", null)
       .toDF("d").select(to_date(col("d")).as("date"))
