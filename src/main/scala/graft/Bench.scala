@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   *  - full materialization: agg of xxhash64 over all columns — count()
   *    would let Catalyst prune the projections away, so e.g. a hash-key
   *    query would never compute a single hash;
+  *  - cache cleared before every timed run: a query that persists an
+  *    intermediate (the cache manager dedupes identical plans) must pay
+  *    for populating it in each measured run, not reuse the warmup's;
   *  - failures are reported per query (`"errors"` field) and excluded from
   *    the total rather than silently timed as success.
   */
@@ -45,6 +48,7 @@ object Bench {
     val timings = runnable.flatMap { name =>
       try {
         val runs = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           materialize(SparkEntry.queries(name)(spark, sfDir))
           (System.nanoTime() - t0) / 1e9

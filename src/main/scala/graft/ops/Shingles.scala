@@ -44,6 +44,34 @@ object Shingles {
       .distinct()
   }
 
+  /** Per-document distinct 3-gram shingle SET as an array column — the
+    * same shingles as [[shingles3]] but kept packed: a pure narrow
+    * projection (no explode, no distinct shuffle). The array form feeds
+    * shuffle-free MinHash signatures ([[minhashOfSet]]) and
+    * `array_intersect` Jaccard verification. Docs with <3 tokens get an
+    * empty set (they cannot near-duplicate). */
+  def shingleSet3(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), words.as("w"))
+      .select(col(idCol),
+        when(size(col("w")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("w")) - 2), i =>
+            concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("ss"))
+  }
+
+  /** MinHash signature straight off a [[shingleSet3]] frame:
+    * `array_min` over the seeded md5s — zero shuffles (vs [[minhash]]'s
+    * groupBy over exploded shingle rows), identical hash strings, so the
+    * two formulations are interchangeable against the same oracle.
+    * Empty sets yield null signature columns. */
+  def minhashOfSet(sets: DataFrame, idCol: String,
+                   numHashes: Int): DataFrame =
+    sets.select(col(idCol) +: (0 until numHashes).map(k =>
+      array_min(transform(col("ss"), s =>
+        md5(concat(lit(s"$k:"), s)))).as(s"h$k")): _*)
+
   /** MinHash signature: per doc, min(md5("seed:" || shingle)) for each of
     * `numHashes` seeds — one hash-partitioned aggregation. */
   def minhash(shing: DataFrame, idCol: String, numHashes: Int): DataFrame =

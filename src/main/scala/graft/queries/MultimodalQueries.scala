@@ -111,8 +111,13 @@ object MultimodalQueries {
       |      PARTITION BY doc_id ORDER BY c DESC, b) AS rn
       |    FROM freq) t WHERE rn = 1
       |)
-      |SELECT s.doc_id, s.modality, s.n_bytes, s.checksum, p.peak_byte
-      |FROM stats s JOIN peak p ON p.doc_id = s.doc_id""".stripMargin),
+      |SELECT m.doc_id, m.modality,
+      |  CAST(COALESCE(s.n_bytes, 0) AS INTEGER) AS n_bytes,
+      |  CAST(COALESCE(s.checksum, 0) AS BIGINT) AS checksum,
+      |  CAST(COALESCE(p.peak_byte, -1) AS INTEGER) AS peak_byte
+      |FROM media m
+      |LEFT JOIN stats s ON s.doc_id = m.doc_id
+      |LEFT JOIN peak p ON p.doc_id = m.doc_id""".stripMargin),
     "north star: batch feature extraction (decode stub), oracle-checked")
 
   def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaFeatures)

@@ -226,32 +226,33 @@ object SimilarityQueries {
     * a band bucket — never all-pairs. */
   val qNearDup = Q("q_near_dup",
     (s, dir) => {
-      // The shingle frame feeds four consumers (signatures, both sides of
-      // the intersection join, sizes); without persist Spark re-derives
-      // the explode+distinct per consumer. MEMORY_AND_DISK keeps the
-      // plan safe under executor-memory pressure at scale. Lifecycle:
-      // the Q contract returns an unevaluated frame, so this entry lives
-      // until session end — acceptable because the cache manager dedupes
-      // identical plans (repeat invocations share ONE entry) and LRU
-      // eviction reclaims it under pressure.
-      val sh = Shingles.shingles3(docCorpus(s, dir), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Shingle sets stay PACKED as one array column per doc: signatures
+      // are then a narrow projection (array_min over seeded md5s — no
+      // explode/distinct/groupBy shuffles), and Jaccard verification is
+      // size(array_intersect) after joining each candidate pair to two
+      // compact set rows — instead of re-joining an exploded shingle
+      // frame twice and counting. Each consumer re-derives the cheap
+      // projection from the scan, so no persist is needed and the only
+      // shuffles left are the LSH-bucket equi-join and the two
+      // candidate-to-set joins. (Per-doc arrays are bounded by document
+      // length — the same bound the exploded formulation relied on for
+      // its groupBys.)
+      val sets = Shingles.shingleSet3(docCorpus(s, dir), "doc_id", "text")
+        .filter(size(col("ss")) > 0)
       val bands = Shingles.bands4x2(
-        Shingles.minhash(sh, "doc_id", 8), "doc_id")
+        Shingles.minhashOfSet(sets, "doc_id", 8), "doc_id")
       val cand = bands.toDF("doc_a", "band", "sig")
         .join(bands.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val inter = cand
-        .join(sh.toDF("doc_a", "s"), "doc_a")
-        .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      inter
-        .join(sizes.toDF("doc_a", "na"), "doc_a")
-        .join(sizes.toDF("doc_b", "nb"), "doc_b")
-        .withColumn("jac",
-          col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa")),
+          "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb")),
+          "doc_b")
+        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jac", col("ni").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("ni")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
     },
@@ -407,18 +408,28 @@ object SimilarityQueries {
   val qAnnIvf = Q("q_ann_ivf",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // IVF build stage: train the coarse quantizer (the labels×dims
+      // codebook — tiny by construction, like any IVF cell count) and
+      // ship it as LITERALS, the same pattern as the LSH plane weights.
+      // Cell assignment is then a narrow projection — argmax over
+      // per-cell fixed-point dots — with no centroid join and no
+      // per-vector ranking window, vs the previous crossJoin + window
+      // that shuffled |corpus|×|cells| rows. At 100 TB: train once,
+      // broadcast constants, one codegen'd pass.
+      val codebook: Array[(Int, Seq[Double])] =
+        graft.ops.Centroids.perLabelVec(e.select("label", "embedding"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
       val base = e.select(col("vec_id"),
           Vectors.toDoubleArr(col("embedding")).as("v"))
         .withColumn("dxx", Vectors.dotExact(col("v"), col("v")))
-      val cents = graft.ops.Centroids.perLabelVec(
-          e.select("label", "embedding"))
-        .select(col("label").as("cl"), col("centroid"))
-      val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("siml", Vectors.dotScaled(col("v"), col("centroid")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("siml").desc, col("cl"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cl").as("cell"), col("v"), col("dxx"))
+      // max siml, ties to the smallest label == lexicographic min over
+      // (−siml, label) structs
+      val cell = array_min(array(codebook.map { case (lbl, c) =>
+        struct((-Vectors.dotScaled(col("v"), typedLit(c))).as("negsim"),
+          lit(lbl).as("cl"))
+      }.toIndexedSeq: _*)).getField("cl")
+      val assigned = base.withColumn("cell", cell)
       val qs = assigned.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("cell").as("qcell"),
           col("v").as("qv"), col("dxx").as("qxx"))

@@ -232,6 +232,38 @@ object TextQueries {
       |  FROM scored) t WHERE rk <= 5""".stripMargin),
     "north star: tf-idf term scoring")
 
+  /** GPT-2-style pre-tokenizer regex (contractions, letter runs, digit
+    * runs, punctuation runs, each with an optional leading space) —
+    * restricted to the RE2 ∩ java.util.regex subset (no lookahead), so
+    * Spark and the oracle tokenize identically; both engines use
+    * leftmost-first alternation. */
+  private val bpePat =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** q_token_bpe — token counting both ways the north star names:
+    * whitespace tokens and BPE-ish regex pre-tokens, plus their ratio
+    * (the "subword inflation" a budget estimator needs). Pure projection,
+    * no shuffle. */
+  val qTokenBpe = Q("q_token_bpe",
+    (s, dir) => {
+      val nWs = size(split(trim(col("text")), "\\s+")).cast("long")
+      val nBpe = size(regexp_extract_all(col("text"), lit(bpePat), lit(0)))
+        .cast("long")
+      Tables.documents(s, dir).select(
+        col("doc_id"), nWs.as("n_ws"), nBpe.as("n_bpe"),
+        round(nBpe.cast("double") / nWs, 6).as("bpe_per_ws"))
+    },
+    Some {
+      val sqlPat = "'" + bpePat.replace("'", "''") + "'"
+      s"""SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, $sqlPat)) AS BIGINT) AS n_bpe,
+         |  round(CAST(len(regexp_extract_all(text, $sqlPat)) AS DOUBLE)
+         |    / len(string_split_regex(trim(text), '\\s+')), 6) AS bpe_per_ws
+         |FROM documents""".stripMargin
+    },
+    "north star: token counting (whitespace + BPE-ish regex pre-tokenizer)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
-    qFingerprint, qTfidf)
+    qFingerprint, qTfidf, qTokenBpe)
 }

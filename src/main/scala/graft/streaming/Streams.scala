@@ -84,8 +84,16 @@ object Streams {
 
   /** [[sessionizeStream]] plus event-time timeout: input must carry a
     * watermark on `ts`; an open session whose `last + gap` falls behind
-    * the watermark is emitted and its state dropped — state is bounded by
-    * ACTIVE users, and every session is eventually emitted. */
+    * the watermark is emitted once the timeout fires — every session is
+    * eventually emitted.
+    *
+    * On flush the state shrinks to a counter-only sentinel
+    * (`n_events = 0` holding the NEXT session id) rather than being
+    * removed, so a user who returns after an idle flush continues the
+    * 1..n session numbering — `(user_id, session_id)` stays unique for
+    * the stream's lifetime, matching the batch sessionizer's contract.
+    * Tradeoff: state is one tiny record per user ever seen (vs truly
+    * bounded-by-active with `remove()`, which re-issued ids). */
   def sessionizeStreamWithTimeout(
       events: org.apache.spark.sql.Dataset[TimedEvent], gapMinutes: Int = 30)
       : org.apache.spark.sql.Dataset[graft.ops.Sessionize.Session] = {
@@ -99,7 +107,9 @@ object Streams {
         (uid: Long, it: Iterator[TimedEvent], state: GroupState[OpenSession]) =>
           if (!it.hasNext && state.hasTimedOut) {
             val o = state.get
-            state.remove()
+            // keep the counter (no new timeout: the sentinel is data-less
+            // and only revived by this user's next event)
+            state.update(OpenSession(o.session_id + 1, 0L, 0L, 0L))
             Iterator.single(Session(uid, o.session_id, o.n_events, o.start_us))
           } else {
             val evs = it.toArray
@@ -110,6 +120,8 @@ object Streams {
             for (e <- evs) {
               val tUs = micros(e.ts)
               open match {
+                case Some(o) if o.n_events == 0L => // counter-only sentinel
+                  open = Some(OpenSession(o.session_id, 1L, tUs, tUs))
                 case Some(o) if tUs - o.last_us <= gapUs =>
                   open = Some(o.copy(n_events = o.n_events + 1, last_us = tUs))
                 case Some(o) =>

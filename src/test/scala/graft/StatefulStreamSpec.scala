@@ -100,4 +100,49 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got.count() === expectedAll.count())
     assert(expectedAll.except(got).isEmpty && got.except(expectedAll).isEmpty)
   }
+
+  test("session ids keep counting after a timeout flush (no duplicate ids)") {
+    val dir = Files.createTempDirectory("graft-sess-cont").toFile
+    dir.deleteOnExit()
+    val src = s"${dir.getAbsolutePath}/events"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    val day = 86400000L
+    val t0 = 1700000000000L // fixed epoch millis; only relative order matters
+    def file(rows: (Long, Long, Long)*): Unit = rows.toSeq
+      .map { case (uid, ms, id) => (uid, new java.sql.Timestamp(ms), id) }
+      .toDF("user_id", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    // batch 1: user 100's first session (2 events, 1 min apart)
+    file((100L, t0, 1L), (100L, t0 + 60000L, 2L))
+    // batches 2-3: sentinels advance the watermark, then fire the timeout
+    // that flushes user 100's idle session via the counter-keeping path
+    file((-1L, t0 + 10 * day, 9001L))
+    file((-1L, t0 + 12 * day, 9002L))
+    // batch 4: user 100 returns — must get session_id 2, not 1 again
+    file((100L, t0 + 15 * day, 3L))
+    // batches 5-6: advance + fire the timeout that flushes the new session
+    file((-1L, t0 + 25 * day, 9003L))
+    file((-1L, t0 + 30 * day, 9004L))
+
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .withWatermark("ts", "0 seconds")
+      .as[Streams.TimedEvent]
+    val q = Streams.sessionizeStreamWithTimeout(stream).writeStream
+      .format("memory").queryName("sess_continuity_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sess_continuity_stream")
+      .filter(col("user_id") === 100L)
+      .select("session_id", "n_events").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L)))
+  }
 }
