@@ -30,9 +30,11 @@ object Shingles {
     df.select(col(idCol), explode(split(trim(t), "\\s+")).as("tok"))
   }
 
-  /** Distinct word 3-gram shingles per document. Documents with fewer than
+  /** Word 3-gram shingles per document, exploded WITHOUT dedup — for
+    * duplicate-insensitive consumers (MinHash minima), which then skip
+    * [[shingles3]]'s distinct shuffle entirely. Documents with fewer than
     * 3 tokens yield no shingles (they cannot near-duplicate). */
-  def shingles3(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def shingles3All(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
     df.select(col(idCol), words.as("w"))
       .filter(size(col("w")) >= 3)
@@ -41,8 +43,11 @@ object Shingles {
           concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1),
             element_at(col("w"), i + 2)))).as("s"))
-      .distinct()
   }
+
+  /** Distinct word 3-gram shingles per document. */
+  def shingles3(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingles3All(df, idCol, textCol).distinct()
 
   /** Per-document distinct 3-gram shingle SET as an array column — the
     * same shingles as [[shingles3]] but kept packed: a pure narrow
@@ -50,27 +55,44 @@ object Shingles {
     * shuffle-free MinHash signatures ([[minhashOfSet]]) and
     * `array_intersect` Jaccard verification. Docs with <3 tokens get an
     * empty set (they cannot near-duplicate). */
-  def shingleSet3(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol), words.as("w"))
-      .select(col(idCol),
-        when(size(col("w")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("w")) - 2), i =>
-            concat_ws(" ", element_at(col("w"), i),
-              element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
-          .otherwise(array().cast("array<string>")).as("ss"))
-  }
+  def shingleSet3(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
+      .select(col(idCol), shingleSetOfWords(col("w")).as("ss"))
 
-  /** MinHash signature straight off a [[shingleSet3]] frame:
-    * `array_min` over the seeded md5s — zero shuffles (vs [[minhash]]'s
-    * groupBy over exploded shingle rows), identical hash strings, so the
-    * two formulations are interchangeable against the same oracle.
-    * Empty sets yield null signature columns. */
-  def minhashOfSet(sets: DataFrame, idCol: String,
-                   numHashes: Int): DataFrame =
-    sets.select(col(idCol) +: (0 until numHashes).map(k =>
-      array_min(transform(col("ss"), s =>
-        md5(concat(lit(s"$k:"), s)))).as(s"h$k")): _*)
+  /** Shingle set from an ALREADY-BOUND token-array column. `words` MUST
+    * be a projected column, not an inline `split(...)` expression:
+    * higher-order functions evaluate interpreted (no codegen
+    * subexpression elimination), so an un-aliased split inside the
+    * lambda would re-tokenize the document for every `element_at` of
+    * every shingle — turning a linear pass quadratic. (Measured 6× on
+    * the near-dup corpus.) */
+  def shingleSetOfWords(words: Column): Column =
+    when(size(words) >= 3,
+      array_distinct(transform(sequence(lit(1), size(words) - 2), i =>
+        concat_ws(" ", element_at(words, i),
+          element_at(words, i + 1), element_at(words, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 8-hash MinHash signature at 2 md5s per shingle: each seeded md5 is
+    * sliced into four 8-hex (32-bit) pieces and each slice min'd
+    * independently — the one-permutation-hashing idea (different bit
+    * ranges of one digest act as independent hash functions). A quarter
+    * of [[minhash]]'s digest work, fully codegen'd (no higher-order
+    * functions in the hot path), and fed by the NON-distinct explode:
+    * minima are duplicate-insensitive, so the distinct shuffle is
+    * skipped and the groupBy's map-side partial aggregation reduces each
+    * partition to one row per doc before the only shuffle. 32-bit slices
+    * keep band signatures (2 slices = 64 bits) collision-safe for
+    * candidate generation; exact Jaccard verifies every candidate
+    * anyway. */
+  def minhashSliced(shing: DataFrame, idCol: String): DataFrame = {
+    def slices(seed: Int, base: Int) = {
+      val h = md5(concat(lit(s"$seed:"), col("s")))
+      (0 until 4).map(k => min(substring(h, 1 + 8 * k, 8)).as(s"h${base + k}"))
+    }
+    val aggs = slices(0, 0) ++ slices(1, 4)
+    shing.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** MinHash signature: per doc, min(md5("seed:" || shingle)) for each of
     * `numHashes` seeds — one hash-partitioned aggregation. */

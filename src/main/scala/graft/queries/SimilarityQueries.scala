@@ -226,43 +226,51 @@ object SimilarityQueries {
     * a band bucket — never all-pairs. */
   val qNearDup = Q("q_near_dup",
     (s, dir) => {
-      // Shingle sets stay PACKED as one array column per doc: signatures
-      // are then a narrow projection (array_min over seeded md5s — no
-      // explode/distinct/groupBy shuffles), and Jaccard verification is
-      // size(array_intersect) after joining each candidate pair to two
-      // compact set rows — instead of re-joining an exploded shingle
-      // frame twice and counting. Each consumer re-derives the cheap
-      // projection from the scan, so no persist is needed and the only
-      // shuffles left are the LSH-bucket equi-join and the two
-      // candidate-to-set joins. (Per-doc arrays are bounded by document
-      // length — the same bound the exploded formulation relied on for
-      // its groupBys.)
-      val sets = Shingles.shingleSet3(docCorpus(s, dir), "doc_id", "text")
-        .filter(size(col("ss")) > 0)
+      // Candidate generation: NON-distinct shingle explode → codegen'd
+      // sliced-md5 minima (2 digests per shingle, map-side combined —
+      // see Shingles.minhashSliced) → LSH band equi-join. Verification:
+      // candidate pairs join back to the corpus TEXT (small), and the
+      // shingle-set arrays + array_intersect Jaccard are computed only
+      // for rows that survive the join — |candidates| set builds, not
+      // 2×|corpus|, which is the LSH premise (candidates ≪ corpus) paid
+      // out in the plan. Shuffles: signature groupBy, band join, two
+      // candidate-to-text joins. No persist anywhere.
+      val corpus = docCorpus(s, dir)
       val bands = Shingles.bands4x2(
-        Shingles.minhashOfSet(sets, "doc_id", 8), "doc_id")
+        Shingles.minhashSliced(
+          Shingles.shingles3All(corpus, "doc_id", "text"), "doc_id"),
+        "doc_id")
       val cand = bands.toDF("doc_a", "band", "sig")
         .join(bands.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
+      // words/sets/counts each bound in their OWN projection step so no
+      // non-cheap expression is duplicated downstream (see
+      // Shingles.shingleSetOfWords on why inlining would go quadratic)
+      val wtok = split(trim(col("text")), "\\s+")
       cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa")),
+        .join(corpus.select(col("doc_id").as("doc_a"), wtok.as("wa")),
           "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb")),
+        .join(corpus.select(col("doc_id").as("doc_b"), wtok.as("wb")),
           "doc_b")
-        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+        .select(col("doc_a"), col("doc_b"),
+          Shingles.shingleSetOfWords(col("wa")).as("sa"),
+          Shingles.shingleSetOfWords(col("wb")).as("sb"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa"), col("sb"))).as("ni"),
+          size(col("sa")).as("na"), size(col("sb")).as("nb"))
         .withColumn("jac", col("ni").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("ni")))
+          (col("na") + col("nb") - col("ni")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
     },
     Some("WITH " + corpusSql + ",\n" + shingSql + """,
       |minh AS (
       |  SELECT doc_id,
-      |    min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-      |    min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-      |    min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-      |    min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      |    min(substr(md5('0:' || s), 1, 8)) AS h0, min(substr(md5('0:' || s), 9, 8)) AS h1,
+      |    min(substr(md5('0:' || s), 17, 8)) AS h2, min(substr(md5('0:' || s), 25, 8)) AS h3,
+      |    min(substr(md5('1:' || s), 1, 8)) AS h4, min(substr(md5('1:' || s), 9, 8)) AS h5,
+      |    min(substr(md5('1:' || s), 17, 8)) AS h6, min(substr(md5('1:' || s), 25, 8)) AS h7
       |  FROM shing GROUP BY doc_id
       |), bands AS (
       |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM minh

@@ -140,6 +140,18 @@ object Streams {
       }
   }
 
+  /** Streaming exact deduplication — the training-pipeline dedup under
+    * `readStream`: dropDuplicates over `keys` plus the event-time column,
+    * with the watermark bounding dedup state (key state older than
+    * watermark − delay is dropped, so a long-running stream holds
+    * O(keys in the watermark window), not O(history); a duplicate
+    * arriving later than `delay` is dropped as late rather than
+    * re-emitted). Batch-unified: under `spark.read` the watermark node
+    * is analyzed away and this is a plain dropDuplicates. */
+  def dedupByKey(events: DataFrame, keys: Seq[String], tsCol: String = "ts",
+                 delay: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicates(keys :+ tsCol)
+
   /** Tumbling 1-hour windows per event_type with a 2-hour watermark —
     * the q_events_hourly plan. */
   def hourlyCounts(events: DataFrame): DataFrame = events

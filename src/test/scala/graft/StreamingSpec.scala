@@ -43,4 +43,35 @@ class StreamingSpec extends SparkSpec {
   test("slidingCounts: readStream result equals batch result") {
     assertBatchStreamEqual("sliding_stream", Streams.slidingCounts)
   }
+
+  test("dedupByKey: streaming dedup equals batch distinct on duplicated input") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toFile
+    dir.deleteOnExit()
+    val src = s"${dir.getAbsolutePath}/events"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    // the same event file twice → every row is an exact duplicate across
+    // micro-batches; the dedup state must suppress the whole second batch
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type")
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val batch = Streams.dedupByKey(spark.read.parquet(src), Seq("event_id"))
+    val q = Streams.dedupByKey(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(src), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_stream")
+    assert(streamed.count() === batch.count())
+    assert(streamed.count() === ev.count()) // input was fully unique pre-doubling
+    assert(batch.except(streamed).isEmpty && streamed.except(batch).isEmpty)
+  }
 }
