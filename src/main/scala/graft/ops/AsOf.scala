@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join — the canonical "operator Spark lacks" (SURVEY §7 tier a:
+  * composition beats a custom node here): for every left row, attach the
+  * LATEST right row of the same key with `right.ts <= left.ts`
+  * (inclusive, matching SQL ASOF semantics).
+  *
+  * Formulation: tag and union both sides, then ONE window per key ordered
+  * by (ts, side, tiebreak) carries `last(right payload, ignoreNulls)` up
+  * to the current row; left rows keep whatever right payload last
+  * preceded them. Cost is one shuffle on the key and O(|L|+|R|) rows —
+  * contrast the naive range-predicate join (`l.key = r.key AND l.ts >=
+  * r.ts`), which explodes to every (left, right) pair within a key before
+  * aggregating the max, and is the first thing to die at 100× data.
+  * Right rows sort before left rows at equal ts, so ts-equality counts
+  * as "prior" exactly like DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`.
+  *
+  * Contract: right must be unique per (key, ts) — see [[latestPerKeyTs]]
+  * — so "the" latest right row is well defined; `leftTie` must totally
+  * order left rows within (key, ts) for a deterministic output order.
+  */
+object AsOf {
+
+  /** Keeps, per (key, ts), only the right row with the greatest tie
+    * column — makes a frame satisfy the as-of uniqueness contract. */
+  def latestPerKeyTs(right: DataFrame, key: String, ts: String,
+                     tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key), col(ts)).orderBy(col(tieCol).desc)
+    right.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** left ⟕-as-of right on `key`/`ts`: one row per left row, with struct
+    * columns `l` (the left row) and `r` (the matched right row, or null
+    * when no right row has rts <= lts). */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+               leftTie: Column): DataFrame = {
+    val lNull = lit(null).cast(StructType(left.schema.fields))
+    val rNull = lit(null).cast(StructType(right.schema.fields))
+    val l = left.select(col(key).as("__k"), col(ts).as("__t"),
+      lit(1).as("__side"), leftTie.cast("long").as("__tie"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      rNull.as("__r"))
+    val r = right.select(col(key).as("__k"), col(ts).as("__t"),
+      lit(0).as("__side"), lit(0L).as("__tie"),
+      lNull.as("__l"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l").as("l"), col("__asof").as("r"))
+  }
+}

@@ -101,5 +101,43 @@ object StreamQueries {
       |  FROM events) t WHERE rk <= 3""".stripMargin),
     "custom operator on the event fact table")
 
-  def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson, qEventsTopK)
+  /** q_asof_join — each purchase event joined as-of to the user's latest
+    * prior-or-simultaneous click via [[graft.ops.AsOf.joinAsOf]] (the
+    * single-shuffle union+window formulation; see its scaladoc for why
+    * the range-predicate join shape is the wrong plan at scale). The
+    * DuckDB oracle uses the engine-native `ASOF LEFT JOIN` — a strong
+    * differential check since the two implementations share nothing. */
+  val qAsof = Q("q_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = graft.ops.AsOf.latestPerKeyTs(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id")
+      graft.ops.AsOf.joinAsOf(purchases, clicks, "user_id", "ts",
+          col("event_id"))
+        .select(
+          col("l.user_id").as("user_id"),
+          col("l.event_id").as("purchase_id"),
+          date_format(col("l.ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("r.event_id").as("click_id"),
+          (unix_micros(col("l.ts")) - unix_micros(col("r.ts"))).as("gap_us"))
+    },
+    Some("""WITH p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+      |)
+      |SELECT p.user_id, p.event_id AS purchase_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  c.event_id AS click_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
+    "as-of join (north star: the canonical operator Spark lacks)")
+
+  def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson, qEventsTopK,
+    qAsof)
 }

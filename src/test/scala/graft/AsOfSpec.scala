@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOf
+
+/** As-of join: hand-checked semantics (inclusive ts, null when nothing
+  * precedes, per-key isolation) plus a differential check against the
+  * naive range-join-then-argmax formulation on a random frame, and the
+  * plan-shape guarantee that motivates the operator. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("as-of picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 15L, 102L),
+      (3L, 5L, 103L))
+      .map { case (k, t, id) => (k, ts(t * 1000000), id) }
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, 10L, 900L), (1L, 12L, 901L), (2L, 99L, 902L))
+      .map { case (k, t, id) => (k, ts(t * 1000000), id) }
+      .toDF("user_id", "ts", "event_id")
+    val got = AsOf.joinAsOf(left, right, "user_id", "ts", col("event_id"))
+      .select(col("l.event_id"), col("r.event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(
+      100L -> Some(900L), // equal ts counts as prior (inclusive)
+      101L -> Some(901L), // latest of the two preceding rights
+      102L -> None,       // right exists for key but only later
+      103L -> None))      // no right rows for key at all
+  }
+
+  test("as-of equals the naive range-join argmax on a random frame") {
+    val n = 2000
+    val left = spark.range(n).select(
+      (pmod(xxhash64(col("id")), lit(37))).as("user_id"),
+      timestamp_micros(pmod(xxhash64(col("id"), lit(1)), lit(100000L)))
+        .as("ts"),
+      col("id").as("event_id"))
+    val right = AsOf.latestPerKeyTs(
+      spark.range(n).select(
+        (pmod(xxhash64(col("id"), lit(2)), lit(37))).as("user_id"),
+        timestamp_micros(pmod(xxhash64(col("id"), lit(3)), lit(100000L)))
+          .as("ts"),
+        (col("id") + 10000).as("event_id")),
+      "user_id", "ts", "event_id")
+
+    val got = AsOf.joinAsOf(left, right, "user_id", "ts", col("event_id"))
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"))
+
+    // naive: range join within key, then keep the max-(ts, id) right row
+    val naive = left.as("l")
+      .join(right.as("r"),
+        col("l.user_id") === col("r.user_id") && col("l.ts") >= col("r.ts"),
+        "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l.event_id"))
+          .orderBy(col("r.ts").desc_nulls_last, col("r.event_id").desc)))
+      .filter(col("rk") === 1)
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"))
+
+    assert(got.count() === n)
+    assert(naive.except(got).isEmpty && got.except(naive).isEmpty)
+  }
+
+  test("as-of join plans no cartesian/range explosion and <= 2 shuffles") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val c = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val out = AsOf.joinAsOf(p, c, "user_id", "ts", col("event_id"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles:\n$plan")
+  }
+}
