@@ -138,6 +138,41 @@ object StreamQueries {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
     "as-of join (north star: the canonical operator Spark lacks)")
 
+  /** q_range_join — each click landing within 6 hours after a signup of
+    * the same user, via [[graft.ops.RangeJoin.joinPointInInterval]]'s
+    * bucketed equi-join (1-hour buckets: each 6-hour interval explodes
+    * to <= 7 bucket rows; a raw inequality join would be an in-key
+    * all-pairs filter). Oracle is the plain BETWEEN join — DuckDB can
+    * afford the naive plan at oracle scale, which is the point of the
+    * differential. */
+  val qRangeJoin = Q("q_range_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sixHoursUs = 6L * 3600L * 1000000L
+      val signups = ev.filter(col("event_type") === "signup").select(
+        col("user_id"), col("event_id").as("signup_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + sixHoursUs).as("e_us"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+      graft.ops.RangeJoin.joinPointInInterval(clicks, signups,
+          "user_id", "c_us", "s_us", "e_us", bucketUs = 3600L * 1000000L)
+        .select(col("user_id"), col("signup_id"), col("click_id"),
+          (col("c_us") - col("s_us")).as("offset_us"))
+    },
+    Some("""WITH s AS (
+      |  SELECT user_id, event_id AS signup_id, epoch_us(ts) AS s_us
+      |  FROM events WHERE event_type = 'signup'
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT s.user_id, s.signup_id, c.click_id, c.c_us - s.s_us AS offset_us
+      |FROM s JOIN c ON c.user_id = s.user_id
+      |  AND c.c_us BETWEEN s.s_us AND s.s_us + 21600000000""".stripMargin),
+    "range join (north star: bucketed point-in-interval equi-join)")
+
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson, qEventsTopK,
-    qAsof)
+    qAsof, qRangeJoin)
 }
