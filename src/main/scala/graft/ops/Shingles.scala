@@ -31,8 +31,8 @@ object Shingles {
   }
 
   /** Word 3-gram shingles per document, exploded WITHOUT dedup — for
-    * duplicate-insensitive consumers (MinHash minima), which then skip
-    * [[shingles3]]'s distinct shuffle entirely. Documents with fewer than
+    * duplicate-insensitive consumers (MinHash minima), which can then
+    * skip a distinct shuffle entirely. Documents with fewer than
     * 3 tokens yield no shingles (they cannot near-duplicate). */
   def shingles3All(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
@@ -45,21 +45,10 @@ object Shingles {
             element_at(col("w"), i + 2)))).as("s"))
   }
 
-  /** Distinct word 3-gram shingles per document. */
-  def shingles3(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    shingles3All(df, idCol, textCol).distinct()
-
-  /** Per-document distinct 3-gram shingle SET as an array column — the
-    * same shingles as [[shingles3]] but kept packed: a pure narrow
-    * projection (no explode, no distinct shuffle). The array form feeds
-    * shuffle-free MinHash signatures ([[minhashOfSet]]) and
-    * `array_intersect` Jaccard verification. Docs with <3 tokens get an
-    * empty set (they cannot near-duplicate). */
-  def shingleSet3(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
-      .select(col(idCol), shingleSetOfWords(col("w")).as("ss"))
-
-  /** Shingle set from an ALREADY-BOUND token-array column. `words` MUST
+  /** Per-document distinct 3-gram shingle SET as an array column (pure
+    * narrow projection — no explode, no distinct shuffle), for
+    * `array_intersect` Jaccard verification; docs with <3 tokens get an
+    * empty set. `words` MUST
     * be a projected column, not an inline `split(...)` expression:
     * higher-order functions evaluate interpreted (no codegen
     * subexpression elimination), so an un-aliased split inside the
@@ -77,8 +66,9 @@ object Shingles {
     * sliced into four 8-hex (32-bit) pieces and each slice min'd
     * independently — the one-permutation-hashing idea (different bit
     * ranges of one digest act as independent hash functions). A quarter
-    * of [[minhash]]'s digest work, fully codegen'd (no higher-order
-    * functions in the hot path), and fed by the NON-distinct explode:
+    * of the one-digest-per-hash formulation's md5 work, fully codegen'd
+    * (no higher-order functions in the hot path), and fed by the
+    * NON-distinct explode:
     * minima are duplicate-insensitive, so the distinct shuffle is
     * skipped and the groupBy's map-side partial aggregation reduces each
     * partition to one row per doc before the only shuffle. 32-bit slices
@@ -93,15 +83,6 @@ object Shingles {
     val aggs = slices(0, 0) ++ slices(1, 4)
     shing.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
-
-  /** MinHash signature: per doc, min(md5("seed:" || shingle)) for each of
-    * `numHashes` seeds — one hash-partitioned aggregation. */
-  def minhash(shing: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    shing.groupBy(col(idCol))
-      .agg(
-        min(md5(concat(lit("0:"), col("s")))).as("h0"),
-        (1 until numHashes).map(k =>
-          min(md5(concat(lit(s"$k:"), col("s")))).as(s"h$k")): _*)
 
   /** LSH banding of an 8-hash signature into 4 bands of 2 rows:
     * (doc, band, sig) rows; docs sharing (band, sig) are candidates. */

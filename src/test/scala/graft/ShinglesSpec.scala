@@ -1,40 +1,60 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.ops.Shingles
 
 /** Shingling / MinHash / SimHash building blocks. */
 class ShinglesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("shingles3: n-2 distinct 3-grams, <3 tokens yields none") {
+  test("shingles3All: n-2 3-grams in order, <3 tokens yields none") {
     val df = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
-    val out = Shingles.shingles3(df, "doc_id", "text")
+    val out = Shingles.shingles3All(df, "doc_id", "text")
       .as[(Long, String)].collect().toSet
     assert(out === Set((1L, "a b c"), (1L, "b c d"), (1L, "c d e")))
   }
 
-  test("shingles3 deduplicates repeated shingles") {
-    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
-    val out = Shingles.shingles3(df, "doc_id", "text").count()
-    assert(out === 2) // "a b a" and "b a b"
+  test("shingleSetOfWords deduplicates repeated shingles; empty under 3 tokens") {
+    val df = Seq((1L, "a b a b a b"), (2L, "x y")).toDF("doc_id", "text")
+    val out = df
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), Shingles.shingleSetOfWords(col("w")).as("ss"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).toSet === Set("a b a", "b a b"))
+    assert(out(2L) === Seq.empty)
   }
 
-  test("identical docs share the full MinHash signature") {
+  test("identical docs share the full sliced MinHash signature") {
     val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"))
       .toDF("doc_id", "text")
-    val m = Shingles.minhash(Shingles.shingles3(df, "doc_id", "text"),
-      "doc_id", 8).drop("doc_id").distinct()
+    val m = Shingles.minhashSliced(
+      Shingles.shingles3All(df, "doc_id", "text"), "doc_id")
+      .drop("doc_id").distinct()
     assert(m.count() === 1)
+  }
+
+  test("minhashSliced: duplicate shingle occurrences cannot change minima") {
+    // the same doc text repeated as extra rows multiplies every shingle
+    // occurrence; min() must be unaffected — this is what lets the
+    // signature pipeline skip the distinct shuffle
+    val once = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val dup = once.unionAll(once).unionAll(once)
+    val sigOnce = Shingles.minhashSliced(
+      Shingles.shingles3All(once, "doc_id", "text"), "doc_id").collect()
+    val sigDup = Shingles.minhashSliced(
+      Shingles.shingles3All(dup, "doc_id", "text"), "doc_id").collect()
+    assert(sigOnce.toSeq === sigDup.toSeq)
   }
 
   test("bands4x2 emits 4 bands whose signatures pair adjacent hashes") {
     val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val bands = Shingles.bands4x2(
-      Shingles.minhash(Shingles.shingles3(df, "doc_id", "text"), "doc_id", 8),
+      Shingles.minhashSliced(
+        Shingles.shingles3All(df, "doc_id", "text"), "doc_id"),
       "doc_id")
     val rows = bands.as[(Long, Int, String)].collect()
     assert(rows.map(_._2).sorted === Array(0, 1, 2, 3))
-    assert(rows.forall(_._3.length === 64)) // two 32-char md5 hex strings
+    assert(rows.forall(_._3.length === 16)) // two 8-hex (32-bit) slices
   }
 
   test("simhash16: in [0, 65536), identical docs identical hash") {
