@@ -92,6 +92,22 @@ object Shingles {
         concat(col("h4"), col("h5")), concat(col("h6"), col("h7")))))
       .toDF(idCol, "band", "sig")
 
+  /** Drops LSH buckets with more than `cap` members before pairing —
+    * the similarity family's skew escape hatch. A degenerate bucket
+    * (boilerplate text sharing minima across thousands of docs) would
+    * alone produce O(n²) candidate pairs inside the band join; such
+    * buckets carry almost no discriminative signal, so production
+    * near-dup pipelines cap them and move on. The count window
+    * partitions by the SAME (band, sig) key the candidate join uses, so
+    * the partitioning is computed once and reused — the guard costs no
+    * extra shuffle. */
+  def capBuckets(bands: DataFrame, cap: Int): DataFrame = {
+    require(cap > 1, s"cap must allow pairs, got $cap")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    bands.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= cap).drop("__n")
+  }
+
   /** 16-bit SimHash over token occurrences: bit b is the sign of
     * Σ_tokens (bit b of md5(token) ? +1 : −1), packed MSB-first. */
   def simhash16(toks: DataFrame, idCol: String): DataFrame = {

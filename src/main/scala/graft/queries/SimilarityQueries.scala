@@ -116,6 +116,10 @@ object SimilarityQueries {
 
   private val numPlanes = 6
   private val embDims = 64
+  /** LSH bucket cap for q_near_dup (Shingles.capBuckets): far above any
+    * honest bucket at test SFs — the guard exists for the degenerate
+    * boilerplate bucket at corpus scale; mirrored in the oracle. */
+  private val maxBucket = 1000
 
   // ------------------------------------------------------------ queries ---
 
@@ -221,9 +225,11 @@ object SimilarityQueries {
       |  FROM dots) t WHERE rk <= 3""".stripMargin),
     "ref commercial_rfp_indexer.py:95-124 (HNSW analog, LSH-bucketed)")
 
-  /** q_near_dup — MinHash(8) + LSH(4 bands × 2 rows) candidate generation,
-    * exact 3-gram Jaccard verification ≥ 0.5. Candidates form only inside
-    * a band bucket — never all-pairs. */
+  /** q_near_dup — MinHash(8, sliced) + LSH(4 bands × 2 rows) candidate
+    * generation with a [[Shingles.capBuckets]] skew guard, exact 3-gram
+    * Jaccard verification ≥ 0.5. Candidates form only inside a band
+    * bucket — never all-pairs — and a degenerate bucket cannot go
+    * quadratic. */
   val qNearDup = Q("q_near_dup",
     (s, dir) => {
       // Candidate generation: NON-distinct shingle explode → codegen'd
@@ -236,10 +242,10 @@ object SimilarityQueries {
       // out in the plan. Shuffles: signature groupBy, band join, two
       // candidate-to-text joins. No persist anywhere.
       val corpus = docCorpus(s, dir)
-      val bands = Shingles.bands4x2(
+      val bands = Shingles.capBuckets(Shingles.bands4x2(
         Shingles.minhashSliced(
           Shingles.shingles3All(corpus, "doc_id", "text"), "doc_id"),
-        "doc_id")
+        "doc_id"), cap = maxBucket)
       val cand = bands.toDF("doc_a", "band", "sig")
         .join(bands.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
@@ -277,9 +283,15 @@ object SimilarityQueries {
       |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM minh
       |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM minh
       |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM minh
+      |), bsz AS (
+      |  SELECT band, sig, count(*) AS n FROM bands GROUP BY 1, 2
+      |), bands_c AS (
+      |  SELECT b.doc_id, b.band, b.sig FROM bands b
+      |  JOIN bsz ON bsz.band = b.band AND bsz.sig = b.sig
+      |  WHERE bsz.n <= 1000
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM bands_c a JOIN bands_c b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       |), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
       |inter AS (

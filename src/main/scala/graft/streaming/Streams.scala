@@ -152,6 +152,29 @@ object Streams {
                  delay: String = "2 hours"): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicates(keys :+ tsCol)
 
+  /** Stream-stream inner join: each purchase to the same user's clicks
+    * in the preceding `windowHours`. Both sides carry watermarks and the
+    * join predicate is a time RANGE, which is what lets Spark bound both
+    * join-state buffers (a side's row is dropped once the watermark
+    * passes the latest time it could still match) — the unbounded-state
+    * trap of an unconstrained stream-stream join is the reason for the
+    * interval. Batch-unified like the other plans here: under
+    * `spark.read` the watermarks are analyzed away and this is a plain
+    * range join (the batch analog of q_range_join's semantics). */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+                        watermarkDelay: String = "2 hours",
+                        windowHours: Int = 1): DataFrame = {
+    val p = purchases.withWatermark("ts", watermarkDelay).as("p")
+    val c = clicks.withWatermark("ts", watermarkDelay).as("c")
+    p.join(c, expr(
+        s"""p.user_id = c.user_id AND
+           |c.ts BETWEEN p.ts - INTERVAL $windowHours HOURS AND p.ts
+           |""".stripMargin))
+      .select(col("p.user_id").as("user_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"))
+  }
+
   /** Tumbling 1-hour windows per event_type with a 2-hour watermark —
     * the q_events_hourly plan. */
   def hourlyCounts(events: DataFrame): DataFrame = events

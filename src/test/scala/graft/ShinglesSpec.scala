@@ -57,6 +57,17 @@ class ShinglesSpec extends SparkSpec {
     assert(rows.forall(_._3.length === 16)) // two 8-hex (32-bit) slices
   }
 
+  test("capBuckets drops only over-cap (band, sig) buckets") {
+    val bands = Seq(
+      (1L, 0, "x"), (2L, 0, "x"), (3L, 0, "x"), // hot bucket, 3 members
+      (4L, 0, "y"), (5L, 0, "y"),               // honest bucket, 2 members
+      (6L, 1, "x"))                             // other band, 1 member
+      .toDF("doc_id", "band", "sig")
+    val kept = Shingles.capBuckets(bands, cap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(4L, 5L, 6L))
+  }
+
   test("simhash16: in [0, 65536), identical docs identical hash") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("doc_id", "text")

@@ -44,6 +44,42 @@ class StreamingSpec extends SparkSpec {
     assertBatchStreamEqual("sliding_stream", Streams.slidingCounts)
   }
 
+  test("stream-stream range join equals the batch join on the same input") {
+    val dir = Files.createTempDirectory("graft-ssj").toFile
+    dir.deleteOnExit()
+    val pSrc = s"${dir.getAbsolutePath}/purchases"
+    val cSrc = s"${dir.getAbsolutePath}/clicks"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts", "event_type")
+    ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .coalesce(1).write.parquet(pSrc)
+    ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .coalesce(1).write.parquet(cSrc)
+    val pSchema = spark.read.parquet(pSrc).schema
+    val cSchema = spark.read.parquet(cSrc).schema
+
+    // generous watermark so no row is dropped as late — the equivalence
+    // is exact; state-bounding is the production concern, not this test's
+    val batch = Streams.purchaseClickJoin(
+      spark.read.parquet(pSrc), spark.read.parquet(cSrc), "30 days")
+    val q = Streams.purchaseClickJoin(
+        spark.readStream.schema(pSchema).parquet(pSrc),
+        spark.readStream.schema(cSchema).parquet(cSrc), "30 days")
+      .writeStream.format("memory").queryName("ssj_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ssj_stream")
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(batch.except(streamed).isEmpty && streamed.except(batch).isEmpty)
+  }
+
   test("dedupByKey: streaming dedup equals batch distinct on duplicated input") {
     val dir = Files.createTempDirectory("graft-stream-dedup").toFile
     dir.deleteOnExit()
