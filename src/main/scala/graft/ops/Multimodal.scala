@@ -41,6 +41,38 @@ object Multimodal {
         expr(s"substr($contentCol, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
   }
 
+  /** One resized-asset row per media asset ([[resize]]). */
+  final case class MediaResize(doc_id: Long, modality: String,
+                               in_bytes: Int, out_bytes: Int,
+                               resized_md5: String)
+
+  /** Stubbed resize/downsample: stride decimation keeps every
+    * (n/target)-th byte up to `targetBytes` samples — the deterministic
+    * stand-in for pixel resampling (a real pipeline would decode,
+    * interpolate, re-encode in this exact partition-iterator slot). The
+    * sampling contract (0-based positions i·stride for i < target,
+    * stride = max(n div target, 1)) is reproduced verbatim by the DuckDB
+    * oracle, so even the imperative path is hash-checked. */
+  def resize(df: DataFrame, targetBytes: Int = 64): Dataset[MediaResize] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, modality, bytes) =>
+          val n = bytes.length
+          val stride = math.max(n / targetBytes, 1)
+          val out = (0 until targetBytes).iterator.map(_ * stride)
+            .takeWhile(_ < n).map(bytes(_)).toArray
+          md.reset()
+          val hex = md.digest(out).map("%02x".format(_)).mkString
+          MediaResize(id, modality, n, out.length, hex)
+        }
+      }
+  }
+
   /** Batch feature extraction over (doc_id, modality, content) — the
     * stubbed decode. Deterministic byte statistics replace codec output;
     * the partition-iterator shape is what a real decoder would use. The

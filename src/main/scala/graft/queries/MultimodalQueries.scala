@@ -120,5 +120,34 @@ object MultimodalQueries {
       |LEFT JOIN peak p ON p.doc_id = m.doc_id""".stripMargin),
     "north star: batch feature extraction (decode stub), oracle-checked")
 
-  def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaFeatures)
+  /** q_media_resize — the stubbed resize/downsample (typed
+    * mapPartitions, [[Multimodal.resize]]): stride byte-decimation to a
+    * 64-sample thumbnail stand-in, hash-checked against the oracle's
+    * reproduction of the exact sampling contract. */
+  val qMediaResize = Q("q_media_resize",
+    (s, dir) => Multimodal.resize(media(s, dir), targetBytes = 64).toDF(),
+    Some("WITH " + mediaSql + """,
+      |params AS (
+      |  SELECT doc_id, modality, content_str,
+      |    length(content_str) AS n,
+      |    greatest(length(content_str) // 64, 1) AS stride
+      |  FROM media
+      |), samples AS (
+      |  SELECT doc_id, i FROM params, unnest(generate_series(0, 63)) AS g(i)
+      |  WHERE 1 + i*stride <= n
+      |), resized AS (
+      |  SELECT s.doc_id,
+      |    string_agg(substring(p.content_str, CAST(1 + s.i*p.stride AS INTEGER), 1),
+      |               '' ORDER BY s.i) AS r
+      |  FROM samples s JOIN params p ON p.doc_id = s.doc_id
+      |  GROUP BY s.doc_id
+      |)
+      |SELECT p.doc_id, p.modality, CAST(p.n AS INTEGER) AS in_bytes,
+      |  CAST(COALESCE(length(r.r), 0) AS INTEGER) AS out_bytes,
+      |  COALESCE(md5(r.r), md5('')) AS resized_md5
+      |FROM params p LEFT JOIN resized r ON r.doc_id = p.doc_id""".stripMargin),
+    "north star: resize/downsample plumbing (decode stub), oracle-checked")
+
+  def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaFeatures,
+    qMediaResize)
 }

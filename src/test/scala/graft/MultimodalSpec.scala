@@ -16,6 +16,21 @@ class MultimodalSpec extends SparkSpec {
   ).toDF("doc_id", "modality", "text")
     .withColumn("content", encode(col("text"), "UTF-8"))
 
+  test("resize: stride decimation matches the documented sampling contract") {
+    val got = Multimodal.resize(mediaDf, targetBytes = 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    // doc 1: n=600, stride=150 → positions 0,150,300,450 → "0010" (cyclic)
+    val expected1 = Seq(0, 150, 300, 450).map(("0123456789" * 60)(_)).mkString
+    assert(got(1L).in_bytes === 600 && got(1L).out_bytes === 4)
+    assert(got(1L).resized_md5 ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(expected1.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // doc 2: n=3 < target → stride=1, all 3 bytes kept
+    assert(got(2L).out_bytes === 3)
+    // doc 3: n=2000, stride=500 → 4 samples
+    assert(got(3L).out_bytes === 4)
+  }
+
   test("sampleFrames: bounded count, correct slicing, binary stays binary") {
     val out = Multimodal.sampleFrames(mediaDf, "content")
       .select(col("doc_id"), col("frame_idx"),
