@@ -308,6 +308,49 @@ object SimilarityQueries {
       |WHERE CAST(i.ni AS DOUBLE)/(na.n + nb.n - i.ni) >= 0.5""".stripMargin),
     "north star: MinHash+LSH near-dup (ref has only exact dedup, :251)")
 
+  /** q_jaccard — exact n-gram Jaccard similarity scoring as its own
+    * operator (the verification kernel of q_near_dup, standalone): each
+    * base doc vs its known perturbed variant, paired by an EQUI-join on
+    * the id offset (similarity scoring never needs more than the pairing
+    * key — the all-pairs version is q_near_dup's LSH job). */
+  val qJaccard = Q("q_jaccard",
+    (s, dir) => {
+      val wtok = split(trim(col("text")), "\\s+")
+      val corpus = docCorpus(s, dir)
+      val base = corpus.filter(col("doc_id") < 1000000)
+        .select(col("doc_id"), wtok.as("wa"))
+      val variant = corpus.filter(
+          col("doc_id") >= 1000000 && col("doc_id") < 2000000)
+        .select((col("doc_id") - 1000000).as("doc_id"), wtok.as("wb"))
+      base.join(variant, "doc_id")
+        .select(col("doc_id"),
+          Shingles.shingleSetOfWords(col("wa")).as("sa"),
+          Shingles.shingleSetOfWords(col("wb")).as("sb"))
+        .select(col("doc_id"),
+          size(array_intersect(col("sa"), col("sb"))).as("ni"),
+          size(col("sa")).as("na"), size(col("sb")).as("nb"))
+        // both sides need >= 3 tokens (mirrors the oracle's shing CTE,
+        // which only materializes docs that have shingles at all)
+        .filter(col("na") > 0 && col("nb") > 0)
+        .select(col("doc_id"), round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+    },
+    Some("WITH " + corpusSql + ",\n" + shingSql + """,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id, count(*) AS ni
+      |  FROM shing a JOIN shing b
+      |    ON b.doc_id = a.doc_id + 1000000 AND b.s = a.s
+      |  GROUP BY a.doc_id
+      |)
+      |SELECT na.doc_id,
+      |  round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+      |        / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+      |FROM sizes na JOIN sizes nb ON nb.doc_id = na.doc_id + 1000000
+      |LEFT JOIN inter i ON i.doc_id = na.doc_id
+      |WHERE na.n + nb.n - COALESCE(i.ni, 0) > 0""".stripMargin),
+    "north star: exact n-gram Jaccard similarity scoring")
+
   /** q_doc_dedup — exact content dedup via hash-groupBy on the normalized
     * text fingerprint: first-wins keeper + copy count per content group. */
   val qDocDedup = Q("q_doc_dedup",
@@ -491,6 +534,6 @@ object SimilarityQueries {
       |  FROM dots) t WHERE rk <= 3""".stripMargin),
     "north star: IVF-style ANN (codebook broadcast + cell probe)")
 
-  def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qNearDup, qDocDedup,
-    qEmbedDup, qSimhash, qChunkIndex, qCentroids, qAnnIvf)
+  def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qNearDup, qJaccard,
+    qDocDedup, qEmbedDup, qSimhash, qChunkIndex, qCentroids, qAnnIvf)
 }

@@ -264,6 +264,33 @@ object TextQueries {
     },
     "north star: token counting (whitespace + BPE-ish regex pre-tokenizer)")
 
+  /** q_winnow — rolling-window character-8-gram fingerprint (winnowing
+    * style, the north star's "rolling hash" document fingerprint): hash
+    * every 4th 8-gram window and keep the per-doc minimum — robust to
+    * edits outside the minimal window, unlike q_fingerprint's whole-doc
+    * hash. Generator + codegen'd projection + one map-side-combined
+    * groupBy; docs shorter than one window are excluded (no fingerprint
+    * is derivable). */
+  val qWinnow = Q("q_winnow",
+    (s, dir) => Tables.documents(s, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7, lit(4))).as("i"))
+      .select(col("doc_id"), md5(expr("substring(text, i, 8)")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(col("h")).as("min_gram_md5"), count(lit(1)).as("n_grams"))
+      .withColumn("fp64",
+        conv(substring(col("min_gram_md5"), 1, 15), 16, 10).cast("long")),
+    Some("""WITH grams AS (
+      |  SELECT doc_id, md5(substring(text, CAST(i AS INTEGER), 8)) AS h
+      |  FROM documents, unnest(generate_series(1, length(text)-7, 4)) AS g(i)
+      |  WHERE length(text) >= 8
+      |)
+      |SELECT doc_id, min(h) AS min_gram_md5, count(*) AS n_grams,
+      |  ('0x' || substr(min(h), 1, 15))::BIGINT AS fp64
+      |FROM grams GROUP BY doc_id""".stripMargin),
+    "north star: rolling-hash (winnowing-style) document fingerprinting")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
-    qFingerprint, qTfidf, qTokenBpe)
+    qFingerprint, qTfidf, qTokenBpe, qWinnow)
 }
