@@ -323,15 +323,20 @@ object SimilarityQueries {
           col("doc_id") >= 1000000 && col("doc_id") < 2000000)
         .select((col("doc_id") - 1000000).as("doc_id"), wtok.as("wb"))
       base.join(variant, "doc_id")
+        // both sides need >= 3 tokens (mirrors the oracle's shing CTE,
+        // which only materializes docs that have shingles at all).
+        // Filter on TOKEN counts here, before the set projections: a
+        // filter on set size placed after them would be predicate-pushed
+        // below the wa/wb projections with the full set expression
+        // inlined over the raw split() — the quadratic HOF trap
+        // (measured 10x on this query; see Shingles.shingleSetOfWords).
+        .filter(size(col("wa")) >= 3 && size(col("wb")) >= 3)
         .select(col("doc_id"),
           Shingles.shingleSetOfWords(col("wa")).as("sa"),
           Shingles.shingleSetOfWords(col("wb")).as("sb"))
         .select(col("doc_id"),
           size(array_intersect(col("sa"), col("sb"))).as("ni"),
           size(col("sa")).as("na"), size(col("sb")).as("nb"))
-        // both sides need >= 3 tokens (mirrors the oracle's shing CTE,
-        // which only materializes docs that have shingles at all)
-        .filter(col("na") > 0 && col("nb") > 0)
         .select(col("doc_id"), round(col("ni").cast("double") /
           (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
     },
