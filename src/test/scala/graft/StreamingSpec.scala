@@ -44,6 +44,33 @@ class StreamingSpec extends SparkSpec {
     assertBatchStreamEqual("sliding_stream", Streams.slidingCounts)
   }
 
+  test("chunkDocs runs unchanged under readStream (streaming text pipeline)") {
+    val dir = Files.createTempDirectory("graft-stream-chunk").toFile
+    dir.deleteOnExit()
+    val src = s"${dir.getAbsolutePath}/docs"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").coalesce(1).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val batch = graft.ops.Chunk.chunkDocs(
+      spark.read.parquet(src), "doc_id", "text", maxLen = 120, overlap = 30)
+    val q = graft.ops.Chunk.chunkDocs(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", maxLen = 120, overlap = 30)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("chunk_stream")
+    assert(streamed.count() === batch.count())
+    assert(batch.except(streamed).isEmpty && streamed.except(batch).isEmpty)
+  }
+
   test("stream-stream range join equals the batch join on the same input") {
     val dir = Files.createTempDirectory("graft-ssj").toFile
     dir.deleteOnExit()
