@@ -225,6 +225,51 @@ object SimilarityQueries {
       |  FROM dots) t WHERE rk <= 3""".stripMargin),
     "ref commercial_rfp_indexer.py:95-124 (HNSW analog, LSH-bucketed)")
 
+  /** q_ann_mp — multi-probe LSH: each query probes its own bucket PLUS
+    * the `numPlanes` Hamming-distance-1 buckets (one sign bit flipped) —
+    * the standard recall fix for near-boundary misses, at probe-count
+    * (not corpus) cost. The corpus side is unchanged (one bucket per
+    * vector), so a (query, neighbor) pair can meet through at most one
+    * probe — no dedup needed. Probes explode on the BROADCAST query
+    * side: the big side still sees a plain equi-join. */
+  val qAnnMp = Q("q_ann_mp",
+    (s, dir) => {
+      val planes = Vectors.planeWeights(numPlanes, embDims)
+      val base = withNorm(Tables.embeddings(s, dir)
+        .withColumn("bucket", Vectors.lshBucket(
+          Vectors.toDoubleArr(col("embedding")), planes)))
+      val probeMasks = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
+      val qs = base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("dxx").as("qxx"),
+          explode(array(probeMasks.map(m =>
+            col("bucket").bitwiseXOR(m)): _*)).as("qbucket"))
+      val pairs = base.withColumnRenamed("vec_id", "nbr_id")
+        .join(broadcast(qs), col("bucket") === col("qbucket") &&
+          col("nbr_id") =!= col("query_id"))
+      topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
+    },
+    Some("WITH " + bucketsSql("embeddings") + """,
+      |q AS (
+      |  SELECT b.vec_id AS query_id, xor(b.bucket, m.mask) AS qbucket,
+      |         e.embedding AS qv
+      |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id,
+      |       (SELECT unnest([0,1,2,4,8,16,32]) AS mask) m
+      |  WHERE b.vec_id % 100 = 0
+      |), cand AS (
+      |  SELECT q.query_id, q.qv, b.vec_id AS nbr_id, e.embedding AS nv
+      |  FROM q JOIN buckets b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+      |       JOIN embeddings e ON e.vec_id = b.vec_id
+      |), """.stripMargin +
+      dotsSql("cand", "nv", "qv", "query_id, nbr_id") + """
+      |SELECT query_id, rk, nbr_id, score FROM (
+      |  SELECT query_id, nbr_id,
+      |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |  FROM dots) t WHERE rk <= 3""".stripMargin),
+    "north star: multi-probe LSH (Hamming-1 probes, recall vs probe-count knob)")
+
   /** q_near_dup — MinHash(8, sliced) + LSH(4 bands × 2 rows) candidate
     * generation with a [[Shingles.capBuckets]] skew guard, exact 3-gram
     * Jaccard verification ≥ 0.5. Candidates form only inside a band
@@ -539,6 +584,6 @@ object SimilarityQueries {
       |  FROM dots) t WHERE rk <= 3""".stripMargin),
     "north star: IVF-style ANN (codebook broadcast + cell probe)")
 
-  def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qNearDup, qJaccard,
+  def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qAnnMp, qNearDup, qJaccard,
     qDocDedup, qEmbedDup, qSimhash, qChunkIndex, qCentroids, qAnnIvf)
 }
