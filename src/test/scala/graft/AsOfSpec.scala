@@ -64,6 +64,35 @@ class AsOfSpec extends SparkSpec {
     assert(naive.except(got).isEmpty && got.except(naive).isEmpty)
   }
 
+  test("property: as-of invariants on random frames (vs in-memory oracle)") {
+    import org.scalacheck.{Gen, Prop}
+    // collision-rich: 3 keys, 20 time values — ties and empty keys abound
+    val rowGen = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 19L))
+    val gen = Gen.zip(Gen.listOfN(15, rowGen), Gen.listOfN(15, rowGen))
+    checkProp(Prop.forAll(gen) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex
+        .map { case ((k, t), i) => (k, ts(t * 1000000), i.toLong) }
+        .toDF("user_id", "ts", "event_id")
+      val right = AsOf.latestPerKeyTs(
+        rRows.zipWithIndex
+          .map { case ((k, t), i) => (k, ts(t * 1000000), 100L + i) }
+          .toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id")
+      val got = AsOf.joinAsOf(left, right, "user_id", "ts", col("event_id"))
+        .select(col("l.event_id"), col("r.event_id"))
+        .as[(Long, Option[Long])].collect().toMap
+      // in-memory oracle: unique right per (key, ts) keeping max id, then
+      // per left row the max-(ts, id) right at or before it
+      val rUniq = rRows.zipWithIndex.map { case ((k, t), i) => (k, t, 100L + i) }
+        .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+      val expect = lRows.zipWithIndex.map { case ((k, t), i) =>
+        i.toLong -> rUniq.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      }.toMap
+      got == expect
+    }, minTests = 10)
+  }
+
   test("as-of join plans no cartesian/range explosion and <= 2 shuffles") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter(col("event_type") === "purchase")
