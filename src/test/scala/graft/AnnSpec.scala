@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN retrieval quality relations the oracles cannot express: the
+  * multi-probe LSH candidate set is a superset of the single-probe set
+  * (probe mask 0 is the query's own bucket), so its results must
+  * dominate rank-for-rank. */
+class AnnSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multi-probe LSH dominates single-probe rank-for-rank") {
+    val lsh = Registry.byName("q_ann_lsh").fn(spark, dir)
+    val mp = Registry.byName("q_ann_mp").fn(spark, dir)
+    assert(mp.count() >= lsh.count())
+    val j = lsh.select(col("query_id"), col("rk"), col("score").as("s1"))
+      .join(mp.select(col("query_id"), col("rk"), col("score").as("s2")),
+        Seq("query_id", "rk"))
+    // every (query, rank) single-probe answers must exist in multi-probe
+    assert(j.count() === lsh.count())
+    assert(j.filter(col("s2") < col("s1")).isEmpty,
+      "multi-probe returned a worse score at some rank")
+  }
+
+  test("exact kNN dominates every ANN variant at rank 1") {
+    val knn = Registry.byName("q_knn").fn(spark, dir)
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("score").as("exact"))
+    for (name <- Seq("q_ann_lsh", "q_ann_mp", "q_ann_ivf")) {
+      val ann = Registry.byName(name).fn(spark, dir)
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("score").as("approx"))
+      val j = knn.join(ann, "query_id")
+      assert(j.filter(col("approx") > col("exact")).isEmpty,
+        s"$name rank-1 beat the exact scan — impossible")
+    }
+  }
+}
