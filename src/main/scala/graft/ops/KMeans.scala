@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.FixedPointDot.scaledRound
+
+/** Deterministic distributed k-means — the trained coarse quantizer behind
+  * the IVF ANN index (the engine counterpart of the reference's real ANN
+  * index, commercial_rfp_indexer.py:96-111, which declares an HNSW; IVF is
+  * the bucketed formulation that fits a shuffle engine).
+  *
+  * Everything is reproducible bit-for-bit in the DuckDB oracle:
+  *  - **Seeding**: the k vectors ranked first by `md5(vec_id)` — a
+  *    uniform-but-deterministic sample (standard random init with the
+  *    "randomness" derived from a hash both engines compute identically).
+  *    Cell ids are the 0-based rank in that hash order.
+  *  - **Assignment**: argmin over cells of the scaled L2 distance
+  *    `Σ round(cᵢ²·1e15) − 2·Σ round(vᵢ·cᵢ·1e15)` (the ‖v‖² term is
+  *    constant per vector and dropped). All-integer arithmetic via
+  *    [[graft.expressions.FixedPointDot]], so the argmin — ties broken by
+  *    the lower cell id — is order-independent and engine-independent.
+  *  - **Update**: fixed-point mean per dimension (`Σ round(x·1e15)` as a
+  *    LONG, divided once at the end — [[Centroids]]' exact-sum contract),
+  *    so the new centroids are identical doubles in both engines. Cells
+  *    that lose all members simply disappear (both engines agree).
+  *
+  * Scale posture: each iteration is one narrow codegen'd assignment pass
+  * (the codebook rides along as k×dims literals — the broadcast-constant
+  * pattern) plus one map-side-combined groupBy; the driver only ever
+  * holds the k×dims codebook. Train-once, assign-anywhere: at 100 TB the
+  * trainer would run on a sample and the final assignment is a pure
+  * projection over the full corpus.
+  */
+object KMeans {
+
+  /** Scaled L2 distance (constant ‖v‖² dropped) to a fixed centroid. */
+  private def dist2(v: Column, c: Seq[Double]): Column = {
+    val dcc = c.map(x => scaledRound(x * x)).sum
+    lit(dcc) - lit(2L) * Vectors.dotScaled(v, typedLit(c))
+  }
+
+  /** (distance, cell) structs for every codebook cell — the lexicographic
+    * min/sort over these is the deterministic nearest-cell order. */
+  private def cellStructs(v: Column,
+                          codebook: Seq[(Int, Seq[Double])]): Seq[Column] =
+    codebook.map { case (cl, c) =>
+      struct(dist2(v, c).as("d2"), lit(cl).as("cl"))
+    }
+
+  /** Nearest cell id: argmin over (d2, cell id) — ties to the lower id. */
+  def assignCell(v: Column, codebook: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cellStructs(v, codebook): _*)).getField("cl")
+
+  /** The `nprobe` nearest cell ids, nearest first — the multi-cell probe
+    * set of an IVF query (recall knob, mirroring q_ann_mp's probe count). */
+  def probeCells(v: Column, codebook: Seq[(Int, Seq[Double])],
+                 nprobe: Int): Column =
+    transform(slice(array_sort(array(cellStructs(v, codebook): _*)),
+      1, nprobe), s => s.getField("cl"))
+
+  /** Trains the codebook: `iters` rounds of assign + fixed-point-mean
+    * update from the md5-ranked seeds. `df` must carry (`vec_id`,
+    * `v: array<double>`). Returns (cellId, centroid) sorted by cell id;
+    * cells emptied by an iteration are dropped. */
+  def train(df: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    var codebook: Seq[(Int, Seq[Double])] =
+      df.orderBy(md5(col("vec_id").cast("string")))
+        .limit(k).select("v").collect().toIndexedSeq
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    for (_ <- 0 until iters) {
+      val assigned = df.select(col("v"),
+        assignCell(col("v"), codebook).as("cell"))
+      codebook = Centroids.perLabelVec(
+          assigned.select(col("cell").as("label"), col("v").as("embedding")))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+    }
+    codebook
+  }
+
+  /** The oracle's replica of [[train]] + final assignment as DuckDB CTEs:
+    * emits `kmelems` (unnested corpus), `kc0..kc<iters>` (codebooks) and
+    * expects the caller to assign/probe against `kc<iters>`.
+    * `src` must expose (vec_id, embedding). */
+  def trainSql(src: String, k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""kmelems AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         unnest(generate_series(0, len(embedding)-1)) AS dim
+         |  FROM $src
+         |), seeds AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cl
+         |  FROM $src
+         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= $k
+         |), kc0 AS (
+         |  SELECT s.cl, e.dim, e.x AS c
+         |  FROM seeds s JOIN kmelems e ON e.vec_id = s.vec_id
+         |)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+         |ka$i AS (
+         |  SELECT vec_id, cl AS cell FROM (
+         |    SELECT e.vec_id, c.cl,
+         |      SUM(CAST(round(c.c*c.c*1e15) AS BIGINT))
+         |        - 2*SUM(CAST(round(e.x*c.c*1e15) AS BIGINT)) AS d2
+         |    FROM kmelems e JOIN kc${i - 1} c ON c.dim = e.dim
+         |    GROUP BY e.vec_id, c.cl)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
+         |), kc$i AS (
+         |  SELECT a.cell AS cl, e.dim,
+         |    CAST(SUM(CAST(round(e.x*1e15) AS BIGINT)) AS DOUBLE)/1e15/count(*) AS c
+         |  FROM ka$i a JOIN kmelems e ON e.vec_id = a.vec_id
+         |  GROUP BY a.cell, e.dim
+         |)""".stripMargin
+    }
+    sb.result()
+  }
+}

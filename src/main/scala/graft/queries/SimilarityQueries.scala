@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.ops.{Chunk, Shingles, Vectors}
+import graft.ops.{Chunk, KMeans, Shingles, Vectors}
 
 /** North-star similarity family over `documents` / `embeddings`:
   * chunking (V1/V4), exact + approximate cosine retrieval (V3), and the
@@ -116,6 +116,21 @@ object SimilarityQueries {
 
   private val numPlanes = 6
   private val embDims = 64
+
+  /** Retrieval query-set contract: the query side of every kNN/ANN query
+    * is O(1) in corpus size — `vec_id % 100 = 0` picks the spread, and the
+    * `vec_id < 3200` cap bounds it at ≤32 queries no matter how large the
+    * corpus grows. q_knn broadcasts its query set into a nested-loop join
+    * against a linear scan, so an uncapped query set would make the
+    * broadcast grow with the corpus — the textbook scale-killer. The ANN
+    * variants join bucket-equi instead, but share the cap so all four
+    * queries rank the same workload. (At the test SFs max vec_id < 3200,
+    * so the cap changes no result.) */
+  private val maxQueryId = 3200
+  private def isQuery: Column = col("vec_id") % 100 === 0 &&
+    col("vec_id") < maxQueryId
+  private def queryPredSql(a: String = ""): String =
+    s"${a}vec_id % 100 = 0 AND ${a}vec_id < 3200"
   /** LSH bucket cap for q_near_dup (Shingles.capBuckets): far above any
     * honest bucket at test SFs — the guard exists for the degenerate
     * boilerplate bucket at corpus scale; mirrored in the oracle. */
@@ -167,7 +182,7 @@ object SimilarityQueries {
   val qKnn = Q("q_knn",
     (s, dir) => {
       val base = withNorm(Tables.embeddings(s, dir))
-      val qs = base.filter(col("vec_id") % 100 === 0)
+      val qs = base.filter(isQuery)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("dxx").as("qxx"))
       val pairs = base.withColumnRenamed("vec_id", "nbr_id")
@@ -175,7 +190,7 @@ object SimilarityQueries {
         .filter(col("nbr_id") =!= col("query_id"))
       topK(pairs, 5, Seq("query_id", "rk", "nbr_id", "label", "score"))
     },
-    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE ${queryPredSql()}),
       |pairs AS (
       |  SELECT e.vec_id AS nbr_id, e.label, q.query_id, e.embedding AS nv, q.qv
       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
@@ -198,7 +213,7 @@ object SimilarityQueries {
       val base = withNorm(Tables.embeddings(s, dir)
         .withColumn("bucket", Vectors.lshBucket(
           Vectors.toDoubleArr(col("embedding")), planes)))
-      val qs = base.filter(col("vec_id") % 100 === 0)
+      val qs = base.filter(isQuery)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("dxx").as("qxx"), col("bucket").as("qbucket"))
       val pairs = base.withColumnRenamed("vec_id", "nbr_id")
@@ -206,11 +221,11 @@ object SimilarityQueries {
           col("nbr_id") =!= col("query_id"))
       topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
     },
-    Some("WITH " + bucketsSql("embeddings") + """,
+    Some("WITH " + bucketsSql("embeddings") + s""",
       |q AS (
       |  SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qv
       |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
-      |  WHERE b.vec_id % 100 = 0
+      |  WHERE ${queryPredSql("b.")}
       |), cand AS (
       |  SELECT q.query_id, q.qv, b.vec_id AS nbr_id, e.embedding AS nv
       |  FROM q JOIN buckets b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
@@ -239,7 +254,7 @@ object SimilarityQueries {
         .withColumn("bucket", Vectors.lshBucket(
           Vectors.toDoubleArr(col("embedding")), planes)))
       val probeMasks = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
-      val qs = base.filter(col("vec_id") % 100 === 0)
+      val qs = base.filter(isQuery)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("dxx").as("qxx"),
           explode(array(probeMasks.map(m =>
@@ -249,13 +264,13 @@ object SimilarityQueries {
           col("nbr_id") =!= col("query_id"))
       topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
     },
-    Some("WITH " + bucketsSql("embeddings") + """,
+    Some("WITH " + bucketsSql("embeddings") + s""",
       |q AS (
       |  SELECT b.vec_id AS query_id, xor(b.bucket, m.mask) AS qbucket,
       |         e.embedding AS qv
       |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id,
       |       (SELECT unnest([0,1,2,4,8,16,32]) AS mask) m
-      |  WHERE b.vec_id % 100 = 0
+      |  WHERE ${queryPredSql("b.")}
       |), cand AS (
       |  SELECT q.query_id, q.qv, b.vec_id AS nbr_id, e.embedding AS nv
       |  FROM q JOIN buckets b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
@@ -513,66 +528,69 @@ object SimilarityQueries {
       |FROM elems GROUP BY label, dim""".stripMargin),
     "north star: typed Aggregator (IVF coarse-quantizer building block)")
 
-  /** q_ann_ivf — IVF-style approximate kNN, the second scale path next
-    * to q_ann_lsh: the centroid codebook (here the per-label centroids; a
-    * production index would k-means them) is broadcast, every vector is
-    * assigned to its max-inner-product cell in one linear pass, and
-    * queries probe only their own cell before the exact rerank. */
+  /** IVF index parameters: a trained (if small) coarse quantizer —
+    * [[graft.ops.KMeans]] with `ivfCells` cells and `ivfIters` Lloyd
+    * iterations from deterministic md5-ranked seeds; queries probe their
+    * `ivfNprobe` nearest cells (the recall knob, mirroring q_ann_mp's
+    * probe count). At corpus scale cells would be ~√n and the trainer
+    * would run on a sample; the *plan shape* is already the production
+    * one: train once, ship the codebook as literals, one codegen'd
+    * assignment pass, bucket equi-join probes. */
+  private val ivfCells = 8
+  private val ivfIters = 2
+  private val ivfNprobe = 2
+
+  /** Parameterized IVF retrieval — q_ann_ivf runs nprobe=2; AnnSpec checks
+    * the nprobe recall relation (2-probe candidates ⊇ 1-probe). */
+  def annIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val base = withNorm(Tables.embeddings(s, dir))
+    // IVF build stage: deterministic k-means (KMeans scaladoc has the
+    // exactness contract), codebook shipped as LITERALS — the same
+    // broadcast-constant pattern as the LSH plane weights. Assignment is
+    // a narrow argmin projection; no centroid join, no ranking window.
+    val codebook = KMeans.train(base.select("vec_id", "v"), ivfCells, ivfIters)
+    val assigned = base.withColumn("cell",
+      KMeans.assignCell(col("v"), codebook))
+    val qs = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("dxx").as("qxx"),
+        explode(KMeans.probeCells(col("v"), codebook, nprobe)).as("qcell"))
+    // probes explode on the BROADCAST query side only (as in q_ann_mp);
+    // each corpus vector sits in exactly one cell, so a (query, neighbor)
+    // pair meets through at most one probe — no dedup needed.
+    val pairs = assigned.withColumnRenamed("vec_id", "nbr_id")
+      .join(broadcast(qs), col("cell") === col("qcell") &&
+        col("nbr_id") =!= col("query_id"))
+    topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
+  }
+
+  /** Assignment under the final oracle codebook: the `probes` nearest
+    * cells per vector (1 = index assignment, ivfNprobe = query probes). */
+  private def ivfAssignSql(probes: Int, where: String): String =
+    s"""  SELECT vec_id, cl AS cell FROM (
+       |    SELECT e.vec_id, c.cl,
+       |      SUM(CAST(round(c.c*c.c*1e15) AS BIGINT))
+       |        - 2*SUM(CAST(round(e.x*c.c*1e15) AS BIGINT)) AS d2
+       |    FROM kmelems e JOIN kc$ivfIters c ON c.dim = e.dim$where
+       |    GROUP BY e.vec_id, c.cl)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) <= $probes""".stripMargin
+
+  /** q_ann_ivf — IVF ANN with a TRAINED deterministic k-means codebook and
+    * multi-cell probing: the second scale path next to q_ann_lsh. The
+    * oracle re-trains the identical codebook in SQL (KMeans.trainSql). */
   val qAnnIvf = Q("q_ann_ivf",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      // IVF build stage: train the coarse quantizer (the labels×dims
-      // codebook — tiny by construction, like any IVF cell count) and
-      // ship it as LITERALS, the same pattern as the LSH plane weights.
-      // Cell assignment is then a narrow projection — argmax over
-      // per-cell fixed-point dots — with no centroid join and no
-      // per-vector ranking window, vs the previous crossJoin + window
-      // that shuffled |corpus|×|cells| rows. At 100 TB: train once,
-      // broadcast constants, one codegen'd pass.
-      val codebook: Array[(Int, Seq[Double])] =
-        graft.ops.Centroids.perLabelVec(e.select("label", "embedding"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-          .sortBy(_._1)
-      val base = e.select(col("vec_id"),
-          Vectors.toDoubleArr(col("embedding")).as("v"))
-        .withColumn("dxx", Vectors.dotExact(col("v"), col("v")))
-      // max siml, ties to the smallest label == lexicographic min over
-      // (−siml, label) structs
-      val cell = array_min(array(codebook.map { case (lbl, c) =>
-        struct((-Vectors.dotScaled(col("v"), typedLit(c))).as("negsim"),
-          lit(lbl).as("cl"))
-      }.toIndexedSeq: _*)).getField("cl")
-      val assigned = base.withColumn("cell", cell)
-      val qs = assigned.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("cell").as("qcell"),
-          col("v").as("qv"), col("dxx").as("qxx"))
-      val pairs = assigned.withColumnRenamed("vec_id", "nbr_id")
-        .join(broadcast(qs), col("cell") === col("qcell") &&
-          col("nbr_id") =!= col("query_id"))
-      topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
-    },
-    Some("""WITH elems AS (
-      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
-      |         unnest(generate_series(0, len(embedding)-1)) AS dim
-      |  FROM embeddings
-      |), cents AS (
-      |  SELECT label AS cl, dim,
-      |    CAST(SUM(CAST(round(x*1e15) AS BIGINT)) AS DOUBLE)/1e15/count(*) AS c
-      |  FROM elems GROUP BY label, dim
-      |), assign AS (
-      |  SELECT vec_id, cl AS cell FROM (
-      |    SELECT e.vec_id, ct.cl,
-      |      SUM(CAST(round(e.x * ct.c * 1e15) AS BIGINT)) AS siml
-      |    FROM elems e JOIN cents ct ON ct.dim = e.dim
-      |    GROUP BY e.vec_id, ct.cl
-      |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY siml DESC, cl) = 1
+    (s, dir) => annIvf(s, dir, ivfNprobe),
+    Some("WITH " + KMeans.trainSql("embeddings", ivfCells, ivfIters) + s""",
+      |assignf AS (
+      |${ivfAssignSql(1, "")}
+      |), probe AS (
+      |${ivfAssignSql(ivfNprobe, s"\n    WHERE ${queryPredSql("e.")}")}
       |), q AS (
-      |  SELECT a.vec_id AS query_id, a.cell, e.embedding AS qv
-      |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
-      |  WHERE a.vec_id % 100 = 0
+      |  SELECT p.vec_id AS query_id, p.cell, e.embedding AS qv
+      |  FROM probe p JOIN embeddings e ON e.vec_id = p.vec_id
       |), cand AS (
       |  SELECT q.query_id, q.qv, a.vec_id AS nbr_id, e.embedding AS nv
-      |  FROM q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+      |  FROM q JOIN assignf a ON a.cell = q.cell AND a.vec_id <> q.query_id
       |       JOIN embeddings e ON e.vec_id = a.vec_id
       |), """.stripMargin +
       dotsSql("cand", "nv", "qv", "query_id, nbr_id") + """
@@ -582,7 +600,8 @@ object SimilarityQueries {
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
       |  FROM dots) t WHERE rk <= 3""".stripMargin),
-    "north star: IVF-style ANN (codebook broadcast + cell probe)")
+    "north star: IVF ANN (trained k-means codebook, nprobe=" +
+      ivfNprobe + "; ref real-index bar commercial_rfp_indexer.py:96-111)")
 
   def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qAnnMp, qNearDup, qJaccard,
     qDocDedup, qEmbedDup, qSimhash, qChunkIndex, qCentroids, qAnnIvf)

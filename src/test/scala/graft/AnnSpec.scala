@@ -22,6 +22,20 @@ class AnnSpec extends SparkSpec {
       "multi-probe returned a worse score at some rank")
   }
 
+  test("IVF nprobe=2 dominates nprobe=1 rank-for-rank") {
+    val p1 = graft.queries.SimilarityQueries.annIvf(spark, dir, 1)
+    val p2 = graft.queries.SimilarityQueries.annIvf(spark, dir, 2)
+    assert(p2.count() >= p1.count())
+    val j = p1.select(col("query_id"), col("rk"), col("score").as("s1"))
+      .join(p2.select(col("query_id"), col("rk"), col("score").as("s2")),
+        Seq("query_id", "rk"))
+    // the 2-probe candidate set is a superset (probes are nearest-first),
+    // so every (query, rank) must still exist and never score worse
+    assert(j.count() === p1.count())
+    assert(j.filter(col("s2") < col("s1")).isEmpty,
+      "nprobe=2 returned a worse score at some rank")
+  }
+
   test("exact kNN dominates every ANN variant at rank 1") {
     val knn = Registry.byName("q_knn").fn(spark, dir)
       .filter(col("rk") === 1)

@@ -44,6 +44,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
     // only the final per-query ranking window shuffles
     assert(countOcc(p, "Exchange hashpartitioning") === 1)
+    // the broadcast side is O(1) in corpus size: the vec_id cap reaches
+    // the query-set scan as a pushed filter (the scale contract — an
+    // uncapped query set would broadcast 1% of the corpus)
+    assert(p.contains("LessThan(vec_id,3200)"),
+      "query-set cap not pushed to the broadcast-side scan")
   }
 
   test("cleaning chain is a single fused scan stage (no shuffle)") {
