@@ -97,4 +97,45 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn", "__salt")
   }
+
+  /** Skew-hardened [[latestPerGroup]] — two-phase max, same salting escape
+    * hatch as [[dedupExactSalted]]: phase 1 keeps only rows at their
+    * (key, salt-bucket) max date, spreading a hot key over `buckets`
+    * window partitions; phase 2 takes the true per-key max over the
+    * survivors. Row-identical because max is associative and a row at the
+    * global max is necessarily at its own bucket's max (DedupSpec asserts
+    * identity). Salt is a deterministic hash of the whole row. */
+  def latestPerGroupSalted(df: DataFrame, key: String, dateCol: String,
+                           buckets: Int = 16): DataFrame = {
+    require(buckets > 1, s"salting needs >1 bucket, got $buckets")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)))
+    val w1 = Window.partitionBy(col(key), col("__salt"))
+    val survivors = salted.withColumn("__mx1", max(col(dateCol)).over(w1))
+      .filter(col(dateCol) === col("__mx1"))
+    val w2 = Window.partitionBy(col(key))
+    survivors.withColumn("__mx", max(col(dateCol)).over(w2))
+      .filter(col(dateCol) === col("__mx"))
+      .drop("__mx1", "__mx", "__salt")
+  }
+
+  /** Skew-hardened [[longestPerGroup]] — per-bucket argmax then global
+    * argmax over the ≤`buckets` survivors per key. The (length desc,
+    * tiebreak) order is total (tiebreak is unique), so argmax-by-order is
+    * associative and the result is row-identical to the plain path. */
+  def longestPerGroupSalted(df: DataFrame, key: String, lenOf: String,
+                            tiebreak: String, buckets: Int = 16): DataFrame = {
+    require(buckets > 1, s"salting needs >1 bucket, got $buckets")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(tiebreak)), lit(buckets.toLong)))
+    val w1 = Window.partitionBy(col(key), col("__salt"))
+      .orderBy(length(col(lenOf)).desc, col(tiebreak))
+    val survivors = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1).drop("__rn")
+    val w2 = Window.partitionBy(col(key))
+      .orderBy(length(col(lenOf)).desc, col(tiebreak))
+    survivors.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__salt")
+  }
 }

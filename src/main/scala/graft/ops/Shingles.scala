@@ -108,6 +108,33 @@ object Shingles {
       .filter(col("__n") <= cap).drop("__n")
   }
 
+  /** 64-bit SimHash over token occurrences, emitted as four 16-bit chunk
+    * columns c0..c3 (c0 = md5 bits 0-15 in digest order, MSB-first within
+    * each chunk). Chunked rather than packed because (a) the Hamming
+    * near-dup join bands on exactly these chunks — no bit slicing at join
+    * time — and (b) a packed 64-bit value would need bit 63 = Long.MinValue,
+    * which DuckDB's overflow-checked BIGINT arithmetic cannot build up by
+    * addition. One shuffle: a groupBy with 64 conditional sums, map-side
+    * combined. */
+  def simhashChunks64(toks: DataFrame, idCol: String): DataFrame = {
+    def bitOf(b: Int): Column =
+      expr(s"(cast(conv(substring(h, ${1 + b / 4}, 1), 16, 10) as bigint) " +
+        s"div ${1 << (3 - b % 4)}) % 2")
+    val sums = toks.withColumn("h", md5(col("tok")))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(bitOf(0) === 1, 1).otherwise(-1)).as("s0"),
+        (1 until 64).map(b =>
+          sum(when(bitOf(b) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+    val chunks = (0 until 4).map { j =>
+      (0 until 16).map { i =>
+        val b = j * 16 + i
+        when(col(s"s$b") > 0, lit(1L << (15 - i))).otherwise(lit(0L))
+      }.reduce(_ + _).cast("long").as(s"c$j")
+    }
+    sums.select(col(idCol) +: chunks: _*)
+  }
+
   /** 16-bit SimHash over token occurrences: bit b is the sign of
     * Σ_tokens (bit b of md5(token) ? +1 : −1), packed MSB-first. */
   def simhash16(toks: DataFrame, idCol: String): DataFrame = {

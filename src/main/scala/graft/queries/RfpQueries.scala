@@ -53,6 +53,33 @@ object RfpQueries {
       |  FROM rfp)""".stripMargin),
     "ref :32-78 (_key_from_hash, _add_rfp_keys)")
 
+  /** q_keys_sha — K2's sha256 algo branch (the reference's _key_from_hash
+    * dispatches on algorithm, :38-49; md5 is covered by q_keys). sha1 has
+    * no DuckDB counterpart, so it is oracle-checked in KeysSpec against
+    * java.security.MessageDigest instead. */
+  val qKeysSha = Q("q_keys_sha",
+    (s, dir) => {
+      val k = Keys.addRfpKeys(raw(s, dir))
+      k.select(col("doc_id"),
+        Keys.keyHash(col("key"), "sha256").as("key_hash_sha256"))
+    },
+    Some(s"""${RfpSynth.sql}
+      |SELECT doc_id,
+      |  'RFP_Content_' || sha256(substring(regexp_replace(key, '\\s+', '', 'g'), 1, 120)) AS key_hash_sha256
+      |FROM (
+      |  SELECT doc_id, concat_ws('_',
+      |    trim(client),
+      |    COALESCE(strftime(COALESCE(
+      |      try_strptime(date, '%m/%d/%Y'),
+      |      try_strptime(date, '%Y-%m-%d'),
+      |      try_strptime(date, '%d-%m-%Y')), '%Y-%m-%d'), 'nan'),
+      |    trim(rfp_type),
+      |    trim(consultant),
+      |    substring(trim(question), 1, 120),
+      |    substring(trim(response), 1, 120)) AS key
+      |  FROM rfp)""".stripMargin),
+    "ref :38-49 (K2 algorithm dispatch, sha256 branch)")
+
   /** q_canon — P14 Confirmed canonicalization over cleaned responses. */
   val qCanon = Q("q_canon",
     (s, dir) => cleaned(s, dir)
@@ -151,6 +178,6 @@ object RfpQueries {
       |GROUP BY file_name HAVING count(*) > 1""".stripMargin),
     "ref :195-204")
 
-  def all: Seq[Q] = Seq(qClean, qKeys, qCanon, qDupCount, qDedupExact,
-    qLatestPerQ, qLongestResp, qLastWins, qDupKeys)
+  def all: Seq[Q] = Seq(qClean, qKeys, qKeysSha, qCanon, qDupCount,
+    qDedupExact, qLatestPerQ, qLongestResp, qLastWins, qDupKeys)
 }

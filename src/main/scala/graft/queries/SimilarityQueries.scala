@@ -483,6 +483,106 @@ object SimilarityQueries {
     },
     "north star: SimHash fingerprinting")
 
+  /** q_simhash_dup — the SimHash rung of the dedup ladder actually USED
+    * for near-dup pairing: 64-bit fingerprints banded into their four
+    * 16-bit chunks; any pair within Hamming distance ≤ 3 shares at least
+    * one untouched chunk (pigeonhole: 3 flipped bits ruin ≤ 3 of 4
+    * bands), so banding is a lossless candidate generator for the ≤3
+    * regime. Candidates verify with an exact popcount over the chunk
+    * xors. Same skew guard as the MinHash path (capBuckets on the band
+    * key). Scale: one fingerprint shuffle, band equi-joins — never
+    * all-pairs; a 16-bit band key gives ~65k buckets, so bucket sizes
+    * shrink as corpus/65k. */
+  val qSimhashDup = Q("q_simhash_dup",
+    (s, dir) => {
+      val fp = Shingles.simhashChunks64(
+        Shingles.tokens(docCorpus(s, dir), "doc_id", "text"), "doc_id")
+      val bands = fp.select(col("doc_id"), posexplode(
+          array(col("c0"), col("c1"), col("c2"), col("c3"))))
+        .toDF("doc_id", "band", "sig")
+      val capped = Shingles.capBuckets(bands, cap = maxBucket)
+      val cand = capped.toDF("doc_a", "band", "sig")
+        .join(capped.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val a = fp.toDF("doc_a", "a0", "a1", "a2", "a3")
+      val b = fp.toDF("doc_b", "b0", "b1", "b2", "b3")
+      val ham = (0 until 4).map(j =>
+        bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    },
+    Some {
+      val bitsum = (0 until 64).map { b =>
+        s"SUM(CASE WHEN (('0x' || substr(h,${1 + b / 4},1))::BIGINT // ${1 << (3 - b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n    ")
+      val chunk = (0 until 4).map { j =>
+        val packed = (0 until 16).map { i =>
+          s"(CASE WHEN s${j * 16 + i} > 0 THEN ${1L << (15 - i)} ELSE 0 END)"
+        }.mkString(" + ")
+        s"CAST($packed AS BIGINT) AS c$j"
+      }.mkString(",\n    ")
+      val hamSql = (0 until 4).map(j =>
+        s"bit_count(xor(fa.c$j, fb.c$j))").mkString(" + ")
+      s"""WITH $corpusSql,
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM corpus
+         |), th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+         |bits AS (SELECT doc_id, $bitsum FROM th GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $chunk FROM bits),
+         |bands AS (
+         |  SELECT doc_id, j AS band,
+         |    CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS sig
+         |  FROM fp, unnest(generate_series(0, 3)) AS g(j)
+         |), bsz AS (SELECT band, sig, count(*) AS n FROM bands GROUP BY 1, 2),
+         |bands_c AS (
+         |  SELECT b.doc_id, b.band, b.sig FROM bands b
+         |  JOIN bsz ON bsz.band = b.band AND bsz.sig = b.sig
+         |  WHERE bsz.n <= $maxBucket
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands_c a JOIN bands_c b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b, CAST($hamSql AS INTEGER) AS hamming
+         |FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a
+         |            JOIN fp fb ON fb.doc_id = c.doc_b
+         |WHERE $hamSql <= 3""".stripMargin
+    },
+    "north star: SimHash Hamming near-dup (4×16-bit bands, Hamming≤3 lossless)")
+
+  /** q_chunk_ref — V1 at the reference's ACTUAL SplitSkill parameters
+    * (2000/500, commercial_rfp_indexer.py:168-169): the testdata documents
+    * are too short to split at 2000, so a long-document corpus is built
+    * first — texts concatenated per doc_id%25 group in deterministic
+    * doc_id order (~6 KB each) — and chunked at the reference params. */
+  val qChunkRef = Q("q_chunk_ref",
+    (s, dir) => {
+      val grouped = Tables.documents(s, dir)
+        .groupBy((col("doc_id") % 25).as("group_id"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("big_text"))
+      Chunk.chunkDocs(grouped, "group_id", "big_text")
+    },
+    Some(s"""WITH grouped AS (
+      |  SELECT doc_id % 25 AS group_id,
+      |         string_agg(text, ' ' ORDER BY doc_id) AS big_text
+      |  FROM documents GROUP BY 1
+      |), offs AS (
+      |  SELECT group_id, big_text, i AS off
+      |  FROM grouped, unnest(generate_series(0, greatest(length(big_text)-1, 0), ${Chunk.refMaxLen - Chunk.refOverlap})) AS g(i)
+      |  WHERE i = 0 OR i < length(big_text) - ${Chunk.refOverlap}
+      |)
+      |SELECT group_id AS parent_id,
+      |  group_id || '_' || CAST(off // ${Chunk.refMaxLen - Chunk.refOverlap} AS VARCHAR) AS chunk_id,
+      |  off // ${Chunk.refMaxLen - Chunk.refOverlap} AS chunk_idx,
+      |  substring(big_text, off+1, ${Chunk.refMaxLen}) AS chunk
+      |FROM offs""".stripMargin),
+    "ref commercial_rfp_indexer.py:168-169 (2000/500 contract, long docs)")
+
   /** q_chunk_index — the search-index chunk-table projection (FIXTURES
     * A5 / ref commercial_rfp_indexer.py:87-94): chunk rows keyed
     * chunk_id with parent_id and title, joined to the parent's embedding
@@ -603,6 +703,7 @@ object SimilarityQueries {
     "north star: IVF ANN (trained k-means codebook, nprobe=" +
       ivfNprobe + "; ref real-index bar commercial_rfp_indexer.py:96-111)")
 
-  def all: Seq[Q] = Seq(qChunk, qKnn, qAnnLsh, qAnnMp, qNearDup, qJaccard,
-    qDocDedup, qEmbedDup, qSimhash, qChunkIndex, qCentroids, qAnnIvf)
+  def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qNearDup,
+    qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup, qChunkIndex,
+    qCentroids, qAnnIvf)
 }

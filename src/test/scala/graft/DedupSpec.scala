@@ -70,6 +70,35 @@ class DedupSpec extends SparkSpec {
     assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
   }
 
+  test("salted latest/longest are row-identical to the plain paths") {
+    val pl = Dedup.latestPerGroup(frame, "question", "date")
+    val sl = Dedup.latestPerGroupSalted(frame, "question", "date", buckets = 4)
+    assert(pl.except(sl).isEmpty && sl.except(pl).isEmpty)
+    val pg = Dedup.longestPerGroup(frame, "question", "response", "doc_id")
+    val sg = Dedup.longestPerGroupSalted(frame, "question", "response",
+      "doc_id", buckets = 4)
+    assert(pg.except(sg).isEmpty && sg.except(pg).isEmpty)
+  }
+
+  test("property: salted latest/longest == plain on skewed random frames") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.listOfN(60, Gen.zip(
+      Gen.oneOf("hot", "hot", "hot", "k1", "k2"), // dominant key
+      Gen.choose(1, 9), Gen.choose(0, 8), Gen.choose(1L, 1000L)))
+    checkProp(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, d, rl, _), i) =>
+        (k, "r" * rl, f"2024-01-0$d".take(10), i.toLong)
+      }.toDF("question", "response", "date", "doc_id")
+      val pl = Dedup.latestPerGroup(df, "question", "date")
+      val sl = Dedup.latestPerGroupSalted(df, "question", "date", buckets = 3)
+      val pg = Dedup.longestPerGroup(df, "question", "response", "doc_id")
+      val sg = Dedup.longestPerGroupSalted(df, "question", "response",
+        "doc_id", buckets = 3)
+      pl.except(sl).isEmpty && sl.except(pl).isEmpty &&
+        pg.except(sg).isEmpty && sg.except(pg).isEmpty
+    }, minTests = 10)
+  }
+
   test("property: salted == plain on random frames incl. a dominant key") {
     import org.scalacheck.{Gen, Prop}
     val gen = Gen.listOfN(60, Gen.zip(

@@ -55,6 +55,21 @@ class KeysSpec extends SparkSpec {
     assert(s2.length === "RFP_Content_".length + 64)
   }
 
+  test("K2 sha1 matches java.security.MessageDigest (no DuckDB sha1)") {
+    // the one K2 branch the SQL oracle cannot cover — cross-checked
+    // against the JDK's independent implementation instead
+    val inputs = Seq("x", "a b  c", "Acme_2024-03-14_t1_c1_q_r", "")
+    val got = inputs.toDF("k")
+      .select(Keys.keyHash(col("k"), "sha1").as("h")).as[String].collect()
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val want = inputs.map { k =>
+      val squeezed = k.replaceAll("\\s+", "").take(120)
+      "RFP_Content_" + md.digest(squeezed.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(got.toSeq === want)
+  }
+
   test("P14 alternation order: bare CONFIRMED wins at every position") {
     // Leftmost alternative CONFIRMED matches the bare prefix first, so
     // "CONFIRMED." keeps its dot and "Confirmed via mail." is rewritten

@@ -76,4 +76,22 @@ class ShinglesSpec extends SparkSpec {
     assert(out(1L) === out(2L))
     assert(out.values.forall(h => h >= 0 && h < 65536))
   }
+
+  test("simhashChunks64: 4 16-bit chunks, identical docs identical, " +
+    "near-identical docs near in Hamming") {
+    val df = Seq((1L, "alpha beta gamma delta eps zeta eta theta"),
+      (2L, "alpha beta gamma delta eps zeta eta theta"),
+      (3L, "alpha beta gamma delta eps zeta eta theta iota"),
+      (4L, "completely unrelated text about other things"))
+      .toDF("doc_id", "text")
+    val out = Shingles.simhashChunks64(Shingles.tokens(df, "doc_id", "text"),
+      "doc_id").as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) === out(2L))
+    out.values.flatten.foreach(c => assert(c >= 0 && c < 65536))
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    // one appended token in nine perturbs few bit-sums; unrelated text is far
+    assert(ham(out(1L), out(3L)) < ham(out(1L), out(4L)))
+  }
 }
