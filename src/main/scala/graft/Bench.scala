@@ -33,8 +33,32 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
+    // bench output is ONE machine-parsed JSON line; Spark's benign WARNs
+    // (and their stack traces) would interleave with it on some log4j
+    // configs, so the bench session logs errors only
+    spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // Fixed-overhead floors, measured under bench rules (clearCache +
+    // materialize, median of 3): `floor_plan_sec` is a zero-IO
+    // spark.range(1) — pure planning + job-launch + collect; the delta to
+    // `floor_scan_sec` (5-row region.parquet through the same path) adds
+    // the parquet listing/footer cost every real query also pays. The
+    // suite total ≈ Σ(real work) + O(floor)×|queries|, so these two lines
+    // let a reader split the harness constant from query cost instead of
+    // mistaking the per-query floor (~half the suite total at small SFs)
+    // for engine slowness.
+    def floorOf(tiny: () => Unit): Double = {
+      tiny()
+      (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); tiny(); (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+    }
+    val floorPlan = floorOf(() => materialize(spark.range(1).toDF("i")))
+    val floorScan = floorOf(() =>
+      materialize(spark.read.parquet(s"$sfDir/region.parquet")))
 
     // warmup (untimed); a query that fails here is skipped in timed runs
     val runnable = names.filter { name =>
@@ -72,7 +96,7 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor_plan_sec":$floorPlan,"floor_scan_sec":$floorScan,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

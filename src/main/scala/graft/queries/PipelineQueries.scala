@@ -252,16 +252,24 @@ object PipelineQueries {
     "ref :153-157 (S3 list-of-lists scan)")
 
   /** q_binary_scan — S8 blob-listing scan: the `binaryFile` source reads
-    * a directory as (path, modificationTime, length, content) metadata
-    * rows — the engine-native form of a blob-container listing. Content
-    * is never selected, so column pruning keeps the scan metadata-only.
-    * No SQL oracle (file mtimes aren't visible to DuckDB): driver records
-    * the rows-only check. */
+    * files as (path, modificationTime, length, content) metadata rows —
+    * the engine-native form of a blob-container listing. Content is never
+    * selected, so column pruning keeps the scan metadata-only. Paths are
+    * an explicit driver-side listing (what a container listing IS), not a
+    * glob — a glob pattern also hits the FileStreamSink metadata probe,
+    * which logs a benign-but-noisy FileNotFound WARN per load. No SQL
+    * oracle (file mtimes aren't visible to DuckDB): driver records the
+    * rows-only check. */
   val qBinaryScan = Q("q_binary_scan",
-    (s, dir) => s.read.format("binaryFile").load(s"$dir/*.parquet")
-      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
-        col("length"))
-      .orderBy("file_name"),
+    (s, dir) => {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted
+      s.read.format("binaryFile").load(files.toIndexedSeq: _*)
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"))
+        .orderBy("file_name")
+    },
     None,
     "ref commercial_rfp_content_citation_upload_mapping_creation.py:59-64 (S8)")
 

@@ -497,22 +497,25 @@ object SimilarityQueries {
     (s, dir) => {
       val fp = Shingles.simhashChunks64(
         Shingles.tokens(docCorpus(s, dir), "doc_id", "text"), "doc_id")
-      val bands = fp.select(col("doc_id"), posexplode(
-          array(col("c0"), col("c1"), col("c2"), col("c3"))))
-        .toDF("doc_id", "band", "sig")
+      // the full fingerprint RIDES ALONG on the band rows, so candidate
+      // pairs arrive at the join carrying both sides' chunks — the
+      // fingerprint aggregation feeds the two join inputs directly
+      // instead of being recomputed twice more for verify-side rejoins
+      // (3 computations → 2; Catalyst does not currently dedupe the two
+      // identical join inputs into a reused exchange)
+      val bands = fp.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
+          col("c3"), posexplode(array(col("c0"), col("c1"), col("c2"),
+            col("c3")))).toDF("doc_id", "c0", "c1", "c2", "c3", "band", "sig")
       val capped = Shingles.capBuckets(bands, cap = maxBucket)
-      val cand = capped.toDF("doc_a", "band", "sig")
-        .join(capped.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val a = fp.toDF("doc_a", "a0", "a1", "a2", "a3")
-      val b = fp.toDF("doc_b", "b0", "b1", "b2", "b3")
+      val a = capped.toDF("doc_a", "a0", "a1", "a2", "a3", "band", "sig")
+      val b = capped.toDF("doc_b", "b0", "b1", "b2", "b3", "band", "sig")
       val ham = (0 until 4).map(j =>
         bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
-      cand.join(a, "doc_a").join(b, "doc_b")
+      a.join(b, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
         .withColumn("hamming", ham)
         .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming").distinct()
     },
     Some {
       val bitsum = (0 until 64).map { b =>

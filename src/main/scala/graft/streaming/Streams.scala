@@ -140,6 +140,70 @@ object Streams {
       }
   }
 
+  /** One side-tagged event of the streaming as-of join: side 0 = right
+    * (click), side 1 = left (purchase) — the same tag the batch
+    * [[graft.ops.AsOf.joinAsOf]] union uses. */
+  final case class SideEvent(user_id: Long, ts: java.sql.Timestamp,
+                             event_id: Long, side: Int)
+  /** Buffered not-yet-flushable event (event time still ahead of the
+    * watermark). */
+  final case class PendEvent(ts_us: Long, side: Int, event_id: Long)
+  /** Per-user as-of state: the pending buffer plus the latest flushed
+    * right row — everything needed to resume the batch formulation's
+    * (ts, side, id)-ordered scan at the next watermark advance. */
+  final case class AsOfState(pend: Seq[PendEvent], hasRight: Boolean,
+                             rightId: Long, rightUs: Long)
+  final case class AsOfMatch(user_id: Long, purchase_id: Long,
+                             click_id: Option[Long], gap_us: Option[Long])
+
+  /** Stream-stream AS-OF join: each purchase matched to the same user's
+    * latest prior-or-simultaneous click — the streaming form of
+    * [[graft.ops.AsOf.joinAsOf]]'s union+window formulation. The window
+    * scan becomes a per-key `flatMapGroupsWithState` merge: events buffer
+    * until the watermark passes them, then flush in the batch plan's
+    * exact (ts, side, id) order against the carried latest-right state
+    * (right rows flush before left at equal ts, so ts-equality counts as
+    * "prior", and the greatest click id wins within one (user, ts) —
+    * both matching the batch operator and DuckDB ASOF).
+    *
+    * State is watermark-bounded: the buffer holds only events newer than
+    * the watermark (one watermark-delay's worth per active user) plus one
+    * latest-right record per user — O(active users × lag), not
+    * O(history). The timeout (watermark + 1ms) re-fires the flush when
+    * the watermark advances without new events for the key, so every
+    * on-time purchase is eventually emitted. Input must carry a
+    * watermark on `ts`; events later than the watermark get merged at
+    * their flush-time position (the standard on-time-data contract). */
+  def asOfStream(events: org.apache.spark.sql.Dataset[SideEvent])
+      : org.apache.spark.sql.Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SideEvent], state: GroupState[AsOfState]) =>
+          val wUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(AsOfState(Nil, false, 0L, 0L))
+          val merged = (prev.pend ++ it.map(e =>
+              PendEvent(micros(e.ts), e.side, e.event_id)))
+            .sortBy(p => (p.ts_us, p.side, p.event_id))
+          val (ready, pend) = merged.partition(_.ts_us <= wUs)
+          var hasR = prev.hasRight
+          var rId = prev.rightId
+          var rUs = prev.rightUs
+          val out = Seq.newBuilder[AsOfMatch]
+          for (p <- ready) {
+            if (p.side == 0) { hasR = true; rId = p.event_id; rUs = p.ts_us }
+            else out += AsOfMatch(uid, p.event_id,
+              if (hasR) Some(rId) else None,
+              if (hasR) Some(p.ts_us - rUs) else None)
+          }
+          state.update(AsOfState(pend, hasR, rId, rUs))
+          if (pend.nonEmpty) state.setTimeoutTimestamp(wUs / 1000L + 1L)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact deduplication — the training-pipeline dedup under
     * `readStream`: dropDuplicates over `keys` plus the event-time column,
     * with the watermark bounding dedup state (key state older than
