@@ -21,7 +21,8 @@ object Registry {
       queries.TextQueries.all ++
       queries.SimilarityQueries.all ++
       queries.MultimodalQueries.all ++
-      queries.StreamQueries.all
+      queries.StreamQueries.all ++
+      queries.CurationQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

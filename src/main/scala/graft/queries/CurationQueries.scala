@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.{Pack, Redact, Sample, Upsert}
+
+/** Training-data curation family — the operations that sit between the
+  * reference's cleaning stages and a 100 TB training corpus: PII
+  * redaction, deterministic (stratified) sampling, context-window
+  * packing, and change-feed upsert. All pure projections or single-window
+  * plans; every query carries a DuckDB oracle.
+  */
+object CurationQueries {
+
+  /** q_redact — PII scrubbing with per-class match counts. The synthetic
+    * corpus has no PII, so docs with doc_id%7=0 get a deterministic
+    * contact line appended (email + phone + IP) — BOTH engines build the
+    * identical dirty text, then redact/count it independently. */
+  val qRedact = Q("q_redact",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pii = concat(lit(" reach u"), col("doc_id").cast("string"),
+        lit("@mail.example.org or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+      val dirty = when(col("doc_id") % 7 === 0, concat(col("text"), pii))
+        .otherwise(col("text"))
+      d.select(col("doc_id"), dirty.as("__t"))
+        .select(col("doc_id"),
+          Redact.countMatches(col("__t"), Redact.rules(0)._1).as("n_email"),
+          Redact.countMatches(col("__t"), Redact.rules(1)._1).as("n_phone"),
+          Redact.countMatches(col("__t"), Redact.rules(2)._1).as("n_ip"),
+          Redact.redact(col("__t")).as("redacted"))
+    },
+    Some("""WITH dirty AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' reach u' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example.org or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |      ELSE text END AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_email,
+      |  CAST(len(regexp_extract_all(t, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}')) AS INTEGER) AS n_phone,
+      |  CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+      |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}', '[PHONE]', 'g'),
+      |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+      |FROM dirty""".stripMargin),
+    "north star: PII redaction (P-family extension; ref cleaning :179-241 never redacts)")
+
+  /** q_pack — context-window packing: per language, docs in doc_id order
+    * bin into 10000-char budgets (running-total binning — see
+    * [[Pack.packByBudget]] for the no-split overflow contract); output is
+    * the per-bin manifest a batch assembler would consume. */
+  val qPack = Q("q_pack",
+    (s, dir) => Pack.packByBudget(
+        Tables.documents(s, dir).select("lang", "doc_id", "n_chars"),
+        col("lang"), col("doc_id"), col("n_chars"), budget = 10000L)
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars")),
+    Some("""WITH packed AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(floor(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0) AS BIGINT) AS pack_id
+      |  FROM documents
+      |)
+      |SELECT lang, pack_id, count(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM packed GROUP BY 1, 2""".stripMargin),
+    "north star: sequence packing for training batches (single-window plan)")
+
+  /** q_sample — deterministic stratified downsampling: keep 10% of the
+    * over-represented English stratum and 50% of every other language,
+    * by md5 bucket of doc_id — rerun- and engine-reproducible (no seed,
+    * no partitioning dependence). */
+  val qSample = Q("q_sample",
+    (s, dir) => Tables.documents(s, dir)
+      .filter(Sample.stratifiedKeep(col("doc_id"), col("lang"),
+        Seq("en" -> 100), defaultPermille = 500))
+      .select("doc_id", "lang", "source"),
+    Some(s"""SELECT doc_id, lang, source FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT <
+      |  CASE WHEN lang = 'en' THEN ${100 * 65536L / 1000L} ELSE ${500 * 65536L / 1000L} END""".stripMargin),
+    "north star: deterministic stratified sampling (curation rebalance)")
+
+  /** q_upsert — change-feed merge onto the documents table: updates for
+    * doc_id%5=0, tombstone deletes for doc_id%17=0 (a later ordinal, so
+    * they beat updates on keys divisible by both), inserts beyond the key
+    * range for doc_id%50=0. Last-writer-wins + tombstone filter — see
+    * [[Upsert.applyChanges]]. */
+  val qUpsert = Q("q_upsert",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val d = Tables.documents(s, dir)
+      val updates = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), lit("updated").as("source"),
+          (col("n_chars") + 1000).cast("long").as("n_chars"),
+          lit(1L).as("ordinal"), lit(false).as("deleted"))
+      val deletes = d.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          lit(2L).as("ordinal"), lit(true).as("deleted"))
+      val inserts = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          lit("new").as("source"), lit(1L).as("n_chars"),
+          lit(1L).as("ordinal"), lit(false).as("deleted"))
+      Upsert.applyChanges(base,
+        updates.unionByName(deletes).unionByName(inserts), "doc_id")
+    },
+    Some("""WITH base AS (
+      |  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |         0 AS ord, FALSE AS del
+      |  FROM documents
+      |), changes AS (
+      |  SELECT doc_id, lang, 'updated', CAST(n_chars + 1000 AS BIGINT), 1, FALSE
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT), 2, TRUE
+      |  FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, 'new', 1, 1, FALSE
+      |  FROM documents WHERE doc_id % 50 = 0
+      |)
+      |SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM changes) u
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ord DESC) = 1
+      |) WHERE NOT del""".stripMargin),
+    "north star: incremental merge (vs ref full-overwrite publish, citation_upload :47-113)")
+
+  def all: Seq[Q] = Seq(qRedact, qPack, qSample, qUpsert)
+}

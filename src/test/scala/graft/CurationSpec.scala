@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Pack, Redact, Sample, Upsert}
+
+/** Unit semantics of the curation ops (q_redact/q_pack/q_sample/q_upsert
+  * cover the oracle parity; these pin the operator contracts). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redact replaces every PII class and counts match") {
+    val txt = "mail a.b+c@x-y.co and call +1-555-0199 from 10.0.3.44 " +
+      "or 192.168.1.1; plain text stays"
+    val df = Seq(txt).toDF("t").select(
+      Redact.redact(col("t")).as("r"),
+      Redact.countMatches(col("t"), Redact.rules(0)._1).as("ne"),
+      Redact.countMatches(col("t"), Redact.rules(1)._1).as("np"),
+      Redact.countMatches(col("t"), Redact.rules(2)._1).as("ni"))
+    val row = df.collect()(0)
+    assert(row.getString(0) ===
+      "mail [EMAIL] and call [PHONE] from [IP] or [IP]; plain text stays")
+    assert((row.getInt(1), row.getInt(2), row.getInt(3)) === ((1, 1, 2)))
+  }
+
+  test("redact leaves clean text untouched") {
+    val clean = "no personal data in this sentence at all"
+    val out = Seq(clean).toDF("t")
+      .select(Redact.redact(col("t"))).as[String].head()
+    assert(out === clean)
+  }
+
+  test("packByBudget: running-total bins, boundary item keeps its bin") {
+    // weights 6,6,6 on budget 10: item2 starts at prior=6 (bin 0, overflow
+    // allowed), item3 at prior=12 (bin 1) — the no-split contract
+    val df = Seq(("g", 1L, 6L), ("g", 2L, 6L), ("g", 3L, 6L), ("h", 1L, 25L),
+      ("h", 2L, 1L)).toDF("grp", "ord", "w")
+    val out = Pack.packByBudget(df, col("grp"), col("ord"), col("w"), 10L)
+      .select("grp", "ord", "pack_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(out === Set(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 1L),
+      ("h", 1L, 0L), ("h", 2L, 2L)))
+  }
+
+  test("pack ids are dense ranges per group starting at 0 on real data") {
+    val packed = Pack.packByBudget(
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("lang", "doc_id", "n_chars"),
+      col("lang"), col("doc_id"), col("n_chars"), 10000L)
+    val bad = packed.groupBy("lang")
+      .agg(min("pack_id").as("mn"), max("pack_id").as("mx"),
+        countDistinct("pack_id").as("nd"))
+      .filter(col("mn") =!= 0 || col("nd") =!= col("mx") + 1)
+    assert(bad.isEmpty, "pack ids must be 0..max with no gaps")
+  }
+
+  test("sample is deterministic, respects strata rates, and is a subset") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val keep = Sample.stratifiedKeep(col("doc_id"), col("lang"),
+      Seq("en" -> 100), defaultPermille = 500)
+    val s1 = d.filter(keep).select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = d.filter(keep).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 === s2 && s1.nonEmpty)
+    // rates: binomial(218, .1) and binomial(282, .5) stay far from each
+    // other's bands at these margins
+    val byLang = d.filter(keep).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val totals = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en").toDouble / totals("en") < 0.25)
+    val restKept = (byLang - "en").values.sum.toDouble
+    val restTotal = (totals - "en").values.sum.toDouble
+    assert(restKept / restTotal > 0.35 && restKept / restTotal < 0.65)
+  }
+
+  test("upsert: update wins over base, tombstone wins over update, insert lands") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", 1L, false), // update
+      (2L, "b", 1L, true),   // delete
+      (3L, "c2", 1L, false), (3L, "c3", 2L, true), // update then delete
+      (9L, "new", 1L, false) // insert
+    ).toDF("k", "v", "ordinal", "deleted")
+    val out = Upsert.applyChanges(base, changes, "k")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "a2"), (9L, "new")))
+  }
+}

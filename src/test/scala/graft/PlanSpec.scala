@@ -60,6 +60,17 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(p, "Exchange hashpartitioning") === 2)
   }
 
+  test("curation family: redact/sample are shuffle-free, pack/upsert one shuffle") {
+    import graft.queries.CurationQueries
+    assert(!plan(CurationQueries.qRedact).contains("Exchange"))
+    assert(!plan(CurationQueries.qSample).contains("Exchange"))
+    // pack: the (lang, pack_id) aggregation reuses the window's lang
+    // partitioning (subset-key co-location), so the whole plan is ONE
+    // shuffle; upsert: one window over the narrow union
+    assert(countOcc(plan(CurationQueries.qPack), "Exchange hashpartitioning") === 1)
+    assert(countOcc(plan(CurationQueries.qUpsert), "Exchange hashpartitioning") === 1)
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
