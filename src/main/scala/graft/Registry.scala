@@ -22,7 +22,8 @@ object Registry {
       queries.SimilarityQueries.all ++
       queries.MultimodalQueries.all ++
       queries.StreamQueries.all ++
-      queries.CurationQueries.all
+      queries.CurationQueries.all ++
+      queries.AnalyticsQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -71,6 +71,17 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(plan(CurationQueries.qUpsert), "Exchange hashpartitioning") === 1)
   }
 
+  test("analytics family: quantiles/lag-lead one shuffle, pivot two-phase") {
+    import graft.queries.AnalyticsQueries
+    assert(countOcc(plan(AnalyticsQueries.qQuantiles), "Exchange hashpartitioning") === 1)
+    assert(countOcc(plan(AnalyticsQueries.qLagLead), "Exchange hashpartitioning") === 1)
+    // Spark's pivot is a two-level aggregate: the first exchange reduces
+    // the input to |source × lang| rows, so the second moves almost
+    // nothing — fine at any scale, but pin it so a regression to three
+    // (or a collapse to a cartesian) is caught
+    assert(countOcc(plan(AnalyticsQueries.qPivot), "Exchange hashpartitioning") === 2)
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
