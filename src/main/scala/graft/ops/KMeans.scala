@@ -61,15 +61,28 @@ object KMeans {
   /** Trains the codebook: `iters` rounds of assign + fixed-point-mean
     * update from the md5-ranked seeds. `df` must carry (`vec_id`,
     * `v: array<double>`). Returns (cellId, centroid) sorted by cell id;
-    * cells emptied by an iteration are dropped. */
-  def train(df: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    * cells emptied by an iteration are dropped.
+    *
+    * `trainPermille < 1000` trains on a deterministic [[Sample]] of the
+    * corpus — the production posture at 100 TB: a coarse quantizer needs
+    * only a representative sample (cells ≫ sample ≫ k), so the Lloyd
+    * passes scan permille/1000 of the data while the final index
+    * assignment still covers every vector. Sampling is md5-bucketed on
+    * `vec_id`, so the trained codebook is as reproducible as the
+    * full-corpus one. */
+  def train(df: DataFrame, k: Int, iters: Int,
+            trainPermille: Int = 1000): Seq[(Int, Seq[Double])] = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    val corpus =
+      if (trainPermille >= 1000) df
+      else df.filter(Sample.keep(col("vec_id"), trainPermille))
     var codebook: Seq[(Int, Seq[Double])] =
-      df.orderBy(md5(col("vec_id").cast("string")))
+      corpus.orderBy(md5(col("vec_id").cast("string")))
         .limit(k).select("v").collect().toIndexedSeq
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    require(codebook.nonEmpty, "training sample is empty — raise trainPermille")
     for (_ <- 0 until iters) {
-      val assigned = df.select(col("v"),
+      val assigned = corpus.select(col("v"),
         assignCell(col("v"), codebook).as("cell"))
       codebook = Centroids.perLabelVec(
           assigned.select(col("cell").as("label"), col("v").as("embedding")))

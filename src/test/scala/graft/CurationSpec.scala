@@ -71,6 +71,52 @@ class CurationSpec extends SparkSpec {
     assert(restKept / restTotal > 0.35 && restKept / restTotal < 0.65)
   }
 
+  test("property: packByBudget matches an in-memory running-total model") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.zip(Gen.choose(1L, 40L),
+      Gen.listOfN(30, Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(1L, 15L))))
+    checkProp(Prop.forAll(gen) { case (budget, rows) =>
+      val df = rows.zipWithIndex.map { case ((g, w), i) => (g, i.toLong, w) }
+        .toDF("grp", "ord", "w")
+      val got = Pack.packByBudget(df, col("grp"), col("ord"), col("w"), budget)
+        .select("grp", "ord", "pack_id").as[(String, Long, Long)]
+        .collect().toSet
+      val want = rows.zipWithIndex.groupBy(_._1._1).flatMap { case (g, rs) =>
+        var cum = 0L
+        rs.sortBy(_._2).map { case ((_, w), i) =>
+          val bin = cum / budget
+          cum += w
+          (g, i.toLong, bin)
+        }
+      }.toSet
+      got == want
+    }, minTests = 10)
+  }
+
+  test("property: applyChanges matches an in-memory last-writer model") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.zip(
+      Gen.listOfN(12, Gen.zip(Gen.choose(1L, 8L), Gen.alphaLowerStr.map(_.take(4)))),
+      Gen.listOfN(12, Gen.zip(Gen.choose(1L, 10L), Gen.alphaLowerStr.map(_.take(4)),
+        Gen.choose(1L, 5L), Gen.oneOf(true, false))))
+    checkProp(Prop.forAll(gen) { case (baseRows0, changeRows0) =>
+      val baseRows = baseRows0.distinctBy(_._1)
+      // unique (key, ordinal) so last-writer is well defined
+      val changeRows = changeRows0.distinctBy(c => (c._1, c._3))
+      val base = baseRows.toDF("k", "v")
+      val changes = changeRows.toDF("k", "v", "ordinal", "deleted")
+      val got = Upsert.applyChanges(base, changes, "k")
+        .as[(Long, String)].collect().toSet
+      val want = (baseRows.map { case (k, v) => (k, v, 0L, false) } ++
+        changeRows.map { case (k, v, o, d) => (k, v, o, d) })
+        .groupBy(_._1).flatMap { case (k, rs) =>
+          val win = rs.maxBy(_._3)
+          if (win._4) None else Some((k, win._2))
+        }.toSet
+      got == want
+    }, minTests = 10)
+  }
+
   test("upsert: update wins over base, tombstone wins over update, insert lands") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(

@@ -46,6 +46,16 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("sampled training is deterministic and assignment still covers all") {
+    val cb1 = KMeans.train(base, k = 4, iters = 2, trainPermille = 500)
+    val cb2 = KMeans.train(base, k = 4, iters = 2, trainPermille = 500)
+    assert(cb1 === cb2 && cb1.nonEmpty && cb1.size <= 4)
+    // the full corpus assigns against the sample-trained codebook
+    val assigned = base.withColumn("cell", KMeans.assignCell(col("v"), cb1))
+    assert(assigned.filter(col("cell").isNull).isEmpty)
+    assert(assigned.count() === base.count())
+  }
+
   test("probeCells returns nearest-first distinct cells, head == assignCell") {
     val cb = KMeans.train(base, k = 8, iters = 2)
     val rows = base
