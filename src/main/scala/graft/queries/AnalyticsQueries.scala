@@ -77,5 +77,48 @@ object AnalyticsQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin),
     "§2.8 capability: offset window functions (lag/lead, deterministic order)")
 
-  def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead)
+  /** q_profile — one-pass column profiling (the data-quality audit a
+    * curation pipeline runs on every drop): per column, null count,
+    * exact distinct count, and min/max rendered as strings under a
+    * uniform row schema. One scan: the three exact countDistincts share
+    * a single aggregate (Catalyst Expands the input 3×; a production
+    * 100 TB profiler swaps in approx_count_distinct to avoid that — HLL
+    * sketches aren't oracle-comparable across engines, so the query
+    * keeps the exact form). */
+  val qProfile = Q("q_profile",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      def nulls(c: String) = sum(col(c).isNull.cast("long")).as(s"nn_$c")
+      def prof(c: String) = Seq(nulls(c),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+      val aggs = prof("lang") ++ prof("source") ++ prof("n_chars")
+      d.agg(aggs.head, aggs.tail: _*)
+        .select(expr("""stack(3,
+          |'lang',    nn_lang,    nd_lang,    mn_lang,    mx_lang,
+          |'source',  nn_source,  nd_source,  mn_source,  mx_source,
+          |'n_chars', nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars)
+          |AS (column_name, n_nulls, n_distinct, min_v, max_v)""".stripMargin))
+    },
+    Some("""SELECT 'lang' AS column_name,
+      |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+      |  CAST(min(lang) AS VARCHAR) AS min_v, CAST(max(lang) AS VARCHAR) AS max_v
+      |FROM documents
+      |UNION ALL
+      |SELECT 'source',
+      |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(DISTINCT source) AS BIGINT),
+      |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'n_chars',
+      |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(DISTINCT n_chars) AS BIGINT),
+      |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      |FROM documents""".stripMargin),
+    "north star: column profiling / data-quality audit (one-pass)")
+
+  def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile)
 }

@@ -161,6 +161,33 @@ object PipelineQueries {
       |  AND s.name NOT IN (SELECT name FROM blobs WHERE name LIKE '%.docx')""".stripMargin),
     "ref commercial_rfp_content_citation_upload_mapping_creation.py:47-113")
 
+  /** q_sync_diff — the sync family's two anti-joins as ONE full-outer
+    * reconciliation report: every .docx name present on exactly one side,
+    * flagged by side (rows with both flags set are in sync and dropped).
+    * upload = rows with in_sp=0, delete = rows with in_blob=0 — SyncSpec
+    * asserts that equivalence against q_sync_upload/q_sync_delete. */
+  val qSyncDiff = Q("q_sync_diff",
+    (s, dir) => {
+      val b = blobListing(s, dir).filter(col("name").endsWith(".docx"))
+        .withColumn("in_blob", lit(1))
+      val p = spListing(s, dir).filter(col("name").endsWith(".docx"))
+        .withColumn("in_sp", lit(1))
+      b.join(p, Seq("name"), "full_outer")
+        .select(col("name"),
+          coalesce(col("in_blob"), lit(0)).as("in_blob"),
+          coalesce(col("in_sp"), lit(0)).as("in_sp"))
+        .filter(col("in_blob") === 0 || col("in_sp") === 0)
+    },
+    Some("WITH " + syncSql + """
+      |SELECT COALESCE(b.name, s.name) AS name,
+      |  CASE WHEN b.name IS NULL THEN 0 ELSE 1 END AS in_blob,
+      |  CASE WHEN s.name IS NULL THEN 0 ELSE 1 END AS in_sp
+      |FROM (SELECT name FROM blobs WHERE name LIKE '%.docx') b
+      |FULL OUTER JOIN (SELECT name FROM sp WHERE name LIKE '%.docx') s
+      |  ON b.name = s.name
+      |WHERE b.name IS NULL OR s.name IS NULL""".stripMargin),
+    "O7+O8 unified as a full-outer diff report (capability: full outer join)")
+
   /** q_util_scalars — the small scalar operators in one projection:
     * K4 ISO-Z timestamp parse, K5 yyyymmdd decode, K6 URL unquote + path
     * normalize (percent-decode expressed as an explicit %20 replace so the
@@ -361,5 +388,6 @@ object PipelineQueries {
       " + commercial_rfp_content_doc_library_creation.py:46-131")
 
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
-    qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan, qPipelineE2e)
+    qSyncDiff, qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan,
+    qPipelineE2e)
 }

@@ -12,6 +12,22 @@ class SyncSpec extends SparkSpec {
   private def anti(l: DataFrame, r: DataFrame): DataFrame =
     l.join(r, Seq("name"), "left_anti")
 
+  test("q_sync_diff rows == q_sync_upload ∪ q_sync_delete by side flag") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val diff = Registry.byName("q_sync_diff").fn(spark, dir)
+    val up = Registry.byName("q_sync_upload").fn(spark, dir)
+      .as[String].collect().toSet
+    val del = Registry.byName("q_sync_delete").fn(spark, dir)
+      .as[String].collect().toSet
+    val diffUp = diff.filter(col("in_sp") === 0)
+      .select("name").as[String].collect().toSet
+    val diffDel = diff.filter(col("in_blob") === 0)
+      .select("name").as[String].collect().toSet
+    assert(diffUp === up && diffDel === del)
+    assert(diff.count() === (up.size + del.size).toLong)
+  }
+
   test("property: upload/delete reconcile two arbitrary listings") {
     val gen = Gen.listOf(Gen.choose(0, 30))
     checkProp(Prop.forAll(gen, gen) { (blobIds: List[Int], spIds: List[Int]) =>
