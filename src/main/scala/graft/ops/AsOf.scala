@@ -35,6 +35,62 @@ object AsOf {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** left ⟕-as-of right, SHUFFLE-FREE, for a broadcast-able right side —
+    * the dimension-table variant of [[joinAsOf]] (rates, config, price
+    * books: a right side that fits the driver). The right side is
+    * grouped and ts-sorted once driver-side and broadcast; each left
+    * partition binary-searches its rows' matches in place, so the left
+    * side is never shuffled at all (vs the union+window's one exchange).
+    * Same inclusive `rts <= lts` semantics and the same uniqueness
+    * contract on right (key, ts).
+    *
+    * `key` and `ts` must be LONG columns in BOTH frames (callers with
+    * timestamps project `unix_micros(ts)` first). Left rows with a null
+    * key/ts get a null match; right rows with nulls are dropped at
+    * build, like any broadcast dim build. */
+  def joinAsOfBroadcast(left: DataFrame, right: DataFrame,
+                        key: String, ts: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    for (df <- Seq(left, right); c <- Seq(key, ts))
+      require(df.schema(c).dataType == LongType,
+        s"joinAsOfBroadcast needs LONG $c, got ${df.schema(c).dataType}")
+    val rSchema = right.schema
+    val rk = rSchema.fieldIndex(key)
+    val rt = rSchema.fieldIndex(ts)
+    val grouped: Map[Long, Array[org.apache.spark.sql.Row]] =
+      right.collect()
+        .filter(r => !r.isNullAt(rk) && !r.isNullAt(rt))
+        .groupBy(_.getLong(rk))
+        .map { case (k, rows) => k -> rows.sortBy(_.getLong(rt)) }
+    val bc = left.sparkSession.sparkContext.broadcast(grouped)
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("l", StructType(left.schema.fields)),
+      org.apache.spark.sql.types.StructField("r", StructType(rSchema.fields))))
+    val lk = left.schema.fieldIndex(key)
+    val lt = left.schema.fieldIndex(ts)
+    left.mapPartitions { it =>
+      val m = bc.value
+      it.map { row =>
+        val matched =
+          if (row.isNullAt(lk) || row.isNullAt(lt)) null
+          else m.get(row.getLong(lk)) match {
+            case None => null
+            case Some(arr) =>
+              val t = row.getLong(lt)
+              var lo = 0; var hi = arr.length - 1
+              var res: org.apache.spark.sql.Row = null
+              while (lo <= hi) { // last right row with rts <= t
+                val mid = (lo + hi) >>> 1
+                if (arr(mid).getLong(rt) <= t) { res = arr(mid); lo = mid + 1 }
+                else hi = mid - 1
+              }
+              res
+          }
+        org.apache.spark.sql.Row(row, matched)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** left ⟕-as-of right on `key`/`ts`: one row per left row, with struct
     * columns `l` (the left row) and `r` (the matched right row, or null
     * when no right row has rts <= lts). */

@@ -120,5 +120,24 @@ object AnalyticsQueries {
       |FROM documents""".stripMargin),
     "north star: column profiling / data-quality audit (one-pass)")
 
-  def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile)
+  /** q_grouping_sets — multi-grain aggregation in one pass (the GROUPING
+    * SETS capability beyond q_rollup's hierarchy): per-lang totals,
+    * per-source totals, and the grand total from a single scan+Expand.
+    * lang/source are non-null in this data, so output NULLs uniquely
+    * mark the aggregated-out dimension on both sides. */
+  val qGroupingSets = Q("q_grouping_sets",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents_gs")
+      s.sql("""SELECT lang, source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents_gs
+        |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin)
+    },
+    Some("""SELECT lang, source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin),
+    "§2.8 capability: GROUPING SETS multi-grain aggregate (one scan)")
+
+  def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile, qGroupingSets)
 }

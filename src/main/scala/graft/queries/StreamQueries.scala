@@ -138,6 +138,36 @@ object StreamQueries {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
     "as-of join (north star: the canonical operator Spark lacks)")
 
+  /** q_asof_bcast — the SAME as-of semantics through the shuffle-free
+    * broadcast formulation ([[graft.ops.AsOf.joinAsOfBroadcast]]: right
+    * side grouped/sorted driver-side and broadcast, left partitions
+    * binary-search in place — the dimension-sized-right plan). Shares
+    * q_asof_join's oracle verbatim, so the two physically unrelated
+    * implementations are differentially checked against each other AND
+    * against DuckDB's native ASOF. PlanSpec pins the shuffle-free left
+    * side. */
+  val qAsofBcast = Q("q_asof_bcast",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+      val clicks = graft.ops.AsOf.latestPerKeyTs(
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts", "event_id")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.ops.AsOf.joinAsOfBroadcast(purchases, clicks, "user_id", "ts_us")
+        .select(
+          col("l.user_id").as("user_id"),
+          col("l.event_id").as("purchase_id"),
+          date_format(col("l.ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("r.event_id").as("click_id"),
+          (col("l.ts_us") - col("r.ts_us")).as("gap_us"))
+    },
+    qAsof.oracle,
+    "as-of join, broadcast variant (shuffle-free left; differential vs q_asof_join)")
+
   /** q_range_join — each click landing within 6 hours after a signup of
     * the same user, via [[graft.ops.RangeJoin.joinPointInInterval]]'s
     * bucketed equi-join (1-hour buckets: each 6-hour interval explodes
@@ -174,5 +204,5 @@ object StreamQueries {
     "range join (north star: bucketed point-in-interval equi-join)")
 
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson, qEventsTopK,
-    qAsof, qRangeJoin)
+    qAsof, qAsofBcast, qRangeJoin)
 }

@@ -93,6 +93,25 @@ class AsOfSpec extends SparkSpec {
     }, minTests = 10)
   }
 
+  test("broadcast as-of == window as-of, and its left side never shuffles") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val c = AsOf.latestPerKeyTs(
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us")),
+      "user_id", "ts_us", "event_id")
+    val viaWindow = AsOf.joinAsOf(p, c, "user_id", "ts_us", col("event_id"))
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"))
+    val viaBcast = AsOf.joinAsOfBroadcast(p, c, "user_id", "ts_us")
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"))
+    assert(viaBcast.count() === viaWindow.count())
+    assert(viaWindow.except(viaBcast).isEmpty && viaBcast.except(viaWindow).isEmpty)
+    // the broadcast formulation's whole plan is shuffle-free: the right
+    // side was built driver-side, the left side maps in place
+    assert(!viaBcast.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("as-of join plans no cartesian/range explosion and <= 2 shuffles") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter(col("event_type") === "purchase")
