@@ -189,5 +189,61 @@ object RelationalQueries {
     qTopK.oracle,
     "custom LogicalPlan+Strategy+SparkPlan (SURVEY §7 custom-op ladder tier c)")
 
-  def all: Seq[Q] = Seq(q1, q3, q5, qSemi, qAnti, qTopK, qTopKNative, qRollup)
+  /** q_having_join — the TPC-H Q18 shape: aggregate-then-having feeding a
+    * multi-way join back to detail rows (big orders with their
+    * customers). Quantities sum as BIGINT (whole-valued in this data) so
+    * the HAVING threshold is exact in both engines. The having-aggregate
+    * runs BEFORE the joins — at scale the filter collapses the join
+    * input from |orders| to |big orders|. */
+  val qHavingJoin = Q("q_having_join",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("total_qty"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, total_qty
+      |FROM (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+      |) big
+      |JOIN orders ON o_orderkey = big.l_orderkey
+      |JOIN customer ON c_custkey = o_custkey""".stripMargin),
+    "§2.8 capability: aggregate-having join-back (TPC-H Q18 shape)")
+
+  /** q_scalar_subquery — correlated scalar aggregate subqueries (parts
+    * priced above their type's mean), exercising Catalyst's
+    * RewriteCorrelatedScalarSubquery path through the SQL surface. The
+    * mean comparison is cross-multiplied in integer cents
+    * (cents·n > Σcents), so the predicate is exact in both engines —
+    * comparing against a float average would be an ULP trap. */
+  val qScalarSubquery = Q("q_scalar_subquery",
+    (s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part_sq")
+      s.sql("""WITH pc AS (
+        |  SELECT p_partkey, p_type,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part_sq
+        |)
+        |SELECT p_partkey, p_type, cents FROM pc p
+        |WHERE cents * (SELECT count(*) FROM pc p2 WHERE p2.p_type = p.p_type)
+        |    > (SELECT sum(cents) FROM pc p2 WHERE p2.p_type = p.p_type)""".stripMargin)
+    },
+    Some("""WITH pc AS (
+      |  SELECT p_partkey, p_type,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      |  FROM part
+      |)
+      |SELECT p_partkey, p_type, cents FROM pc p
+      |WHERE cents * (SELECT count(*) FROM pc p2 WHERE p2.p_type = p.p_type)
+      |    > (SELECT CAST(sum(cents) AS BIGINT) FROM pc p2 WHERE p2.p_type = p.p_type)""".stripMargin),
+    "§2.8 capability: correlated scalar subqueries (exact integer predicate)")
+
+  def all: Seq[Q] = Seq(q1, q3, q5, qSemi, qAnti, qTopK, qTopKNative, qRollup,
+    qHavingJoin, qScalarSubquery)
 }
