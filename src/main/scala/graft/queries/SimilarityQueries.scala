@@ -586,6 +586,42 @@ object SimilarityQueries {
       |FROM offs""".stripMargin),
     "ref commercial_rfp_indexer.py:168-169 (2000/500 contract, long docs)")
 
+  /** q_dup_clusters — transitive duplicate-CLUSTER formation over a pair
+    * table ([[graft.ops.Components.connectedComponents]]): pairwise
+    * near-dup edges only relate two docs at a time; retention needs the
+    * connected component. The edge set is deterministic in both engines:
+    * exact-copy pairs (d, d+2e6) for d%10=0 plus chain links (d, d+1)
+    * for d%20<3 — producing genuine multi-hop clusters (size 5: four
+    * chained base docs + one copy) that exercise transitivity, not just
+    * pair grouping. Oracle: DuckDB recursive CTE computing
+    * min-reachable-id — a wholly different algorithm, so this is a
+    * differential check of the label-propagation fixpoint. */
+  val qDupClusters = Q("q_dup_clusters",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      val edges = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 2000000).as("b"))
+        .unionAll(d.filter(col("doc_id") % 20 < 3)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b")))
+      graft.ops.Components.connectedComponents(edges)
+        .toDF("doc_id", "cluster_id")
+    },
+    Some("""WITH RECURSIVE edges0 AS (
+      |  SELECT doc_id AS a, doc_id + 2000000 AS b FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 20 < 3
+      |), sym AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+      |)
+      |SELECT n.node AS doc_id, least(n.node, min(r.b)) AS cluster_id
+      |FROM (SELECT DISTINCT a AS node FROM sym) n
+      |JOIN reach r ON r.a = n.node
+      |GROUP BY n.node""".stripMargin),
+    "north star: duplicate-cluster formation (connected components over pairs)")
+
   /** q_chunk_index — the search-index chunk-table projection (FIXTURES
     * A5 / ref commercial_rfp_indexer.py:87-94): chunk rows keyed
     * chunk_id with parent_id and title, joined to the parent's embedding
@@ -707,6 +743,6 @@ object SimilarityQueries {
       ivfNprobe + "; ref real-index bar commercial_rfp_indexer.py:96-111)")
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qNearDup,
-    qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup, qChunkIndex,
-    qCentroids, qAnnIvf)
+    qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup, qDupClusters,
+    qChunkIndex, qCentroids, qAnnIvf)
 }
