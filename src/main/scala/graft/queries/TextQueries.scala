@@ -291,6 +291,73 @@ object TextQueries {
       |FROM grams GROUP BY doc_id""".stripMargin),
     "north star: rolling-hash (winnowing-style) document fingerprinting")
 
+  /** q_decontam — benchmark decontamination audit: per training doc, the
+    * number of distinct word 3-grams it shares with the eval set
+    * (doc_id%40=0 stands in for the benchmark; eval docs flag themselves,
+    * which is correct — eval members must leave the training corpus too).
+    * The published recipe (exact n-gram collision against the benchmark)
+    * expressed Spark-first: the EVAL shingle set is broadcast — benchmark
+    * suites are tiny by nature — so the corpus is scanned once with no
+    * shuffle on the corpus side; one aggregation by doc. Short docs
+    * (<3 tokens) cannot collide and drop out, like the near-dup family.
+    * Per-doc dedup uses the NARROW shingle-set projection
+    * (array_distinct per row), not a corpus-wide distinct — a global
+    * distinct would shuffle every shingle of the corpus; this plan
+    * shuffles only the matched rows into the final per-doc count. */
+  val qDecontam = Q("q_decontam",
+    (s, dir) => {
+      val wtok = split(trim(col("text")), "\\s+")
+      val docSh = Tables.documents(s, dir)
+        .select(col("doc_id"), wtok.as("w"))
+        .select(col("doc_id"),
+          explode(graft.ops.Shingles.shingleSetOfWords(col("w"))).as("s"))
+      val evalSh = docSh.filter(col("doc_id") % 40 === 0)
+        .select("s").distinct()
+      docSh.join(broadcast(evalSh), "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(w)-2)) AS g(i)
+      |  WHERE len(w) >= 3
+      |), ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 40 = 0)
+      |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM sh JOIN ev ON ev.s = sh.s
+      |GROUP BY sh.doc_id""".stripMargin),
+    "north star: train/eval decontamination (exact n-gram collision audit)")
+
+  /** q_mix — dataset mixing by weighted repetition: over-sample chosen
+    * sources by an integer epoch factor (the curriculum/mixing knob of a
+    * training-data assembly), as a deterministic `explode(sequence)` —
+    * no RNG, identical in both engines. Output is the per-source mixing
+    * manifest. */
+  val qMix = Q("q_mix",
+    (s, dir) => {
+      val w = when(col("source").isin("src0", "src1"), 3)
+        .when(col("lang") === "zh", 2).otherwise(1)
+      Tables.documents(s, dir)
+        .withColumn("epoch", explode(sequence(lit(1), w)))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_mixed"),
+          max(col("epoch")).cast("long").as("max_epoch"))
+    },
+    Some("""SELECT source,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_mixed,
+      |  CAST(max(epoch) AS BIGINT) AS max_epoch
+      |FROM (
+      |  SELECT doc_id, source, g.epoch FROM documents,
+      |    unnest(generate_series(1,
+      |      CASE WHEN source IN ('src0', 'src1') THEN 3
+      |           WHEN lang = 'zh' THEN 2 ELSE 1 END)) AS g(epoch)
+      |)
+      |GROUP BY source""".stripMargin),
+    "north star: dataset mixing via weighted repetition (deterministic)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
-    qFingerprint, qTfidf, qTokenBpe, qWinnow)
+    qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix)
 }

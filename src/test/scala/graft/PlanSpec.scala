@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(plan(AnalyticsQueries.qPivot), "Exchange hashpartitioning") === 2)
   }
 
+  test("q_decontam broadcasts the eval shingle set; corpus side stays narrow") {
+    val p = plan(graft.queries.TextQueries.qDecontam)
+    assert(p.contains("BroadcastHashJoin"))
+    // only the eval-set distinct and the final matched-rows count
+    // shuffle; the corpus shingle stream itself never does
+    assert(countOcc(p, "Exchange hashpartitioning") === 2)
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
