@@ -40,6 +40,12 @@ object Components {
         .join(labels, col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
+      // plain one-hop propagation: rounds = cluster diameter. The
+      // pointer-jumping shortcut (adopt the label OF the label, O(log d)
+      // rounds) was measured SLOWER here — its extra per-round self-join
+      // shuffle outweighs the saved rounds for the small-diameter
+      // clusters near-dup pipelines produce; reach for it only if
+      // cluster diameters grow past ~tens.
       val next = labels.join(nbrMin, col("node") === col("src"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))

@@ -143,12 +143,16 @@ object Shingles {
   }
 
   /** 16-bit SimHash over token occurrences: bit b is the sign of
-    * Σ_tokens (bit b of md5(token) ? +1 : −1), packed MSB-first. */
+    * Σ_tokens (bit b of md5(token) ? +1 : −1), packed MSB-first. The
+    * digest's first 4 hex digits parse into ONE 16-bit int per token
+    * (see [[simhashChunks64]] for the same move at 64 bits). */
   def simhash16(toks: DataFrame, idCol: String): DataFrame = {
+    val withH = toks.withColumn("h", md5(col("tok")))
+      .select(col(idCol),
+        expr("cast(conv(substring(h, 1, 4), 16, 10) as bigint)").as("h0"))
     def bitOf(b: Int): Column =
-      expr(s"(cast(conv(substring(h, ${1 + b / 4}, 1), 16, 10) as bigint) " +
-        s"div ${1 << (3 - b % 4)}) % 2")
-    val sums = toks.withColumn("h", md5(col("tok")))
+      expr(s"(h0 div ${1 << (15 - b)}) % 2")
+    val sums = withH
       .groupBy(col(idCol))
       .agg(
         sum(when(bitOf(0) === 1, 1).otherwise(-1)).as("s0"),
