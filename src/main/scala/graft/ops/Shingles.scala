@@ -92,6 +92,28 @@ object Shingles {
         concat(col("h4"), col("h5")), concat(col("h6"), col("h7")))))
       .toDF(idCol, "band", "sig")
 
+  /** One-pass PROJECTION form of the 8-slice MinHash signature (custom
+    * codegen'd expression, [[graft.expressions.MinHashSlicedExpr]]):
+    * array of 8 slice-minima, null under 3 tokens. Bit-identical to
+    * [[minhashSliced]]∘[[shingles3All]] (TextHashesSpec) with ZERO
+    * shuffle and no shingle row explosion — the shape that feeds LSH
+    * banding at 100 TB. */
+  def minhashSlicedCol(words: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.expressions.MinHashSlicedExpr(
+      GraftSqlBridge.expression(words)))
+  }
+
+  /** One-pass PROJECTION form of the 64-bit SimHash fingerprint (custom
+    * codegen'd expression, [[graft.expressions.SimHash64Expr]]): array
+    * of the four 16-bit chunks. Bit-identical to [[simhashChunks64]]
+    * (TextHashesSpec), zero shuffle. */
+  def simhash64Col(words: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.expressions.SimHash64Expr(
+      GraftSqlBridge.expression(words)))
+  }
+
   /** Drops LSH buckets with more than `cap` members before pairing —
     * the similarity family's skew escape hatch. A degenerate bucket
     * (boilerplate text sharing minima across thousands of docs) would

@@ -292,20 +292,27 @@ object SimilarityQueries {
     * quadratic. */
   val qNearDup = Q("q_near_dup",
     (s, dir) => {
-      // Candidate generation: NON-distinct shingle explode → codegen'd
-      // sliced-md5 minima (2 digests per shingle, map-side combined —
-      // see Shingles.minhashSliced) → LSH band equi-join. Verification:
-      // candidate pairs join back to the corpus TEXT (small), and the
-      // shingle-set arrays + array_intersect Jaccard are computed only
-      // for rows that survive the join — |candidates| set builds, not
-      // 2×|corpus|, which is the LSH premise (candidates ≪ corpus) paid
-      // out in the plan. Shuffles: signature groupBy, band join, two
-      // candidate-to-text joins. No persist anywhere.
+      // Candidate generation: ONE-PASS signature projection (the custom
+      // codegen'd MinHashSlicedExpr — no shingle explode, no signature
+      // groupBy shuffle; TextHashesSpec pins bit-equality with the
+      // aggregation formulation the oracle mirrors) → LSH band
+      // equi-join. Verification: candidate pairs join back to the
+      // corpus TEXT (small), and the shingle-set arrays +
+      // array_intersect Jaccard are computed only for rows that survive
+      // the join — |candidates| set builds, not 2×|corpus|, which is
+      // the LSH premise (candidates ≪ corpus) paid out in the plan.
+      // Shuffles: band join + two candidate-to-text joins only.
       val corpus = docCorpus(s, dir)
-      val bands = Shingles.capBuckets(Shingles.bands4x2(
-        Shingles.minhashSliced(
-          Shingles.shingles3All(corpus, "doc_id", "text"), "doc_id"),
-        "doc_id"), cap = maxBucket)
+      val sigTok = split(trim(col("text")), "\\s+")
+      val sigs = corpus
+        .select(col("doc_id"), Shingles.minhashSlicedCol(sigTok).as("s8"))
+        .filter(col("s8").isNotNull)
+      def sl(i: Int) = element_at(col("s8"), i + 1)
+      val bands = Shingles.capBuckets(
+        sigs.select(col("doc_id"), posexplode(array(
+            concat(sl(0), sl(1)), concat(sl(2), sl(3)),
+            concat(sl(4), sl(5)), concat(sl(6), sl(7)))))
+          .toDF("doc_id", "band", "sig"), cap = maxBucket)
       val cand = bands.toDF("doc_a", "band", "sig")
         .join(bands.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
@@ -495,14 +502,18 @@ object SimilarityQueries {
     * shrink as corpus/65k. */
   val qSimhashDup = Q("q_simhash_dup",
     (s, dir) => {
-      val fp = Shingles.simhashChunks64(
-        Shingles.tokens(docCorpus(s, dir), "doc_id", "text"), "doc_id")
-      // the full fingerprint RIDES ALONG on the band rows, so candidate
-      // pairs arrive at the join carrying both sides' chunks — the
-      // fingerprint aggregation feeds the two join inputs directly
-      // instead of being recomputed twice more for verify-side rejoins
-      // (3 computations → 2; Catalyst does not currently dedupe the two
-      // identical join inputs into a reused exchange)
+      // fingerprints via the ONE-PASS projection (codegen'd
+      // SimHash64Expr — no token explode, no 64-sum groupBy shuffle;
+      // bit-equal to the aggregation form the oracle mirrors,
+      // TextHashesSpec); the full fingerprint rides along on the band
+      // rows so candidate pairs arrive at the join carrying both sides'
+      // chunks — no verify-side rejoins
+      val fpTok = split(trim(col("text")), "\\s+")
+      val fp = docCorpus(s, dir)
+        .select(col("doc_id"), Shingles.simhash64Col(fpTok).as("ch"))
+        .select(col("doc_id"),
+          element_at(col("ch"), 1).as("c0"), element_at(col("ch"), 2).as("c1"),
+          element_at(col("ch"), 3).as("c2"), element_at(col("ch"), 4).as("c3"))
       val bands = fp.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
           col("c3"), posexplode(array(col("c0"), col("c1"), col("c2"),
             col("c3")))).toDF("doc_id", "c0", "c1", "c2", "c3", "band", "sig")
