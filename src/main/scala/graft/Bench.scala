@@ -91,12 +91,19 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }
+    // 3-decimal timings (ms resolution — plenty for second-scale medians):
+    // raw Doubles print 15+ significant digits, which at 77 queries pushes
+    // the single JSON line past the harness's 2000-char tail capture and
+    // truncates the front of the report. Locale.ROOT so the decimal
+    // separator is always '.' regardless of JVM default locale.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor_plan_sec":$floorPlan,"floor_scan_sec":$floorScan,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","floor_plan_sec":${fmt(floorPlan)},"floor_scan_sec":${fmt(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -28,8 +28,18 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHashes {
   private val hex = "0123456789abcdef".toCharArray
 
+  // MessageDigest.getInstance walks the JCA provider list and allocates on
+  // every call — this is the hottest loop in the dedup ladder (2 digests
+  // per shingle in minhash, 1 per token in simhash), so reuse one instance
+  // per thread. digest() leaves the instance reset for the next call.
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   private def md5Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val out = new Array[Char](32)
     var i = 0

@@ -49,11 +49,22 @@ object AsOf {
     * key/ts get a null match; right rows with nulls are dropped at
     * build, like any broadcast dim build. */
   def joinAsOfBroadcast(left: DataFrame, right: DataFrame,
-                        key: String, ts: String): DataFrame = {
+                        key: String, ts: String,
+                        maxRightRows: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.types.LongType
     for (df <- Seq(left, right); c <- Seq(key, ts))
       require(df.schema(c).dataType == LongType,
         s"joinAsOfBroadcast needs LONG $c, got ${df.schema(c).dataType}")
+    // fail fast BEFORE the collect: a fact-table right side would OOM the
+    // driver mid-collect, past the point where an error can be clean. The
+    // probe is limit(cap+1).count(), so it does O(cap) work no matter how
+    // large right is — the scan stops once cap+1 rows surface — instead
+    // of a full count of a table we are about to refuse anyway.
+    require(maxRightRows > 0 && maxRightRows < Int.MaxValue,
+      s"maxRightRows must be in (0, ${Int.MaxValue}), got $maxRightRows")
+    require(right.limit(maxRightRows.toInt + 1).count() <= maxRightRows,
+      s"joinAsOfBroadcast right side exceeds maxRightRows=$maxRightRows " +
+        "rows; use joinAsOf (shuffle variant) for large right sides")
     val rSchema = right.schema
     val rk = rSchema.fieldIndex(key)
     val rt = rSchema.fieldIndex(ts)

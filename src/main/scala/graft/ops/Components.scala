@@ -26,42 +26,69 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (node, cluster_id) for every node in `edges` (columns `a`, `b`);
-    * cluster_id = the minimum node id reachable from the node. */
+    * cluster_id = the minimum node id reachable from the node.
+    *
+    * Resource contract: returns with NO blocks left in the cache. Each
+    * round's intermediate is persisted only until the next round
+    * materializes, and the final labeling is checkpointed (lineage
+    * truncated) before the last cache is dropped — unpersisting alone
+    * would leave the caller a plan that re-runs every round, with each
+    * round referencing its input twice (exponential recompute). Uses the
+    * session checkpoint dir; if none is configured, a local temp dir is
+    * set (single-JVM convenience — on a real cluster set
+    * `sc.setCheckpointDir` to shared storage first). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    // one propagation hop: each node adopts the min label in its closed
+    // neighborhood. Plain one-hop propagation: rounds = cluster
+    // diameter. The pointer-jumping shortcut (adopt the label OF the
+    // label, O(log d) rounds) was measured SLOWER here — its extra
+    // per-round self-join shuffle outweighs the saved rounds for the
+    // small-diameter clusters near-dup pipelines produce; reach for it
+    // only if cluster diameters grow past ~tens.
+    def hop(cur: DataFrame): DataFrame = {
+      val nbrMin = sym.toDF("src", "dst")
+        .join(cur.select(col("node"), col("label")),
+          col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_label"))
+      cur.join(nbrMin, col("node") === col("src"), "left")
+        .select(
+          cur.columns.filter(_ != "label").map(col).toIndexedSeq :+
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label"): _*)
+    }
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var changed = 1L
-    var i = 0
+    var rounds = 0
     var prev: DataFrame = null
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = sym.toDF("src", "dst")
-        .join(labels, col("dst") === col("node"))
-        .groupBy(col("src"))
-        .agg(min(col("label")).as("nbr_label"))
-      // plain one-hop propagation: rounds = cluster diameter. The
-      // pointer-jumping shortcut (adopt the label OF the label, O(log d)
-      // rounds) was measured SLOWER here — its extra per-round self-join
-      // shuffle outweighs the saved rounds for the small-diameter
-      // clusters near-dup pipelines produce; reach for it only if
-      // cluster diameters grow past ~tens.
-      val next = labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("next_label"))
-      // one action per round: count the not-yet-converged rows; persist
-      // so the count and the next round's input share the computation,
-      // and drop the previous round's cache once this one materialized
+    while (changed > 0 && rounds < maxIter) {
+      // TWO hops per action: labels only ever decrease, so "no change
+      // across a double-hop" implies neither hop changed anything — the
+      // convergence check stays exact while the count actions (and
+      // persist materializations) halve. `label0` carries the
+      // pre-double-hop label through both hops for the changed filter.
+      val next = hop(hop(labels.withColumn("label0", col("label"))))
       val persisted = next.persist()
-      changed = persisted.filter(col("next_label") =!= col("label")).count()
+      changed = persisted.filter(col("label") =!= col("label0")).count()
       if (prev != null) prev.unpersist(blocking = false)
       prev = persisted
-      labels = persisted.select(col("node"), col("next_label").as("label"))
-      i += 1
+      labels = persisted.select(col("node"), col("label"))
+      rounds += 2
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("node"), col("label").as("cluster_id"))
+    // checkpoint (eager) cuts the plan free of the cached iteration
+    // chain, so the final unpersist leaves the session cache-clean
+    val out = labels.select(col("node"), col("label").as("cluster_id"))
+      .checkpoint(eager = true)
+    if (prev != null) prev.unpersist(blocking = false)
+    out
   }
 }

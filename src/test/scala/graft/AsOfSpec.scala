@@ -112,6 +112,21 @@ class AsOfSpec extends SparkSpec {
     assert(!viaBcast.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("broadcast as-of refuses a right side over the row cap, fast") {
+    val left = Seq((1L, 10L, 100L)).toDF("user_id", "ts", "event_id")
+    val right = spark.range(500).select(
+      col("id").as("user_id"), col("id").as("ts"))
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.joinAsOfBroadcast(left, right, "user_id", "ts",
+        maxRightRows = 100L)
+    }
+    assert(ex.getMessage.contains("maxRightRows"))
+    // at/under the cap still works
+    val small = right.limit(50)
+    assert(AsOf.joinAsOfBroadcast(left, small, "user_id", "ts",
+      maxRightRows = 100L).count() === 1)
+  }
+
   test("as-of join plans no cartesian/range explosion and <= 2 shuffles") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter(col("event_type") === "purchase")

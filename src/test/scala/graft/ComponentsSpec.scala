@@ -20,6 +20,18 @@ class ComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("leaves no cached blocks behind (resource contract)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Components.connectedComponents(edges)
+    // materialize the RESULT after return — the caller's normal use —
+    // and check the iteration's per-round persists are all gone
+    assert(out.count() === 5)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"connectedComponents leaked cached RDDs: ${after -- before}")
+  }
+
   test("property: equals an in-memory union-find on random graphs") {
     import org.scalacheck.{Gen, Prop}
     val edgeGen = Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))
