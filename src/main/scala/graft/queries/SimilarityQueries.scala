@@ -80,17 +80,17 @@ object SimilarityQueries {
     * oracle analog of [[Vectors.dotExact]] (see its scaladoc for why
     * scaled-long summation makes both engines bit-identical). */
   private def dotsSql(src: String, aCol: String, bCol: String,
-                      keys: String): String =
-    s"""prod AS (
+                      keys: String, prefix: String = ""): String =
+    s"""${prefix}prod AS (
        |  SELECT $keys,
        |    CAST(unnest($aCol) AS DOUBLE) AS x, CAST(unnest($bCol) AS DOUBLE) AS y
        |  FROM $src
-       |), dots AS (
+       |), ${prefix}dots AS (
        |  SELECT $keys,
        |    CAST(SUM(CAST(round(x*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxy,
        |    CAST(SUM(CAST(round(x*x*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxx,
        |    CAST(SUM(CAST(round(y*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dyy
-       |  FROM prod GROUP BY $keys
+       |  FROM ${prefix}prod GROUP BY $keys
        |)""".stripMargin
 
   /** Buckets CTE shared by the LSH oracles (mirrors [[Vectors.lshBucket]]:
@@ -116,6 +116,16 @@ object SimilarityQueries {
 
   private val numPlanes = 6
   private val embDims = 64
+  /** Near-dup banding for q_embed_dup: 4 bands × 16 planes, the same
+    * band/bucket geometry as the SimHash path — each band keys on a
+    * 16-bit signature (~65k buckets per band), so within-bucket candidate
+    * pair counts shrink as (corpus/65k)² per band instead of the old
+    * single-band (corpus/64)². A cos≥0.99 pair agrees with a random
+    * hyperplane w.p. ≈ 1−θ/π ≈ 0.955, survives a 16-plane band w.p.
+    * 0.955¹⁶ ≈ 0.48, and is caught by ≥1 of 4 bands w.p. ≈ 0.93 —
+    * better recall than the old 6-plane single bucket (0.955⁶ ≈ 0.76). */
+  private val embBands = 4
+  private val embRowsPerBand = 16
 
   /** Retrieval query-set contract: the query side of every kNN/ANN query
     * is O(1) in corpus size — `vec_id % 100 = 0` picks the spread, and the
@@ -438,29 +448,76 @@ object SimilarityQueries {
       |FROM corpus GROUP BY 1""".stripMargin),
     "north star: exact dedup by content hash (ref :251 analog)")
 
-  /** q_embed_dup — embedding-cosine near-dup: LSH-bucketed candidate pairs
-    * (equi-join on bucket), exact cosine ≥ 0.99. */
+  /** Multi-band hyperplane signatures CTE (mirrors the engine's
+    * per-band [[Vectors.lshBucket]] over plane slices): global plane p ∈
+    * [0, bands·rows), band = p / rows, bit within band = p % rows; the
+    * fixed-point-exact sign makes both engines agree bit-for-bit. */
+  private def bandsSql(src: String): String = {
+    val nPlanes = embBands * embRowsPerBand
+    s"""elems AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         unnest(generate_series(0, len(embedding)-1)) AS i
+       |  FROM $src
+       |), planes AS (
+       |  SELECT p, i,
+       |    CAST(('0x' || substr(md5(p || '_' || i), 1, 4))::BIGINT AS DOUBLE)/65536.0 - 0.5 AS w
+       |  FROM unnest(generate_series(0, ${nPlanes - 1})) AS a(p),
+       |       unnest(generate_series(0, ${embDims - 1})) AS b(i)
+       |), sgns AS (
+       |  SELECT e.vec_id, pl.p,
+       |    CASE WHEN SUM(CAST(round(e.x * pl.w * 1e15) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS sgn
+       |  FROM elems e JOIN planes pl ON e.i = pl.i
+       |  GROUP BY e.vec_id, pl.p
+       |), bands AS (
+       |  SELECT vec_id, p // $embRowsPerBand AS band,
+       |    CAST(SUM(CASE WHEN sgn = 1 THEN (CAST(1 AS BIGINT) << (p % $embRowsPerBand)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM sgns GROUP BY vec_id, p // $embRowsPerBand
+       |)""".stripMargin
+  }
+
+  /** q_embed_dup — embedding-cosine near-dup: multi-band hyperplane LSH
+    * (embBands × embRowsPerBand) candidate generation with the same
+    * [[Shingles.capBuckets]] skew guard as the MinHash/SimHash rungs,
+    * exact cosine ≥ 0.99 verification. Bucket count per band is 2^rows
+    * (~65k), so candidate pairs shrink quadratically with bucket count
+    * instead of the retired fixed-64-bucket layout where within-bucket
+    * pairs grew (corpus/64)². */
   val qEmbedDup = Q("q_embed_dup",
     (s, dir) => {
-      val planes = Vectors.planeWeights(numPlanes, embDims)
-      val vc = withNorm(vecCorpus(s, dir)
-        .withColumn("bucket", Vectors.lshBucket(
-          Vectors.toDoubleArr(col("embedding")), planes)))
-      val a = vc.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("dxx").as("na2"), col("bucket"))
-      val b = vc.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("dxx").as("nb2"), col("bucket"))
-      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      val planes = Vectors.planeWeights(embBands * embRowsPerBand, embDims)
+      val vc = withNorm(vecCorpus(s, dir))
+      // per-band R-bit signature: bit r of band b = sign of plane b·R+r
+      val sigs = (0 until embBands).map { b =>
+        Vectors.lshBucket(col("v"),
+          planes.slice(b * embRowsPerBand, (b + 1) * embRowsPerBand))
+      }
+      val banded = vc.select(col("vec_id"), col("v"), col("dxx"),
+        posexplode(array(sigs: _*))).toDF("vec_id", "v", "dxx", "band", "sig")
+      val capped = Shingles.capBuckets(banded, cap = maxBucket)
+      val a = capped.toDF("id_a", "va", "na2", "band", "sig")
+      val b = capped.toDF("id_b", "vb", "nb2", "band", "sig")
+      // vectors + norms ride along on the band rows, so a candidate pair
+      // arrives at the verify step carrying everything it needs — the
+      // only post-join shuffle is the pair dedup (a pair can meet in
+      // several bands), on ids + a bounded vector payload
+      a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "na2", "nb2")
+        .dropDuplicates("id_a", "id_b")
         .withColumn("cos", Vectors.cosineFromParts(
           Vectors.dotExact(col("va"), col("vb")), col("na2"), col("nb2")))
         .filter(col("cos") >= 0.99)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
     },
-    Some("WITH " + vcorpusSql + ",\n" + bucketsSql("vcorpus") + """,
-      |cand AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM buckets a JOIN buckets b
-      |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    Some("WITH " + vcorpusSql + ",\n" + bandsSql("vcorpus") + s""",
+      |bsz AS (SELECT band, sig, count(*) AS n FROM bands GROUP BY 1, 2),
+      |bands_c AS (
+      |  SELECT b.vec_id, b.band, b.sig FROM bands b
+      |  JOIN bsz ON bsz.band = b.band AND bsz.sig = b.sig
+      |  WHERE bsz.n <= $maxBucket
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM bands_c a JOIN bands_c b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
       |), pairs AS (
       |  SELECT c.id_a, c.id_b, va.embedding AS av, vb.embedding AS bv
       |  FROM cand c JOIN vcorpus va ON va.vec_id = c.id_a
@@ -469,7 +526,7 @@ object SimilarityQueries {
       dotsSql("pairs", "av", "bv", "id_a, id_b") + """
       |SELECT id_a, id_b, round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS cosine
       |FROM dots WHERE dxy/(sqrt(dxx)*sqrt(dyy)) >= 0.99""".stripMargin),
-    "north star: embedding-cosine near-dup, LSH-bucketed")
+    "north star: embedding-cosine near-dup, multi-band LSH (4 bands × 16 planes)")
 
   /** q_simhash — 16-bit SimHash fingerprint per document (one shuffle:
     * groupBy doc with 16 conditional sums over token hashes). */
@@ -753,7 +810,107 @@ object SimilarityQueries {
     "north star: IVF ANN (trained k-means codebook, nprobe=" +
       ivfNprobe + "; ref real-index bar commercial_rfp_indexer.py:96-111)")
 
+  /** Prefixed exact-rerank top-k CTE over `${prefix}dots`. */
+  private def topSql(prefix: String, k: Int): String =
+    s"""${prefix}top AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+       |    FROM ${prefix}dots) t
+       |  WHERE rk <= $k
+       |)""".stripMargin
+
+  private def recallSelect(method: String, prefix: String): String =
+    s"""SELECT '$method' AS method,
+       |  round(CAST(count(a.nbr_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM xtop x LEFT JOIN ${prefix}top a
+       |  ON a.query_id = x.query_id AND a.nbr_id = x.nbr_id""".stripMargin
+
+  /** q_ann_recall — the ANN quality metric the index ladder is judged by:
+    * recall@3 = |ANN top-3 ∩ exact top-3| / 3, averaged over the capped
+    * query set, one row per method (lsh / mp / ivf). Every exact top-3
+    * set has exactly 3 rows, so the average over queries equals
+    * hits / (3·|queries|) — computed as one integer-count division to
+    * dodge double-summation order. The reference's HNSW index buys its
+    * recall with efSearch=500 (commercial_rfp_indexer.py:96-111); this
+    * query makes the Spark-native ladder's equivalent trade measurable. */
+  val qAnnRecall = Q("q_ann_recall",
+    (s, dir) => {
+      val base = withNorm(Tables.embeddings(s, dir))
+      val qs = base.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("dxx").as("qxx"))
+      val exactPairs = base.withColumnRenamed("vec_id", "nbr_id")
+        .crossJoin(broadcast(qs))
+        .filter(col("nbr_id") =!= col("query_id"))
+      val exact = topK(exactPairs, 3, Seq("query_id", "nbr_id"))
+      def recallOf(method: String, ann: DataFrame): DataFrame =
+        exact.join(ann.select(col("query_id").as("aq"), col("nbr_id").as("an")),
+            col("query_id") === col("aq") && col("nbr_id") === col("an"),
+            "left")
+          .agg(round(sum(when(col("an").isNotNull, 1).otherwise(0))
+              .cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
+          .select(lit(method).as("method"), col("recall"))
+      recallOf("lsh", qAnnLsh.fn(s, dir))
+        .unionAll(recallOf("mp", qAnnMp.fn(s, dir)))
+        .unionAll(recallOf("ivf", qAnnIvf.fn(s, dir)))
+    },
+    Some("WITH " + bucketsSql("embeddings") + ",\n" +
+      KMeans.trainSql("embeddings", ivfCells, ivfIters) + s""",
+      |assignf AS (
+      |${ivfAssignSql(1, "")}
+      |), probe AS (
+      |${ivfAssignSql(ivfNprobe, s"\n    WHERE ${queryPredSql("e.")}")}
+      |), xpairs AS (
+      |  SELECT e.vec_id AS nbr_id, q.vec_id AS query_id,
+      |         e.embedding AS nv, q.embedding AS qv
+      |  FROM embeddings e CROSS JOIN
+      |       (SELECT vec_id, embedding FROM embeddings WHERE ${queryPredSql()}) q
+      |  WHERE e.vec_id <> q.vec_id
+      |), """.stripMargin +
+      dotsSql("xpairs", "nv", "qv", "query_id, nbr_id", "x") + ",\n" +
+      topSql("x", 3) + s""",
+      |lq AS (
+      |  SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qv
+      |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+      |  WHERE ${queryPredSql("b.")}
+      |), lcand AS (
+      |  SELECT q.query_id, q.qv, b.vec_id AS nbr_id, e.embedding AS nv
+      |  FROM lq q JOIN buckets b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+      |       JOIN embeddings e ON e.vec_id = b.vec_id
+      |), """.stripMargin +
+      dotsSql("lcand", "nv", "qv", "query_id, nbr_id", "l") + ",\n" +
+      topSql("l", 3) + s""",
+      |mq AS (
+      |  SELECT b.vec_id AS query_id, xor(b.bucket, m.mask) AS qbucket,
+      |         e.embedding AS qv
+      |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id,
+      |       (SELECT unnest([0,1,2,4,8,16,32]) AS mask) m
+      |  WHERE ${queryPredSql("b.")}
+      |), mcand AS (
+      |  SELECT q.query_id, q.qv, b.vec_id AS nbr_id, e.embedding AS nv
+      |  FROM mq q JOIN buckets b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+      |       JOIN embeddings e ON e.vec_id = b.vec_id
+      |), """.stripMargin +
+      dotsSql("mcand", "nv", "qv", "query_id, nbr_id", "m") + ",\n" +
+      topSql("m", 3) + """,
+      |iq AS (
+      |  SELECT p.vec_id AS query_id, p.cell, e.embedding AS qv
+      |  FROM probe p JOIN embeddings e ON e.vec_id = p.vec_id
+      |), icand AS (
+      |  SELECT q.query_id, q.qv, a.vec_id AS nbr_id, e.embedding AS nv
+      |  FROM iq q JOIN assignf a ON a.cell = q.cell AND a.vec_id <> q.query_id
+      |       JOIN embeddings e ON e.vec_id = a.vec_id
+      |), """.stripMargin +
+      dotsSql("icand", "nv", "qv", "query_id, nbr_id", "i") + ",\n" +
+      topSql("i", 3) + "\n" +
+      recallSelect("lsh", "l") + "\nUNION ALL\n" +
+      recallSelect("mp", "m") + "\nUNION ALL\n" +
+      recallSelect("ivf", "i")),
+    "north star: ANN recall@3 vs exact kNN (ref recall intent: efSearch=500, commercial_rfp_indexer.py:96-111)")
+
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qNearDup,
     qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup, qDupClusters,
-    qChunkIndex, qCentroids, qAnnIvf)
+    qChunkIndex, qCentroids, qAnnIvf, qAnnRecall)
 }

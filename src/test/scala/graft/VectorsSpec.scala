@@ -67,4 +67,35 @@ class VectorsSpec extends SparkSpec {
     assert(ba === bb) // hyperplane signs are scale-invariant
     assert(ba >= 0 && ba < 64)
   }
+
+  test("multi-band LSH: bucket populations stay bounded, buckets scale") {
+    // the q_embed_dup banding contract: 4 bands × 16 planes give ~65k
+    // buckets per band, so no bucket collects more than a sliver of the
+    // corpus — the property that kills the quadratic within-bucket pair
+    // blowup of a fixed-small-bucket-count layout
+    val bands = 4; val rows = 16
+    val planes = Vectors.planeWeights(bands * rows, 64)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val n = e.count()
+    val sigs = (0 until bands).map { b =>
+      Vectors.lshBucket(col("v"), planes.slice(b * rows, (b + 1) * rows))
+    }
+    val banded = e.select(col("vec_id"), posexplode(array(sigs: _*)))
+      .toDF("vec_id", "band", "sig")
+    val pops = banded.groupBy("band", "sig").count()
+      .agg(max(col("count")).as("maxPop"), count(lit(1)).as("nBuckets"))
+      .as[(Long, Long)].head()
+    val (maxPop, nBuckets) = pops
+    // every band row lands somewhere; sig fits its 16 bits
+    assert(banded.count() === n * bands)
+    assert(banded.filter(col("sig") < 0 || col("sig") >= (1 << rows)).isEmpty)
+    // population bound: no band bucket holds more than a handful (the
+    // sf0.01 measurement is max 2 of 500; give slack for corpus quirks)
+    assert(maxPop <= 8, s"band bucket too popular: $maxPop of $n")
+    // bucket count grows with the corpus (near-unique sigs), far past the
+    // retired 64-bucket ceiling
+    assert(nBuckets >= bands * n / 2, s"only $nBuckets buckets for $n vecs")
+  }
 }
