@@ -91,4 +91,98 @@ object Components {
     if (prev != null) prev.unpersist(blocking = false)
     out
   }
+
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the same (node, cluster_id) API and resource contract as
+    * [[connectedComponents]], converging in O(log n) rounds regardless
+    * of component DIAMETER. Use it when clusters can be long chains
+    * (similarity graphs stitched through transitive near-dups); for the
+    * small-diameter clusters capBuckets-guarded dedup produces, the
+    * plain fixpoint needs fewer shuffles per round and wins.
+    *
+    * Each round rewrites the EDGE set (no label table):
+    *  - large-star(u): every neighbor v > u re-links to
+    *    m(u) = min(N(u) ∪ {u}) — per-edge emit, one min-groupBy + one
+    *    equi-join, both on the node key; no neighborhood is ever
+    *    collected into one row, so high-degree hubs spread across
+    *    partitions instead of building a driver- or row-sized list.
+    *  - small-star(u): every neighbor v ≤ u (and u itself) re-links
+    *    to m(u).
+    * At the joint fixpoint the edges form a star forest rooted at each
+    * component's min id. Convergence is detected by an exact-count +
+    * xxhash64-xor signature of the canonicalized edge set (one action
+    * per round; a hash collision would need 2⁻⁶⁴ bad luck AND an
+    * identical edge count).
+    *
+    * Each round CHECKPOINTS rather than caches: a round's plan
+    * references its input ~16× (two sym() fan-outs and two
+    * neighborhood-min joins), so carrying lineage across rounds grows
+    * the logical plan 16^rounds — persist alone keeps execution linear
+    * but still overflows the planner's tree walks after a handful of
+    * rounds. Truncating per round keeps the plan O(1) and, as a
+    * side-effect, the loop holds zero cache blocks at any point. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+
+    // per-node min over the closed neighborhood, m(u) = min(N(u) ∪ {u})
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.join(mins(s), "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val withM = s.join(mins(s), "a")
+      val relinked = withM.filter(col("b") <= col("a"))
+        .select(col("b").as("n"), col("m"))
+        .unionAll(withM.select(col("a").as("n"), col("m")))
+      relinked.filter(col("n") =!= col("m"))
+        .select(col("n").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val row = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    val nodes = sym(edges.select(col("a"), col("b")))
+      .select(col("a").as("node")).distinct()
+    var cur = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().checkpoint(eager = true)
+    var sig = signature(cur)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(cur)).checkpoint(eager = true)
+      val nextSig = signature(next)
+      cur = next
+      converged = nextSig == sig
+      sig = nextSig
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star forest: non-roots appear as `a` pointing at the component
+    // min; roots (and self-loop-only singletons) label themselves
+    nodes
+      .join(cur.select(col("a").as("node"), col("b").as("cluster_id")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+  }
 }

@@ -32,6 +32,50 @@ class ComponentsSpec extends SparkSpec {
       s"connectedComponents leaked cached RDDs: ${after -- before}")
   }
 
+  test("star variant: chains, triangles, pairs, self-loop singleton") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain -> cluster 1
+      (10L, 11L), (11L, 12L), (12L, 10L), // triangle -> cluster 10
+      (20L, 21L),                     // pair -> cluster 20
+      (30L, 30L)                      // self-loop-only singleton -> 30
+    ).toDF("a", "b")
+    val got = Components.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L))
+  }
+
+  test("star variant handles a long path (deep diameter) and is clean") {
+    // a 40-node path is the shape the fixpoint propagates slowest on
+    // and the star algorithm exists for; also re-assert the resource
+    // contract on this variant
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 39L).map(_ -> 0L).toMap)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"connectedComponentsStar leaked cached RDDs: ${after -- before}")
+  }
+
+  test("property: star variant equals the fixpoint on random graphs") {
+    import org.scalacheck.{Gen, Prop}
+    val edgeGen = Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))
+    checkProp(Prop.forAll(Gen.listOfN(12, edgeGen)) { raw =>
+      val edges0 = raw.filter { case (a, b) => a != b }
+      edges0.isEmpty || {
+        val df = edges0.toDF("a", "b")
+        val fix = Components.connectedComponents(df)
+          .as[(Long, Long)].collect().toMap
+        val star = Components.connectedComponentsStar(df)
+          .as[(Long, Long)].collect().toMap
+        fix == star
+      }
+    }, minTests = 8)
+  }
+
   test("property: equals an in-memory union-find on random graphs") {
     import org.scalacheck.{Gen, Prop}
     val edgeGen = Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))
