@@ -81,4 +81,16 @@ object Vectors {
       when(dotScaled(vec, typedLit(plane.toSeq)) > 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** All multi-band LSH signatures in one fused pass (array<long>, one
+    * element per band): semantically `bands.map(b => lshBucket(vec,
+    * planes.slice(b*r, (b+1)*r)))` — VectorsSpec pins the equality — but
+    * one codegen'd expression instead of planes.length separate dot
+    * calls (see [[graft.expressions.HyperplaneBandSigs]] for the
+    * measured 100× gap). */
+  def lshBandSigs(vec: Column, planes: Array[Array[Double]],
+                  rowsPerBand: Int): Column =
+    GraftSqlBridge.column(graft.expressions.HyperplaneBandSigs(
+      GraftSqlBridge.expression(vec.cast("array<double>")),
+      planes, rowsPerBand))
 }

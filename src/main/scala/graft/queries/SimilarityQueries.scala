@@ -486,23 +486,29 @@ object SimilarityQueries {
     (s, dir) => {
       val planes = Vectors.planeWeights(embBands * embRowsPerBand, embDims)
       val vc = withNorm(vecCorpus(s, dir))
-      // per-band R-bit signature: bit r of band b = sign of plane b·R+r
-      val sigs = (0 until embBands).map { b =>
-        Vectors.lshBucket(col("v"),
-          planes.slice(b * embRowsPerBand, (b + 1) * embRowsPerBand))
-      }
-      val banded = vc.select(col("vec_id"), col("v"), col("dxx"),
-        posexplode(array(sigs: _*))).toDF("vec_id", "v", "dxx", "band", "sig")
+      // per-band R-bit signature: bit r of band b = sign of plane b·R+r,
+      // all 64 signs in ONE fused codegen'd pass (HyperplaneBandSigs —
+      // 64 composed lshBucket dots pay per-expression overhead that
+      // measured ~100× slower). Candidate generation then runs on a
+      // NARROW (vec_id, band, sig) frame — unlike the SimHash path's
+      // 4-long fingerprints, a 64-double vector is too wide to ride the
+      // capBuckets window sort and band join ×4 bands; the few surviving
+      // pairs rejoin the vector frame for the exact-cosine verify, which
+      // at scale is two more equi-joins on already-shuffled keys.
+      val banded = vc.select(col("vec_id"),
+          posexplode(Vectors.lshBandSigs(col("v"), planes, embRowsPerBand)))
+        .toDF("vec_id", "band", "sig")
       val capped = Shingles.capBuckets(banded, cap = maxBucket)
-      val a = capped.toDF("id_a", "va", "na2", "band", "sig")
-      val b = capped.toDF("id_b", "vb", "nb2", "band", "sig")
-      // vectors + norms ride along on the band rows, so a candidate pair
-      // arrives at the verify step carrying everything it needs — the
-      // only post-join shuffle is the pair dedup (a pair can meet in
-      // several bands), on ids + a bounded vector payload
-      a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "va", "vb", "na2", "nb2")
-        .dropDuplicates("id_a", "id_b")
+      val cand = capped.select(col("vec_id").as("id_a"), col("band"), col("sig"))
+        .join(capped.select(col("vec_id").as("id_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val va = vc.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("dxx").as("na2"))
+      val vb = vc.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("dxx").as("nb2"))
+      cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cos", Vectors.cosineFromParts(
           Vectors.dotExact(col("va"), col("vb")), col("na2"), col("nb2")))
         .filter(col("cos") >= 0.99)

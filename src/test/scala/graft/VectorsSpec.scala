@@ -79,10 +79,15 @@ class VectorsSpec extends SparkSpec {
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
     val n = e.count()
-    val sigs = (0 until bands).map { b =>
+    // fused expression == per-band lshBucket composition, bit for bit
+    val composed = (0 until bands).map { b =>
       Vectors.lshBucket(col("v"), planes.slice(b * rows, (b + 1) * rows))
     }
-    val banded = e.select(col("vec_id"), posexplode(array(sigs: _*)))
+    val fused = Vectors.lshBandSigs(col("v"), planes, rows)
+    assert(e.select(col("vec_id"),
+        array(composed: _*).as("c"), fused.as("f"))
+      .filter(col("c") =!= col("f")).isEmpty)
+    val banded = e.select(col("vec_id"), posexplode(fused))
       .toDF("vec_id", "band", "sig")
     val pops = banded.groupBy("band", "sig").count()
       .agg(max(col("count")).as("maxPop"), count(lit(1)).as("nBuckets"))
