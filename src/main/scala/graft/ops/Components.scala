@@ -69,18 +69,19 @@ object Components {
     var rounds = 0
     var prev: DataFrame = null
     while (changed > 0 && rounds < maxIter) {
-      // TWO hops per action: labels only ever decrease, so "no change
-      // across a double-hop" implies neither hop changed anything — the
-      // convergence check stays exact while the count actions (and
-      // persist materializations) halve. `label0` carries the
-      // pre-double-hop label through both hops for the changed filter.
-      val next = hop(hop(labels.withColumn("label0", col("label"))))
+      // one hop per action; `label0` carries the pre-hop label for the
+      // changed filter. (A double-hop-per-action variant — exact because
+      // labels only decrease — halves the count actions but serializes
+      // two joins into every job; measured 4.6 s vs 2.8 s on
+      // q_dup_clusters at sf0.1, so the extra action is the cheaper
+      // side of the trade here.)
+      val next = hop(labels.withColumn("label0", col("label")))
       val persisted = next.persist()
       changed = persisted.filter(col("label") =!= col("label0")).count()
       if (prev != null) prev.unpersist(blocking = false)
       prev = persisted
       labels = persisted.select(col("node"), col("label"))
-      rounds += 2
+      rounds += 1
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")
