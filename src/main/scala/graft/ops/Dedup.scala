@@ -138,4 +138,32 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn", "__salt")
   }
+
+  /** Incremental (delta) dedup, exact: rows of `batch` whose `keyCol` is
+    * NOT present in `corpus` — the snapshot-over-snapshot ingestion
+    * pattern (dedupe today's crawl against everything already kept).
+    * One anti-join shuffle on the hash key; the corpus side reduces to
+    * distinct keys first so the join never moves corpus payloads. */
+  def deltaDedup(batch: DataFrame, corpus: DataFrame,
+                 keyCol: String): DataFrame =
+    batch.join(corpus.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+
+  /** Bloom-filter scale path for [[deltaDedup]]: build a bloom filter
+    * over the corpus keys (distributed aggregation, merged driver-side —
+    * `bits/8` bytes on the driver, NOT the corpus) and keep only batch
+    * rows the filter cannot contain. False positives drop at most
+    * `fpp`·|batch| genuinely-new rows (never admits a duplicate);
+    * DedupSpec pins result ⊆ exact and bounds the loss. At 100 TB this
+    * replaces re-shuffling the full corpus per ingested batch with one
+    * corpus scan + a broadcast-sized filter — the standard trade when
+    * the corpus dwarfs every batch and `fpp`-rare over-dropping of new
+    * content is acceptable. */
+  def deltaDedupBloom(batch: DataFrame, corpus: DataFrame, keyCol: String,
+                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems>0 and fpp in (0,1), got $expectedItems / $fpp")
+    val bloom = corpus.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val mightContain = udf((k: String) => k != null && bloom.mightContain(k))
+    batch.filter(!mightContain(col(keyCol)))
+  }
 }

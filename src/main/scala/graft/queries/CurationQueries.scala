@@ -134,5 +134,36 @@ object CurationQueries {
       |) WHERE NOT del""".stripMargin),
     "north star: incremental merge (vs ref full-overwrite publish, citation_upload :47-113)")
 
-  def all: Seq[Q] = Seq(qRedact, qPack, qSample, qUpsert)
+  /** q_delta_dedup — incremental (snapshot-over-snapshot) dedup: docs
+    * with doc_id%5=4 play today's batch, the rest the retained corpus;
+    * a batch doc survives iff its normalized content hash is unseen in
+    * the corpus, first-wins within the batch. One anti-join shuffle on
+    * the hash ([[graft.ops.Dedup.deltaDedup]]); the corpus side moves
+    * only distinct hashes. [[graft.ops.Dedup.deltaDedupBloom]] is the
+    * 100 TB variant (corpus → driver-merged bloom filter, no corpus
+    * shuffle per batch) — approximate, so spec-validated against this
+    * exact query (DedupSpec) rather than oracle-checked. */
+  val qDeltaDedup = Q("q_delta_dedup",
+    (s, dir) => {
+      val h = Tables.documents(s, dir).select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("content_md5"))
+      val batch = h.filter(col("doc_id") % 5 === 4)
+      val corpus = h.filter(col("doc_id") % 5 =!= 4)
+      graft.ops.Dedup.deltaDedup(batch, corpus, "content_md5")
+        .groupBy("content_md5").agg(min(col("doc_id")).as("keep_id"))
+    },
+    Some("""WITH h AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5
+      |  FROM documents
+      |)
+      |SELECT content_md5, min(doc_id) AS keep_id
+      |FROM h
+      |WHERE doc_id % 5 = 4
+      |  AND content_md5 NOT IN (SELECT content_md5 FROM h WHERE doc_id % 5 <> 4)
+      |GROUP BY 1""".stripMargin),
+    "north star: incremental corpus dedup (batch anti-join vs retained hashes)")
+
+  def all: Seq[Q] = Seq(qRedact, qPack, qSample, qUpsert, qDeltaDedup)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import graft.ops.Dedup
 
 /** Dedup family (SURVEY §2.4): deterministic tiebreaks, idempotence, and
@@ -113,5 +113,34 @@ class DedupSpec extends SparkSpec {
         Seq("date", "doc_id"), buckets = 3)
       plain.except(salted).isEmpty && salted.except(plain).isEmpty
     }, minTests = 10)
+  }
+
+  test("deltaDedup drops exactly the batch keys present in the corpus") {
+    val batch = Seq(("a", 1L), ("b", 2L), ("b", 3L), ("c", 4L))
+      .toDF("k", "id")
+    val corpus = Seq(("b", 90L), ("d", 91L)).toDF("k", "id")
+    val got = Dedup.deltaDedup(batch, corpus, "k")
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 1L), ("c", 4L)))
+  }
+
+  test("deltaDedupBloom never admits a duplicate, rarely drops new keys") {
+    // 500 corpus keys, batch = 200 seen + 200 unseen. The bloom path
+    // must be a SUBSET of the exact anti-join result (no duplicate ever
+    // sneaks through — bloom has no false negatives), and at fpp=0.01
+    // the expected false-positive loss on 200 new keys is ~2; assert a
+    // generous ceiling so the test is deterministic-in-practice.
+    val corpus = spark.range(500).select(concat(lit("k"), col("id")).as("k"))
+    val batch = spark.range(300, 700)
+      .select(concat(lit("k"), col("id")).as("k"))
+    val exact = Dedup.deltaDedup(batch, corpus, "k")
+      .as[String].collect().toSet
+    val bloom = Dedup.deltaDedupBloom(batch, corpus, "k",
+        expectedItems = 500, fpp = 0.01)
+      .as[String].collect().toSet
+    assert(bloom.subsetOf(exact), "bloom admitted a known duplicate")
+    assert(exact.size === 200)
+    assert((exact -- bloom).size <= 20,
+      s"bloom over-dropped ${(exact -- bloom).size} of ${exact.size} new keys")
   }
 }
