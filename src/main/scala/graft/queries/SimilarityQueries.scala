@@ -696,6 +696,58 @@ object SimilarityQueries {
       |GROUP BY n.node""".stripMargin),
     "north star: duplicate-cluster formation (connected components over pairs)")
 
+  /** q_dup_keep — the dedup ladder's END STATE: per duplicate cluster,
+    * the retention decision. Composes [[qDupClusters]]' components with
+    * each node's length (synthetic +2e6 copies map to their base doc via
+    * `node % 2e6`) and keeps the longest text, min-node tiebreak — every
+    * other member is marked drop. One extra equi-join + one window over
+    * cluster rows on top of the components cost. */
+  val qDupKeep = Q("q_dup_keep",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      val edges = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 2000000).as("b"))
+        .unionAll(d.filter(col("doc_id") % 20 < 3)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b")))
+      val comp = graft.ops.Components.connectedComponents(edges)
+        .toDF("doc_id", "cluster_id")
+      val chars = Tables.documents(s, dir)
+        .select(col("doc_id").as("base_id"),
+          col("n_chars").cast("long").as("n_chars"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      comp.join(chars, col("doc_id") % 2000000 === col("base_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("rk") === 1, lit("keep")).otherwise(lit("drop"))
+            .as("action"))
+    },
+    Some("""WITH RECURSIVE edges0 AS (
+      |  SELECT doc_id AS a, doc_id + 2000000 AS b FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 20 < 3
+      |), sym AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+      |), comp AS (
+      |  SELECT n.node AS doc_id, least(n.node, min(r.b)) AS cluster_id
+      |  FROM (SELECT DISTINCT a AS node FROM sym) n
+      |  JOIN reach r ON r.a = n.node
+      |  GROUP BY n.node
+      |), withlen AS (
+      |  SELECT c.doc_id, c.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars
+      |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id % 2000000
+      |)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id) = 1
+      |    THEN 'keep' ELSE 'drop' END AS action
+      |FROM withlen""".stripMargin),
+    "north star: duplicate-cluster retention decision (keep longest, drop rest)")
+
   /** q_chunk_index — the search-index chunk-table projection (FIXTURES
     * A5 / ref commercial_rfp_indexer.py:87-94): chunk rows keyed
     * chunk_id with parent_id and title, joined to the parent's embedding
@@ -918,5 +970,5 @@ object SimilarityQueries {
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qNearDup,
     qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup, qDupClusters,
-    qChunkIndex, qCentroids, qAnnIvf, qAnnRecall)
+    qDupKeep, qChunkIndex, qCentroids, qAnnIvf, qAnnRecall)
 }
