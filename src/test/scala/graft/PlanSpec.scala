@@ -90,6 +90,21 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(p, "Exchange hashpartitioning") === 2)
   }
 
+  test("q_embed_dup: one fused signature pass, equi-joins only") {
+    val p = plan(SimilarityQueries.qEmbedDup)
+    // the 64 plane signs compile to ONE hyperplane_band_sigs call per
+    // corpus branch (base + perturbed), never per-plane expressions
+    assert(countOcc(p, "hyperplane_band_sigs") <= 2,
+      s"expected fused signatures, got ${countOcc(p, "hyperplane_band_sigs")} calls")
+    // candidate generation and the verify rejoins are all equi-joins
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_delta_dedup plans an anti-join on the hash key") {
+    val p = plan(graft.queries.CurationQueries.qDeltaDedup)
+    assert(p.contains("LeftAnti"), s"expected an anti-join:\n$p")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
