@@ -148,22 +148,41 @@ object Dedup {
                  keyCol: String): DataFrame =
     batch.join(corpus.select(keyCol).distinct(), Seq(keyCol), "left_anti")
 
-  /** Bloom-filter scale path for [[deltaDedup]]: build a bloom filter
-    * over the corpus keys (distributed aggregation, merged driver-side —
-    * `bits/8` bytes on the driver, NOT the corpus) and keep only batch
-    * rows the filter cannot contain. False positives drop at most
-    * `fpp`·|batch| genuinely-new rows (never admits a duplicate);
-    * DedupSpec pins result ⊆ exact and bounds the loss. At 100 TB this
-    * replaces re-shuffling the full corpus per ingested batch with one
-    * corpus scan + a broadcast-sized filter — the standard trade when
-    * the corpus dwarfs every batch and `fpp`-rare over-dropping of new
-    * content is acceptable. */
+  /** Bloom-filter scale path for [[deltaDedup]]: fold the corpus keys
+    * into a bloom filter (partial filters built per partition and OR-
+    * merged up the aggregation tree — only `bits/8` bytes ever reach the
+    * driver, never keys) and keep only batch rows the filter cannot
+    * contain. False positives drop at most `fpp`·|batch| genuinely-new
+    * rows (never admits a duplicate); DedupSpec pins result ⊆ exact and
+    * bounds the loss. At 100 TB this replaces re-shuffling the full
+    * corpus per ingested batch with one corpus scan + a filter literal —
+    * the standard trade when the corpus dwarfs every batch and fpp-rare
+    * over-dropping of new content is acceptable.
+    *
+    * Built on Spark's own runtime-filter kernels (`BloomFilterAggregate`
+    * / `BloomFilterMightContain` over xxhash64 of the key — the exact
+    * machinery injected by `spark.sql.optimizer.runtimeFilter.*`), so
+    * the probe side is a codegen'd long-hash check, not a UDF. Null keys
+    * hash to the seed like every Spark hash expression — a null batch
+    * key matches a null corpus key, which is the dedup-correct reading. */
   def deltaDedupBloom(batch: DataFrame, corpus: DataFrame, keyCol: String,
                       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.{GraftSqlBridge => B}
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedItems>0 and fpp in (0,1), got $expectedItems / $fpp")
-    val bloom = corpus.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val mightContain = udf((k: String) => k != null && bloom.mightContain(k))
-    batch.filter(!mightContain(col(keyCol)))
+    // optimal sizing: bits = -n·ln(p)/ln(2)², the standard bloom formula
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(
+      B.expression(xxhash64(col(keyCol))),
+      B.expression(lit(expectedItems)), B.expression(lit(numBits)))
+    val bytes = corpus
+      .select(B.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bytes == null) batch // empty corpus: nothing can be a duplicate
+    else batch.filter(!B.column(BloomFilterMightContain(
+      B.expression(lit(bytes)), B.expression(xxhash64(col(keyCol))))))
   }
 }
