@@ -68,6 +68,27 @@ class VectorsSpec extends SparkSpec {
     assert(ba >= 0 && ba < 64)
   }
 
+  test("HyperplaneBandSigs interpreted eval matches the codegen path") {
+    // the interpreted twin (nullSafeEval) runs under codegen fallback;
+    // a drift between the two would corrupt buckets silently
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val planes = Vectors.planeWeights(8, 4) // 2 bands × 4 planes
+    val vecs = Seq(
+      Seq(0.3, -0.2, 0.7, 0.1), Seq(-0.5, 0.5, 0.0, 1.0),
+      Seq(0.0, 0.0, 0.0, 0.0), Seq(1e-9, -1e-9, 1e-9, -1e-9))
+    val viaDf = vecs.toDF("v")
+      .select(Vectors.lshBandSigs(col("v"), planes, 4).as("s"))
+      .as[Seq[Long]].collect().toSeq
+    val viaEval = vecs.map { v =>
+      graft.expressions.HyperplaneBandSigs(
+          Literal.create(v, ArrayType(DoubleType)), planes, 4)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    }
+    assert(viaDf === viaEval)
+  }
+
   test("multi-band LSH: bucket populations stay bounded, buckets scale") {
     // the q_embed_dup banding contract: 4 bands × 16 planes give ~65k
     // buckets per band, so no bucket collects more than a sliver of the
