@@ -696,6 +696,24 @@ object SimilarityQueries {
       |GROUP BY n.node""".stripMargin),
     "north star: duplicate-cluster formation (connected components over pairs)")
 
+  /** q_dup_clusters_star — identical semantics to [[qDupClusters]]
+    * through the O(log n)-round large-star/small-star algorithm
+    * ([[graft.ops.Components.connectedComponentsStar]], the deep-graph
+    * scale path), hash-compared against the SAME recursive-CTE oracle —
+    * both implementations must land on the identical labeling. */
+  val qDupClustersStar = Q("q_dup_clusters_star",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      val edges = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 2000000).as("b"))
+        .unionAll(d.filter(col("doc_id") % 20 < 3)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b")))
+      graft.ops.Components.connectedComponentsStar(edges)
+        .toDF("doc_id", "cluster_id")
+    },
+    qDupClusters.oracle,
+    "north star: duplicate-cluster formation via star contraction (same oracle as q_dup_clusters)")
+
   /** q_dup_keep — the dedup ladder's END STATE: per duplicate cluster,
     * the retention decision. Composes [[qDupClusters]]' components with
     * each node's length (synthetic +2e6 copies map to their base doc via
@@ -970,5 +988,5 @@ object SimilarityQueries {
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qNearDup,
     qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup, qDupClusters,
-    qDupKeep, qChunkIndex, qCentroids, qAnnIvf, qAnnRecall)
+    qDupClustersStar, qDupKeep, qChunkIndex, qCentroids, qAnnIvf, qAnnRecall)
 }
