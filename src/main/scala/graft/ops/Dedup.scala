@@ -175,6 +175,12 @@ object Dedup {
     // optimal sizing: bits = -n·ln(p)/ln(2)², the standard bloom formula
     val numBits = math.max(64L,
       (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // the merged filter lands on the driver and ships back as a literal:
+    // cap it like AsOf caps its broadcast build (8 GiBit = 1 GiB). A
+    // bigger corpus wants a coarser fpp or the exact [[deltaDedup]].
+    require(numBits <= 8L * 1024 * 1024 * 1024,
+      s"bloom filter would need $numBits bits (> 1 GiB on the driver); " +
+        "raise fpp or use the exact deltaDedup anti-join")
     val agg = new BloomFilterAggregate(
       B.expression(xxhash64(col(keyCol))),
       B.expression(lit(expectedItems)), B.expression(lit(numBits)))
