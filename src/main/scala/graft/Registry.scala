@@ -23,7 +23,8 @@ object Registry {
       queries.MultimodalQueries.all ++
       queries.StreamQueries.all ++
       queries.CurationQueries.all ++
-      queries.AnalyticsQueries.all
+      queries.AnalyticsQueries.all ++
+      queries.RetrievalQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.{Shingles, Vectors}
+
+/** Keyword + hybrid retrieval — the Spark-native analog of the reference's
+  * Azure AI Search query surface. The service side of the reference runs
+  * BM25 full-text ranking plus vector ranking and fuses them with
+  * Reciprocal Rank Fusion for "hybrid" queries, with semantic ranking
+  * configured on top (commercial_rfp_indexer.py:138-146). The semantic
+  * reranker is an external ML model (out of scope, like V2 embedding
+  * generation); BM25 and RRF fusion are pure relational computation, so the
+  * engine implements them as first-class oracle-checked queries.
+  *
+  * Scale posture: BM25 is two token-level aggregations (tf per (doc,term),
+  * df per term) over a term-filtered token stream — the filter on the O(1)
+  * query-term set prunes before any shuffle, so cost is O(matching tokens),
+  * not O(corpus tokens). Document lengths are a pure projection (no
+  * tokenize-shuffle). Rankings are produced with orderBy+limit — Spark
+  * executes TakeOrderedAndProject (per-partition bounded heaps, no global
+  * sort) — and the rank window only ever runs over the ≤50-row limited
+  * result. RRF fusion joins two O(k) frames. Nothing here grows faster
+  * than the matching-token count at 100 TB.
+  *
+  * Float-determinism contract with the DuckDB oracles: per-(doc,term) BM25
+  * contributions are computed in double with an expression tree written
+  * identically on both sides (decimal literals `2.2`, `1.2`, `0.25`,
+  * `0.75` parse to the same doubles in both engines), then fixed-point
+  * scaled to longs (`round(x*1e9)`) and summed as integers — exact and
+  * order-independent, like [[Vectors.dotScaled]] — so per-doc scores are
+  * bit-identical regardless of aggregation order. Scores round to 6
+  * decimals before ranking; ties break on doc_id.
+  */
+object RetrievalQueries {
+
+  /** BM25 parameters (the standard Robertson defaults; Lucene — and hence
+    * Azure AI Search's BM25 similarity — uses the same k1/b). */
+  private val k1 = 1.2
+  private val b = 0.75
+
+  /** The fixed "user search query" terms. O(1) by contract — the query
+    * side of retrieval never scales with the corpus. */
+  private val queryTerms = Seq("vector", "join", "stream", "filter")
+  private val queryTermsSql = queryTerms.map("'" + _ + "'").mkString(", ")
+
+  /** Per-document BM25 score over `terms`, for any frame with
+    * (`idCol`, `textCol`). Exposed for RetrievalSpec's model check.
+    * Output: (idCol, score) — score rounded to 6 decimals. */
+  def bm25Scored(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String]): DataFrame = {
+    val dl = docs.select(col(idCol),
+      size(split(trim(lower(col(textCol))), "\\s+")).cast("long").as("dl"))
+    // corpus scalars as a broadcast single-row frame (no collect): avgdl
+    // is derived as sdl/n from an exact integer sum, not engine avg()
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).cast("double").as("sdl"))
+    val toks = Shingles.tokens(docs, idCol, textCol, lowered = true)
+      .filter(col("tok").isin(terms: _*))
+    val tf = toks.groupBy(idCol, "tok")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = toks.select(idCol, "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the BM25+ form, positive
+    // even for terms in every document (this corpus is near-saturated)
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(0.25) + lit(b) * col("dl").cast("double") /
+        (col("sdl") / col("n")))
+    val contrib = round(idf * col("tf") * lit(2.2) / denom * lit(1e9))
+      .cast("long")
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, idCol).crossJoin(broadcast(stats))
+      .withColumn("c", contrib)
+      .groupBy(idCol)
+      .agg(round(sum(col("c")).cast("double") / lit(1e9), 6).as("score"))
+  }
+
+  /** Shared oracle CTE chain ending in `scored(doc_id, score)` —
+    * line-for-line the formula in [[bm25Scored]]. */
+  private val bm25Sql =
+    s"""dl AS (
+       |  SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl FROM dl
+       |), toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       |  WHERE tok IN ($queryTermsSql) GROUP BY doc_id, tok
+       |), dfreq AS (
+       |  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+       |  WHERE tok IN ($queryTermsSql) GROUP BY tok
+       |), contrib AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2
+       |      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sdl / s.n))) * 1e9) AS BIGINT) AS c
+       |  FROM tf t JOIN dfreq d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
+       |), scored AS (
+       |  SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1e9, 6) AS score
+       |  FROM contrib GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Ranks the top `k` of `scored` by (score desc, id): orderBy+limit is
+    * TakeOrderedAndProject (scale-safe); the single-partition rank window
+    * only sees the ≤k surviving rows. */
+  private def rankTop(scored: DataFrame, idCol: String, k: Int,
+                      rkName: String): DataFrame =
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn(rkName, row_number().over(
+        Window.orderBy(col("score").desc, col(idCol))))
+
+  /** q_bm25 — keyword search: BM25 top-10 documents for the fixed query
+    * terms. */
+  val qBm25 = Q("q_bm25",
+    (s, dir) => rankTop(
+        bm25Scored(Tables.documents(s, dir), "doc_id", "text", queryTerms),
+        "doc_id", 10, "rk")
+      .select("rk", "doc_id", "score"),
+    Some("WITH " + bm25Sql + """
+      |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk, doc_id, score
+      |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t""".stripMargin),
+    "ref commercial_rfp_indexer.py:138-146 (search-service BM25 ranking, Spark-native)")
+
+  /** q_hybrid_rrf — hybrid retrieval: BM25 text ranking fused with exact
+    * cosine vector ranking by Reciprocal Rank Fusion, exactly the fusion
+    * Azure AI Search applies to hybrid queries: score = Σ 1/(60+rank) over
+    * the rankers that returned the document (missing ranker → 0). The
+    * vector query is vec_id 0's embedding (the query vector is external
+    * input in the reference; candidates exclude the query row itself), and
+    * doc_id = vec_id is the parent link q_chunk_index established. Each
+    * ranker contributes its top-50; the fused top-10 is returned. */
+  val qHybridRrf = Q("q_hybrid_rrf",
+    (s, dir) => {
+      val textTop = rankTop(
+        bm25Scored(Tables.documents(s, dir), "doc_id", "text", queryTerms),
+        "doc_id", 50, "text_rk").select("doc_id", "text_rk")
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Vectors.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("dxx", Vectors.dotExact(col("v"), col("v")))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("dxx").as("qxx"))
+      val vecScored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(Vectors.cosineFromParts(
+            Vectors.dotExact(col("v"), col("qv")), col("dxx"), col("qxx")),
+            6).as("score"))
+      val vecTop = rankTop(vecScored, "doc_id", 50, "vec_rk")
+        .select("doc_id", "vec_rk")
+      val fused = textTop.join(vecTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("text_rk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rk")), lit(0.0)), 6))
+      fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))))
+        .select("rk", "doc_id", "text_rk", "vec_rk", "rrf")
+    },
+    Some("WITH " + bm25Sql + """,
+      |text_top AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS text_rk
+      |  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 50) t
+      |), qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |pairs AS (
+      |  SELECT e.vec_id, e.embedding AS nv, q.qv
+      |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+      |), prod AS (
+      |  SELECT vec_id,
+      |    CAST(unnest(nv) AS DOUBLE) AS x, CAST(unnest(qv) AS DOUBLE) AS y
+      |  FROM pairs
+      |), dots AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CAST(round(x*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxy,
+      |    CAST(SUM(CAST(round(x*x*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxx,
+      |    CAST(SUM(CAST(round(y*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dyy
+      |  FROM prod GROUP BY vec_id
+      |), vec_top AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS vec_rk
+      |  FROM (SELECT vec_id AS doc_id, round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score
+      |        FROM dots ORDER BY score DESC, doc_id LIMIT 50) t
+      |), fused AS (
+      |  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.text_rk, v.vec_rk,
+      |    round(COALESCE(1.0/(60 + t.text_rk), 0.0)
+      |        + COALESCE(1.0/(60 + v.vec_rk), 0.0), 6) AS rrf
+      |  FROM text_top t FULL OUTER JOIN vec_top v ON v.doc_id = t.doc_id
+      |)
+      |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk,
+      |       doc_id, text_rk, vec_rk, rrf
+      |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10) t""".stripMargin),
+    "ref commercial_rfp_indexer.py:138-146 (hybrid text+vector retrieval, RRF fusion)")
+
+  def all: Seq[Q] = Seq(qBm25, qHybridRrf)
+}
