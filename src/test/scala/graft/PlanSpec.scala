@@ -105,6 +105,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected an anti-join:\n$p")
   }
 
+  test("retrieval family: heap-based top-k, term filter before any shuffle") {
+    import graft.queries.RetrievalQueries
+    val pb = plan(RetrievalQueries.qBm25)
+    // ranking is TakeOrderedAndProject (per-partition bounded heaps) —
+    // a global Sort here would single-reduce the corpus at 100 TB
+    assert(pb.contains("TakeOrderedAndProject"))
+    // the O(1) query-term set prunes the token stream right at the
+    // generate (before tf/df shuffles), so aggregation cost is
+    // O(matching tokens) not O(corpus tokens)
+    assert(pb.contains("tok#") && pb.contains(" IN (vector,join,stream,filter)")
+      || pb.contains("tok IN"), s"term filter not visible in plan:\n$pb")
+    val ph = plan(RetrievalQueries.qHybridRrf)
+    assert(ph.contains("TakeOrderedAndProject"))
+    // the vector ranker broadcasts the single query vector
+    assert(ph.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),

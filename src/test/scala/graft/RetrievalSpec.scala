@@ -56,6 +56,23 @@ class RetrievalSpec extends SparkSpec {
     assert(got(4L) < 8 * got(1L))
   }
 
+  test("property: bm25Scored equals the in-memory model on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val word = Gen.oneOf("spark", "join", "alpha", "beta", "gamma", "delta")
+    val doc = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    checkProp(Prop.forAll(corpus) { docs =>
+      val got = RetrievalQueries
+        .bm25Scored(docs.toDF("doc_id", "text"), "doc_id", "text", terms)
+        .as[(Long, Double)].collect().toMap
+      val want = modelBm25(docs).filter(_._2 != 0.0)
+      got.keySet == want.keySet &&
+        want.forall { case (id, s) => math.abs(got(id) - s) < 2e-6 }
+    }, minTests = 15)
+  }
+
   test("q_hybrid_rrf fuses ranks with 1/(60+r) and fills missing with 0") {
     val out = queries.RetrievalQueries.qHybridRrf
       .fn(spark, "/root/testdata/sf0.001").collect()
