@@ -139,5 +139,57 @@ object AnalyticsQueries {
       |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin),
     "§2.8 capability: GROUPING SETS multi-grain aggregate (one scan)")
 
-  def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile, qGroupingSets)
+  /** q_cardinality — KMV (k-minimum-values) distinct-count sketch per
+    * group, demonstrated against the exact count: est = (k-1)·2⁶⁰/h_k
+    * where h_k is the k-th smallest 60-bit md5 hash fraction of the
+    * distinct values (falling back to the exact count when a group has
+    * fewer than k distinct hashes). The production cardinality path at
+    * 100 TB — the sketch is a fixed-size order statistic, mergeable
+    * across partitions — here the k-minima come from the custom
+    * [[graft.ops.TopK]] operator (map-side bounded heaps: only
+    * ≤ k·|groups| hash rows shuffle after the distinct, never the full
+    * hash stream). All arithmetic is exact-integer until one double
+    * division mirrored verbatim in the oracle (2⁶⁰ and 63·2⁶⁰ are exact
+    * doubles; long→double rounding is IEEE round-to-nearest in both
+    * engines). */
+  val qCardinality = Q("q_cardinality",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = docs
+        .select(col("source"), graft.ops.Sketch.hash60(col("text")).as("h"))
+        .distinct()
+        .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+      exact.join(graft.ops.Sketch.kmvDistinct(docs, "source", "text", 64),
+          "source")
+        .withColumn("rel_err", round(
+          (col("kmv_est") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"), 6))
+        .select("source", "exact_distinct", "kmv_est", "rel_err")
+    },
+    Some("""WITH hashed AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      |  FROM documents
+      |), exact AS (
+      |  SELECT source, count(*) AS exact_distinct FROM hashed GROUP BY source
+      |), ranked AS (
+      |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      |  FROM hashed
+      |), kmv AS (
+      |  SELECT source, max(h) AS hk, count(*) AS nk
+      |  FROM ranked WHERE rk <= 64 GROUP BY source
+      |), est AS (
+      |  SELECT e.source, e.exact_distinct,
+      |    round(CASE WHEN k.nk < 64 THEN CAST(k.nk AS DOUBLE)
+      |      ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(k.hk AS DOUBLE)
+      |      END, 3) AS kmv_est
+      |  FROM exact e JOIN kmv k USING (source)
+      |)
+      |SELECT source, exact_distinct, kmv_est,
+      |  round((kmv_est - CAST(exact_distinct AS DOUBLE))
+      |      / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+      |FROM est""".stripMargin),
+    "north star: KMV cardinality sketch (mergeable distinct-count, exact-checked)")
+
+  def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
+    qGroupingSets, qCardinality)
 }
