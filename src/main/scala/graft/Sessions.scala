@@ -23,6 +23,26 @@ object Sessions {
       // events.parquet stores INT64 TIMESTAMP(NANOS); read as long and let
       // Tables.events convert (Spark has no nanos timestamp type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Long-lived driver hygiene: ContextCleaner frees shuffle files,
+      // broadcast blocks and checkpoint dirs only when the JVM garbage-
+      // collects their references — with a large heap that can lag by
+      // hours while driver/storage state from thousands of stages piles
+      // up (observed as UNABLE_TO_ACQUIRE_MEMORY after ~7k stages in one
+      // session). The default periodic-GC interval is 30min; 2min keeps
+      // reclamation ahead of accumulation for iterative workloads at a
+      // negligible cost.
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // The app-status store tracks jobs/stages/SQL executions (with
+      // metric and plan-graph payloads) even with the UI disabled; at
+      // default retention (1000 executions / 1000 stages) a session that
+      // runs thousands of short queries — Verify, Bench, the test
+      // suite — keeps hundreds of MB of dead metadata live on the
+      // driver heap. Cap retention at what a human would ever look at.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
 
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

@@ -78,7 +78,9 @@ object Components {
       val next = hop(labels.withColumn("label0", col("label")))
       val persisted = next.persist()
       changed = persisted.filter(col("label") =!= col("label0")).count()
-      if (prev != null) prev.unpersist(blocking = false)
+      // blocking: with async unpersist, removal lags job submission and
+      // a fast convergence loop can hold every round's blocks at once
+      if (prev != null) prev.unpersist(blocking = true)
       prev = persisted
       labels = persisted.select(col("node"), col("label"))
       rounds += 1
@@ -89,7 +91,7 @@ object Components {
     // chain, so the final unpersist leaves the session cache-clean
     val out = labels.select(col("node"), col("label").as("cluster_id"))
       .checkpoint(eager = true)
-    if (prev != null) prev.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = true)
     out
   }
 
