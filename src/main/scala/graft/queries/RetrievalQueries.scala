@@ -194,5 +194,66 @@ object RetrievalQueries {
       |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10) t""".stripMargin),
     "ref commercial_rfp_indexer.py:138-146 (hybrid text+vector retrieval, RRF fusion)")
 
-  def all: Seq[Q] = Seq(qBm25, qHybridRrf)
+  /** q_retrieval_e2e — the reference's user-facing retrieval flow in one
+    * plan, composing the engine pieces the way E3 + the indexer do
+    * (commercial_rfp_indexer.py:87-124 index schema;
+    * commercial_rfp_content_citation_upload_mapping_creation.py:175-193
+    * citation mapping; K2 naming commercial_rfp_raw_data_ingestion_and_
+    * cleaning.py:73-77): each capped query vector retrieves its top-3
+    * parent documents by exact cosine, each hit carries its first chunk
+    * as the answer snippet plus the `RFP_Content_<md5>.docx` citation
+    * file name and preview URL a reference user gets back. Scale: the
+    * kNN core is the broadcast-query linear scan of q_knn; the snippet
+    * join is chunk_idx=0 rows only (one row per doc, equi-join); the
+    * citation columns are pure projections. */
+  val qRetrievalE2e = Q("q_retrieval_e2e",
+    (s, dir) => {
+      val base = SimilarityQueries.withNorm(Tables.embeddings(s, dir))
+      val qs = base.filter(SimilarityQueries.isQuery)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("dxx").as("qxx"))
+      val pairs = base.withColumnRenamed("vec_id", "nbr_id")
+        .crossJoin(broadcast(qs))
+        .filter(col("nbr_id") =!= col("query_id"))
+      val hits = SimilarityQueries.topK(pairs, 3,
+        Seq("query_id", "rk", "nbr_id", "score"))
+      val snippets = graft.ops.Chunk.chunkDocs(
+          Tables.documents(s, dir), "doc_id", "text",
+          maxLen = 120, overlap = 30)
+        .filter(col("chunk_idx") === 0)
+        .select(col("parent_id"), col("chunk").as("snippet"))
+      val fileName = concat(lit("RFP_Content_"),
+        md5(col("nbr_id").cast("string")), lit(".docx"))
+      hits.join(snippets, col("nbr_id") === col("parent_id"))
+        .select(col("query_id"), col("rk"), col("nbr_id").as("parent_id"),
+          fileName.as("file_name"),
+          concat(lit("https://sp.example/preview/"), fileName)
+            .as("preview_url"),
+          col("snippet"), col("score"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE ${SimilarityQueries.queryPredSql()}),
+      |pairs AS (
+      |  SELECT e.vec_id AS nbr_id, q.query_id, e.embedding AS nv, q.qv
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      |), """.stripMargin +
+      SimilarityQueries.dotsSql("pairs", "nv", "qv", "query_id, nbr_id") + """,
+      |hits AS (
+      |  SELECT query_id, nbr_id, rk, score FROM (
+      |    SELECT query_id, nbr_id,
+      |      round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |    FROM dots) t WHERE rk <= 3
+      |), snip AS (
+      |  SELECT doc_id AS parent_id, substring(text, 1, 120) AS snippet
+      |  FROM documents
+      |)
+      |SELECT h.query_id, h.rk, h.nbr_id AS parent_id,
+      |  'RFP_Content_' || md5(CAST(h.nbr_id AS VARCHAR)) || '.docx' AS file_name,
+      |  'https://sp.example/preview/RFP_Content_' || md5(CAST(h.nbr_id AS VARCHAR)) || '.docx' AS preview_url,
+      |  s.snippet, h.score
+      |FROM hits h JOIN snip s ON s.parent_id = h.nbr_id""".stripMargin),
+    "ref retrieval flow E2E: query vector -> top-3 parents -> snippet + citation mapping")
+
+  def all: Seq[Q] = Seq(qBm25, qHybridRrf, qRetrievalE2e)
 }

@@ -79,7 +79,7 @@ object SimilarityQueries {
   /** Fixed-point-exact dot/norm triple over parallel-unnested lists — the
     * oracle analog of [[Vectors.dotExact]] (see its scaladoc for why
     * scaled-long summation makes both engines bit-identical). */
-  private def dotsSql(src: String, aCol: String, bCol: String,
+  private[queries] def dotsSql(src: String, aCol: String, bCol: String,
                       keys: String, prefix: String = ""): String =
     s"""${prefix}prod AS (
        |  SELECT $keys,
@@ -137,9 +137,9 @@ object SimilarityQueries {
     * queries rank the same workload. (At the test SFs max vec_id < 3200,
     * so the cap changes no result.) */
   private val maxQueryId = 3200
-  private def isQuery: Column = col("vec_id") % 100 === 0 &&
+  private[queries] def isQuery: Column = col("vec_id") % 100 === 0 &&
     col("vec_id") < maxQueryId
-  private def queryPredSql(a: String = ""): String =
+  private[queries] def queryPredSql(a: String = ""): String =
     s"${a}vec_id % 100 = 0 AND ${a}vec_id < 3200"
   /** LSH bucket cap for q_near_dup (Shingles.capBuckets): far above any
     * honest bucket at test SFs — the guard exists for the degenerate
@@ -168,14 +168,14 @@ object SimilarityQueries {
     "ref commercial_rfp_indexer.py:164-176,192-209")
 
   /** Adds double-vector `v` and its decimal-exact squared norm `dxx`. */
-  private def withNorm(e: DataFrame): DataFrame = {
+  private[queries] def withNorm(e: DataFrame): DataFrame = {
     val v = Vectors.toDoubleArr(col("embedding"))
     e.withColumn("v", v)
       .withColumn("dxx", Vectors.dotExact(col("v"), col("v")))
       .drop("embedding")
   }
 
-  private def topK(pairs: DataFrame, k: Int, outCols: Seq[String]): DataFrame = {
+  private[queries] def topK(pairs: DataFrame, k: Int, outCols: Seq[String]): DataFrame = {
     val score = round(Vectors.cosineFromParts(
       Vectors.dotExact(col("v"), col("qv")), col("dxx"), col("qxx")), 6)
     pairs.withColumn("score", score)
