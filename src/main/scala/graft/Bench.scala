@@ -98,7 +98,12 @@ object Bench {
     // separator is always '.' regardless of JVM default locale.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }
+    // per-query timings at 2 decimals (10ms — plenty for second-scale
+    // medians): ~22 chars/query would leave only ~6 queries of headroom
+    // under the 2000-char capture at 3 decimals; 2 buys ~90 more chars
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmt2(v)}" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
