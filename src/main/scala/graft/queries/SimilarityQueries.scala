@@ -295,6 +295,92 @@ object SimilarityQueries {
       |  FROM dots) t WHERE rk <= 3""".stripMargin),
     "north star: multi-probe LSH (Hamming-1 probes, recall vs probe-count knob)")
 
+  /** Number of independent hash tables for multi-table LSH. */
+  private val lshTables = 3
+
+  /** Multi-table signatures CTE → `mtb(vec_id, tbl, bucket)`: global
+    * plane p ∈ [0, lshTables·numPlanes), table = p / numPlanes, bit
+    * within table = p % numPlanes — the same md5 plane seeds as
+    * [[bucketsSql]], so table 0 IS the single-table layout. */
+  private def mtbSql(src: String): String = {
+    val nPlanes = lshTables * numPlanes
+    s"""elems_mt AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         unnest(generate_series(0, len(embedding)-1)) AS i
+       |  FROM $src
+       |), planes_mt AS (
+       |  SELECT p, i,
+       |    CAST(('0x' || substr(md5(p || '_' || i), 1, 4))::BIGINT AS DOUBLE)/65536.0 - 0.5 AS w
+       |  FROM unnest(generate_series(0, ${nPlanes - 1})) AS a(p),
+       |       unnest(generate_series(0, ${embDims - 1})) AS b(i)
+       |), mtb AS (
+       |  SELECT vec_id, p // $numPlanes AS tbl,
+       |    CAST(SUM(CASE WHEN sgn = 1 THEN (CAST(1 AS BIGINT) << (p % $numPlanes)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT e.vec_id, pl.p,
+       |      CASE WHEN SUM(CAST(round(e.x * pl.w * 1e15) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS sgn
+       |    FROM elems_mt e JOIN planes_mt pl ON e.i = pl.i
+       |    GROUP BY e.vec_id, pl.p) s
+       |  GROUP BY vec_id, p // $numPlanes
+       |)""".stripMargin
+  }
+
+  /** Shared mt candidate-generation + exact-dot SQL (query side `tq`,
+    * candidates from `mtb`, dot triples in `tdots`). */
+  private def mtTailSql: String =
+    s"""tq AS (
+       |  SELECT t.vec_id AS query_id, t.tbl, t.bucket
+       |  FROM mtb t WHERE ${queryPredSql("t.")}
+       |), tcand0 AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id AS nbr_id
+       |  FROM tq q JOIN mtb b ON b.tbl = q.tbl AND b.bucket = q.bucket
+       |    AND b.vec_id <> q.query_id
+       |), tcand AS (
+       |  SELECT c.query_id, c.nbr_id, e.embedding AS nv, eq.embedding AS qv
+       |  FROM tcand0 c JOIN embeddings e ON e.vec_id = c.nbr_id
+       |       JOIN embeddings eq ON eq.vec_id = c.query_id
+       |), """.stripMargin +
+      dotsSql("tcand", "nv", "qv", "query_id, nbr_id", "t")
+
+  /** q_ann_mt — multi-table LSH (OR-amplification): L independent
+    * 6-plane tables; a candidate needs to share a bucket with the query
+    * in ANY table, so the miss probability multiplies across tables
+    * (p_miss^L) — the standard recall lever orthogonal to multi-probe's
+    * neighboring-bucket expansion. Table 0 uses exactly [[qAnnLsh]]'s
+    * planes (same md5 seeds), so the candidate set is a strict superset
+    * of single-table LSH (AnnSpec pins the dominance). Scale: the
+    * corpus-side signature frame is L rows per vector — linear in L,
+    * one fused codegen pass ([[Vectors.lshBandSigs]]) — and candidates
+    * dedup on (query, nbr) before the exact rerank. */
+  val qAnnMt = Q("q_ann_mt",
+    (s, dir) => {
+      val planes = Vectors.planeWeights(lshTables * numPlanes, embDims)
+      val base = withNorm(Tables.embeddings(s, dir))
+      val sigs = base.select(col("vec_id"),
+          posexplode(Vectors.lshBandSigs(col("v"), planes, numPlanes)))
+        .toDF("vec_id", "tbl", "bucket")
+      val qsig = sigs.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      val cand = sigs.join(broadcast(qsig), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("nbr_id")).distinct()
+      val qv = base.filter(isQuery).select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("dxx").as("qxx"))
+      val pairs = cand
+        .join(base.select(col("vec_id").as("nbr_id"), col("v"), col("dxx")),
+          "nbr_id")
+        .join(broadcast(qv), "query_id")
+      topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
+    },
+    Some("WITH " + mtbSql("embeddings") + ",\n" + mtTailSql + """
+      |SELECT query_id, rk, nbr_id, score FROM (
+      |  SELECT query_id, nbr_id,
+      |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |  FROM tdots) t WHERE rk <= 3""".stripMargin),
+    "north star: multi-table LSH (OR-amplification, recall vs tables knob)")
+
   /** q_near_dup — MinHash(8, sliced) + LSH(4 bands × 2 rows) candidate
     * generation with a [[Shingles.capBuckets]] skew guard, exact 3-gram
     * Jaccard verification ≥ 0.5. Candidates form only inside a band
@@ -931,6 +1017,7 @@ object SimilarityQueries {
       recallOf("lsh", qAnnLsh.fn(s, dir))
         .unionAll(recallOf("mp", qAnnMp.fn(s, dir)))
         .unionAll(recallOf("ivf", qAnnIvf.fn(s, dir)))
+        .unionAll(recallOf("mt", qAnnMt.fn(s, dir)))
     },
     Some("WITH " + bucketsSql("embeddings") + ",\n" +
       KMeans.trainSql("embeddings", ivfCells, ivfIters) + s""",
@@ -980,13 +1067,17 @@ object SimilarityQueries {
       |       JOIN embeddings e ON e.vec_id = a.vec_id
       |), """.stripMargin +
       dotsSql("icand", "nv", "qv", "query_id, nbr_id", "i") + ",\n" +
-      topSql("i", 3) + "\n" +
+      topSql("i", 3) + ",\n" +
+      mtbSql("embeddings") + ",\n" + mtTailSql + ",\n" +
+      topSql("t", 3) + "\n" +
       recallSelect("lsh", "l") + "\nUNION ALL\n" +
       recallSelect("mp", "m") + "\nUNION ALL\n" +
-      recallSelect("ivf", "i")),
+      recallSelect("ivf", "i") + "\nUNION ALL\n" +
+      recallSelect("mt", "t")),
     "north star: ANN recall@3 vs exact kNN (ref recall intent: efSearch=500, commercial_rfp_indexer.py:96-111)")
 
-  def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qNearDup,
-    qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup, qDupClusters,
-    qDupClustersStar, qDupKeep, qChunkIndex, qCentroids, qAnnIvf, qAnnRecall)
+  def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
+    qNearDup, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
+    qDupClusters, qDupClustersStar, qDupKeep, qChunkIndex, qCentroids,
+    qAnnIvf, qAnnRecall)
 }

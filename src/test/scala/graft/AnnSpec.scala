@@ -22,6 +22,20 @@ class AnnSpec extends SparkSpec {
       "multi-probe returned a worse score at some rank")
   }
 
+  test("multi-table LSH dominates single-table rank-for-rank") {
+    // table 0 uses exactly the single-table planes (same md5 seeds), so
+    // the L-table candidate set is a strict superset of single-table's
+    val lsh = Registry.byName("q_ann_lsh").fn(spark, dir)
+    val mt = Registry.byName("q_ann_mt").fn(spark, dir)
+    assert(mt.count() >= lsh.count())
+    val j = lsh.select(col("query_id"), col("rk"), col("score").as("s1"))
+      .join(mt.select(col("query_id"), col("rk"), col("score").as("s2")),
+        Seq("query_id", "rk"))
+    assert(j.count() === lsh.count())
+    assert(j.filter(col("s2") < col("s1")).isEmpty,
+      "multi-table returned a worse score at some rank")
+  }
+
   test("IVF nprobe=2 dominates nprobe=1 rank-for-rank") {
     val p1 = graft.queries.SimilarityQueries.annIvf(spark, dir, 1)
     val p2 = graft.queries.SimilarityQueries.annIvf(spark, dir, 2)
@@ -40,7 +54,7 @@ class AnnSpec extends SparkSpec {
     val knn = Registry.byName("q_knn").fn(spark, dir)
       .filter(col("rk") === 1)
       .select(col("query_id"), col("score").as("exact"))
-    for (name <- Seq("q_ann_lsh", "q_ann_mp", "q_ann_ivf")) {
+    for (name <- Seq("q_ann_lsh", "q_ann_mp", "q_ann_mt", "q_ann_ivf")) {
       val ann = Registry.byName(name).fn(spark, dir)
         .filter(col("rk") === 1)
         .select(col("query_id"), col("score").as("approx"))
