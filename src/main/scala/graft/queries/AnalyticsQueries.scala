@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -190,6 +191,86 @@ object AnalyticsQueries {
       |FROM est""".stripMargin),
     "north star: KMV cardinality sketch (mergeable distinct-count, exact-checked)")
 
+  /** q_cohort — cohort retention: users grouped by first-seen day, with
+    * distinct-user counts still active k days later (k = 0..3). The
+    * engine-capability staple for product analytics at scale: one
+    * distinct shuffle on (user, day), one min-agg for the cohort
+    * assignment, one join back on the user key, one count-distinct agg.
+    * Days project as yyyy-MM-dd strings on both sides (DATE columns
+    * hash-mismatch through pandas). All outputs are exact integers. */
+  val qCohort = Q("q_cohort",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      def dk(k: Int) =
+        count_distinct(when(col("k") === k, col("user_id"))).as(s"d$k")
+      ev.join(cohort, "user_id")
+        .withColumn("k", datediff(col("day"), col("cohort_day")))
+        .filter(col("k") <= 3)
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"))
+        .agg(dk(0), dk(1), dk(2), dk(3))
+    },
+    Some("""WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+      |), j AS (
+      |  SELECT e.user_id, c.cohort_day,
+      |    date_diff('day', c.cohort_day, e.day) AS k
+      |  FROM ev e JOIN cohort c USING (user_id)
+      |  WHERE date_diff('day', c.cohort_day, e.day) <= 3
+      |)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS BIGINT) AS d0,
+      |  CAST(count(DISTINCT CASE WHEN k = 1 THEN user_id END) AS BIGINT) AS d1,
+      |  CAST(count(DISTINCT CASE WHEN k = 2 THEN user_id END) AS BIGINT) AS d2,
+      |  CAST(count(DISTINCT CASE WHEN k = 3 THEN user_id END) AS BIGINT) AS d3
+      |FROM j GROUP BY cohort_day""".stripMargin),
+    "§2.8 capability: cohort retention (first-seen day × day-offset distinct users)")
+
+  /** q_funnel — ordered-funnel analysis: per user, the earliest 'view',
+    * the earliest 'click' strictly after it, and the earliest 'purchase'
+    * strictly after that; output is users-per-stage. The sequential
+    * constraint (each stage after the previous) is the part plain
+    * groupBy can't express — it needs the per-user min-join chain, every
+    * step an equi-join on the user key (no windows over full history, no
+    * per-user event collection — at 100 TB a user's events never
+    * assemble into one row). */
+  val qFunnel = Q("q_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val f1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val f2 = ev.filter(col("event_type") === "click").join(f1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val f3 = ev.filter(col("event_type") === "purchase").join(f2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"),
+          col("users"))
+      stage("1_view", f1).unionAll(stage("2_click", f2))
+        .unionAll(stage("3_purchase", f3))
+    },
+    Some("""WITH f1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), f2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN f1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY e.user_id
+      |), f3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN f2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY e.user_id
+      |)
+      |SELECT '1_view' AS stage, count(*) AS users FROM f1
+      |UNION ALL SELECT '2_click', count(*) FROM f2
+      |UNION ALL SELECT '3_purchase', count(*) FROM f3""".stripMargin),
+    "§2.8 capability: ordered funnel (sequential min-join chain, per-stage users)")
+
   def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
-    qGroupingSets, qCardinality)
+    qGroupingSets, qCardinality, qCohort, qFunnel)
 }
