@@ -122,6 +122,16 @@ class PlanSpec extends SparkSpec {
     assert(ph.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_cardinality takes its k-minima through the custom TopK operator") {
+    import graft.queries.AnalyticsQueries
+    val p = plan(AnalyticsQueries.qCardinality)
+    // map-side bounded heaps: only k rows per group survive to the
+    // shuffle — a silent regression to a window formulation would sort
+    // the full distinct-hash stream per group instead
+    assert(p.contains("LocalTopK") && p.contains("FinalTopK"),
+      s"expected the two-phase TopK physical operator:\n$p")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),

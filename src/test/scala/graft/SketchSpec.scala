@@ -24,6 +24,23 @@ class SketchSpec extends SparkSpec {
       s"estimate $est too far from 2000")
   }
 
+  test("sketches merge: minima of two halves re-capped == sketch of the whole") {
+    val rows = (0 until 800).map(i => (s"g${i % 2}", s"v$i"))
+    val whole = rows.toDF("g", "v")
+    // arbitrary uneven split with overlap — merge must dedup shared values
+    val partA = rows.filter(_._2.hashCode % 3 != 0) ++ rows.take(50)
+    val partB = rows.filter(_._2.hashCode % 3 == 0) ++ rows.take(50)
+    val k = 48
+    val merged = Sketch.kmvMerge(
+      Sketch.kmvMinima(partA.toDF("g", "v"), "g", "v", k),
+      Sketch.kmvMinima(partB.toDF("g", "v"), "g", "v", k), "g", k)
+    val estMerged = Sketch.kmvEstimate(merged, "g", k)
+      .as[(String, Double)].collect().toMap
+    val estWhole = Sketch.kmvDistinct(whole, "g", "v", k)
+      .as[(String, Double)].collect().toMap
+    assert(estMerged === estWhole) // exactly equal, not approximately
+  }
+
   test("estimates are deterministic across runs and repartitionings") {
     val df = (0 until 500).map(i => (s"g${i % 2}", s"x$i")).toDF("g", "v")
     val a = Sketch.kmvDistinct(df, "g", "v", 32).collect().toSet
