@@ -257,4 +257,45 @@ object Streams {
     .agg(count(lit(1)).as("n"))
     .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
       col("event_type"), col("n"))
+
+  /** Per-group KMV state: the k smallest distinct hashes seen so far —
+    * bounded at O(k) longs per group for the stream's lifetime, which is
+    * exactly why a sketch (and not exact distinct, whose state is the
+    * full value set) is the streaming cardinality answer. */
+  final case class KmvState(minima: Array[Long])
+
+  /** Streaming distinct-count: [[graft.ops.Sketch]]'s KMV sketch carried
+    * in GroupState. Each micro-batch folds the batch's hashes into the
+    * k-minima (the sketch merge — order statistics compose, SketchSpec)
+    * and emits the group's refreshed estimate (Update semantics: the
+    * last row per group is current). The estimate arithmetic replicates
+    * the batch finisher digit-for-digit — one double division, then
+    * HALF_UP rounding to 3 decimals, the same op chain Spark's
+    * `round(…, 3)` performs — so StreamSketchSpec can assert exact
+    * equality with [[graft.ops.Sketch.kmvDistinct]] over the same
+    * data. */
+  def kmvDistinctStream(df: DataFrame, groupCol: String, valueCol: String,
+                        k: Int): org.apache.spark.sql.Dataset[(String, Double)] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val two60 = 1152921504606846976L // 2^60, exact as a double
+    def estimate(minima: Array[Long]): Double = {
+      val raw = if (minima.length < k) minima.length.toDouble
+        else (k - 1).toDouble * two60.toDouble / minima.last.toDouble
+      BigDecimal(raw).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    df.select(col(groupCol).cast("string"),
+        graft.ops.Sketch.hash60(col(valueCol)))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, (String, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long)], state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.minima).getOrElse(Array.empty[Long])
+          val merged = (prev.iterator ++ it.map(_._2)).toArray
+            .distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          Iterator.single((g, estimate(merged)))
+      }
+  }
 }
