@@ -198,19 +198,23 @@ object AnalyticsQueries {
     * assignment, one join back on the user key, one count-distinct agg.
     * Days project as yyyy-MM-dd strings on both sides (DATE columns
     * hash-mismatch through pandas). All outputs are exact integers. */
+  /** Cohort-retention core over any (user_id, ts) frame — shared by
+    * q_cohort and AnalyticsSpec's crafted-frame pins. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    def dk(k: Int) =
+      count_distinct(when(col("k") === k, col("user_id"))).as(s"d$k")
+    ev.join(cohort, "user_id")
+      .withColumn("k", datediff(col("day"), col("cohort_day")))
+      .filter(col("k") <= 3)
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"))
+      .agg(dk(0), dk(1), dk(2), dk(3))
+  }
+
   val qCohort = Q("q_cohort",
-    (s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      def dk(k: Int) =
-        count_distinct(when(col("k") === k, col("user_id"))).as(s"d$k")
-      ev.join(cohort, "user_id")
-        .withColumn("k", datediff(col("day"), col("cohort_day")))
-        .filter(col("k") <= 3)
-        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"))
-        .agg(dk(0), dk(1), dk(2), dk(3))
-    },
+    (s, dir) => cohortRetention(Tables.events(s, dir)),
     Some("""WITH ev AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
       |), cohort AS (
@@ -237,23 +241,30 @@ object AnalyticsQueries {
     * step an equi-join on the user key (no windows over full history, no
     * per-user event collection — at 100 TB a user's events never
     * assemble into one row). */
+  /** Ordered-funnel core over any (user_id, event_type, ts) frame —
+    * each stage strictly after the user's previous stage; shared by
+    * q_funnel and AnalyticsSpec's ordering pins. */
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val ev = events.select("user_id", "event_type", "ts")
+    val perStage = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stageType, i)) =>
+        val hits = ev.filter(col("event_type") === stageType)
+        Some(prev match {
+          case None => hits.groupBy("user_id").agg(min(col("ts")).as(s"t$i"))
+          case Some(p) => hits.join(p, "user_id")
+            .filter(col("ts") > col(s"t${i - 1}"))
+            .groupBy("user_id").agg(min(col("ts")).as(s"t$i"))
+        })
+    }.flatten
+    perStage.zip(stages.zipWithIndex).map { case (df, (stageType, i)) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(s"${i + 1}_$stageType").as("stage"), col("users"))
+    }.reduce(_.unionAll(_))
+  }
+
   val qFunnel = Q("q_funnel",
-    (s, dir) => {
-      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
-      val f1 = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val f2 = ev.filter(col("event_type") === "click").join(f1, "user_id")
-        .filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
-      val f3 = ev.filter(col("event_type") === "purchase").join(f2, "user_id")
-        .filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min(col("ts")).as("t3"))
-      def stage(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"),
-          col("users"))
-      stage("1_view", f1).unionAll(stage("2_click", f2))
-        .unionAll(stage("3_purchase", f3))
-    },
+    (s, dir) => funnelStages(Tables.events(s, dir),
+      Seq("view", "click", "purchase")),
     Some("""WITH f1 AS (
       |  SELECT user_id, min(ts) AS t1 FROM events
       |  WHERE event_type = 'view' GROUP BY user_id
