@@ -282,6 +282,36 @@ object AnalyticsQueries {
       |UNION ALL SELECT '3_purchase', count(*) FROM f3""".stripMargin),
     "§2.8 capability: ordered funnel (sequential min-join chain, per-stage users)")
 
+  /** q_skew_audit — join-key skew diagnostic: the top-10 hottest values
+    * of a join column with each key's share of total rows — the check an
+    * engineer runs BEFORE shuffling a 100 TB join on that key (a key
+    * holding >1/shuffle-partitions of the rows serializes its partition;
+    * AQE skew-split and salting are the mitigations, SkewJoinSpec /
+    * Dedup.dedupExactSalted the engine's levers). One map-side-combined
+    * count per key, a broadcast single-row total, TakeOrdered top-10.
+    * Shares are one double division rounded to 6, mirrored verbatim. */
+  val qSkewAudit = Q("q_skew_audit",
+    (s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).cast("double").as("total"))
+      counts.crossJoin(broadcast(total))
+        .orderBy(col("cnt").desc, col("key")).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("key"))))
+        .select(col("rk"), col("key"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 6).as("share"))
+    },
+    Some("""WITH counts AS (
+      |  SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+      |), total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts)
+      |SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rk, key, cnt,
+      |  round(CAST(cnt AS DOUBLE) / total, 6) AS share
+      |FROM (SELECT * FROM counts ORDER BY cnt DESC, key LIMIT 10) c
+      |CROSS JOIN total""".stripMargin),
+    "scale diagnostics: join-key skew audit (hot keys + share before the shuffle)")
+
   def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
-    qGroupingSets, qCardinality, qCohort, qFunnel)
+    qGroupingSets, qCardinality, qCohort, qFunnel, qSkewAudit)
 }
