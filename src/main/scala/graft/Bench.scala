@@ -85,30 +85,55 @@ object Bench {
       }
     }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    // 3-decimal timings (ms resolution — plenty for second-scale medians):
-    // raw Doubles print 15+ significant digits, which at 77 queries pushes
-    // the single JSON line past the harness's 2000-char tail capture and
-    // truncates the front of the report. Locale.ROOT so the decimal
-    // separator is always '.' regardless of JVM default locale.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query timings at 2 decimals (10ms — plenty for second-scale
-    // medians): ~22 chars/query would leave only ~6 queries of headroom
-    // under the 2000-char capture at 3 decimals; 2 buys ~90 more chars
-    def fmt2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmt2(v)}" }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
-    val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","floor_plan_sec":${fmt(floorPlan)},"floor_scan_sec":${fmt(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(renderLine(timings, errors.toSeq, floorPlan, floorScan, sfDir))
     spark.stop()
+  }
+
+  /** The harness captures only the LAST 2000 chars of stdout; a line that
+    * outgrows that is truncated at the FRONT and silently stops parsing as
+    * JSON — which re-loses the bench gate. Budget with margin for the
+    * trailing newline and any stray late log line. */
+  private[graft] val maxLineChars = 1950
+
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** `%.<dp>f` with Locale.ROOT (decimal separator always '.'), trailing
+    * zeros trimmed ("0.30"→"0.3", "2.00"→"2") — valid JSON numbers that
+    * spend no bytes on digits carrying no information. */
+  private[graft] def fmtTrim(v: Double, dp: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    if (!s.contains('.')) s
+    else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+  }
+
+  /** One machine-parsed JSON report line, guaranteed ≤ [[maxLineChars]]:
+    * per-query timings start at 2 decimals (10 ms — plenty for
+    * second-scale medians) and degrade to 1 decimal only if the line
+    * would overflow the capture window. If even 1-decimal overflows (≈110+
+    * queries), fail LOUDLY — a truncated line would fail silently. */
+  private[graft] def renderLine(timings: Seq[(String, Double)],
+      errors: Seq[(String, String)], floorPlan: Double, floorScan: Double,
+      sfDir: String): String = {
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def line(dp: Int): String = {
+      val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmtTrim(v, dp)}" }
+        .mkString("{", ",", "}")
+      val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+      val total = timings.map(_._2).sum
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","floor_plan_sec":${fmt3(floorPlan)},"floor_scan_sec":${fmt3(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    }
+    val out = Iterator(2, 1).map(line).find(_.length <= maxLineChars)
+    require(out.nonEmpty, s"bench JSON line exceeds $maxLineChars chars " +
+      s"even at 1-decimal timings (${timings.size} queries, " +
+      s"${line(1).length} chars) — the harness tail capture would truncate " +
+      "it; shorten query names or split the report")
+    out.get
   }
 }

@@ -191,13 +191,6 @@ object AnalyticsQueries {
       |FROM est""".stripMargin),
     "north star: KMV cardinality sketch (mergeable distinct-count, exact-checked)")
 
-  /** q_cohort — cohort retention: users grouped by first-seen day, with
-    * distinct-user counts still active k days later (k = 0..3). The
-    * engine-capability staple for product analytics at scale: one
-    * distinct shuffle on (user, day), one min-agg for the cohort
-    * assignment, one join back on the user key, one count-distinct agg.
-    * Days project as yyyy-MM-dd strings on both sides (DATE columns
-    * hash-mismatch through pandas). All outputs are exact integers. */
   /** Cohort-retention core over any (user_id, ts) frame — shared by
     * q_cohort and AnalyticsSpec's crafted-frame pins. */
   def cohortRetention(events: DataFrame): DataFrame = {
@@ -213,6 +206,13 @@ object AnalyticsQueries {
       .agg(dk(0), dk(1), dk(2), dk(3))
   }
 
+  /** q_cohort — cohort retention: users grouped by first-seen day, with
+    * distinct-user counts still active k days later (k = 0..3). The
+    * engine-capability staple for product analytics at scale: one
+    * distinct shuffle on (user, day), one min-agg for the cohort
+    * assignment, one join back on the user key, one count-distinct agg.
+    * Days project as yyyy-MM-dd strings on both sides (DATE columns
+    * hash-mismatch through pandas). All outputs are exact integers. */
   val qCohort = Q("q_cohort",
     (s, dir) => cohortRetention(Tables.events(s, dir)),
     Some("""WITH ev AS (
@@ -233,18 +233,11 @@ object AnalyticsQueries {
       |FROM j GROUP BY cohort_day""".stripMargin),
     "§2.8 capability: cohort retention (first-seen day × day-offset distinct users)")
 
-  /** q_funnel — ordered-funnel analysis: per user, the earliest 'view',
-    * the earliest 'click' strictly after it, and the earliest 'purchase'
-    * strictly after that; output is users-per-stage. The sequential
-    * constraint (each stage after the previous) is the part plain
-    * groupBy can't express — it needs the per-user min-join chain, every
-    * step an equi-join on the user key (no windows over full history, no
-    * per-user event collection — at 100 TB a user's events never
-    * assemble into one row). */
   /** Ordered-funnel core over any (user_id, event_type, ts) frame —
     * each stage strictly after the user's previous stage; shared by
     * q_funnel and AnalyticsSpec's ordering pins. */
   def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelStages needs at least one stage")
     val ev = events.select("user_id", "event_type", "ts")
     val perStage = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stageType, i)) =>
@@ -262,6 +255,14 @@ object AnalyticsQueries {
     }.reduce(_.unionAll(_))
   }
 
+  /** q_funnel — ordered-funnel analysis: per user, the earliest 'view',
+    * the earliest 'click' strictly after it, and the earliest 'purchase'
+    * strictly after that; output is users-per-stage. The sequential
+    * constraint (each stage after the previous) is the part plain
+    * groupBy can't express — it needs the per-user min-join chain, every
+    * step an equi-join on the user key (no windows over full history, no
+    * per-user event collection — at 100 TB a user's events never
+    * assemble into one row). */
   val qFunnel = Q("q_funnel",
     (s, dir) => funnelStages(Tables.events(s, dir),
       Seq("view", "click", "purchase")),

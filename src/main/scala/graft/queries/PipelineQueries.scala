@@ -284,9 +284,12 @@ object PipelineQueries {
     * selected, so column pruning keeps the scan metadata-only. Paths are
     * an explicit driver-side listing (what a container listing IS), not a
     * glob — a glob pattern also hits the FileStreamSink metadata probe,
-    * which logs a benign-but-noisy FileNotFound WARN per load. No SQL
-    * oracle (file mtimes aren't visible to DuckDB): driver records the
-    * rows-only check. */
+    * which logs a benign-but-noisy FileNotFound WARN per load. Only the
+    * oracle-visible columns (name, length) are projected — file mtimes
+    * aren't visible to DuckDB — so the oracle can list the same files via
+    * `read_blob`. The oracle pins the driver's documented verify dir
+    * (TESTDATA.md sf0.01): oracle SQL is static text, so the one
+    * filesystem-rooted query names the filesystem root explicitly. */
   val qBinaryScan = Q("q_binary_scan",
     (s, dir) => {
       val files = new java.io.File(dir).listFiles()
@@ -297,7 +300,10 @@ object PipelineQueries {
           col("length"))
         .orderBy("file_name")
     },
-    None,
+    Some("""SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+      |  CAST(size AS BIGINT) AS length
+      |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+      |ORDER BY file_name""".stripMargin),
     "ref commercial_rfp_content_citation_upload_mapping_creation.py:59-64 (S8)")
 
   /** q_pipeline_e2e — the reference's FULL E2 dataflow as one composed

@@ -37,9 +37,10 @@ import graft.ops.{Shingles, Vectors}
 object RetrievalQueries {
 
   /** BM25 parameters (the standard Robertson defaults; Lucene — and hence
-    * Azure AI Search's BM25 similarity — uses the same k1/b). */
-  private val k1 = 1.2
-  private val b = 0.75
+    * Azure AI Search's BM25 similarity — uses the same k1/b). Exposed to
+    * RetrievalSpec so its in-memory model derives from the same source. */
+  private[graft] val k1 = 1.2
+  private[graft] val b = 0.75
 
   /** The fixed "user search query" terms. O(1) by contract — the query
     * side of retrieval never scales with the corpus. */
@@ -67,10 +68,13 @@ object RetrievalQueries {
     // even for terms in every document (this corpus is near-saturated)
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // (1 - b) and (k1 + 1) are exact doubles for the declared params, so
+    // deriving them here (and interpolating the same values into bm25Sql)
+    // keeps k1/b the single source of truth across expr, oracle, and spec
     val denom = col("tf") +
-      lit(k1) * (lit(0.25) + lit(b) * col("dl").cast("double") /
+      lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") /
         (col("sdl") / col("n")))
-    val contrib = round(idf * col("tf") * lit(2.2) / denom * lit(1e9))
+    val contrib = round(idf * col("tf") * lit(k1 + 1) / denom * lit(1e9))
       .cast("long")
     tf.join(broadcast(dfreq), "tok")
       .join(dl, idCol).crossJoin(broadcast(stats))
@@ -98,8 +102,8 @@ object RetrievalQueries {
        |  WHERE tok IN ($queryTermsSql) GROUP BY tok
        |), contrib AS (
        |  SELECT t.doc_id,
-       |    CAST(round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2
-       |      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sdl / s.n))) * 1e9) AS BIGINT) AS c
+       |    CAST(round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * ${k1 + 1}
+       |      / (t.tf + $k1 * (${1 - b} + $b * l.dl / (s.sdl / s.n))) * 1e9) AS BIGINT) AS c
        |  FROM tf t JOIN dfreq d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
        |), scored AS (
        |  SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1e9, 6) AS score

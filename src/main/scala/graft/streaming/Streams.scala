@@ -292,8 +292,17 @@ object Streams {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (g: String, it: Iterator[(String, Long)], state: GroupState[KmvState]) =>
           val prev = state.getOption.map(_.minima).getOrElse(Array.empty[Long])
-          val merged = (prev.iterator ++ it.map(_._2)).toArray
-            .distinct.sorted.take(k)
+          // fold the batch into a k-capped ordered set so the transient
+          // working set is O(k), not O(batch rows per group) — only the k
+          // smallest distinct hashes can survive, so dropping a hash the
+          // moment it exceeds the current k-th minimum changes nothing
+          val acc = scala.collection.mutable.TreeSet.empty[Long]
+          prev.foreach(acc.add) // ≤ k by construction
+          it.map(_._2).foreach { h =>
+            if (acc.size < k) acc.add(h)
+            else if (h < acc.last && acc.add(h)) acc.remove(acc.last)
+          }
+          val merged = acc.toArray // ascending, ≤ k elements
           state.update(KmvState(merged))
           Iterator.single((g, estimate(merged)))
       }

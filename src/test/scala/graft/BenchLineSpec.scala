@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench report is ONE stdout JSON line that the harness tail-captures
+  * (last 2000 chars) — these pins keep it inside that window and valid. */
+class BenchLineSpec extends AnyFunSuite {
+
+  // 10.04 is the degradation-friendly shape: "10.04" at 2 decimals, "10"
+  // at 1 — each query sheds 3 chars when renderLine falls back
+  private def fakeTimings(n: Int): Seq[(String, Double)] =
+    (0 until n).map(i => f"q_fixture_name_$i%03d" -> 10.04)
+
+  test("fmtTrim trims trailing zeros but stays a valid JSON number") {
+    assert(Bench.fmtTrim(0.30, 2) == "0.3")
+    assert(Bench.fmtTrim(2.00, 2) == "2")
+    assert(Bench.fmtTrim(0.0, 2) == "0")
+    assert(Bench.fmtTrim(1.08, 2) == "1.08")
+    assert(Bench.fmtTrim(37.924, 3) == "37.924")
+    assert(Bench.fmtTrim(0.179, 1) == "0.2")
+  }
+
+  test("current registry fits the capture window at FULL 2-decimal precision") {
+    // every query at 9.97 s — 4 chars, nothing to trim, ~2.5x the widest
+    // real sf0.1 timing. If registry growth ever fails this, the fallback
+    // still emits a valid 1-decimal line, but names should be shortened
+    // before the degradation becomes routine.
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.97)
+    val line = Bench.renderLine(worst, Nil, 0.179, 0.171, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.maxLineChars,
+      s"${line.length} chars for ${worst.size} queries — shorten names " +
+        "or the next bench line gets truncated by the harness")
+    assert(line.contains(":9.97"), "expected full 2-decimal precision — " +
+      "registry has outgrown the capture window's full-precision headroom")
+    assert(!line.contains('\n'))
+  }
+
+  test("renderLine degrades precision instead of overflowing") {
+    // the first n whose FULL-precision line overflows the window
+    val n = (2 to 200).find { n =>
+      val two = fakeTimings(n).map { case (k, v) =>
+        s"${Bench.jstr(k)}:${Bench.fmtTrim(v, 2)}" }.mkString(",").length
+      two + 130 > Bench.maxLineChars
+    }.get
+    val line = Bench.renderLine(fakeTimings(n), Nil, 0.1, 0.1, "sf")
+    assert(line.length <= Bench.maxLineChars)
+    assert(line.contains(":10,"), "expected degraded 1-decimal values")
+    assert(!line.contains("10.04"))
+    // degraded line still carries every query name
+    fakeTimings(n).foreach { case (k, _) => assert(line.contains(k)) }
+  }
+
+  test("renderLine fails loudly when even 1-decimal overflows") {
+    val e = intercept[IllegalArgumentException] {
+      Bench.renderLine(fakeTimings(300), Nil, 0.1, 0.1, "sf")
+    }
+    assert(e.getMessage.contains("truncate"))
+  }
+}

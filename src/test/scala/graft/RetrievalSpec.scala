@@ -9,8 +9,12 @@ class RetrievalSpec extends SparkSpec {
 
   private val terms = Seq("spark", "join")
 
-  /** Straight-line BM25 (k1=1.2, b=0.75, BM25+ idf) over a token corpus —
-    * the model the Spark plan must reproduce. */
+  /** Straight-line BM25 (BM25+ idf) over a token corpus — the model the
+    * Spark plan must reproduce; k1/b come from RetrievalQueries so the
+    * params have one source of truth. */
+  private val k1 = RetrievalQueries.k1
+  private val b = RetrievalQueries.b
+
   private def modelBm25(docs: Seq[(Long, String)]): Map[Long, Double] = {
     val toks = docs.map { case (id, t) =>
       id -> t.trim.toLowerCase.split("\\s+").toSeq
@@ -24,8 +28,8 @@ class RetrievalSpec extends SparkSpec {
         if (tf == 0 || dfOf(t) == 0) 0L
         else {
           val idf = math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
-          val s = idf * tf * 2.2 /
-            (tf + 1.2 * (0.25 + 0.75 * ts.size / avgdl))
+          val s = idf * tf * (k1 + 1) /
+            (tf + k1 * ((1 - b) + b * ts.size / avgdl))
           math.round(s * 1e9)
         }
       }.sum / 1e9
