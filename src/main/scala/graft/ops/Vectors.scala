@@ -58,15 +58,18 @@ object Vectors {
 
   /** Deterministic pseudo-random hyperplane weights, derived from md5 so
     * the DuckDB oracle can reproduce them in SQL:
-    * w(p,i) = int(md5("p_i")[0:4 hex]) / 65536 - 0.5. Computed once
-    * driver-side and shipped as array literals, so bucket assignment is a
-    * pure projection (no plane-table join, no shuffle). */
-  def planeWeights(numPlanes: Int, dims: Int): Array[Array[Double]] = {
+    * w(p,i) = int(md5("<seedPrefix>p_i")[0:4 hex]) / 65536 - 0.5. Computed
+    * once driver-side and shipped as array literals, so bucket assignment
+    * is a pure projection (no plane-table join, no shuffle). A non-empty
+    * `seedPrefix` yields an independent weight family (used for the
+    * clustered-fixture centers so they don't correlate with the planes). */
+  def planeWeights(numPlanes: Int, dims: Int,
+                   seedPrefix: String = ""): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(numPlanes, dims) { (p, i) =>
       val hex = md.synchronized {
         md.reset()
-        md.digest(s"${p}_$i".getBytes("UTF-8")).take(2)
+        md.digest(s"$seedPrefix${p}_$i".getBytes("UTF-8")).take(2)
           .map("%02x".format(_)).mkString
       }
       java.lang.Long.parseLong(hex, 16) / 65536.0 - 0.5

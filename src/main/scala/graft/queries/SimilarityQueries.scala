@@ -214,23 +214,27 @@ object SimilarityQueries {
       |  FROM dots) t WHERE rk <= 5""".stripMargin),
     "ref commercial_rfp_indexer.py:95-124 (exhaustive-KNN fallback)")
 
+  /** Single-table LSH over any (vec_id, embedding) frame — the body of
+    * [[qAnnLsh]], reused by the clustered-fixture recall query. */
+  private def annLshFrom(emb: DataFrame): DataFrame = {
+    val planes = Vectors.planeWeights(numPlanes, embDims)
+    val base = withNorm(emb
+      .withColumn("bucket", Vectors.lshBucket(
+        Vectors.toDoubleArr(col("embedding")), planes)))
+    val qs = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("dxx").as("qxx"), col("bucket").as("qbucket"))
+    val pairs = base.withColumnRenamed("vec_id", "nbr_id")
+      .join(broadcast(qs), col("bucket") === col("qbucket") &&
+        col("nbr_id") =!= col("query_id"))
+    topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
+  }
+
   /** q_ann_lsh — the approximate scale path: 6-plane random-hyperplane
     * LSH; candidates only within the query's bucket, exact rerank inside.
     * Bucket assignment is a pure projection (plane constants inlined). */
   val qAnnLsh = Q("q_ann_lsh",
-    (s, dir) => {
-      val planes = Vectors.planeWeights(numPlanes, embDims)
-      val base = withNorm(Tables.embeddings(s, dir)
-        .withColumn("bucket", Vectors.lshBucket(
-          Vectors.toDoubleArr(col("embedding")), planes)))
-      val qs = base.filter(isQuery)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("dxx").as("qxx"), col("bucket").as("qbucket"))
-      val pairs = base.withColumnRenamed("vec_id", "nbr_id")
-        .join(broadcast(qs), col("bucket") === col("qbucket") &&
-          col("nbr_id") =!= col("query_id"))
-      topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
-    },
+    (s, dir) => annLshFrom(Tables.embeddings(s, dir)),
     Some("WITH " + bucketsSql("embeddings") + s""",
       |q AS (
       |  SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qv
@@ -257,23 +261,27 @@ object SimilarityQueries {
     * vector), so a (query, neighbor) pair can meet through at most one
     * probe — no dedup needed. Probes explode on the BROADCAST query
     * side: the big side still sees a plain equi-join. */
+  /** Multi-probe LSH over any (vec_id, embedding) frame — the body of
+    * [[qAnnMp]]. */
+  private def annMpFrom(emb: DataFrame): DataFrame = {
+    val planes = Vectors.planeWeights(numPlanes, embDims)
+    val base = withNorm(emb
+      .withColumn("bucket", Vectors.lshBucket(
+        Vectors.toDoubleArr(col("embedding")), planes)))
+    val probeMasks = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
+    val qs = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("dxx").as("qxx"),
+        explode(array(probeMasks.map(m =>
+          col("bucket").bitwiseXOR(m)): _*)).as("qbucket"))
+    val pairs = base.withColumnRenamed("vec_id", "nbr_id")
+      .join(broadcast(qs), col("bucket") === col("qbucket") &&
+        col("nbr_id") =!= col("query_id"))
+    topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
+  }
+
   val qAnnMp = Q("q_ann_mp",
-    (s, dir) => {
-      val planes = Vectors.planeWeights(numPlanes, embDims)
-      val base = withNorm(Tables.embeddings(s, dir)
-        .withColumn("bucket", Vectors.lshBucket(
-          Vectors.toDoubleArr(col("embedding")), planes)))
-      val probeMasks = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
-      val qs = base.filter(isQuery)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("dxx").as("qxx"),
-          explode(array(probeMasks.map(m =>
-            col("bucket").bitwiseXOR(m)): _*)).as("qbucket"))
-      val pairs = base.withColumnRenamed("vec_id", "nbr_id")
-        .join(broadcast(qs), col("bucket") === col("qbucket") &&
-          col("nbr_id") =!= col("query_id"))
-      topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
-    },
+    (s, dir) => annMpFrom(Tables.embeddings(s, dir)),
     Some("WITH " + bucketsSql("embeddings") + s""",
       |q AS (
       |  SELECT b.vec_id AS query_id, xor(b.bucket, m.mask) AS qbucket,
@@ -327,7 +335,7 @@ object SimilarityQueries {
 
   /** Shared mt candidate-generation + exact-dot SQL (query side `tq`,
     * candidates from `mtb`, dot triples in `tdots`). */
-  private def mtTailSql: String =
+  private def mtTailSql(src: String = "embeddings"): String =
     s"""tq AS (
        |  SELECT t.vec_id AS query_id, t.tbl, t.bucket
        |  FROM mtb t WHERE ${queryPredSql("t.")}
@@ -337,8 +345,8 @@ object SimilarityQueries {
        |    AND b.vec_id <> q.query_id
        |), tcand AS (
        |  SELECT c.query_id, c.nbr_id, e.embedding AS nv, eq.embedding AS qv
-       |  FROM tcand0 c JOIN embeddings e ON e.vec_id = c.nbr_id
-       |       JOIN embeddings eq ON eq.vec_id = c.query_id
+       |  FROM tcand0 c JOIN $src e ON e.vec_id = c.nbr_id
+       |       JOIN $src eq ON eq.vec_id = c.query_id
        |), """.stripMargin +
       dotsSql("tcand", "nv", "qv", "query_id, nbr_id", "t")
 
@@ -352,27 +360,31 @@ object SimilarityQueries {
     * corpus-side signature frame is L rows per vector — linear in L,
     * one fused codegen pass ([[Vectors.lshBandSigs]]) — and candidates
     * dedup on (query, nbr) before the exact rerank. */
+  /** Multi-table LSH over any (vec_id, embedding) frame — the body of
+    * [[qAnnMt]]. */
+  private def annMtFrom(emb: DataFrame): DataFrame = {
+    val planes = Vectors.planeWeights(lshTables * numPlanes, embDims)
+    val base = withNorm(emb)
+    val sigs = base.select(col("vec_id"),
+        posexplode(Vectors.lshBandSigs(col("v"), planes, numPlanes)))
+      .toDF("vec_id", "tbl", "bucket")
+    val qsig = sigs.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = sigs.join(broadcast(qsig), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nbr_id")).distinct()
+    val qv = base.filter(isQuery).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("dxx").as("qxx"))
+    val pairs = cand
+      .join(base.select(col("vec_id").as("nbr_id"), col("v"), col("dxx")),
+        "nbr_id")
+      .join(broadcast(qv), "query_id")
+    topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
+  }
+
   val qAnnMt = Q("q_ann_mt",
-    (s, dir) => {
-      val planes = Vectors.planeWeights(lshTables * numPlanes, embDims)
-      val base = withNorm(Tables.embeddings(s, dir))
-      val sigs = base.select(col("vec_id"),
-          posexplode(Vectors.lshBandSigs(col("v"), planes, numPlanes)))
-        .toDF("vec_id", "tbl", "bucket")
-      val qsig = sigs.filter(isQuery)
-        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
-      val cand = sigs.join(broadcast(qsig), Seq("tbl", "bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("nbr_id")).distinct()
-      val qv = base.filter(isQuery).select(col("vec_id").as("query_id"),
-        col("v").as("qv"), col("dxx").as("qxx"))
-      val pairs = cand
-        .join(base.select(col("vec_id").as("nbr_id"), col("v"), col("dxx")),
-          "nbr_id")
-        .join(broadcast(qv), "query_id")
-      topK(pairs, 3, Seq("query_id", "rk", "nbr_id", "score"))
-    },
-    Some("WITH " + mtbSql("embeddings") + ",\n" + mtTailSql + """
+    (s, dir) => annMtFrom(Tables.embeddings(s, dir)),
+    Some("WITH " + mtbSql("embeddings") + ",\n" + mtTailSql() + """
       |SELECT query_id, rk, nbr_id, score FROM (
       |  SELECT query_id, nbr_id,
       |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
@@ -746,26 +758,39 @@ object SimilarityQueries {
       |FROM offs""".stripMargin),
     "ref commercial_rfp_indexer.py:168-169 (2000/500 contract, long docs)")
 
+  /** The deterministic duplicate-edge fixture shared by the three CC
+    * queries: exact-copy pairs (d, d+2e6) for d%10=0 plus chain links
+    * (d, d+1) for d%20<3 — genuine multi-hop clusters (size 5: four
+    * chained base docs + one copy) that exercise transitivity, not just
+    * pair grouping. */
+  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id")
+    d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("a"), (col("doc_id") + 2000000).as("b"))
+      .unionAll(d.filter(col("doc_id") % 20 < 3)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b")))
+  }
+
+  /** The (doc_id, cluster_id) labeling over [[dupEdges]]. Each caller
+    * recomputes it at run time ON PURPOSE: q_dup_clusters, _star and
+    * q_dup_keep are independent oracle-checked entries, and the bench
+    * clears the cache before every timed run — sharing a cached frame
+    * across queries would couple their verdicts. A production pipeline
+    * would instead materialize this labeling once (a cluster table) and
+    * join everything downstream against it; this def is that single
+    * point of reuse at the code level. */
+  private def dupComponents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Components.connectedComponents(dupEdges(s, dir))
+      .toDF("doc_id", "cluster_id")
+
   /** q_dup_clusters — transitive duplicate-CLUSTER formation over a pair
     * table ([[graft.ops.Components.connectedComponents]]): pairwise
     * near-dup edges only relate two docs at a time; retention needs the
-    * connected component. The edge set is deterministic in both engines:
-    * exact-copy pairs (d, d+2e6) for d%10=0 plus chain links (d, d+1)
-    * for d%20<3 — producing genuine multi-hop clusters (size 5: four
-    * chained base docs + one copy) that exercise transitivity, not just
-    * pair grouping. Oracle: DuckDB recursive CTE computing
+    * connected component. Oracle: DuckDB recursive CTE computing
     * min-reachable-id — a wholly different algorithm, so this is a
     * differential check of the label-propagation fixpoint. */
   val qDupClusters = Q("q_dup_clusters",
-    (s, dir) => {
-      val d = Tables.documents(s, dir).select("doc_id")
-      val edges = d.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("a"), (col("doc_id") + 2000000).as("b"))
-        .unionAll(d.filter(col("doc_id") % 20 < 3)
-          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b")))
-      graft.ops.Components.connectedComponents(edges)
-        .toDF("doc_id", "cluster_id")
-    },
+    (s, dir) => dupComponents(s, dir),
     Some("""WITH RECURSIVE edges0 AS (
       |  SELECT doc_id AS a, doc_id + 2000000 AS b FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
@@ -788,33 +813,22 @@ object SimilarityQueries {
     * scale path), hash-compared against the SAME recursive-CTE oracle —
     * both implementations must land on the identical labeling. */
   val qDupClustersStar = Q("q_dup_clusters_star",
-    (s, dir) => {
-      val d = Tables.documents(s, dir).select("doc_id")
-      val edges = d.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("a"), (col("doc_id") + 2000000).as("b"))
-        .unionAll(d.filter(col("doc_id") % 20 < 3)
-          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b")))
-      graft.ops.Components.connectedComponentsStar(edges)
-        .toDF("doc_id", "cluster_id")
-    },
+    (s, dir) => graft.ops.Components.connectedComponentsStar(dupEdges(s, dir))
+      .toDF("doc_id", "cluster_id"),
     qDupClusters.oracle,
     "north star: duplicate-cluster formation via star contraction (same oracle as q_dup_clusters)")
 
   /** q_dup_keep — the dedup ladder's END STATE: per duplicate cluster,
-    * the retention decision. Composes [[qDupClusters]]' components with
+    * the retention decision. Composes [[dupComponents]]' labeling with
     * each node's length (synthetic +2e6 copies map to their base doc via
     * `node % 2e6`) and keeps the longest text, min-node tiebreak — every
     * other member is marked drop. One extra equi-join + one window over
-    * cluster rows on top of the components cost. */
+    * cluster rows on top of the components cost — which this query
+    * re-pays in full (see [[dupComponents]] on why, and on what a real
+    * pipeline would materialize instead). */
   val qDupKeep = Q("q_dup_keep",
     (s, dir) => {
-      val d = Tables.documents(s, dir).select("doc_id")
-      val edges = d.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("a"), (col("doc_id") + 2000000).as("b"))
-        .unionAll(d.filter(col("doc_id") % 20 < 3)
-          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b")))
-      val comp = graft.ops.Components.connectedComponents(edges)
-        .toDF("doc_id", "cluster_id")
+      val comp = dupComponents(s, dir)
       val chars = Tables.documents(s, dir)
         .select(col("doc_id").as("base_id"),
           col("n_chars").cast("long").as("n_chars"))
@@ -911,8 +925,13 @@ object SimilarityQueries {
 
   /** Parameterized IVF retrieval — q_ann_ivf runs nprobe=2; AnnSpec checks
     * the nprobe recall relation (2-probe candidates ⊇ 1-probe). */
-  def annIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val base = withNorm(Tables.embeddings(s, dir))
+  def annIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    annIvfFrom(Tables.embeddings(s, dir), nprobe)
+
+  /** IVF over any (vec_id, embedding) frame — trains its own codebook on
+    * that frame, so the clustered fixture gets a fixture-fit quantizer. */
+  private def annIvfFrom(emb: DataFrame, nprobe: Int): DataFrame = {
+    val base = withNorm(emb)
     // IVF build stage: deterministic k-means (KMeans scaladoc has the
     // exactness contract), codebook shipped as LITERALS — the same
     // broadcast-constant pattern as the LSH plane weights. Assignment is
@@ -997,30 +1016,37 @@ object SimilarityQueries {
     * dodge double-summation order. The reference's HNSW index buys its
     * recall with efSearch=500 (commercial_rfp_indexer.py:96-111); this
     * query makes the Spark-native ladder's equivalent trade measurable. */
-  val qAnnRecall = Q("q_ann_recall",
-    (s, dir) => {
-      val base = withNorm(Tables.embeddings(s, dir))
-      val qs = base.filter(isQuery)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("dxx").as("qxx"))
-      val exactPairs = base.withColumnRenamed("vec_id", "nbr_id")
-        .crossJoin(broadcast(qs))
-        .filter(col("nbr_id") =!= col("query_id"))
-      val exact = topK(exactPairs, 3, Seq("query_id", "nbr_id"))
-      def recallOf(method: String, ann: DataFrame): DataFrame =
-        exact.join(ann.select(col("query_id").as("aq"), col("nbr_id").as("an")),
-            col("query_id") === col("aq") && col("nbr_id") === col("an"),
-            "left")
-          .agg(round(sum(when(col("an").isNotNull, 1).otherwise(0))
-              .cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
-          .select(lit(method).as("method"), col("recall"))
-      recallOf("lsh", qAnnLsh.fn(s, dir))
-        .unionAll(recallOf("mp", qAnnMp.fn(s, dir)))
-        .unionAll(recallOf("ivf", qAnnIvf.fn(s, dir)))
-        .unionAll(recallOf("mt", qAnnMt.fn(s, dir)))
-    },
-    Some("WITH " + bucketsSql("embeddings") + ",\n" +
-      KMeans.trainSql("embeddings", ivfCells, ivfIters) + s""",
+  /** Recall@3 scorecard over any (vec_id, embedding) frame: exact kNN on
+    * that frame, then each ANN rung re-run on the same frame and scored
+    * against it. Shared by [[qAnnRecall]] (shipped embeddings) and
+    * [[qAnnRecallClustered]] (the fixture where LSH theory applies). */
+  private def annRecallFrom(emb: DataFrame): DataFrame = {
+    val base = withNorm(emb)
+    val qs = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("dxx").as("qxx"))
+    val exactPairs = base.withColumnRenamed("vec_id", "nbr_id")
+      .crossJoin(broadcast(qs))
+      .filter(col("nbr_id") =!= col("query_id"))
+    val exact = topK(exactPairs, 3, Seq("query_id", "nbr_id"))
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      exact.join(ann.select(col("query_id").as("aq"), col("nbr_id").as("an")),
+          col("query_id") === col("aq") && col("nbr_id") === col("an"),
+          "left")
+        .agg(round(sum(when(col("an").isNotNull, 1).otherwise(0))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
+        .select(lit(method).as("method"), col("recall"))
+    recallOf("lsh", annLshFrom(emb))
+      .unionAll(recallOf("mp", annMpFrom(emb)))
+      .unionAll(recallOf("ivf", annIvfFrom(emb, ivfNprobe)))
+      .unionAll(recallOf("mt", annMtFrom(emb)))
+  }
+
+  /** The full recall-scorecard oracle body (everything after `WITH `),
+    * parameterized on the vector source table/CTE `src`. */
+  private def annRecallSql(src: String): String =
+    bucketsSql(src) + ",\n" +
+      KMeans.trainSql(src, ivfCells, ivfIters) + s""",
       |assignf AS (
       |${ivfAssignSql(1, "")}
       |), probe AS (
@@ -1028,56 +1054,116 @@ object SimilarityQueries {
       |), xpairs AS (
       |  SELECT e.vec_id AS nbr_id, q.vec_id AS query_id,
       |         e.embedding AS nv, q.embedding AS qv
-      |  FROM embeddings e CROSS JOIN
-      |       (SELECT vec_id, embedding FROM embeddings WHERE ${queryPredSql()}) q
+      |  FROM $src e CROSS JOIN
+      |       (SELECT vec_id, embedding FROM $src WHERE ${queryPredSql()}) q
       |  WHERE e.vec_id <> q.vec_id
       |), """.stripMargin +
       dotsSql("xpairs", "nv", "qv", "query_id, nbr_id", "x") + ",\n" +
       topSql("x", 3) + s""",
       |lq AS (
       |  SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qv
-      |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+      |  FROM buckets b JOIN $src e ON e.vec_id = b.vec_id
       |  WHERE ${queryPredSql("b.")}
       |), lcand AS (
       |  SELECT q.query_id, q.qv, b.vec_id AS nbr_id, e.embedding AS nv
       |  FROM lq q JOIN buckets b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
-      |       JOIN embeddings e ON e.vec_id = b.vec_id
+      |       JOIN $src e ON e.vec_id = b.vec_id
       |), """.stripMargin +
       dotsSql("lcand", "nv", "qv", "query_id, nbr_id", "l") + ",\n" +
       topSql("l", 3) + s""",
       |mq AS (
       |  SELECT b.vec_id AS query_id, xor(b.bucket, m.mask) AS qbucket,
       |         e.embedding AS qv
-      |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id,
+      |  FROM buckets b JOIN $src e ON e.vec_id = b.vec_id,
       |       (SELECT unnest([0,1,2,4,8,16,32]) AS mask) m
       |  WHERE ${queryPredSql("b.")}
       |), mcand AS (
       |  SELECT q.query_id, q.qv, b.vec_id AS nbr_id, e.embedding AS nv
       |  FROM mq q JOIN buckets b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
-      |       JOIN embeddings e ON e.vec_id = b.vec_id
+      |       JOIN $src e ON e.vec_id = b.vec_id
       |), """.stripMargin +
       dotsSql("mcand", "nv", "qv", "query_id, nbr_id", "m") + ",\n" +
-      topSql("m", 3) + """,
+      topSql("m", 3) + s""",
       |iq AS (
       |  SELECT p.vec_id AS query_id, p.cell, e.embedding AS qv
-      |  FROM probe p JOIN embeddings e ON e.vec_id = p.vec_id
+      |  FROM probe p JOIN $src e ON e.vec_id = p.vec_id
       |), icand AS (
       |  SELECT q.query_id, q.qv, a.vec_id AS nbr_id, e.embedding AS nv
       |  FROM iq q JOIN assignf a ON a.cell = q.cell AND a.vec_id <> q.query_id
-      |       JOIN embeddings e ON e.vec_id = a.vec_id
+      |       JOIN $src e ON e.vec_id = a.vec_id
       |), """.stripMargin +
       dotsSql("icand", "nv", "qv", "query_id, nbr_id", "i") + ",\n" +
       topSql("i", 3) + ",\n" +
-      mtbSql("embeddings") + ",\n" + mtTailSql + ",\n" +
+      mtbSql(src) + ",\n" + mtTailSql(src) + ",\n" +
       topSql("t", 3) + "\n" +
       recallSelect("lsh", "l") + "\nUNION ALL\n" +
       recallSelect("mp", "m") + "\nUNION ALL\n" +
       recallSelect("ivf", "i") + "\nUNION ALL\n" +
-      recallSelect("mt", "t")),
+      recallSelect("mt", "t")
+
+  val qAnnRecall = Q("q_ann_recall",
+    (s, dir) => annRecallFrom(Tables.embeddings(s, dir)),
+    Some("WITH " + annRecallSql("embeddings")),
     "north star: ANN recall@3 vs exact kNN (ref recall intent: efSearch=500, commercial_rfp_indexer.py:96-111)")
+
+  /** Clustered-vector fixture parameters: `ctrCount` md5-seeded centers
+    * (an independent weight family from the LSH planes), each shipped
+    * vector re-based as center(vec_id % ctrCount) + ctrNoise · original.
+    * The shipped embeddings are near-uniform on the sphere — cosine
+    * concentration makes "nearest" meaningless and q_ann_recall's lsh rung
+    * honestly scores 0.00 on them. Here neighbors exist by construction:
+    * centers have norm ≈ √(dims/12) ≈ 2.3, the noise displaces by ≤
+    * ctrNoise, so within-cluster angles are ≈ 0.1 rad while cross-cluster
+    * angles stay near π/2. A within-cluster pair then survives one random
+    * hyperplane w.p. ≈ 1 − 0.1/π ≈ 0.97 and a 6-plane bucket w.p. ≈ 0.83
+    * — so single-table recall must land well above 0 and below the
+    * multi-table/multi-probe rungs, which is exactly the band-survival
+    * ladder the ANN family claims. */
+  private val ctrCount = 20
+  private val ctrNoise = 0.15
+
+  /** embeddings re-based onto the cluster centers; mirrors [[cembSql]].
+    * The arithmetic (md5-derived center weight + 0.15 · float-exact
+    * element, cast back to float) is IEEE-identical in both engines —
+    * the same determinism contract as [[vecCorpus]]'s perturbation. */
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame = {
+    val centers = Vectors.planeWeights(ctrCount, embDims, seedPrefix = "ctr")
+    val flat = typedLit(centers.flatten.toSeq)
+    Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (element_at(flat,
+            (col("vec_id") % ctrCount).cast("int") * embDims + i + lit(1))
+          + lit(ctrNoise) * x.cast("double")).cast("float")).as("embedding"))
+  }
+
+  private val cembSql =
+    s"""ctrw AS (
+       |  SELECT c, i,
+       |    CAST(('0x' || substr(md5('ctr' || c || '_' || i), 1, 4))::BIGINT AS DOUBLE)/65536.0 - 0.5 AS w
+       |  FROM unnest(generate_series(0, ${ctrCount - 1})) AS a(c),
+       |       unnest(generate_series(0, ${embDims - 1})) AS b(i)
+       |), celems AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         unnest(generate_series(0, len(embedding)-1)) AS i
+       |  FROM embeddings
+       |), cemb AS (
+       |  SELECT e.vec_id,
+       |    list(CAST(ct.w + $ctrNoise * e.x AS FLOAT) ORDER BY e.i) AS embedding
+       |  FROM celems e JOIN ctrw ct ON ct.c = e.vec_id % $ctrCount AND ct.i = e.i
+       |  GROUP BY e.vec_id
+       |)""".stripMargin
+
+  /** q_ann_recall_clustered — the recall scorecard on the clustered
+    * fixture (see [[ctrCount]]'s scaladoc for why the shipped embeddings
+    * can't demonstrate the ladder). Same four rungs, same oracle machinery,
+    * different vector source. */
+  val qAnnRecallClustered = Q("q_ann_recall_clustered",
+    (s, dir) => annRecallFrom(clusteredEmb(s, dir)),
+    Some("WITH " + cembSql + ",\n" + annRecallSql("cemb")),
+    "north star: ANN recall@3 on a clustered fixture (LSH band-survival ladder measurable; ref bar commercial_rfp_indexer.py:96-111)")
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qChunkIndex, qCentroids,
-    qAnnIvf, qAnnRecall)
+    qAnnIvf, qAnnRecall, qAnnRecallClustered)
 }

@@ -50,6 +50,19 @@ class AnnSpec extends SparkSpec {
       "nprobe=2 returned a worse score at some rank")
   }
 
+  test("clustered fixture: single-table LSH recall positive, amplification dominates") {
+    // on the shipped near-uniform embeddings lsh recall is honestly 0.00;
+    // the clustered fixture exists so the band-survival ladder is
+    // measurable — pin that it actually is (lsh > 0, and the or-amplified
+    // / probe-expanded rungs never fall below the single-table rung)
+    val r = Registry.byName("q_ann_recall_clustered").fn(spark, dir)
+      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(r("lsh") > 0.0,
+      "clustered fixture failed to make single-table LSH demonstrate band survival")
+    assert(r("mt") >= r("lsh"), "multi-table recall fell below single-table")
+    assert(r("mp") >= r("lsh"), "multi-probe recall fell below single-table")
+  }
+
   test("exact kNN dominates every ANN variant at rank 1") {
     val knn = Registry.byName("q_knn").fn(spark, dir)
       .filter(col("rk") === 1)

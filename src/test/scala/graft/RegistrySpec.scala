@@ -5,11 +5,11 @@ package graft
   * break the correctness gate. */
 class RegistrySpec extends SparkSpec {
 
-  test("query names are unique and every query has an oracle (one known exception)") {
+  test("query names are unique and every query has an oracle") {
     val qs = Registry.byName // byName itself requires uniqueness
     val oracleLess = qs.values.filter(_.oracle.isEmpty).map(_.name).toSet
-    // q_binary_scan reads file mtimes DuckDB cannot see — rows-only check
-    assert(oracleLess === Set("q_binary_scan"))
+    // since round 7 even q_binary_scan is oracle-checked (DuckDB read_blob)
+    assert(oracleLess === Set.empty[String])
     assert(qs.keySet === SparkEntry.queries.keySet)
     assert(SparkEntry.oracleSql.keySet ===
       qs.filter(_._2.oracle.isDefined).keySet)
