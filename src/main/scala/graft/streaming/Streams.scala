@@ -258,6 +258,61 @@ object Streams {
     .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
       col("event_type"), col("n"))
 
+  /** Per-group term statistics carried across micro-batches: term →
+    * (term frequency, document frequency). */
+  final case class TermCounts(tf: Map[String, Long], df: Map[String, Long])
+
+  /** Streaming top-k terms per group — the retrieval family's term-stats
+    * side ([[graft.queries.TextQueries]] q_top_terms) under `readStream`.
+    * Each micro-batch folds its documents into the per-group (tf, df)
+    * state and emits the group's refreshed top-k by (tf desc, term asc)
+    * as (group, rank, term, tf, df) rows (Update semantics: the last
+    * emission per group is current).
+    *
+    * df without doc-id state: each input row is one document, and a
+    * document increments a term's df at most once — so as long as every
+    * document arrives EXACTLY ONCE (the upstream [[dedupByKey]] stage's
+    * contract), counting each row's distinct tokens is the exact df, with
+    * no per-term doc-id sets carried anywhere.
+    *
+    * Tokenization replicates [[graft.ops.Shingles.tokens]] (lowered):
+    * trim → lowercase (Locale.ROOT, matching Spark's locale-independent
+    * `lower`) → split on `\s+` — StreamTopTermsSpec asserts exact
+    * batch/stream equality on the same input, across a restart.
+    *
+    * State bound: O(distinct terms per group) — vocabulary-bounded, like
+    * a batch groupBy on the same key, NOT history-bounded; for an
+    * open-ended token universe the production swap is a count-min sketch
+    * + bounded heap (approximate), the same exact-vs-sketch trade
+    * [[kmvDistinctStream]] documents for cardinality. */
+  def topTermsStream(docs: DataFrame, groupCol: String, textCol: String,
+                     k: Int): org.apache.spark.sql.Dataset[(String, Int, String, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.select(col(groupCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TermCounts, (String, Int, String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, String)], state: GroupState[TermCounts]) =>
+          val prev = state.getOption.getOrElse(TermCounts(Map.empty, Map.empty))
+          val tf = scala.collection.mutable.Map.empty[String, Long] ++ prev.tf
+          val df = scala.collection.mutable.Map.empty[String, Long] ++ prev.df
+          it.foreach { case (_, text) =>
+            // split(_, -1) matches Spark's split() (no trailing-empty drop)
+            val toks = Option(text).getOrElse("").trim
+              .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+            toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+            toks.distinct.foreach(t => df.update(t, df.getOrElse(t, 0L) + 1L))
+          }
+          state.update(TermCounts(tf.toMap, df.toMap))
+          tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+            .iterator.zipWithIndex.map { case ((t, c), i) =>
+              (g, i + 1, t, c, df(t))
+            }
+      }
+  }
+
   /** Per-group KMV state: the k smallest distinct hashes seen so far —
     * bounded at O(k) longs per group for the stream's lifetime, which is
     * exactly why a sketch (and not exact distinct, whose state is the

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Synthesize a scaling-probe fixture from driver sf0.1 data (driver-side
+tooling, like verify_local.py — the engine never depends on this).
+
+Replicates documents/embeddings `factor` times with disjoint id ranges.
+Replica content is PERTURBED so densities stay honest at scale:
+
+- documents: replica k's text is the original's words rotated by k+spread
+  positions — 3-gram shingle sets of a rotated word sequence share almost
+  nothing with the original, so MinHash/LSH near-dup candidate counts grow
+  ~linearly with the factor instead of quadratically (verbatim copies
+  would put every replica family into one LSH bucket, which honest
+  larger corpora don't do).
+- embeddings: replica k's vector is the original rotated by k positions —
+  unit norm preserved, cosine decorrelated from the original.
+
+Id shifts are multiples of the base counts (5000 / 2000 at sf0.1), both
+multiples of every modulus the query fixtures key on (10/20/100), so
+edge densities and the O(1) capped query set (`vec_id % 100 = 0 AND
+vec_id < 3200`) are preserved exactly.
+
+Usage: python3 tools/scale_synth.py <srcDir> <dstDir> [factor=10]
+"""
+import sys
+
+import duckdb
+
+
+def main() -> None:
+    src = sys.argv[1]
+    dst = sys.argv[2]
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{src}/documents.parquet'")
+    con.execute(f"CREATE VIEW e AS SELECT * FROM '{src}/embeddings.parquet'")
+    nd, = con.execute("SELECT count(*) FROM d").fetchone()
+    ne, = con.execute("SELECT count(*) FROM e").fetchone()
+
+    import os
+    os.makedirs(dst, exist_ok=True)
+    con.execute(f"""
+      COPY (
+        SELECT doc_id + k * {nd} AS doc_id,
+          CASE WHEN k = 0 THEN text ELSE array_to_string(
+            w[(k % greatest(len(w), 1)) + 1 :] || w[1 : (k % greatest(len(w), 1))],
+            ' ') END AS text,
+          lang, source, n_chars
+        FROM (SELECT *, string_split(text, ' ') AS w FROM d),
+             unnest(generate_series(0, {factor - 1})) AS g(k)
+      ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT vec_id + k * {ne} AS vec_id,
+          CASE WHEN k = 0 THEN embedding ELSE
+            embedding[(k % len(embedding)) + 1 :] || embedding[1 : (k % len(embedding))]
+          END AS embedding,
+          label
+        FROM e, unnest(generate_series(0, {factor - 1})) AS g(k)
+      ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for t, n in (("documents", nd), ("embeddings", ne)):
+        got, = con.execute(
+            f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()
+        assert got == n * factor, (t, got, n, factor)
+        print(f"{t}: {n} -> {got}")
+
+
+if __name__ == "__main__":
+    main()
