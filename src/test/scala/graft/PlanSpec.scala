@@ -132,6 +132,19 @@ class PlanSpec extends SparkSpec {
       s"expected the two-phase TopK physical operator:\n$p")
   }
 
+  test("clustered-fixture re-basing is a pure projection (no extra exchange)") {
+    // clusteredEmb ships the 20×64 center weights as a literal and
+    // re-bases each vector in a transform — if a refactor ever turned
+    // that into a center-table join, the clustered recall plan would
+    // grow exchanges over the base recall plan
+    val base = countOcc(plan(SimilarityQueries.qAnnRecall),
+      "Exchange hashpartitioning")
+    val clus = countOcc(plan(SimilarityQueries.qAnnRecallClustered),
+      "Exchange hashpartitioning")
+    assert(clus === base,
+      s"clustered recall has $clus hash exchanges vs base $base")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
