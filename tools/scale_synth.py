@@ -3,16 +3,19 @@
 tooling, like verify_local.py — the engine never depends on this).
 
 Replicates documents/embeddings `factor` times with disjoint id ranges.
-Replica content is PERTURBED so densities stay honest at scale:
+Replica content is rotated, with different effects per modality:
 
-- documents: replica k's text is the original's words rotated by k+spread
-  positions — 3-gram shingle sets of a rotated word sequence share almost
-  nothing with the original, so MinHash/LSH near-dup candidate counts grow
-  ~linearly with the factor instead of quadratically (verbatim copies
-  would put every replica family into one LSH bucket, which honest
-  larger corpora don't do).
 - embeddings: replica k's vector is the original rotated by k positions —
-  unit norm preserved, cosine decorrelated from the original.
+  unit norm preserved, cosine genuinely decorrelated, so kNN/ANN
+  neighborhoods don't collapse onto exact copies.
+- documents: replica k's text is the original's words rotated by k
+  positions. Rotations of one word sequence share almost all CYCLIC
+  3-gram shingles, so each replica family remains a mutual near-dup
+  clique of `factor` members — deliberate: LSH bucket sizes stay bounded
+  by the factor (well under the capBuckets guard) while verified-pair
+  volume grows ~factor² per family, a denser-duplication stress test
+  than fresh-unique texts would be (measured: 1,375 -> 401,056 verified
+  pairs sf0.1 -> 10x while q_near_dup runtime grew only ~11x).
 
 Id shifts are multiples of the base counts (5000 / 2000 at sf0.1), both
 multiples of every modulus the query fixtures key on (10/20/100), so
