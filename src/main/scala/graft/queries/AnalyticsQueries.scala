@@ -233,13 +233,15 @@ object AnalyticsQueries {
       |FROM j GROUP BY cohort_day""".stripMargin),
     "§2.8 capability: cohort retention (first-seen day × day-offset distinct users)")
 
-  /** Ordered-funnel core over any (user_id, event_type, ts) frame —
-    * each stage strictly after the user's previous stage; shared by
-    * q_funnel and AnalyticsSpec's ordering pins. */
-  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty, "funnelStages needs at least one stage")
+  /** Per-user funnel completion times: frame i holds (user_id, t_i) — the
+    * earliest stage-i event strictly after the user's t_(i-1). The
+    * sequential min-join chain shared by [[funnelStages]] and
+    * StreamFunnelSpec's exact per-user equivalence check against
+    * [[graft.streaming.Streams.funnelStream]]. */
+  def funnelUserTimes(events: DataFrame, stages: Seq[String]): Seq[DataFrame] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
     val ev = events.select("user_id", "event_type", "ts")
-    val perStage = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+    stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stageType, i)) =>
         val hits = ev.filter(col("event_type") === stageType)
         Some(prev match {
@@ -249,11 +251,17 @@ object AnalyticsQueries {
             .groupBy("user_id").agg(min(col("ts")).as(s"t$i"))
         })
     }.flatten
-    perStage.zip(stages.zipWithIndex).map { case (df, (stageType, i)) =>
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(s"${i + 1}_$stageType").as("stage"), col("users"))
-    }.reduce(_.unionAll(_))
   }
+
+  /** Ordered-funnel core over any (user_id, event_type, ts) frame —
+    * each stage strictly after the user's previous stage; shared by
+    * q_funnel and AnalyticsSpec's ordering pins. */
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame =
+    funnelUserTimes(events, stages).zip(stages.zipWithIndex)
+      .map { case (df, (stageType, i)) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(s"${i + 1}_$stageType").as("stage"), col("users"))
+      }.reduce(_.unionAll(_))
 
   /** q_funnel — ordered-funnel analysis: per user, the earliest 'view',
     * the earliest 'click' strictly after it, and the earliest 'purchase'

@@ -204,6 +204,69 @@ object Streams {
       }
   }
 
+  /** Per-user funnel state: the watermark-gated pending buffer plus the
+    * earliest completion time (micros, -1 = not reached) of each stage. */
+  final case class FunnelState(pend: Seq[PendEvent], reached: Seq[Long])
+  /** One emitted stage completion: `stage` is 1-based. */
+  final case class FunnelHit(user_id: Long, stage: Int, ts_us: Long)
+
+  /** Streaming ordered funnel — the streaming form of
+    * [[graft.queries.AnalyticsQueries.funnelStages]]' sequential min-join
+    * chain. Input reuses [[SideEvent]] with `side` = 0-based stage index;
+    * input must carry a watermark on `ts`.
+    *
+    * Correctness hinges on in-order processing, so it reuses
+    * [[asOfStream]]'s buffer-and-flush: events buffer until the watermark
+    * passes them, then flush in (ts, stage, id) order against the
+    * monotone per-stage completion times — processed in event-time order,
+    * "first stage-i event strictly after t_(i-1)" IS the batch chain's
+    * "min ts of stage i > t_(i-1)" (ties can never count: the strictly-
+    * greater requirement already excludes same-timestamp advancement, so
+    * tie order is irrelevant). Each stage completion is emitted exactly
+    * once per user (Append mode); StreamFunnelSpec pins exact per-user
+    * equality with the batch [[graft.queries.AnalyticsQueries.funnelUserTimes]].
+    *
+    * State is watermark-bounded like the as-of join's — one delay's worth
+    * of buffered events per active user plus `nStages` longs — and
+    * shrinks further in flight: events for an already-completed stage are
+    * dropped at merge time, and a fully-converted user buffers nothing
+    * ever again. */
+  def funnelStream(events: org.apache.spark.sql.Dataset[SideEvent],
+                   nStages: Int): org.apache.spark.sql.Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SideEvent], state: GroupState[FunnelState]) =>
+          val wUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption
+            .getOrElse(FunnelState(Nil, Seq.fill(nStages)(-1L)))
+          val reached = prev.reached.toArray
+          // a stage already completed can never advance again — its
+          // events need no buffer space (completion times are monotone:
+          // set once, never unset)
+          val merged = (prev.pend ++ it.map(e =>
+              PendEvent(micros(e.ts), e.side, e.event_id)))
+            .filter(p => p.side >= 0 && p.side < nStages && reached(p.side) < 0)
+            .sortBy(p => (p.ts_us, p.side, p.event_id))
+          val (ready, pend) = merged.partition(_.ts_us <= wUs)
+          val out = Seq.newBuilder[FunnelHit]
+          for (p <- ready) {
+            val i = p.side
+            if (reached(i) < 0 &&
+                (i == 0 || (reached(i - 1) >= 0 && p.ts_us > reached(i - 1)))) {
+              reached(i) = p.ts_us
+              out += FunnelHit(uid, i + 1, p.ts_us)
+            }
+          }
+          val pendKept = pend.filter(p => reached(p.side) < 0)
+          state.update(FunnelState(pendKept, reached.toSeq))
+          if (pendKept.nonEmpty) state.setTimeoutTimestamp(wUs / 1000L + 1L)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact deduplication — the training-pipeline dedup under
     * `readStream`: dropDuplicates over `keys` plus the event-time column,
     * with the watermark bounding dedup state (key state older than
