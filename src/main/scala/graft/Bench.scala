@@ -60,13 +60,17 @@ object Bench {
     val floorScan = floorOf(() =>
       materialize(spark.read.parquet(s"$sfDir/region.parquet")))
 
+    // error messages are budgeted like everything else on the one-line
+    // report: whitespace-collapsed and capped, so a multi-line Spark
+    // AnalysisException can't blow the capture window by itself
+    def errMsg(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("\\s+", " ").take(80)
+
     // warmup (untimed); a query that fails here is skipped in timed runs
     val runnable = names.filter { name =>
       try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-        false
-      }
+      catch { case e: Throwable => errors(name) = errMsg(e); false }
     }
 
     val timings = runnable.flatMap { name =>
@@ -79,9 +83,7 @@ object Bench {
         }.sorted
         Some(name -> runs(runs.size / 2)) // median
       } catch { // a timed-run failure must not lose the whole report
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          None
+        case e: Throwable => errors(name) = errMsg(e); None
       }
     }
 
@@ -113,27 +115,33 @@ object Bench {
 
   /** One machine-parsed JSON report line, guaranteed ≤ [[maxLineChars]]:
     * per-query timings start at 2 decimals (10 ms — plenty for
-    * second-scale medians) and degrade to 1 decimal only if the line
-    * would overflow the capture window. If even 1-decimal overflows (≈110+
-    * queries), fail LOUDLY — a truncated line would fail silently. */
+    * second-scale medians), degrade to 1 decimal if the line would
+    * overflow the capture window, and as a last resort drop error
+    * MESSAGE text (keeping the failed-query names) — a failed query must
+    * never cost the report its 89 good timings. If even that overflows
+    * (≈110+ queries — names, not values, dominate), fail LOUDLY: a
+    * truncated line would fail silently. */
   private[graft] def renderLine(timings: Seq[(String, Double)],
       errors: Seq[(String, String)], floorPlan: Double, floorScan: Double,
       sfDir: String): String = {
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def line(dp: Int): String = {
+    def line(dp: Int, errVals: Boolean): String = {
       val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmtTrim(v, dp)}" }
         .mkString("{", ",", "}")
-      val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      val errs = errors.map { case (k, v) =>
+          s"${jstr(k)}:${if (errVals) jstr(v) else "\"\""}" }
         .mkString("{", ",", "}")
       val total = timings.map(_._2).sum
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","floor_plan_sec":${fmt3(floorPlan)},"floor_scan_sec":${fmt3(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     }
-    val out = Iterator(2, 1).map(line).find(_.length <= maxLineChars)
+    val out = Iterator((2, true), (1, true), (1, false))
+      .map { case (dp, ev) => line(dp, ev) }.find(_.length <= maxLineChars)
     require(out.nonEmpty, s"bench JSON line exceeds $maxLineChars chars " +
-      s"even at 1-decimal timings (${timings.size} queries, " +
-      s"${line(1).length} chars) — the harness tail capture would truncate " +
-      "it; shorten query names or split the report")
+      s"even at 1-decimal timings with error text dropped " +
+      s"(${timings.size} queries, ${line(1, false).length} chars) — the " +
+      "harness tail capture would truncate it; shorten query names or " +
+      "split the report")
     out.get
   }
 }

@@ -287,12 +287,19 @@ object PipelineQueries {
     * which logs a benign-but-noisy FileNotFound WARN per load. Only the
     * oracle-visible columns (name, length) are projected — file mtimes
     * aren't visible to DuckDB — so the oracle can list the same files via
-    * `read_blob`. The oracle pins the driver's documented verify dir
-    * (TESTDATA.md sf0.01): oracle SQL is static text, so the one
-    * filesystem-rooted query names the filesystem root explicitly. */
+    * `read_blob`.
+    *
+    * BOTH sides pin the same fixed directory (TESTDATA.md sf0.01, the
+    * driver's verify dir) rather than the sfDir argument: a blob
+    * container is a fixed external location by nature — it does not
+    * scale with the analytic SF — and the oracle is static SQL that must
+    * name its filesystem root explicitly, so pinning the Spark side too
+    * makes the query SF-invariant (hash-green at every verify dir)
+    * instead of green only when sfDir happens to equal the oracle's. */
+  private val containerDir = "/root/testdata/sf0.01"
   val qBinaryScan = Q("q_binary_scan",
-    (s, dir) => {
-      val files = new java.io.File(dir).listFiles()
+    (s, _) => {
+      val files = new java.io.File(containerDir).listFiles()
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted
       s.read.format("binaryFile").load(files.toIndexedSeq: _*)

@@ -338,10 +338,13 @@ object Streams {
     * contract), counting each row's distinct tokens is the exact df, with
     * no per-term doc-id sets carried anywhere.
     *
-    * Tokenization replicates [[graft.ops.Shingles.tokens]] (lowered):
-    * trim → lowercase (Locale.ROOT, matching Spark's locale-independent
-    * `lower`) → split on `\s+` — StreamTopTermsSpec asserts exact
-    * batch/stream equality on the same input, across a restart.
+    * Tokenization replicates [[graft.ops.Shingles.tokens]] (lowered)
+    * EXACTLY: SQL `trim` strips only U+0020 spaces (NOT Java
+    * `String.trim`, which also strips tabs/newlines and would diverge on
+    * edge whitespace) → lowercase (Locale.ROOT, matching Spark's
+    * locale-independent `lower`) → split on `\s+` with limit -1 —
+    * StreamTopTermsSpec asserts exact batch/stream equality on the same
+    * input, across a restart.
     *
     * State bound: O(distinct terms per group) — vocabulary-bounded, like
     * a batch groupBy on the same key, NOT history-bounded; for an
@@ -362,8 +365,10 @@ object Streams {
           val tf = scala.collection.mutable.Map.empty[String, Long] ++ prev.tf
           val df = scala.collection.mutable.Map.empty[String, Long] ++ prev.df
           it.foreach { case (_, text) =>
-            // split(_, -1) matches Spark's split() (no trailing-empty drop)
-            val toks = Option(text).getOrElse("").trim
+            // space-only trim = SQL trim; split(_, -1) matches Spark's
+            // split() (no trailing-empty drop)
+            val toks = Option(text).getOrElse("")
+              .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
               .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
             toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
             toks.distinct.foreach(t => df.update(t, df.getOrElse(t, 0L) + 1L))

@@ -50,6 +50,21 @@ class BenchLineSpec extends AnyFunSuite {
     fakeTimings(n).foreach { case (k, _) => assert(line.contains(k)) }
   }
 
+  test("a failed query's error text never costs the report its timings") {
+    // near-capacity timings plus one error whose (already-capped) 80-char
+    // message would overflow: the message is dropped, the name and every
+    // timing survive
+    val n = (2 to 200).find { n =>
+      Bench.renderLine(fakeTimings(n), Nil, 0.1, 0.1, "sf").length >
+        Bench.maxLineChars - 120
+    }.get
+    val err = Seq("q_broken" -> ("x" * 80))
+    val line = Bench.renderLine(fakeTimings(n), err, 0.1, 0.1, "sf")
+    assert(line.length <= Bench.maxLineChars)
+    assert(line.contains("q_broken"))
+    fakeTimings(n).foreach { case (k, _) => assert(line.contains(k)) }
+  }
+
   test("renderLine fails loudly when even 1-decimal overflows") {
     val e = intercept[IllegalArgumentException] {
       Bench.renderLine(fakeTimings(300), Nil, 0.1, 0.1, "sf")

@@ -31,6 +31,39 @@ class StreamTopTermsSpec extends SparkSpec {
           .map { case ((_, t, c, d), i) => (i + 1, t, c, d) }
       }
 
+  test("tokenizer parity holds on edge tabs/newlines (SQL trim is space-only)") {
+    // SQL trim strips only U+0020: a text with edge '\t'/'\n' keeps that
+    // whitespace, and split('\s+', -1) then emits an edge "" token. The
+    // stream must reproduce exactly that (a Java String.trim would not).
+    val dir = Files.createTempDirectory("graft-topterms-ws").toFile
+    dir.deleteOnExit()
+    val src = s"${dir.getAbsolutePath}/docs"
+    val docs = Seq(
+      (1L, "g", "\tAlpha beta\n"), (2L, "g", "  alpha Beta  "),
+      (3L, "g", "beta\tgamma"), (4L, "g", "")
+    ).toDF("doc_id", "source", "text")
+    docs.coalesce(1).write.parquet(src)
+    val got = scala.collection.mutable.Map[String, Seq[(Int, String, Long, Long)]]()
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    val q = Streams.topTermsStream(stream, "source", "text", k)
+      .toDF("source", "rk", "tok", "tf", "df")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[(String, Int, String, Long, Long)].collect()
+          .groupBy(_._1).foreach { case (g, rows) =>
+            got.synchronized {
+              got(g) = rows.toSeq.sortBy(_._2)
+                .map { case (_, rk, t, c, d) => (rk, t, c, d) }
+            }
+          }
+      }
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(got.toMap === batchTop(docs), "edge-whitespace tokenization diverged")
+  }
+
   test("streamed top-k equals the batch top-k at each stage, across a restart") {
     val dir = Files.createTempDirectory("graft-topterms").toFile
     dir.deleteOnExit()

@@ -17,10 +17,14 @@ Replica content is rotated, with different effects per modality:
   than fresh-unique texts would be (measured: 1,375 -> 401,056 verified
   pairs sf0.1 -> 10x while q_near_dup runtime grew only ~11x).
 
-Id shifts are multiples of the base counts (5000 / 2000 at sf0.1), both
-multiples of every modulus the query fixtures key on (10/20/100), so
-edge densities and the O(1) capped query set (`vec_id % 100 = 0 AND
-vec_id < 3200`) are preserved exactly.
+Document id shifts are multiples of the base count (5000 at sf0.1), a
+multiple of every modulus the query fixtures key on (10/20/100), so edge
+densities are preserved exactly. Embedding id shifts additionally must
+CLEAR the engine's query cap (`vec_id % 100 = 0 AND vec_id < 3200`,
+SimilarityQueries.maxQueryId): a shift smaller than 3200 would inject
+replica vectors into the capped query set and silently grow the query
+side of every kNN/ANN probe — so the shift is max(count, 3200), keeping
+the query set EXACTLY the base one (the asserted invariant below).
 
 Usage: python3 tools/scale_synth.py <srcDir> <dstDir> [factor=10]
 """
@@ -52,9 +56,13 @@ def main() -> None:
              unnest(generate_series(0, {factor - 1})) AS g(k)
       ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
+    # query cap from SimilarityQueries.maxQueryId; 3200 is a multiple of
+    # both fixture moduli (100 and 20)
+    max_query_id = 3200
+    eshift = max(ne, max_query_id)
     con.execute(f"""
       COPY (
-        SELECT vec_id + k * {ne} AS vec_id,
+        SELECT vec_id + k * {eshift} AS vec_id,
           CASE WHEN k = 0 THEN embedding ELSE
             embedding[(k % len(embedding)) + 1 :] || embedding[1 : (k % len(embedding))]
           END AS embedding,
@@ -67,6 +75,15 @@ def main() -> None:
             f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()
         assert got == n * factor, (t, got, n, factor)
         print(f"{t}: {n} -> {got}")
+    nq_src, = con.execute(
+        f"SELECT count(*) FROM e WHERE vec_id % 100 = 0 AND vec_id < {max_query_id}"
+    ).fetchone()
+    nq_dst, = con.execute(
+        f"SELECT count(*) FROM '{dst}/embeddings.parquet' "
+        f"WHERE vec_id % 100 = 0 AND vec_id < {max_query_id}").fetchone()
+    assert nq_dst == nq_src, (
+        f"capped query set changed: {nq_src} -> {nq_dst}")
+    print(f"capped query set: {nq_src} (unchanged)")
 
 
 if __name__ == "__main__":
