@@ -124,7 +124,7 @@ object KMeans {
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
          |), kc$i AS (
          |  SELECT a.cell AS cl, e.dim,
-         |    CAST(SUM(CAST(round(e.x*1e15) AS BIGINT)) AS DOUBLE)/1e15/count(*) AS c
+         |    CAST(CAST(SUM(CAST(round(e.x*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15/count(*) AS c
          |  FROM ka$i a JOIN kmelems e ON e.vec_id = a.vec_id
          |  GROUP BY a.cell, e.dim
          |)""".stripMargin

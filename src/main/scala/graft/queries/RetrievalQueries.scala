@@ -179,9 +179,9 @@ object RetrievalQueries {
       |  FROM pairs
       |), dots AS (
       |  SELECT vec_id,
-      |    CAST(SUM(CAST(round(x*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxy,
-      |    CAST(SUM(CAST(round(x*x*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxx,
-      |    CAST(SUM(CAST(round(y*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dyy
+      |    CAST(CAST(SUM(CAST(round(x*y*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15 AS dxy,
+      |    CAST(CAST(SUM(CAST(round(x*x*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15 AS dxx,
+      |    CAST(CAST(SUM(CAST(round(y*y*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15 AS dyy
       |  FROM prod GROUP BY vec_id
       |), vec_top AS (
       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS vec_rk

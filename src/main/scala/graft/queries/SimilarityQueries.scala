@@ -78,7 +78,14 @@ object SimilarityQueries {
 
   /** Fixed-point-exact dot/norm triple over parallel-unnested lists — the
     * oracle analog of [[Vectors.dotExact]] (see its scaladoc for why
-    * scaled-long summation makes both engines bit-identical). */
+    * scaled-long summation makes both engines bit-identical).
+    *
+    * The inner `CAST(SUM(...) AS BIGINT)` is load-bearing: DuckDB's
+    * SUM(BIGINT) returns HUGEINT, and its int128→double conversion
+    * TRUNCATES instead of rounding to nearest — above 2^53 that lands 1
+    * ULP away from Scala's correctly-rounded `Long.toDouble` (~1% of
+    * values; measured). Dropping to BIGINT first (always in range: ≤ 64
+    * elements × 1e15) takes the correctly-rounded int64→double path. */
   private[queries] def dotsSql(src: String, aCol: String, bCol: String,
                       keys: String, prefix: String = ""): String =
     s"""${prefix}prod AS (
@@ -87,9 +94,9 @@ object SimilarityQueries {
        |  FROM $src
        |), ${prefix}dots AS (
        |  SELECT $keys,
-       |    CAST(SUM(CAST(round(x*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxy,
-       |    CAST(SUM(CAST(round(x*x*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dxx,
-       |    CAST(SUM(CAST(round(y*y*1e15) AS BIGINT)) AS DOUBLE)/1e15 AS dyy
+       |    CAST(CAST(SUM(CAST(round(x*y*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15 AS dxy,
+       |    CAST(CAST(SUM(CAST(round(x*x*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15 AS dxx,
+       |    CAST(CAST(SUM(CAST(round(y*y*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15 AS dyy
        |  FROM ${prefix}prod GROUP BY $keys
        |)""".stripMargin
 
@@ -907,7 +914,7 @@ object SimilarityQueries {
       |  FROM embeddings
       |)
       |SELECT label, CAST(dim AS INTEGER) AS dim,
-      |  CAST(SUM(CAST(round(x*1e15) AS BIGINT)) AS DOUBLE)/1e15/count(*) AS c
+      |  CAST(CAST(SUM(CAST(round(x*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15/count(*) AS c
       |FROM elems GROUP BY label, dim""".stripMargin),
     "north star: typed Aggregator (IVF coarse-quantizer building block)")
 
