@@ -115,12 +115,13 @@ object Bench {
 
   /** One machine-parsed JSON report line, guaranteed ≤ [[maxLineChars]]:
     * per-query timings start at 2 decimals (10 ms — plenty for
-    * second-scale medians), degrade to 1 decimal if the line would
-    * overflow the capture window, and as a last resort drop error
-    * MESSAGE text (keeping the failed-query names) — a failed query must
-    * never cost the report its 89 good timings. If even that overflows
-    * (≈110+ queries — names, not values, dominate), fail LOUDLY: a
-    * truncated line would fail silently. */
+    * second-scale medians); if the line would overflow the capture
+    * window, first drop error MESSAGE text (keeping the failed-query
+    * names — the gate compares timings, not messages), then degrade to
+    * 1 decimal. A failed query must never cost the report its 89 good
+    * timings. If every rung overflows (≈110+ queries — names, not
+    * values, dominate), fail LOUDLY: a truncated line would fail
+    * silently. */
   private[graft] def renderLine(timings: Seq[(String, Double)],
       errors: Seq[(String, String)], floorPlan: Double, floorScan: Double,
       sfDir: String): String = {
@@ -135,7 +136,9 @@ object Bench {
       val total = timings.map(_._2).sum
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","floor_plan_sec":${fmt3(floorPlan)},"floor_scan_sec":${fmt3(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     }
-    val out = Iterator((2, true), (1, true), (1, false))
+    // precision outranks error text (the gate compares per-query
+    // timings), so try dropping error text before dropping a decimal
+    val out = Iterator((2, true), (2, false), (1, true), (1, false))
       .map { case (dp, ev) => line(dp, ev) }.find(_.length <= maxLineChars)
     require(out.nonEmpty, s"bench JSON line exceeds $maxLineChars chars " +
       s"even at 1-decimal timings with error text dropped " +

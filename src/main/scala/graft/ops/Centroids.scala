@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * Spark does not guarantee — cannot change the sums; the mean is
   * converted to double once at finish. The DuckDB oracle reproduces the
   * identical arithmetic on unnested elements.
+  *
+  * Range bound: the Long accumulator holds Σ round(x·1e15) per dimension,
+  * so a group is exact up to ~9.2e18/1e15 ≈ 9200 rows of worst-case
+  * unit components (~10× more at typical |x| ≈ 0.1). Beyond that the
+  * fixed-point contract needs a wider accumulator (shift the scale, or
+  * aggregate per-partition then merge as BigInt); the oracle's checked
+  * BIGINT cast fails loudly at the same boundary where this Long would
+  * wrap silently.
   */
 object Centroids {
 

@@ -128,6 +128,13 @@ object KMeans {
          |  FROM ka$i a JOIN kmelems e ON e.vec_id = a.vec_id
          |  GROUP BY a.cell, e.dim
          |)""".stripMargin
+      // the BIGINT drop dodges DuckDB's truncating HUGEINT→double cast
+      // (see SimilarityQueries.dotsSql). Range: this sums over a CELL's
+      // rows, not 64 dims — it shares the engine-side Long accumulator's
+      // range (~9.2e18/1e15 ≈ 9200 unit-component rows per cell worst
+      // case; ~10× more for typical |x|≈0.1). Past that the engine's Long
+      // wraps silently while this checked cast fails loudly — the oracle
+      // errs on the honest side of the shared fixed-point contract.
     }
     sb.result()
   }

@@ -299,7 +299,9 @@ object PipelineQueries {
   private val containerDir = "/root/testdata/sf0.01"
   val qBinaryScan = Q("q_binary_scan",
     (s, _) => {
-      val files = new java.io.File(containerDir).listFiles()
+      val files = Option(new java.io.File(containerDir).listFiles())
+        .getOrElse(throw new IllegalStateException(
+          s"q_binary_scan container dir missing: $containerDir"))
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted
       s.read.format("binaryFile").load(files.toIndexedSeq: _*)
@@ -307,9 +309,9 @@ object PipelineQueries {
           col("length"))
         .orderBy("file_name")
     },
-    Some("""SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+    Some(s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
       |  CAST(size AS BIGINT) AS length
-      |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+      |FROM read_blob('$containerDir/*.parquet')
       |ORDER BY file_name""".stripMargin),
     "ref commercial_rfp_content_citation_upload_mapping_creation.py:59-64 (S8)")
 

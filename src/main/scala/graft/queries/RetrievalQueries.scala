@@ -173,17 +173,9 @@ object RetrievalQueries {
       |pairs AS (
       |  SELECT e.vec_id, e.embedding AS nv, q.qv
       |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
-      |), prod AS (
-      |  SELECT vec_id,
-      |    CAST(unnest(nv) AS DOUBLE) AS x, CAST(unnest(qv) AS DOUBLE) AS y
-      |  FROM pairs
-      |), dots AS (
-      |  SELECT vec_id,
-      |    CAST(CAST(SUM(CAST(round(x*y*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15 AS dxy,
-      |    CAST(CAST(SUM(CAST(round(x*x*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15 AS dxx,
-      |    CAST(CAST(SUM(CAST(round(y*y*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15 AS dyy
-      |  FROM prod GROUP BY vec_id
-      |), vec_top AS (
+      |), """.stripMargin +
+      SimilarityQueries.dotsSql("pairs", "nv", "qv", "vec_id") + """,
+      |vec_top AS (
       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS vec_rk
       |  FROM (SELECT vec_id AS doc_id, round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score
       |        FROM dots ORDER BY score DESC, doc_id LIMIT 50) t

@@ -904,7 +904,11 @@ object SimilarityQueries {
   /** q_centroids — per-label embedding centroids via the typed
     * [[graft.ops.Centroids.centroid]] Aggregator (fixed-point-exact
     * means, so the oracle's unnest-and-average reproduces them
-    * bit-for-bit). One row per (label, dimension). */
+    * bit-for-bit). One row per (label, dimension). The oracle's inner
+    * BIGINT cast dodges DuckDB's truncating HUGEINT→double conversion
+    * (see [[dotsSql]]); per-label sums share the engine-side Long range
+    * ([[graft.ops.Centroids]] scaladoc), so within the contract the cast
+    * cannot overflow. */
   val qCentroids = Q("q_centroids",
     (s, dir) => graft.ops.Centroids.perLabel(
       Tables.embeddings(s, dir).select("label", "embedding")),

@@ -365,13 +365,16 @@ object Streams {
           val tf = scala.collection.mutable.Map.empty[String, Long] ++ prev.tf
           val df = scala.collection.mutable.Map.empty[String, Long] ++ prev.df
           it.foreach { case (_, text) =>
+            // NULL text matches batch explode-of-null (the row vanishes);
             // space-only trim = SQL trim; split(_, -1) matches Spark's
             // split() (no trailing-empty drop)
-            val toks = Option(text).getOrElse("")
-              .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-              .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
-            toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
-            toks.distinct.foreach(t => df.update(t, df.getOrElse(t, 0L) + 1L))
+            if (text != null) {
+              val toks = text
+                .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+                .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+              toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+              toks.distinct.foreach(t => df.update(t, df.getOrElse(t, 0L) + 1L))
+            }
           }
           state.update(TermCounts(tf.toMap, df.toMap))
           tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)

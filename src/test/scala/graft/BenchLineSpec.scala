@@ -51,17 +51,19 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("a failed query's error text never costs the report its timings") {
-    // near-capacity timings plus one error whose (already-capped) 80-char
-    // message would overflow: the message is dropped, the name and every
-    // timing survive
+    // near-capacity timings plus five errors with (already-capped) 80-char
+    // messages — enough bytes that keeping the text cannot fit at either
+    // precision, so the error-DROP rung must fire: names and every timing
+    // survive, message text does not
     val n = (2 to 200).find { n =>
       Bench.renderLine(fakeTimings(n), Nil, 0.1, 0.1, "sf").length >
         Bench.maxLineChars - 120
     }.get
-    val err = Seq("q_broken" -> ("x" * 80))
-    val line = Bench.renderLine(fakeTimings(n), err, 0.1, 0.1, "sf")
+    val errs = (1 to 5).map(i => s"q_broken_$i" -> ("x" * 80))
+    val line = Bench.renderLine(fakeTimings(n), errs, 0.1, 0.1, "sf")
     assert(line.length <= Bench.maxLineChars)
-    assert(line.contains("q_broken"))
+    errs.foreach { case (k, _) => assert(line.contains(k)) }
+    assert(!line.contains("xxxx"), "expected error text dropped")
     fakeTimings(n).foreach { case (k, _) => assert(line.contains(k)) }
   }
 

@@ -40,7 +40,8 @@ class StreamTopTermsSpec extends SparkSpec {
     val src = s"${dir.getAbsolutePath}/docs"
     val docs = Seq(
       (1L, "g", "\tAlpha beta\n"), (2L, "g", "  alpha Beta  "),
-      (3L, "g", "beta\tgamma"), (4L, "g", "")
+      (3L, "g", "beta\tgamma"), (4L, "g", ""),
+      (5L, "g", null.asInstanceOf[String]) // batch explode drops NULL text
     ).toDF("doc_id", "source", "text")
     docs.coalesce(1).write.parquet(src)
     val got = scala.collection.mutable.Map[String, Seq[(Int, String, Long, Long)]]()

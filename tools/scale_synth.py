@@ -56,9 +56,18 @@ def main() -> None:
              unnest(generate_series(0, {factor - 1})) AS g(k)
       ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
-    # query cap from SimilarityQueries.maxQueryId; 3200 is a multiple of
-    # both fixture moduli (100 and 20)
-    max_query_id = 3200
+    # query cap read from the engine source (SimilarityQueries.maxQueryId)
+    # so an engine-side cap change cannot silently reintroduce the
+    # query-set leak this shift exists to prevent; 3200 fallback only if
+    # the source moves. The cap is a multiple of both fixture moduli
+    # (100 and 20).
+    import pathlib
+    import re
+    scala = (pathlib.Path(__file__).resolve().parent.parent
+             / "src/main/scala/graft/queries/SimilarityQueries.scala")
+    m = re.search(r"maxQueryId\s*=\s*(\d+)", scala.read_text()) \
+        if scala.exists() else None
+    max_query_id = int(m.group(1)) if m else 3200
     eshift = max(ne, max_query_id)
     con.execute(f"""
       COPY (
