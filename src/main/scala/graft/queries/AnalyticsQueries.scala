@@ -321,6 +321,46 @@ object AnalyticsQueries {
       |CROSS JOIN total""".stripMargin),
     "scale diagnostics: join-key skew audit (hot keys + share before the shuffle)")
 
+  /** The Zipf-tiered key [[qHeavyHitters]] mines: a deterministic skew
+    * fixture over lineitem (same philosophy as the clustered ANN
+    * fixture — derived in-query so both engines see identical data). 8
+    * hot keys hold ~6.2% of rows each, 256 medium keys ~0.1%, the rest
+    * near-unique — so at threshold 1/50 (2%) exactly the hot tier
+    * qualifies, with no key near the boundary, while the ~37k-key space
+    * (sf0.1) dwarfs the 64-counter sketch: the candidate pruning is
+    * real, not vacuous. */
+  private def hhKey = {
+    val r = col("l_orderkey") % 16
+    when(r < 8, concat(lit("h"), r.cast("string")))
+      .when(r < 12, concat(lit("m"), (col("l_orderkey") % 1024).cast("string")))
+      .otherwise(concat(lit("c"), col("l_orderkey").cast("string")))
+  }
+  private val hhKeySql =
+    """CASE WHEN l_orderkey % 16 < 8 THEN 'h' || CAST(l_orderkey % 16 AS VARCHAR)
+      |     WHEN l_orderkey % 16 < 12 THEN 'm' || CAST(l_orderkey % 1024 AS VARCHAR)
+      |     ELSE 'c' || CAST(l_orderkey AS VARCHAR) END""".stripMargin
+
+  /** q_heavy_hitters — exact frequent keys over a wide key space via the
+    * two-pass Misra–Gries pattern ([[graft.ops.HeavyHitters]]): a
+    * 64-counter sketch finds candidates in O(m) state, an exact pass
+    * counts only candidate rows. Output: every key holding > 1/50 of the
+    * rows, with exact counts and shares. The DuckDB oracle is the naive
+    * full groupBy + HAVING — a wholly different plan, so this is a
+    * differential check that the sketch path loses no heavy key. */
+  val qHeavyHitters = Q("q_heavy_hitters",
+    (s, dir) => graft.ops.HeavyHitters.heavyHitters(
+      Tables.lineitem(s, dir).select(hhKey.as("key")), "key", m = 64, k = 50),
+    Some(s"""WITH keyed AS (SELECT $hhKeySql AS key FROM lineitem),
+      |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM keyed),
+      |c AS (SELECT key, count(*) AS cnt FROM keyed GROUP BY key)
+      |SELECT key, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+      |FROM c CROSS JOIN t
+      |WHERE CAST(cnt AS DOUBLE) > total / 50""".stripMargin),
+    "scale diagnostics: exact heavy hitters via two-pass Misra-Gries " +
+      "(candidate sketch + exact verify; generalizes the dup census A1-A3 " +
+      "to frequency thresholds)")
+
   def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
-    qGroupingSets, qCardinality, qCohort, qFunnel, qSkewAudit)
+    qGroupingSets, qCardinality, qCohort, qFunnel, qSkewAudit,
+    qHeavyHitters)
 }

@@ -433,4 +433,109 @@ object Streams {
           Iterator.single((g, estimate(merged)))
       }
   }
+
+  /** One indexed document in [[Bm25State]]: its length and its term
+    * frequencies over the query-term set only. */
+  final case class Bm25Post(docId: Long, dl: Long, tf: Map[String, Long])
+
+  /** Per-group BM25 corpus state: doc count, summed document length,
+    * per-query-term document frequencies, and postings for the documents
+    * that contain at least one query term. Everything downstream of the
+    * O(1) query-term filter — the same pruning contract as the batch
+    * q_bm25 — so the state is O(matching docs), not O(corpus). */
+  final case class Bm25State(n: Long, sdl: Long, df: Map[String, Long],
+                             posts: Seq[Bm25Post])
+
+  /** Streaming BM25-lite: the retrieval family's ranking side under
+    * `readStream` — each micro-batch folds its documents into the
+    * per-group corpus state ([[Bm25State]]) and emits the group's
+    * refreshed top-k (group, rank, doc_id, score) by BM25 over the fixed
+    * query-term set (Update semantics: the last emission per group is
+    * current). Every earlier posting is re-scored each batch because new
+    * documents shift N, avgdl and df — BM25 scores are corpus-relative,
+    * so a "refreshed top-k" inherently re-ranks; that re-scoring is
+    * O(postings), the same bound as the state.
+    *
+    * Exactness contract with the batch side
+    * ([[graft.queries.RetrievalQueries.bm25Scored]]): identical
+    * tokenizer (SQL space-only trim → Locale.ROOT lowercase →
+    * `\s+` split keeping trailing empties — dl is that array's length,
+    * like the batch `size(split(...))`), identical float expression
+    * trees (k1/b read from the single RetrievalQueries source), and the
+    * same fixed-point finisher (per-(doc,term) contribution HALF_UP
+    * rounded at 1e9, summed as Long, one division + 6-decimal HALF_UP at
+    * the end — the op chain Spark's `round` performs) — so
+    * StreamBm25Spec asserts EXACT equality with the batch ranking over
+    * the data seen so far, across a checkpoint restart. NULL text rows
+    * count toward N but contribute no length/terms, exactly like the
+    * batch plan (count(*) vs null-skipping sum/explode).
+    *
+    * Exactly-once-per-document contract (as [[topTermsStream]]): each
+    * input row is one document; re-delivery would double df/tf on both
+    * the stream and a re-run batch alike. */
+  def bm25Stream(docs: DataFrame, groupCol: String, idCol: String,
+                 textCol: String, terms: Seq[String],
+                 k: Int): org.apache.spark.sql.Dataset[(String, Int, Long, Double)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val k1 = graft.queries.RetrievalQueries.k1
+    val b = graft.queries.RetrievalQueries.b
+    val termSet = terms.toSet
+    docs.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(textCol).cast("string"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Bm25State, (String, Int, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long, String)],
+         state: GroupState[Bm25State]) =>
+          val prev = state.getOption.getOrElse(
+            Bm25State(0L, 0L, Map.empty, Vector.empty))
+          var n = prev.n
+          var sdl = prev.sdl
+          val df = scala.collection.mutable.Map.empty[String, Long] ++ prev.df
+          val posts = Vector.newBuilder[Bm25Post]
+          posts ++= prev.posts
+          it.foreach { case (_, docId, text) =>
+            n += 1L // count(*) counts null-text rows too
+            if (text != null) {
+              val toks = text
+                .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+                .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+              sdl += toks.length.toLong
+              val tf = scala.collection.mutable.Map.empty[String, Long]
+              toks.foreach(t =>
+                if (termSet(t)) tf.update(t, tf.getOrElse(t, 0L) + 1L))
+              if (tf.nonEmpty) {
+                tf.keysIterator.foreach(t =>
+                  df.update(t, df.getOrElse(t, 0L) + 1L))
+                posts += Bm25Post(docId, toks.length.toLong, tf.toMap)
+              }
+            }
+          }
+          val cur = Bm25State(n, sdl, df.toMap, posts.result())
+          state.update(cur)
+          // batch-identical arithmetic: see scaladoc contract
+          val nD = cur.n.toDouble
+          val sdlD = cur.sdl.toDouble
+          def score(p: Bm25Post): Double = {
+            var acc = 0L
+            p.tf.foreach { case (t, tfl) =>
+              val tfD = tfl.toDouble
+              val dfD = cur.df(t).toDouble
+              val idf = math.log(1.0 + (nD - dfD + 0.5) / (dfD + 0.5))
+              val denom = tfD +
+                k1 * ((1 - b) + b * p.dl.toDouble / (sdlD / nD))
+              acc += BigDecimal(idf * tfD * (k1 + 1) / denom * 1e9)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            }
+            BigDecimal(acc.toDouble / 1e9)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          cur.posts.map(p => (p.docId, score(p)))
+            .sortBy { case (id, s) => (-s, id) }.take(k)
+            .iterator.zipWithIndex
+            .map { case ((id, s), i) => (g, i + 1, id, s) }
+      }
+  }
 }
