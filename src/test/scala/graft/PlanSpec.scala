@@ -145,6 +145,19 @@ class PlanSpec extends SparkSpec {
       s"clustered recall has $clus hash exchanges vs base $base")
   }
 
+  test("q_heavy_hitters' exact pass filters to candidates before its one shuffle") {
+    import graft.queries.AnalyticsQueries
+    // pass 1 (the sketch) runs eagerly inside the call; the returned
+    // frame is pass 2, whose only hash shuffle must sit above the
+    // candidate-set filter — a regression to the naive full-keyspace
+    // groupBy would still pass the oracle but lose the whole point
+    val p = plan(AnalyticsQueries.qHeavyHitters)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1,
+      s"expected exactly one hash shuffle (candidate-key groupBy):\n$p")
+    assert(p.contains("INSET") || p.contains(" IN ("),
+      s"expected the broadcast candidate-set filter:\n$p")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
