@@ -79,6 +79,37 @@ def main() -> None:
         FROM e, unnest(generate_series(0, {factor - 1})) AS g(k)
       ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
+    # lineitem for q_heavy_hitters scaling: replica orderkeys shift by a
+    # multiple of 16384 (= lcm of the key-tier moduli 16 and 1024), so
+    # the Zipf-tiered key derivation maps every replica hot/medium row
+    # onto the SAME tier keys (counts x factor, shares invariant) while
+    # cold keys stay distinct per replica — heavy set unchanged, key
+    # space x factor. Guarded: probe fixtures built from doc-only dirs
+    # still work.
+    import os.path
+    if os.path.exists(f"{src}/lineitem.parquet"):
+        con.execute(
+            f"CREATE VIEW li AS SELECT * FROM '{src}/lineitem.parquet'")
+        nl, = con.execute("SELECT count(*) FROM li").fetchone()
+        mx, = con.execute("SELECT max(l_orderkey) FROM li").fetchone()
+        oshift = ((mx // 16384) + 1) * 16384
+        con.execute(f"""
+          COPY (
+            SELECT * REPLACE (l_orderkey + k * {oshift} AS l_orderkey)
+            FROM li, unnest(generate_series(0, {factor - 1})) AS g(k)
+          ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """)
+        hot_base = con.execute(
+            "SELECT l_orderkey % 16 AS r, count(*) FROM li "
+            "WHERE l_orderkey % 16 < 8 GROUP BY r ORDER BY r").fetchall()
+        hot_dst = con.execute(
+            f"SELECT l_orderkey % 16 AS r, count(*) FROM "
+            f"'{dst}/lineitem.parquet' "
+            "WHERE l_orderkey % 16 < 8 GROUP BY r ORDER BY r").fetchall()
+        assert hot_dst == [(r, c * factor) for r, c in hot_base], \
+            "hot-tier counts must scale exactly by the factor"
+        print(f"lineitem: {nl} -> {nl * factor} (hot tier x{factor} exact)")
+
     for t, n in (("documents", nd), ("embeddings", ne)):
         got, = con.execute(
             f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()
