@@ -321,6 +321,17 @@ object Streams {
     .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
       col("event_type"), col("n"))
 
+  /** The exact-parity tokenizer every stateful text stream shares with
+    * the batch plans: SQL space-only trim (U+0020, NOT Java trim) →
+    * Locale.ROOT lowercase (Spark's locale-independent `lower`) →
+    * `\s+` split keeping trailing empties (Spark's 2-arg `split`). One
+    * definition on purpose — [[topTermsStream]] and [[bm25Stream]] both
+    * advertise EXACT batch equality, so a tokenizer tweak must hit every
+    * stream or none. */
+  private def exactTokens(text: String): Array[String] = text
+    .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+
   /** Per-group term statistics carried across micro-batches: term →
     * (term frequency, document frequency). */
   final case class TermCounts(tf: Map[String, Long], df: Map[String, Long])
@@ -365,13 +376,9 @@ object Streams {
           val tf = scala.collection.mutable.Map.empty[String, Long] ++ prev.tf
           val df = scala.collection.mutable.Map.empty[String, Long] ++ prev.df
           it.foreach { case (_, text) =>
-            // NULL text matches batch explode-of-null (the row vanishes);
-            // space-only trim = SQL trim; split(_, -1) matches Spark's
-            // split() (no trailing-empty drop)
+            // NULL text matches batch explode-of-null (the row vanishes)
             if (text != null) {
-              val toks = text
-                .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-                .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+              val toks = exactTokens(text)
               toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
               toks.distinct.foreach(t => df.update(t, df.getOrElse(t, 0L) + 1L))
             }
@@ -499,9 +506,7 @@ object Streams {
           it.foreach { case (_, docId, text) =>
             n += 1L // count(*) counts null-text rows too
             if (text != null) {
-              val toks = text
-                .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-                .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+              val toks = exactTokens(text)
               sdl += toks.length.toLong
               val tf = scala.collection.mutable.Map.empty[String, Long]
               toks.foreach(t =>

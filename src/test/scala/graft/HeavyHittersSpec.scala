@@ -24,16 +24,18 @@ class HeavyHittersSpec extends SparkSpec {
       .map(_._1)
   }
 
-  private def sketchOf(xs: Seq[String], m: Int): Map[String, Long] = {
+  private def sketchOf(xs: Seq[String], m: Int): MgBuf = {
     val agg = HeavyHitters.mgSketch(m)
     agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
   }
 
-  test("MG never overcounts and undercounts at most n/(m+1)") {
+  test("MG never overcounts, undercounts at most n/(m+1), and carries exact n") {
     val xs = zipfStream
     val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
     for (m <- Seq(8, 16, 64)) {
-      val est = sketchOf(xs, m)
+      val sk = sketchOf(xs, m)
+      assert(sk.n === xs.length.toLong, "sketch must carry the exact total")
+      val est = sk.counts
       assert(est.size <= m)
       est.foreach { case (k, e) =>
         assert(e <= truth(k), s"m=$m overcounted $k: $e > ${truth(k)}")
@@ -51,17 +53,19 @@ class HeavyHittersSpec extends SparkSpec {
     val heavies = truth.filter { case (_, c) => c > n.toLong / (m + 1) }.keySet
     assert(heavies.nonEmpty, "fixture must have true heavies")
     // single pass
-    assert(heavies.subsetOf(sketchOf(xs, m).keySet))
+    assert(heavies.subsetOf(sketchOf(xs, m).counts.keySet))
     // merged from uneven chunks, left fold and balanced pairs
     val agg = HeavyHitters.mgSketch(m)
     val chunks = xs.grouped(137).toSeq
       .map(c => c.foldLeft(agg.zero)(agg.reduce))
     val leftFold = agg.finish(chunks.reduceLeft(agg.merge))
-    assert(heavies.subsetOf(leftFold.keySet), "left-fold merge lost a heavy")
+    assert(leftFold.n === n.toLong, "merge must sum exact totals")
+    assert(heavies.subsetOf(leftFold.counts.keySet),
+      "left-fold merge lost a heavy")
     def tree(bs: Seq[MgBuf]): MgBuf =
       if (bs.size == 1) bs.head
       else tree(bs.grouped(2).map(_.reduce(agg.merge)).toSeq)
-    assert(heavies.subsetOf(agg.finish(tree(chunks)).keySet),
+    assert(heavies.subsetOf(agg.finish(tree(chunks)).counts.keySet),
       "balanced-tree merge lost a heavy")
   }
 
@@ -89,5 +93,16 @@ class HeavyHittersSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       HeavyHitters.heavyHitters(Seq("a").toDF("key"), "key", m = 3, k = 4)
     }
+  }
+
+  test("NULL keys are excluded from counts and from the total") {
+    // 6 nulls + 4 "a" + 2 "b": with nulls excluded n=6, threshold n/3=2 —
+    // "a" qualifies, "b" (=2, not >2) does not; counting nulls toward the
+    // total (n=12, threshold 4) would wrongly drop "a" too
+    val df = (Seq.fill(6)(null: String) ++ Seq.fill(4)("a") ++
+      Seq.fill(2)("b")).toDF("key")
+    val got = HeavyHitters.heavyHitters(df, "key", m = 8, k = 3)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", 4L, 0.666667)))
   }
 }

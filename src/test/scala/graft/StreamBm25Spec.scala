@@ -53,7 +53,9 @@ class StreamBm25Spec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
     ckpt.foreach(c => w = w.option("checkpointLocation", c))
     val q = w.start()
-    q.awaitTermination(120000)
+    // a discarded false here would surface as a confusing partial-data
+    // mismatch (and leak a running query into the shared session)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     got.toMap
   }
 

@@ -80,7 +80,8 @@ def main() -> None:
       ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
     # lineitem for q_heavy_hitters scaling: replica orderkeys shift by a
-    # multiple of 16384 (= lcm of the key-tier moduli 16 and 1024), so
+    # multiple of 16384 (any multiple of 1024 preserves both tier moduli,
+    # since 1024 is itself a multiple of 16; 16384 is used for slack), so
     # the Zipf-tiered key derivation maps every replica hot/medium row
     # onto the SAME tier keys (counts x factor, shares invariant) while
     # cold keys stay distinct per replica — heavy set unchanged, key
