@@ -543,4 +543,45 @@ object Streams {
             .map { case ((id, s), i) => (g, i + 1, id, s) }
       }
   }
+
+  /** Streaming Misra–Gries heavy-hitter candidates: the m-counter sketch
+    * ([[graft.ops.HeavyHitters.MgBuf]]) carried per group in GroupState —
+    * O(m) state per group for the stream's lifetime, the frequent-ITEMS
+    * counterpart of [[kmvDistinctStream]]'s distinct-count sketch. Each
+    * micro-batch folds its keys into the group's sketch and emits the
+    * refreshed entries as (group, key, est, n) rows (Update semantics);
+    * a periodic batch job can verify the emitted candidates exactly, the
+    * same sketch-then-verify split as the batch
+    * [[graft.ops.HeavyHitters.heavyHitters]] two-pass.
+    *
+    * Honesty note, and why the spec differs from the KMV one: KMV minima
+    * are order statistics, so kmvDistinctStream is EXACTLY the batch
+    * sketch under any batching. MG counter VALUES are order- and
+    * batching-dependent — what survives batching is the GUARANTEE (exact
+    * n, no overcount, undercount ≤ n/(m+1), every key above n/(m+1)
+    * present), which is what StreamHeavyHittersSpec pins across
+    * micro-batches and a checkpoint restart. NULL keys are excluded from
+    * counts and total, the batch operator's contract. */
+  def heavyHittersStream(df: DataFrame, groupCol: String, keyCol: String,
+                         m: Int): org.apache.spark.sql.Dataset[(String, String, Long, Long)] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.ops.HeavyHitters
+    import graft.ops.HeavyHitters.MgBuf
+    val agg = HeavyHitters.mgSketch(m)
+    df.select(col(groupCol).cast("string"), col(keyCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgBuf, (String, String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, String)], state: GroupState[MgBuf]) =>
+          val cur = it.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            case (buf, (_, key)) =>
+              if (key == null) buf else agg.reduce(buf, key)
+          }
+          state.update(cur)
+          cur.counts.toSeq.sortBy { case (k, c) => (-c, k) }
+            .iterator.map { case (k, c) => (g, k, c, cur.n) }
+      }
+  }
 }

@@ -40,7 +40,7 @@ class StatefulStreamSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     // expected: every batch session except each user's final (still-open) one
     val all = Sessionize.sessions(Tables.events(spark, "/root/testdata/sf0.001"))
@@ -91,7 +91,7 @@ class StatefulStreamSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     // with the flush, EVERY real user session is emitted, not just closed ones
     val expectedAll = Sessionize.sessions(
@@ -137,7 +137,7 @@ class StatefulStreamSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val got = spark.table("sess_continuity_stream")
       .filter(col("user_id") === 100L)

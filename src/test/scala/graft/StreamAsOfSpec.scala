@@ -51,7 +51,7 @@ class StreamAsOfSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val got = spark.table("asof_stream").filter(col("user_id") >= 0)
       .select("user_id", "purchase_id", "click_id", "gap_us")

@@ -54,7 +54,7 @@ class StreamFunnelSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val got = spark.table("funnel_stream").filter(col("user_id") >= 0)
       .select("user_id", "stage", "ts_us")

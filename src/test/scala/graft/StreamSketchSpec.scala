@@ -46,7 +46,7 @@ class StreamSketchSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish in 120 s")
       got.toMap
     }
 

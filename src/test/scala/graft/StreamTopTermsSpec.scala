@@ -61,7 +61,7 @@ class StreamTopTermsSpec extends SparkSpec {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     assert(got.toMap === batchTop(docs), "edge-whitespace tokenization diverged")
   }
 
@@ -98,7 +98,7 @@ class StreamTopTermsSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish in 120 s")
       got.toMap
     }
 

@@ -28,7 +28,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val streamed = spark.table(name)
     assert(streamed.count() === batch.count())
@@ -64,7 +64,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val streamed = spark.table("chunk_stream")
     assert(streamed.count() === batch.count())
@@ -99,7 +99,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val streamed = spark.table("ssj_stream")
     assert(streamed.count() > 0)
@@ -130,7 +130,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val streamed = spark.table("dedup_stream")
     assert(streamed.count() === batch.count())
