@@ -561,9 +561,17 @@ object Streams {
     * n, no overcount, undercount ≤ n/(m+1), every key above n/(m+1)
     * present), which is what StreamHeavyHittersSpec pins across
     * micro-batches and a checkpoint restart. NULL keys are excluded from
-    * counts and total, the batch operator's contract. */
+    * counts and total, the batch operator's contract.
+    *
+    * The whole candidate set rides ONE row per group on purpose: the
+    * decrement/merge steps EVICT keys, and Update mode cannot retract a
+    * previously emitted row — per-(group, key) rows would leave a sink
+    * keyed that way holding evicted candidates forever. One row per
+    * group makes "the last row per group is current" exactly true, the
+    * same contract kmvDistinctStream documents; ≤ m entries per row by
+    * construction. */
   def heavyHittersStream(df: DataFrame, groupCol: String, keyCol: String,
-                         m: Int): org.apache.spark.sql.Dataset[(String, String, Long, Long)] = {
+                         m: Int): org.apache.spark.sql.Dataset[(String, Long, Seq[(String, Long)])] = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.ops.HeavyHitters
@@ -572,7 +580,7 @@ object Streams {
     df.select(col(groupCol).cast("string"), col(keyCol).cast("string"))
       .as[(String, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[MgBuf, (String, String, Long, Long)](
+      .flatMapGroupsWithState[MgBuf, (String, Long, Seq[(String, Long)])](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (g: String, it: Iterator[(String, String)], state: GroupState[MgBuf]) =>
           val cur = it.foldLeft(state.getOption.getOrElse(agg.zero)) {
@@ -580,8 +588,8 @@ object Streams {
               if (key == null) buf else agg.reduce(buf, key)
           }
           state.update(cur)
-          cur.counts.toSeq.sortBy { case (k, c) => (-c, k) }
-            .iterator.map { case (k, c) => (g, k, c, cur.n) }
+          Iterator.single((g, cur.n,
+            cur.counts.toSeq.sortBy { case (k, c) => (-c, k) }))
       }
   }
 }

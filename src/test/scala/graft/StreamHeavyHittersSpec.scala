@@ -16,12 +16,14 @@ class StreamHeavyHittersSpec extends SparkSpec {
 
   private val m = 16
 
-  /** Two groups with different heavy structure, deterministically
+  /** Two groups with different heavy structure (plus null keys, which
+    * the contract excludes from counts AND total), deterministically
     * shuffled so hot keys are interleaved with the tail. */
   private def rows: Seq[(String, String)] = {
     val a = Seq.fill(300)("hot_a") ++ Seq.fill(240)("hot_b") ++
-      (0 until 460).map(i => s"cold_$i")
-    val b = Seq.fill(500)("only") ++ (0 until 100).map(i => s"tail_$i")
+      (0 until 460).map(i => s"cold_$i") ++ Seq.fill(50)(null: String)
+    val b = Seq.fill(500)("only") ++ (0 until 100).map(i => s"tail_$i") ++
+      Seq.fill(25)(null: String)
     def mix(g: String, xs: Seq[String]) = xs.zipWithIndex
       .sortBy { case (_, i) => (i * 7919) % xs.length }
       .map { case (k, _) => (g, k) }
@@ -33,15 +35,15 @@ class StreamHeavyHittersSpec extends SparkSpec {
     val got = scala.collection.mutable.Map[String, (Long, Map[String, Long])]()
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema).parquet(src)
+    // one row per group per batch: "last row per group is current" is
+    // the emission contract under test, so the fold keeps the last
     val q = Streams.heavyHittersStream(stream, "g", "key", m)
-      .toDF("g", "key", "est", "n")
+      .toDF("g", "n", "candidates")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        batch.as[(String, String, Long, Long)].collect()
-          .groupBy(_._1).foreach { case (g, rs) =>
-            got.synchronized {
-              got(g) = (rs.head._4, rs.map(r => r._2 -> r._3).toMap)
-            }
+        batch.as[(String, Long, Seq[(String, Long)])].collect()
+          .foreach { case (g, n, cands) =>
+            got.synchronized { got(g) = (n, cands.toMap) }
           }
       }
       .outputMode("update")
@@ -66,12 +68,15 @@ class StreamHeavyHittersSpec extends SparkSpec {
     half2.toDF("g", "key").coalesce(1).write.mode("append").parquet(src)
     val sk = runOnce(src, ckpt)
 
-    val truth = all.groupBy(_._1).view.mapValues(
+    // truth over NON-NULL keys only: gotN === n below therefore pins the
+    // null-exclusion contract (the fixture carries 50+25 null rows)
+    val truth = all.filter(_._2 != null).groupBy(_._1).view.mapValues(
       _.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
     truth.foreach { case (g, exact) =>
       val n = exact.values.sum
       val (gotN, est) = sk(g)
-      assert(gotN === n, s"$g: total must be exact across the restart")
+      assert(gotN === n,
+        s"$g: total must be exact (and null-free) across the restart")
       assert(est.size <= m)
       est.foreach { case (k, e) =>
         assert(e <= exact(k), s"$g/$k overcounted")
