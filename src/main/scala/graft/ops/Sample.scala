@@ -39,4 +39,21 @@ object Sample {
     }.otherwise(lit(threshold(defaultPermille)))
     bucket16(id) < t
   }
+
+  /** EXACTLY-k-per-stratum deterministic uniform sample (the eval-set
+    * carve: "give me 1000 docs per language, reproducibly"): the k rows
+    * with the smallest md5(id) per stratum, with a 1-based `rk`. Hash
+    * order is uniform and depends only on ids — partition- and
+    * rerun-invariant like [[keep]], but with an exact count a rate can't
+    * promise. Rides the custom TopK operator: bounded map-side heaps, so
+    * only k·|strata| rows shuffle — a `row_number` window formulation
+    * would shuffle and sort the entire corpus. Ids must be unique (the
+    * id is the tiebreak, so sampling is total-ordered regardless). */
+  def sampleK(df: org.apache.spark.sql.DataFrame, stratumCol: String,
+              idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val withH = df.withColumn("__h", md5(col(idCol).cast("string")))
+    graft.ops.TopK.perGroup(withH, Seq(withH(stratumCol)),
+        Seq(withH("__h") -> false, withH(idCol) -> false), k)
+      .drop("__h")
+  }
 }

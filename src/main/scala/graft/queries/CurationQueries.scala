@@ -88,6 +88,23 @@ object CurationQueries {
       |  CASE WHEN lang = 'en' THEN ${100 * 65536L / 1000L} ELSE ${500 * 65536L / 1000L} END""".stripMargin),
     "north star: deterministic stratified sampling (curation rebalance)")
 
+  /** q_sample_k — [[Sample.sampleK]]: exactly 20 documents per source,
+    * deterministically (smallest md5(doc_id) first). The oracle is the
+    * full-sort window formulation — a differential check that the
+    * bounded-heap TopK path samples the identical rows. */
+  val qSampleK = Q("q_sample_k",
+    (s, dir) => Sample.sampleK(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id", 20)
+      .select("source", "rk", "doc_id"),
+    Some("""SELECT source, rk, doc_id FROM (
+      |  SELECT source, doc_id, row_number() OVER (
+      |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 20""".stripMargin),
+    "north star: exact-k-per-stratum deterministic sample (eval-set " +
+      "carve) through the custom TopK operator")
+
   /** q_upsert — change-feed merge onto the documents table: updates for
     * doc_id%5=0, tombstone deletes for doc_id%17=0 (a later ordinal, so
     * they beat updates on keys divisible by both), inserts beyond the key
@@ -165,5 +182,6 @@ object CurationQueries {
       |GROUP BY 1""".stripMargin),
     "north star: incremental corpus dedup (batch anti-join vs retained hashes)")
 
-  def all: Seq[Q] = Seq(qRedact, qPack, qSample, qUpsert, qDeltaDedup)
+  def all: Seq[Q] = Seq(qRedact, qPack, qSample, qSampleK, qUpsert,
+    qDeltaDedup)
 }

@@ -71,6 +71,27 @@ class CurationSpec extends SparkSpec {
     assert(restKept / restTotal > 0.35 && restKept / restTotal < 0.65)
   }
 
+  test("sampleK: exactly k per stratum, partition-invariant, equals the window formulation") {
+    val df = (0 until 500).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "g")
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // in-memory model: smallest md5(id) per stratum, id tiebreak
+    val expect = (0 until 500).map(i => (i.toLong, s"s${i % 3}"))
+      .groupBy(_._2).view.mapValues(
+        _.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(7)
+          .map(_._1)).toMap
+    for (parts <- Seq(1, 13)) {
+      val got = Sample.sampleK(df.repartition(parts), "g", "id", 7)
+        .select("g", "rk", "id")
+        .as[(String, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      assert(got === expect, s"parts=$parts diverged from the model")
+      got.values.foreach(ids => assert(ids.length === 7))
+    }
+  }
+
   test("property: packByBudget matches an in-memory running-total model") {
     import org.scalacheck.{Gen, Prop}
     val gen = Gen.zip(Gen.choose(1L, 40L),
