@@ -40,6 +40,27 @@ object Sample {
     bucket16(id) < t
   }
 
+  /** Leak-free split assignment: the split label is a function of the
+    * GROUP id's md5 bucket — hand it a duplicate-cluster representative
+    * and every near-duplicate lands on the same side, the contamination
+    * guard a per-row split cannot give (a per-row hash would strand one
+    * copy of a near-dup pair in train and its twin in eval). `cuts` are
+    * (label, cumulative permille upper bound) pairs ending at 1000, e.g.
+    * Seq("train" -> 900, "eval" -> 1000) for a 90/10 split. Pure
+    * projection like [[keep]]: deterministic, partition-invariant, and
+    * at 100 TB it costs nothing beyond the group labeling it consumes. */
+  def splitByGroup(groupId: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 1000,
+      s"cuts must end at 1000 permille: $cuts")
+    val bounds = cuts.map(_._2)
+    require(bounds == bounds.sorted && bounds.distinct == bounds,
+      s"cut bounds must be strictly increasing: $bounds")
+    val b = bucket16(groupId)
+    cuts.init.reverse.foldLeft(lit(cuts.last._1)) {
+      case (rest, (label, ub)) => when(b < threshold(ub), label).otherwise(rest)
+    }
+  }
+
   /** EXACTLY-k-per-stratum deterministic uniform sample (the eval-set
     * carve: "give me 1000 docs per language, reproducibly"): the k rows
     * with the smallest md5(id) per stratum, with a 1-based `rk`. Hash

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.ops.{Chunk, KMeans, Shingles, Vectors}
+import graft.ops.{Chunk, KMeans, Sample, Shingles, Vectors}
 
 /** North-star similarity family over `documents` / `embeddings`:
   * chunking (V1/V4), exact + approximate cosine retrieval (V3), and the
@@ -873,6 +873,46 @@ object SimilarityQueries {
       |FROM withlen""".stripMargin),
     "north star: duplicate-cluster retention decision (keep longest, drop rest)")
 
+  /** q_split_leakfree — dedup-aware train/eval split: every document is
+    * assigned a side by the md5 bucket of its duplicate-cluster id
+    * ([[dupComponents]]' labeling; singletons group as themselves), so a
+    * near-dup cluster lands WHOLLY in train or wholly in eval — the
+    * decontamination guard a per-row split cannot give (a per-row hash
+    * strands one copy of a near-dup pair in train and its twin in eval,
+    * leaking training text into the eval set). 90/10 via
+    * [[graft.ops.Sample.splitByGroup]]. Cost on top of the labeling: one
+    * left equi-join + a pure projection — at 100 TB the components pass
+    * dominates and this adds a broadcast-size join of cluster rows. */
+  val qSplitLeakfree = Q("q_split_leakfree",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      docs.join(dupComponents(s, dir), Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("group_id"),
+          Sample.splitByGroup(col("group_id"),
+            Seq("train" -> 900, "eval" -> 1000)).as("split"))
+    },
+    Some(s"""WITH RECURSIVE edges0 AS (
+      |  SELECT doc_id AS a, doc_id + 2000000 AS b FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 20 < 3
+      |), sym AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+      |), comp AS (
+      |  SELECT n.node AS doc_id, least(n.node, min(r.b)) AS cluster_id
+      |  FROM (SELECT DISTINCT a AS node FROM sym) n
+      |  JOIN reach r ON r.a = n.node
+      |  GROUP BY n.node
+      |)
+      |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id,
+      |  CASE WHEN ('0x' || substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4))::BIGINT
+      |      < ${900 * 65536L / 1000L} THEN 'train' ELSE 'eval' END AS split
+      |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin),
+    "north star: dedup-aware leak-free train/eval split (clusters never straddle sides)")
+
   /** q_chunk_index — the search-index chunk-table projection (FIXTURES
     * A5 / ref commercial_rfp_indexer.py:87-94): chunk rows keyed
     * chunk_id with parent_id and title, joined to the parent's embedding
@@ -1175,6 +1215,6 @@ object SimilarityQueries {
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
-    qDupClusters, qDupClustersStar, qDupKeep, qChunkIndex, qCentroids,
-    qAnnIvf, qAnnRecall, qAnnRecallClustered)
+    qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
+    qCentroids, qAnnIvf, qAnnRecall, qAnnRecallClustered)
 }

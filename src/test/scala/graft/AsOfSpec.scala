@@ -69,7 +69,7 @@ class AsOfSpec extends SparkSpec {
     // collision-rich: 3 keys, 20 time values — ties and empty keys abound
     val rowGen = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 19L))
     val gen = Gen.zip(Gen.listOfN(15, rowGen), Gen.listOfN(15, rowGen))
-    checkProp(Prop.forAll(gen) { case (lRows, rRows) =>
+    checkProp(Prop.forAllNoShrink(gen) { case (lRows, rRows) =>
       val left = lRows.zipWithIndex
         .map { case ((k, t), i) => (k, ts(t * 1000000), i.toLong) }
         .toDF("user_id", "ts", "event_id")

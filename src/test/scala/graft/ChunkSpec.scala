@@ -39,7 +39,7 @@ class ChunkSpec extends SparkSpec {
       n <- Gen.choose(0, 400)
       s <- Gen.stringOfN(n, Gen.alphaNumChar)
     } yield s
-    checkProp(Prop.forAll(gen) { text =>
+    checkProp(Prop.forAllNoShrink(gen) { text =>
       val out = chunksOf(text, 120, 30)
       val rebuilt = out.zipWithIndex.map { case ((_, c), i) =>
         if (i == 0) c else c.drop(30)

@@ -31,7 +31,7 @@ class CleanSpec extends SparkSpec {
     import org.scalacheck.{Gen, Prop}
     val gen = Gen.choose(0L, 365L * 80).map(d =>
       java.time.LocalDate.of(1990, 1, 1).plusDays(d))
-    checkProp(Prop.forAll(gen) { d =>
+    checkProp(Prop.forAllNoShrink(gen) { d =>
       val variants = Seq(
         f"${d.getMonthValue}%d/${d.getDayOfMonth}%d/${d.getYear}%d",
         d.toString, // yyyy-MM-dd

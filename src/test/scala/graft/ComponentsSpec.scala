@@ -63,7 +63,7 @@ class ComponentsSpec extends SparkSpec {
   test("property: star variant equals the fixpoint on random graphs") {
     import org.scalacheck.{Gen, Prop}
     val edgeGen = Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))
-    checkProp(Prop.forAll(Gen.listOfN(12, edgeGen)) { raw =>
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(12, edgeGen)) { raw =>
       val edges0 = raw.filter { case (a, b) => a != b }
       edges0.isEmpty || {
         val df = edges0.toDF("a", "b")
@@ -79,7 +79,7 @@ class ComponentsSpec extends SparkSpec {
   test("property: equals an in-memory union-find on random graphs") {
     import org.scalacheck.{Gen, Prop}
     val edgeGen = Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))
-    checkProp(Prop.forAll(Gen.listOfN(12, edgeGen)) { raw =>
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(12, edgeGen)) { raw =>
       val edges0 = raw.filter { case (a, b) => a != b }
       edges0.isEmpty || {
         val got = Components.connectedComponents(edges0.toDF("a", "b"))

@@ -92,11 +92,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("splitByGroup: clusters never straddle sides, ratio lands, cuts validated") {
+    // group ids 0..99 shared by 10 rows each: every group must map to ONE
+    // side (the leak-free invariant), and the 90/10 ratio must land on
+    // group count (binomial(100, .9) stays within [75, 99] at these margins)
+    val df = (0 until 1000).map(i => (i.toLong, (i % 100).toLong))
+      .toDF("id", "gid")
+    val out = df.select(col("gid"),
+        Sample.splitByGroup(col("gid"), Seq("train" -> 900, "eval" -> 1000))
+          .as("split"))
+      .distinct().as[(Long, String)].collect()
+    assert(out.length === 100, "a group mapped to both sides")
+    val train = out.count(_._2 == "train")
+    assert(train > 75 && train < 100, s"train groups $train outside band")
+    // three-way cuts partition: every row gets exactly one valid label
+    val three = df.select(Sample.splitByGroup(col("gid"),
+        Seq("train" -> 800, "val" -> 900, "test" -> 1000)).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(three.keySet.subsetOf(Set("train", "val", "test")))
+    assert(three.values.sum === 1000L)
+    intercept[IllegalArgumentException] {
+      Sample.splitByGroup(col("gid"), Seq("train" -> 900))
+    }
+    intercept[IllegalArgumentException] {
+      Sample.splitByGroup(col("gid"), Seq("a" -> 900, "b" -> 300, "c" -> 1000))
+    }
+  }
+
   test("property: packByBudget matches an in-memory running-total model") {
     import org.scalacheck.{Gen, Prop}
     val gen = Gen.zip(Gen.choose(1L, 40L),
       Gen.listOfN(30, Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(1L, 15L))))
-    checkProp(Prop.forAll(gen) { case (budget, rows) =>
+    checkProp(Prop.forAllNoShrink(gen) { case (budget, rows) =>
       val df = rows.zipWithIndex.map { case ((g, w), i) => (g, i.toLong, w) }
         .toDF("grp", "ord", "w")
       val got = Pack.packByBudget(df, col("grp"), col("ord"), col("w"), budget)
@@ -120,7 +147,7 @@ class CurationSpec extends SparkSpec {
       Gen.listOfN(12, Gen.zip(Gen.choose(1L, 8L), Gen.alphaLowerStr.map(_.take(4)))),
       Gen.listOfN(12, Gen.zip(Gen.choose(1L, 10L), Gen.alphaLowerStr.map(_.take(4)),
         Gen.choose(1L, 5L), Gen.oneOf(true, false))))
-    checkProp(Prop.forAll(gen) { case (baseRows0, changeRows0) =>
+    checkProp(Prop.forAllNoShrink(gen) { case (baseRows0, changeRows0) =>
       val baseRows = baseRows0.distinctBy(_._1)
       // unique (key, ordinal) so last-writer is well defined
       val changeRows = changeRows0.distinctBy(c => (c._1, c._3))

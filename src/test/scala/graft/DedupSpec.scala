@@ -85,7 +85,7 @@ class DedupSpec extends SparkSpec {
     val gen = Gen.listOfN(60, Gen.zip(
       Gen.oneOf("hot", "hot", "hot", "k1", "k2"), // dominant key
       Gen.choose(1, 9), Gen.choose(0, 8), Gen.choose(1L, 1000L)))
-    checkProp(Prop.forAll(gen) { rows =>
+    checkProp(Prop.forAllNoShrink(gen) { rows =>
       val df = rows.zipWithIndex.map { case ((k, d, rl, _), i) =>
         (k, "r" * rl, f"2024-01-0$d".take(10), i.toLong)
       }.toDF("question", "response", "date", "doc_id")
@@ -104,7 +104,7 @@ class DedupSpec extends SparkSpec {
     val gen = Gen.listOfN(60, Gen.zip(
       Gen.oneOf("hot", "k1", "k2", "k3"), // skewed toward few keys
       Gen.choose(1, 5), Gen.choose(1L, 1000L)))
-    checkProp(Prop.forAll(gen) { rows =>
+    checkProp(Prop.forAllNoShrink(gen) { rows =>
       val df = rows.map { case (k, d, id) => (k, f"2024-01-0$d", id) }
         .toDF("question", "response", "doc_id")
         .withColumn("date", col("response"))

@@ -67,7 +67,7 @@ class RetrievalSpec extends SparkSpec {
       Gen.listOfN(n, word).map(_.mkString(" ")))
     val corpus = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, doc))
       .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
-    checkProp(Prop.forAll(corpus) { docs =>
+    checkProp(Prop.forAllNoShrink(corpus) { docs =>
       val got = RetrievalQueries
         .bm25Scored(docs.toDF("doc_id", "text"), "doc_id", "text", terms)
         .as[(Long, Double)].collect().toMap

@@ -21,7 +21,13 @@ trait SparkSpec extends AnyFunSuite {
 
   /** Runs a ScalaCheck property and fails the ScalaTest test if it does
     * not hold (the scalatest/scalacheck bridge artifact is not available
-    * offline, so properties are checked through scalacheck directly). */
+    * offline, so properties are checked through scalacheck directly).
+    * Callers must build properties with `forAllNoShrink`: every property
+    * body here runs Spark jobs, and shrinking re-runs the body once per
+    * shrink candidate — a failure under plain `forAll` turns into
+    * hundreds of Spark jobs (observed wedging the suite for 45+ min on
+    * one iterative-CC counterexample). The un-shrunk args are small and
+    * printed by the assert below. */
   def checkProp(p: org.scalacheck.Prop, minTests: Int = 20): Unit = {
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default

@@ -30,7 +30,7 @@ class SyncSpec extends SparkSpec {
 
   test("property: upload/delete reconcile two arbitrary listings") {
     val gen = Gen.listOf(Gen.choose(0, 30))
-    checkProp(Prop.forAll(gen, gen) { (blobIds: List[Int], spIds: List[Int]) =>
+    checkProp(Prop.forAllNoShrink(gen, gen) { (blobIds: List[Int], spIds: List[Int]) =>
       val blobs = blobIds.distinct.map(i => s"f$i.docx").toDF("name")
       val sp = spIds.distinct.map(i => s"f$i.docx").toDF("name")
       val upload = anti(blobs, sp).as[String].collect().toSet
