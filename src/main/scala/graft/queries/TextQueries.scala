@@ -358,6 +358,77 @@ object TextQueries {
       |GROUP BY source""".stripMargin),
     "north star: dataset mixing via weighted repetition (deterministic)")
 
+  /** Per-document repeated-n-gram repetition scoring (the Gopher-family
+    * repetition filter: documents whose word 2-/3-grams repeat heavily
+    * are boilerplate/spam and get dropped from pretraining mixes; Rae et
+    * al. 2021 §A1.1 use duplicate-n-gram fractions with thresholds near
+    * these). `rep{2,3}_ratio` = fraction of n-gram OCCURRENCES that are
+    * repeats of an n-gram already seen in the document, i.e.
+    * (count - distinct count) / count; 0.0 when the doc is too short to
+    * form an n-gram. Pure per-row array arithmetic (split → transform →
+    * array_distinct) — a projection over the scan with NO shuffle and no
+    * UDF, so at 100 TB this is exactly one pass over the text bytes.
+    * NULL text is scored like empty text (keeps every column non-null —
+    * and a null doc is trivially non-repetitive, not unscorable).
+    * The `when(size >= n)` guard is load-bearing: Spark's
+    * `sequence(0, -1)` infers a NEGATIVE step and yields [0, -1], not
+    * the empty sequence. Verdict thresholds compare the ROUNDED ratios
+    * so the keep/drop boundary cannot split on engine ULP differences. */
+  def repNgram(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    def grams(n: Int) = {
+      val mk = (0 until n).map(j => s"w[i+$j]").mkString(", ' ', ")
+      when(size(col("w")) >= n,
+        expr(s"transform(sequence(0, size(w)-$n), i -> concat($mk))"))
+        .otherwise(expr("array()").cast("array<string>"))
+    }
+    def ratio(c: org.apache.spark.sql.Column) =
+      when(size(c) > 0,
+        round((size(c) - size(array_distinct(c))).cast("double") / size(c), 6))
+        .otherwise(lit(0.0))
+    docs.select(col(idCol), toks.as("w"))
+      .select(col(idCol), size(col("w")).cast("long").as("n_tokens"),
+        ratio(grams(2)).as("rep2_ratio"), ratio(grams(3)).as("rep3_ratio"))
+      .withColumn("verdict",
+        when(col("rep2_ratio") <= 0.2 && col("rep3_ratio") <= 0.18,
+          lit("keep")).otherwise(lit("drop")))
+  }
+
+  /** q_rep_ngram — [[repNgram]] over `documents`. */
+  val qRepNgram = Q("q_rep_ngram",
+    (s, dir) => repNgram(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text"),
+    Some("""WITH t AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(w) >= 2 THEN list_transform(
+      |      generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+      |      ELSE [] END AS bi,
+      |    CASE WHEN len(w) >= 3 THEN list_transform(
+      |      generate_series(1, len(w)-2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE [] END AS tri
+      |  FROM t
+      |), r AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN len(bi) > 0 THEN round(
+      |      CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE)/len(bi), 6)
+      |      ELSE 0.0 END AS rep2_ratio,
+      |    CASE WHEN len(tri) > 0 THEN round(
+      |      CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)/len(tri), 6)
+      |      ELSE 0.0 END AS rep3_ratio
+      |  FROM g
+      |)
+      |SELECT doc_id, n_tokens, rep2_ratio, rep3_ratio,
+      |  CASE WHEN rep2_ratio <= 0.2 AND rep3_ratio <= 0.18
+      |    THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM r""".stripMargin),
+    "north star: repeated-n-gram repetition filter (Gopher-style quality gate)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
-    qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix)
+    qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram)
 }
