@@ -41,9 +41,9 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // Fixed-overhead floors, measured under bench rules (clearCache +
-    // materialize, median of 3): `floor_plan_sec` is a zero-IO
+    // materialize, median of 3): `floor_plan` is a zero-IO
     // spark.range(1) — pure planning + job-launch + collect; the delta to
-    // `floor_scan_sec` (5-row region.parquet through the same path) adds
+    // `floor_scan` (5-row region.parquet through the same path) adds
     // the parquet listing/footer cost every real query also pays. The
     // suite total ≈ Σ(real work) + O(floor)×|queries|, so these two lines
     // let a reader split the harness constant from query cost instead of
@@ -134,7 +134,7 @@ object Bench {
           s"${jstr(k)}:${if (errVals) jstr(v) else "\"\""}" }
         .mkString("{", ",", "}")
       val total = timings.map(_._2).sum
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","floor_plan_sec":${fmt3(floorPlan)},"floor_scan_sec":${fmt3(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","floor_plan":${fmt3(floorPlan)},"floor_scan":${fmt3(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     }
     // precision outranks error text (the gate compares per-query
     // timings), so try dropping error text before dropping a decimal

@@ -43,6 +43,14 @@ object Sessions {
       .config("spark.ui.retainedJobs", "200")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "10000")
+      // Every action renders a plan DESCRIPTION string for the SQL
+      // listener event; the default length cap is ~Int.MaxValue, so a
+      // pathological plan (e.g. an iterative loop that forgot to
+      // truncate lineage) can OOM the DRIVER building diagnostic text
+      // before any real limit is hit (observed: heap death inside
+      // explainString on a deep connected-components chain). 1 MiB is
+      // more plan text than anyone reads; past it, truncate.
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
 
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

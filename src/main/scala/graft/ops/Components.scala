@@ -37,7 +37,9 @@ object Components {
     * session checkpoint dir; if none is configured, a local temp dir is
     * set (single-JVM convenience — on a real cluster set
     * `sc.setCheckpointDir` to shared storage first). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          ckptEvery: Int = 4): DataFrame = {
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1: $ckptEvery")
     val sc = edges.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
@@ -81,9 +83,25 @@ object Components {
       // blocking: with async unpersist, removal lags job submission and
       // a fast convergence loop can hold every round's blocks at once
       if (prev != null) prev.unpersist(blocking = true)
-      prev = persisted
-      labels = persisted.select(col("node"), col("label"))
       rounds += 1
+      if (changed > 0 && rounds % ckptEvery == 0) {
+        // periodic lineage truncation: persist keeps EXECUTION linear but
+        // the LOGICAL plan still doubles per round (hop references its
+        // input twice), so a long-diameter graph grows the plan tree
+        // exponentially — observed as a driver heap OOM inside the
+        // per-action plan-string rendering (explainString) after ~12
+        // rounds, long before any executor limit. A checkpoint every few
+        // rounds caps plan depth at a constant for one extra
+        // materialization per ckptEvery rounds; dedup clusters converge
+        // in <= ckptEvery rounds and never pay it.
+        labels = persisted.select(col("node"), col("label"))
+          .checkpoint(eager = true)
+        persisted.unpersist(blocking = true)
+        prev = null
+      } else {
+        prev = persisted
+        labels = persisted.select(col("node"), col("label"))
+      }
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")

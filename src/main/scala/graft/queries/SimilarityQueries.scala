@@ -1042,6 +1042,101 @@ object SimilarityQueries {
     "north star: IVF ANN (trained k-means codebook, nprobe=" +
       ivfNprobe + "; ref real-index bar commercial_rfp_indexer.py:96-111)")
 
+  /** Symmetric int8 scalar quantization of the embedding column: each
+    * vector is scaled by its own max-abs so components land in
+    * [-127, 127], then floored at +0.5 (floor-based instead of round so
+    * both engines agree bit-for-bit on half-way points — SQL `round` is
+    * HALF_UP in Spark but round-half-even in some engines; floor(x+0.5)
+    * is one IEEE op with one answer). Emits the int codes and their
+    * integer squared norm. At corpus scale the codes ship as 1-byte
+    * fields — a 4× smaller vector store and integer SIMD dot products,
+    * which is why real ANN systems quantize before indexing; here INT
+    * keeps the demo schema simple while the arithmetic (and therefore
+    * the recall behavior) is exactly the int8 path's. */
+  private def sqBase(emb: DataFrame): DataFrame =
+    emb.withColumn("v", Vectors.toDoubleArr(col("embedding")))
+      .withColumn("mx",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("q8", transform(col("v"),
+        x => floor(x / greatest(col("mx"), lit(1e-30)) * lit(127.0) + lit(0.5))
+          .cast("int")))
+      .withColumn("qxx", aggregate(col("q8"), lit(0L),
+        (a, x) => a + x.cast("long") * x))
+      .select(col("vec_id"), col("q8"), col("qxx"))
+
+  /** Integer dot product of two quantized vectors — exact in both
+    * engines by construction (no fixed-point scaling needed: int
+    * multiply-add is already order-independent; max |Σ| here is
+    * 64·127² ≈ 1.0e6, nowhere near overflow). */
+  private def sqDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
+      lit(0L), (acc, z) => acc + z)
+
+  /** SQ brute-force cosine top-3 over any (vec_id, embedding) frame. */
+  private[queries] def annSqFrom(emb: DataFrame): DataFrame = {
+    val base = sqBase(emb)
+    val qs = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq8"),
+        col("qxx").as("qyy"))
+    val pairs = base.withColumnRenamed("vec_id", "nbr_id")
+      .crossJoin(broadcast(qs))
+      .filter(col("nbr_id") =!= col("query_id"))
+    pairs
+      .withColumn("score", round(
+        sqDot(col("q8"), col("qq8")).cast("double")
+          / (sqrt(col("qxx")) * sqrt(col("qyy"))), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("nbr_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("nbr_id"), col("score"))
+  }
+
+  /** q_ann_sq — brute-force cosine over int8 scalar-quantized vectors:
+    * the memory-scale path of the ANN family (the LSH/IVF rungs cut
+    * CANDIDATES; quantization cuts BYTES — 4× smaller vectors and
+    * integer dot products, composable under any of the rungs). Scan
+    * shape is identical to q_knn: broadcast query set, one codegen'd
+    * corpus pass, one ranking shuffle. AnnSpec pins the quality story
+    * (SQ cosine ≈ exact cosine, high top-3 agreement on the clustered
+    * fixture); this query pins the arithmetic end-to-end against the
+    * oracle's independent SQL quantizer. */
+  val qAnnSq = Q("q_ann_sq",
+    (s, dir) => annSqFrom(Tables.embeddings(s, dir)),
+    Some(s"""WITH sqbase AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), sqmx AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+      |  FROM sqbase
+      |), sqq AS (
+      |  SELECT vec_id, list_transform(v,
+      |    x -> CAST(floor(x / greatest(m, 1e-30) * 127.0 + 0.5) AS INT)) AS q8
+      |  FROM sqmx
+      |), sqn AS (
+      |  SELECT vec_id, q8, CAST(list_sum(list_transform(list_zip(q8, q8),
+      |    s -> CAST(s[1] AS BIGINT) * s[2])) AS BIGINT) AS qxx
+      |  FROM sqq
+      |), q AS (
+      |  SELECT vec_id AS query_id, q8 AS qq8, qxx AS qyy
+      |  FROM sqn WHERE ${queryPredSql()}
+      |), sqpairs AS (
+      |  SELECT n.vec_id AS nbr_id, n.q8, n.qxx, q.query_id, q.qq8, q.qyy
+      |  FROM sqn n CROSS JOIN q WHERE n.vec_id <> q.query_id
+      |), sqscored AS (
+      |  SELECT query_id, nbr_id, round(
+      |    CAST(CAST(list_sum(list_transform(list_zip(q8, qq8),
+      |      s -> CAST(s[1] AS BIGINT) * s[2])) AS BIGINT) AS DOUBLE)
+      |    / (sqrt(qxx) * sqrt(qyy)), 6) AS score
+      |  FROM sqpairs
+      |)
+      |SELECT query_id, rk, nbr_id, score FROM (
+      |  SELECT query_id, nbr_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, nbr_id) AS rk
+      |  FROM sqscored) t WHERE rk <= 3""".stripMargin),
+    "north star: int8 scalar-quantized cosine retrieval (the vector-store memory-scale path)")
+
   /** Prefixed exact-rerank top-k CTE over `${prefix}dots`. */
   private def topSql(prefix: String, k: Int): String =
     s"""${prefix}top AS (
@@ -1204,11 +1299,11 @@ object SimilarityQueries {
        |  GROUP BY e.vec_id
        |)""".stripMargin
 
-  /** q_ann_recall_clustered — the recall scorecard on the clustered
+  /** q_ann_recall_cl — the recall scorecard on the clustered
     * fixture (see [[ctrCount]]'s scaladoc for why the shipped embeddings
     * can't demonstrate the ladder). Same four rungs, same oracle machinery,
     * different vector source. */
-  val qAnnRecallClustered = Q("q_ann_recall_clustered",
+  val qAnnRecallClustered = Q("q_ann_recall_cl",
     (s, dir) => annRecallFrom(clusteredEmb(s, dir)),
     Some("WITH " + cembSql + ",\n" + annRecallSql("cemb")),
     "north star: ANN recall@3 on a clustered fixture (LSH band-survival ladder measurable; ref bar commercial_rfp_indexer.py:96-111)")
@@ -1216,5 +1311,5 @@ object SimilarityQueries {
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
-    qCentroids, qAnnIvf, qAnnRecall, qAnnRecallClustered)
+    qCentroids, qAnnIvf, qAnnSq, qAnnRecall, qAnnRecallClustered)
 }

@@ -55,12 +55,31 @@ class AnnSpec extends SparkSpec {
     // the clustered fixture exists so the band-survival ladder is
     // measurable — pin that it actually is (lsh > 0, and the or-amplified
     // / probe-expanded rungs never fall below the single-table rung)
-    val r = Registry.byName("q_ann_recall_clustered").fn(spark, dir)
+    val r = Registry.byName("q_ann_recall_cl").fn(spark, dir)
       .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
     assert(r("lsh") > 0.0,
       "clustered fixture failed to make single-table LSH demonstrate band survival")
     assert(r("mt") >= r("lsh"), "multi-table recall fell below single-table")
     assert(r("mp") >= r("lsh"), "multi-probe recall fell below single-table")
+  }
+
+  test("int8 SQ tracks exact cosine: tight score error, high top-3 agreement") {
+    // measured at sf0.001: max |sq - exact| cosine error 0.0037 over all
+    // query pairs, top-3 agreement 0.933 — and this is the WORST case for
+    // quantization (near-uniform vectors, tiny neighbor margins). Pin
+    // bounds with margin; everything here is deterministic.
+    val knn3 = Registry.byName("q_knn").fn(spark, dir)
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("nbr_id"), col("score").as("exact"))
+    val sq = Registry.byName("q_ann_sq").fn(spark, dir)
+      .select(col("query_id"), col("nbr_id"), col("score").as("approx"))
+    val nq = knn3.select("query_id").distinct().count()
+    val agreed = knn3.join(sq, Seq("query_id", "nbr_id"))
+    val agreement = agreed.count().toDouble / (3.0 * nq)
+    assert(agreement >= 0.8, s"SQ top-3 agreement $agreement below 0.8")
+    val maxErr = agreed
+      .agg(max(abs(col("approx") - col("exact")))).head().getDouble(0)
+    assert(maxErr < 0.01, s"SQ cosine error $maxErr exceeds 0.01")
   }
 
   test("exact kNN dominates every ANN variant at rank 1") {

@@ -60,6 +60,22 @@ class ComponentsSpec extends SparkSpec {
       s"connectedComponentsStar leaked cached RDDs: ${after -- before}")
   }
 
+  test("fixpoint survives a long path: plan depth stays bounded, cache clean") {
+    // a 16-node path needs 15 propagation rounds — without the periodic
+    // mid-loop checkpoint the logical plan doubles per round (hop
+    // references its input twice) and the per-action plan rendering
+    // OOMed the driver around round ~12; this pins both the answer and
+    // the resource contract on the shape that triggered it
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 15L).map(_ -> 0L).toMap)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"connectedComponents leaked cached RDDs: ${after -- before}")
+  }
+
   test("property: star variant equals the fixpoint on random graphs") {
     import org.scalacheck.{Gen, Prop}
     val edgeGen = Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))
