@@ -1092,6 +1092,43 @@ object SimilarityQueries {
       .select(col("query_id"), col("rk"), col("nbr_id"), col("score"))
   }
 
+  /** IVF candidate generation with SQ integer scoring — the COMPOSED
+    * scale rung ([[qAnnSq]]'s scaladoc: quantization cuts bytes, the
+    * cutters cut candidates; this is both at once). At corpus scale the
+    * retrieval scan touches only the int8 codes and the cell id — 4×
+    * less IO than the float vectors — and scores candidates with
+    * integer dot products inside whichever cells the query probes.
+    * Spec-validated against the float-scored IVF rung (AnnSqComposeSpec:
+    * same candidates, near-identical ranking); not a registry query —
+    * its oracle would restate q_ann_ivf's and q_ann_sq's, which already
+    * pin each half's arithmetic end-to-end. */
+  def annIvfSq(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = withNorm(emb)
+    val codebook = KMeans.train(base.select("vec_id", "v"), ivfCells, ivfIters)
+    val assigned = base
+      .withColumn("cell", KMeans.assignCell(col("v"), codebook))
+      .select(col("vec_id"), col("cell"))
+    val sq = sqBase(emb)
+    val qs = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"),
+        explode(KMeans.probeCells(col("v"), codebook, nprobe)).as("qcell"))
+      .join(sq.select(col("vec_id").as("query_id"), col("q8").as("qq8"),
+        col("qxx").as("qyy")), "query_id")
+    val pairs = sq.join(assigned, "vec_id").withColumnRenamed("vec_id", "nbr_id")
+      .join(broadcast(qs), col("cell") === col("qcell") &&
+        col("nbr_id") =!= col("query_id"))
+    pairs
+      .withColumn("score", round(
+        sqDot(col("q8"), col("qq8")).cast("double")
+          / (sqrt(col("qxx")) * sqrt(col("qyy"))), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("nbr_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("nbr_id"), col("score"))
+  }
+
   /** q_ann_sq — brute-force cosine over int8 scalar-quantized vectors:
     * the memory-scale path of the ANN family (the LSH/IVF rungs cut
     * CANDIDATES; quantization cuts BYTES — 4× smaller vectors and
