@@ -51,6 +51,16 @@ class PlanSpec extends SparkSpec {
       "query-set cap not pushed to the broadcast-side scan")
   }
 
+  test("q_ann_sq keeps q_knn's scale contract on the quantized path") {
+    val p = plan(SimilarityQueries.qAnnSq)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // quantization must not change the plan shape: one ranking shuffle,
+    // O(1) broadcast side with the cap pushed to the scan
+    assert(countOcc(p, "Exchange hashpartitioning") === 1)
+    assert(p.contains("LessThan(vec_id,3200)"),
+      "query-set cap not pushed to the broadcast-side scan")
+  }
+
   test("cleaning chain is a single fused scan stage (no shuffle)") {
     assert(!plan(RfpQueries.qClean).contains("Exchange"))
   }
