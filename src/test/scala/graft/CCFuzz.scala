@@ -12,13 +12,17 @@ object CCFuzz {
   def main(args: Array[String]): Unit = {
     val iters = if (args.nonEmpty) args(0).toInt else 200
     val seed = if (args.length > 1) args(1).toLong else 42L
+    // nodes must stay under the fixpoint's maxIter=25 diameter bound
+    // (a path over all nodes is reachable by the generator)
+    val nodes = if (args.length > 2) args(2).toInt else 16
+    val nEdges = if (args.length > 3) args(3).toInt else 12
     val spark = SparkTestSession.get
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     var failures = 0
     for (i <- 0 until iters) {
-      val n = 12
-      val raw = List.fill(n)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+      val n = nEdges
+      val raw = List.fill(n)((rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
       val edges0 = raw.filter { case (a, b) => a != b }
       if (edges0.nonEmpty) {
         val df = edges0.toDF("a", "b")
