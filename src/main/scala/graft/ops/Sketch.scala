@@ -67,4 +67,84 @@ object Sketch {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int): DataFrame =
     kmvEstimate(kmvMinima(df, groupCol, valueCol, k), groupCol, k)
+
+  // --------------------------------------------------------------------
+  // Count-Min sketch: point-frequency estimates in depth×width counters.
+  //
+  // Each of `depth` rows hashes every key into one of `width` buckets and
+  // counts arrivals; a key's estimate is the MIN of its `depth` bucket
+  // counters — always ≥ the true count (counters only ever over-count via
+  // collisions), and ≤ true + ε·N with probability 1-δ for width = e/ε,
+  // depth = ln(1/δ) (Cormode & Muthukrishnan 2005). The 100 TB frequency
+  // path where exact per-key counts would shuffle the full key stream:
+  // counters aggregate map-side, so at most depth·width rows reach the
+  // shuffle per partition regardless of row count or key cardinality, and
+  // two sketches MERGE by adding counters (spec'd exactly). Same
+  // determinism contract as [[hash60]]: md5-derived row hashes an ANSI
+  // oracle replicates bit-for-bit, never engine-internal hashing.
+  // --------------------------------------------------------------------
+
+  /** Row-j bucket of a key: 60-bit md5 hash of "j:key" mod width. Seeding
+    * by prefixing the row index is the standard way to get `depth`
+    * pairwise-independent-enough functions out of one strong hash. */
+  def cmsBucket(key: Column, row: Int, width: Int): Column =
+    hash60(concat_ws(":", lit(row), key)) % width
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** JVM twin of [[hash60]] for stateful streaming code: the first 15 hex
+    * digits of md5 are the top 60 bits of the first 8 digest bytes, so no
+    * hex-string round trip is needed. */
+  def hash60Local(s: String): Long = {
+    val d = md5Local.get()
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** JVM twin of [[cmsBucket]] — StreamSketchSpec pins that the streaming
+    * CMS built on this equals the batch sketch bit-for-bit. */
+  def cmsBucketLocal(row: Int, key: String, width: Int): Int =
+    (hash60Local(s"$row:$key") % width).toInt
+
+  /** Build the counter table → (j, b, cnt), ≤ depth·width rows. The
+    * explode multiplies rows ×depth BEFORE the partial aggregate, so the
+    * map-side combine still bounds what shuffles at depth·width per
+    * partition. */
+  def cmsCounters(df: DataFrame, keyCol: String, depth: Int,
+                  width: Int): DataFrame =
+    df.where(col(keyCol).isNotNull) // NULL keys are uncounted, as in MG
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), cmsBucket(col(keyCol), j, width).as("b"))): _*))
+        .as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge counter tables: counters add coordinate-wise — the sketch of a
+    * union of streams IS the sum of their sketches (SketchSpec proves the
+    * equality executable). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("j", "b").agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for the keys in `keys(keyCol)` →
+    * (keyCol, cms_est): min over rows of the key's bucket counter. The
+    * counter table is ≤ depth·width rows by construction, so it
+    * broadcasts; the key side never shuffles. Missing buckets count 0
+    * (a key the sketch never saw estimates 0, not null). */
+  def cmsEstimate(counters: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val probes = keys.select(col(keyCol), explode(array((0 until depth).map(
+        j => struct(lit(j).as("j"), cmsBucket(col(keyCol), j, width).as("b"))): _*))
+        .as("jb"))
+      .select(col(keyCol), col("jb.j").as("j"), col("jb.b").as("b"))
+    probes.join(broadcast(counters), Seq("j", "b"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
 }

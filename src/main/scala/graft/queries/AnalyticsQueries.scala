@@ -360,7 +360,69 @@ object AnalyticsQueries {
       "(candidate sketch + exact verify; generalizes the dup census A1-A3 " +
       "to frequency thresholds)")
 
+  /** The fixed CMS probe set: the 8 hot-tier keys, two medium-tier keys
+    * (1024-modulus residues 8 and 523 ≡ 11 mod 16, so both actually
+    * occur), and one key no row carries — O(1) external input by the
+    * same contract as the BM25 query terms. */
+  private val cmsKeys = (0 until 8).map(i => s"h$i") ++ Seq("m8", "m523", "nope")
+  private val cmsDepth = 4
+  private val cmsWidth = 512
+
+  /** q_cms — Count-Min point-frequency sketch over the same Zipf-tiered
+    * key stream [[qHeavyHitters]] mines, probed at the fixed
+    * [[cmsKeys]]: per key the exact count, the sketch estimate, and the
+    * collision overestimate (≥ 0 always — CMS never undercounts). The
+    * 100 TB frequency path when the key space dwarfs memory: the
+    * depth×width counter table aggregates map-side (≤ 4·512 rows ever
+    * shuffle, vs ~37k keys at sf0.1 for the exact plan), merges by
+    * coordinate-wise addition ([[graft.ops.Sketch.cmsMerge]], equality
+    * spec'd), and the exact side prunes to the O(1) probe keys BEFORE
+    * its shuffle. Hashing is the md5-derived [[graft.ops.Sketch.hash60]]
+    * family seeded per row, so the oracle replicates every counter
+    * bit-for-bit. */
+  val qCms = Q("q_cms",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = Tables.lineitem(s, dir).select(hhKey.as("key"))
+      val counters = graft.ops.Sketch.cmsCounters(keyed, "key",
+        cmsDepth, cmsWidth)
+      val exact = keyed.filter(col("key").isin(cmsKeys: _*))
+        .groupBy("key").agg(count(lit(1)).as("exact_n"))
+      graft.ops.Sketch.cmsEstimate(counters, cmsKeys.toDF("key"), "key",
+          cmsDepth, cmsWidth)
+        .join(exact, Seq("key"), "left")
+        .select(col("key"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"), col("cms_est"),
+          (col("cms_est") - coalesce(col("exact_n"), lit(0L))).as("overest"))
+    },
+    Some {
+      val keyList = cmsKeys.map("'" + _ + "'").mkString(", ")
+      def bSql(j: String, k: String) =
+        s"('0x' || substr(md5(CAST($j AS VARCHAR) || ':' || $k), 1, 15))::BIGINT % $cmsWidth"
+      s"""WITH keyed AS (SELECT $hhKeySql AS key FROM lineitem),
+        |qk AS (SELECT unnest([$keyList]) AS key),
+        |js AS (SELECT unnest(range($cmsDepth)) AS j),
+        |counters AS (
+        |  SELECT j, ${bSql("j", "key")} AS b, count(*) AS cnt
+        |  FROM keyed CROSS JOIN js GROUP BY 1, 2
+        |), est AS (
+        |  SELECT q.key, min(coalesce(c.cnt, 0)) AS cms_est
+        |  FROM qk q CROSS JOIN js j
+        |  LEFT JOIN counters c
+        |    ON c.j = j.j AND c.b = ${bSql("j.j", "q.key")}
+        |  GROUP BY 1
+        |), ex AS (
+        |  SELECT key, count(*) AS exact_n FROM keyed
+        |  WHERE key IN ($keyList) GROUP BY key
+        |)
+        |SELECT e.key, coalesce(x.exact_n, 0) AS exact_n, e.cms_est,
+        |  e.cms_est - coalesce(x.exact_n, 0) AS overest
+        |FROM est e LEFT JOIN ex x USING (key)""".stripMargin
+    },
+    "scale diagnostics: Count-Min frequency sketch (bounded counters, " +
+      "mergeable, probe-key estimates vs exact)")
+
   def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
     qGroupingSets, qCardinality, qCohort, qFunnel, qSkewAudit,
-    qHeavyHitters)
+    qHeavyHitters, qCms)
 }

@@ -592,4 +592,56 @@ object Streams {
             cur.counts.toSeq.sortBy { case (k, c) => (-c, k) }))
       }
   }
+
+  /** Per-group Count-Min state: flat row-major depth×width counters. */
+  final case class CmsState(counters: Array[Long])
+
+  /** Streaming Count-Min sketch: [[graft.ops.Sketch]]'s CMS counters
+    * carried in GroupState, probed at a fixed O(1) key set each
+    * micro-batch (Update semantics: the last (group, key) row is
+    * current). Counter addition is commutative and associative, so —
+    * like the KMV stream and unlike Misra–Gries — the streaming state is
+    * EXACTLY the batch sketch under ANY micro-batching; StreamSketchSpec
+    * asserts bit-equality of every probe estimate against
+    * [[graft.ops.Sketch.cmsEstimate]] over the same rows, via the
+    * [[graft.ops.Sketch.cmsBucketLocal]] hash twin. State is
+    * O(depth·width) longs per group (16 KiB at 4×512) for the stream's
+    * lifetime, regardless of row count or key cardinality; NULL keys are
+    * uncounted, the batch operator's contract. */
+  def cmsStream(df: DataFrame, groupCol: String, keyCol: String,
+                depth: Int, width: Int, probeKeys: Seq[String])
+      : org.apache.spark.sql.Dataset[(String, String, Long)] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.ops.Sketch
+    df.select(col(groupCol).cast("string"), col(keyCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CmsState, (String, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, String)], state: GroupState[CmsState]) =>
+          val c = state.getOption.map(_.counters)
+            .getOrElse(new Array[Long](depth * width))
+          it.foreach { case (_, key) =>
+            if (key != null) {
+              var j = 0
+              while (j < depth) {
+                c(j * width + Sketch.cmsBucketLocal(j, key, width)) += 1L
+                j += 1
+              }
+            }
+          }
+          state.update(CmsState(c))
+          probeKeys.iterator.map { k =>
+            var est = Long.MaxValue
+            var j = 0
+            while (j < depth) {
+              val v = c(j * width + Sketch.cmsBucketLocal(j, k, width))
+              if (v < est) est = v
+              j += 1
+            }
+            (g, k, est)
+          }
+      }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Sketch
+import org.apache.spark.sql.functions.col
 
 /** KMV cardinality sketch: exact fallback below k, bounded error above. */
 class SketchSpec extends SparkSpec {
@@ -47,5 +48,62 @@ class SketchSpec extends SparkSpec {
     val b = Sketch.kmvDistinct(df.repartition(13), "g", "v", 32)
       .collect().toSet
     assert(a === b) // order statistics don't care about partitioning
+  }
+
+  // ---- Count-Min ----
+
+  test("CMS never undercounts; a wide sketch and an unseen key are exact") {
+    // skewed stream: key k_i appears i+1 times (40 keys, 820 rows)
+    val rows = (0 until 40).flatMap(i => Seq.fill(i + 1)(s"k$i"))
+    val df = rows.toDF("key")
+    val keys = (0 until 40).map(i => s"k$i")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // narrow sketch (width 16 << 40 keys): collisions certain, but the
+    // min-of-rows estimate must still dominate the true count
+    val narrow = Sketch.cmsEstimate(Sketch.cmsCounters(df, "key", 4, 16),
+        keys.toDF("key"), "key", 4, 16)
+      .as[(String, Long)].collect().toMap
+    keys.foreach(k => assert(narrow(k) >= exact(k),
+      s"$k: est ${narrow(k)} undercounts ${exact(k)}"))
+    // wide sketch: no 4-row total collision on this fixture → exact
+    val wide = Sketch.cmsEstimate(Sketch.cmsCounters(df, "key", 4, 4096),
+        keys.toDF("key"), "key", 4, 4096)
+      .as[(String, Long)].collect().toMap
+    keys.foreach(k => assert(wide(k) === exact(k)))
+    // a key the sketch never saw estimates 0 (empty buckets), not null
+    val unseen = Sketch.cmsEstimate(Sketch.cmsCounters(df, "key", 4, 4096),
+        Seq("zz").toDF("key"), "key", 4, 4096)
+      .as[(String, Long)].head()._2
+    assert(unseen === 0L)
+  }
+
+  test("CMS counters merge by addition: sum of halves == sketch of whole") {
+    val rows = (0 until 600).map(i => s"k${i % 23}")
+    val (a, b) = rows.splitAt(217) // uneven split, shared keys
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsCounters(a.toDF("key"), "key", 4, 32),
+      Sketch.cmsCounters(b.toDF("key"), "key", 4, 32))
+    val whole = Sketch.cmsCounters(rows.toDF("key"), "key", 4, 32)
+    assert(toSet(merged) === toSet(whole)) // exactly equal, not approximately
+  }
+
+  test("CMS estimates are deterministic across repartitionings and JVM/SQL hash twins agree") {
+    val rows = (0 until 300).map(i => s"k${i % 17}")
+    val keys = (0 until 17).map(i => s"k$i")
+    val a = Sketch.cmsEstimate(Sketch.cmsCounters(rows.toDF("key"), "key", 3, 64),
+      keys.toDF("key"), "key", 3, 64).collect().toSet
+    val b = Sketch.cmsEstimate(
+      Sketch.cmsCounters(rows.toDF("key").repartition(7), "key", 3, 64),
+      keys.toDF("key"), "key", 3, 64).collect().toSet
+    assert(a === b)
+    // the streaming code path hashes on the JVM — same buckets, bit-for-bit
+    val sqlBuckets = keys.toDF("key")
+      .select(col("key"), Sketch.cmsBucket(col("key"), 2, 64).as("b"))
+      .as[(String, Long)].collect().toMap
+    keys.foreach { k =>
+      assert(Sketch.cmsBucketLocal(2, k, 64).toLong === sqlBuckets(k))
+    }
   }
 }

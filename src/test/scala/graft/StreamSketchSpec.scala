@@ -71,4 +71,58 @@ class StreamSketchSpec extends SparkSpec {
     // the second batch genuinely changed estimates (more distincts seen)
     assert(stage2.exists { case (g, est) => est != stage1(g) })
   }
+
+  test("streamed CMS equals the batch sketch at each stage, across a restart") {
+    val dir = Files.createTempDirectory("graft-cms").toFile
+    dir.deleteOnExit()
+    val src = s"${dir.getAbsolutePath}/docs"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+    val (depth, width) = (4, 64)
+    val whole = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probes = whole.select("lang").distinct().as[String].collect()
+      .sorted.take(3).toSeq :+ "zz" // 3 real keys + one never seen
+
+    val half1 = whole.filter(col("doc_id") < 250).select("source", "lang")
+    val half2 = whole.filter(col("doc_id") >= 250).select("source", "lang")
+
+    def runOnce(): Map[(String, String), Long] = {
+      val got = scala.collection.mutable.Map[(String, String), Long]()
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val q = Streams.cmsStream(stream, "source", "lang", depth, width, probes)
+        .toDF("source", "key", "cms_est")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[(String, String, Long)].collect()
+            .foreach { case (g, k, e) => got.synchronized { got((g, k)) = e } }
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not finish in 120 s")
+      got.toMap
+    }
+
+    // batch reference: the same sketch per group over `rows`
+    def batchRef(rows: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      rows.select("source").distinct().as[String].collect().flatMap { g =>
+        Sketch.cmsEstimate(
+            Sketch.cmsCounters(rows.filter(col("source") === g), "lang",
+              depth, width),
+            probes.toDF("key"), "key", depth, width)
+          .as[(String, Long)].collect().map { case (k, e) => (g, k) -> e }
+      }.toMap
+
+    half1.coalesce(1).write.parquet(src)
+    val stage1 = runOnce()
+    assert(stage1 === batchRef(half1), "stage-1 stream != batch CMS of half 1")
+
+    half2.coalesce(1).write.mode("append").parquet(src)
+    val stage2 = runOnce()
+    val ref2 = batchRef(whole.select("source", "lang"))
+    assert(stage2 === ref2, "post-restart stream != batch CMS of the whole")
+    // counters genuinely accumulated across the restart
+    assert(stage2.exists { case (gk, est) => est > stage1.getOrElse(gk, 0L) })
+  }
 }
