@@ -73,6 +73,18 @@ object Bench {
       catch { case e: Throwable => errors(name) = errMsg(e); false }
     }
 
+    // Double-warm the first timed slot: the alphabetically-first query
+    // (q1_agg) is the only one whose timed run directly follows the 96-query
+    // warmup sweep, so it alone absorbs any post-sweep GC/page-cache
+    // turbulence (r7's driver record showed it at ~10× its probed time
+    // while every later query matched its probe). One extra untimed run
+    // immediately before the timed loop puts slot 1 in the same state as
+    // every other slot.
+    runnable.headOption.foreach { name =>
+      try materialize(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => () }
+    }
+
     val timings = runnable.flatMap { name =>
       try {
         val runs = (1 to 3).map { _ =>
@@ -93,9 +105,13 @@ object Bench {
 
   /** The harness captures only the LAST 2000 chars of stdout; a line that
     * outgrows that is truncated at the FRONT and silently stops parsing as
-    * JSON — which re-loses the bench gate. Budget with margin for the
-    * trailing newline and any stray late log line. */
-  private[graft] val maxLineChars = 1950
+    * JSON — which re-loses the bench gate. The capture window must also
+    * hold whatever the runner prints AFTER our line (sbt's
+    * `[success] Total time: ...` trailer is ~75 chars) plus newlines, so
+    * the real budget is well under 2000. r7 proved 1950 is too tight: the
+    * 96-query line fit 1950 but the trailer pushed the front out of the
+    * window. 1850 leaves ~150 chars of trailer headroom. */
+  private[graft] val maxLineChars = 1850
 
   private[graft] def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -122,19 +138,32 @@ object Bench {
     * timings. If every rung overflows (≈110+ queries — names, not
     * values, dominate), fail LOUDLY: a truncated line would fail
     * silently. */
+  /** Bench-line display name: the registry's uniform `q_` prefix carries
+    * no information on a line where every key is a query, so it is
+    * stripped HERE ONLY (registry / Verify / CORRECTNESS keys keep the
+    * full name; `q_asof_join` reports as `asof_join`). 96 queries × 2
+    * chars ≈ 190 chars of capture window — the difference between full
+    * 2-decimal precision fitting and not. `q1_agg`-style names (no `q_`)
+    * pass through unchanged, so no two registry names can collide. */
+  private[graft] def short(name: String): String = name.stripPrefix("q_")
+
   private[graft] def renderLine(timings: Seq[(String, Double)],
       errors: Seq[(String, String)], floorPlan: Double, floorScan: Double,
       sfDir: String): String = {
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(dp: Int, errVals: Boolean): String = {
-      val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmtTrim(v, dp)}" }
+      val qs = timings.map { case (k, v) =>
+          s"${jstr(short(k))}:${fmtTrim(v, dp)}" }
         .mkString("{", ",", "}")
       val errs = errors.map { case (k, v) =>
-          s"${jstr(k)}:${if (errVals) jstr(v) else "\"\""}" }
+          s"${jstr(short(k))}:${if (errVals) jstr(v) else "\"\""}" }
         .mkString("{", ",", "}")
       val total = timings.map(_._2).sum
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","floor_plan":${fmt3(floorPlan)},"floor_scan":${fmt3(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      // sf renders as the directory basename ("sf0.1") — the full
+      // /root/testdata path spent 15 window chars saying nothing
+      val sf = sfDir.stripSuffix("/").split('/').last
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","floor_plan":${fmt3(floorPlan)},"floor_scan":${fmt3(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sf)}}"""
     }
     // precision outranks error text (the gate compares per-query
     // timings), so try dropping error text before dropping a decimal

@@ -1099,9 +1099,10 @@ object SimilarityQueries {
     * less IO than the float vectors — and scores candidates with
     * integer dot products inside whichever cells the query probes.
     * Spec-validated against the float-scored IVF rung (AnnSqComposeSpec:
-    * same candidates, near-identical ranking); not a registry query —
-    * its oracle would restate q_ann_ivf's and q_ann_sq's, which already
-    * pin each half's arithmetic end-to-end. */
+    * same candidates, near-identical ranking) AND oracle-checked
+    * end-to-end as [[qAnnIvfSq]] — the composition is the flagship
+    * retrieval shape, so it gets its own driver-verified entry rather
+    * than inheriting trust from its two halves. */
   def annIvfSq(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val base = withNorm(emb)
@@ -1138,9 +1139,17 @@ object SimilarityQueries {
     * (SQ cosine ≈ exact cosine, high top-3 agreement on the clustered
     * fixture); this query pins the arithmetic end-to-end against the
     * oracle's independent SQL quantizer. */
-  val qAnnSq = Q("q_ann_sq",
-    (s, dir) => annSqFrom(Tables.embeddings(s, dir)),
-    Some(s"""WITH sqbase AS (
+  /** Integer dot product of two quantized list columns — the SQL twin of
+    * [[sqDot]] (exact BIGINT arithmetic, order-independent). */
+  private def sqDotSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |    s -> CAST(s[1] AS BIGINT) * s[2])) AS BIGINT)""".stripMargin
+
+  /** Shared SQ quantizer CTE chain `sqbase→sqn(vec_id, q8, qxx)` — the
+    * SQL twin of [[sqBase]], used by both [[qAnnSq]] and [[qAnnIvfSq]] so
+    * one quantizer definition backs every quantized oracle. */
+  private val sqSql: String =
+    s"""sqbase AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |), sqmx AS (
@@ -1151,10 +1160,13 @@ object SimilarityQueries {
       |    x -> CAST(floor(x / greatest(m, 1e-30) * 127.0 + 0.5) AS INT)) AS q8
       |  FROM sqmx
       |), sqn AS (
-      |  SELECT vec_id, q8, CAST(list_sum(list_transform(list_zip(q8, q8),
-      |    s -> CAST(s[1] AS BIGINT) * s[2])) AS BIGINT) AS qxx
+      |  SELECT vec_id, q8, ${sqDotSql("q8", "q8")} AS qxx
       |  FROM sqq
-      |), q AS (
+      |)""".stripMargin
+
+  val qAnnSq = Q("q_ann_sq",
+    (s, dir) => annSqFrom(Tables.embeddings(s, dir)),
+    Some(s"""WITH $sqSql, q AS (
       |  SELECT vec_id AS query_id, q8 AS qq8, qxx AS qyy
       |  FROM sqn WHERE ${queryPredSql()}
       |), sqpairs AS (
@@ -1162,8 +1174,7 @@ object SimilarityQueries {
       |  FROM sqn n CROSS JOIN q WHERE n.vec_id <> q.query_id
       |), sqscored AS (
       |  SELECT query_id, nbr_id, round(
-      |    CAST(CAST(list_sum(list_transform(list_zip(q8, qq8),
-      |      s -> CAST(s[1] AS BIGINT) * s[2])) AS BIGINT) AS DOUBLE)
+      |    CAST(${sqDotSql("q8", "qq8")} AS DOUBLE)
       |    / (sqrt(qxx) * sqrt(qyy)), 6) AS score
       |  FROM sqpairs
       |)
@@ -1173,6 +1184,41 @@ object SimilarityQueries {
       |      ORDER BY score DESC, nbr_id) AS rk
       |  FROM sqscored) t WHERE rk <= 3""".stripMargin),
     "north star: int8 scalar-quantized cosine retrieval (the vector-store memory-scale path)")
+
+  /** q_ann_ivf_sq — the COMPOSED flagship retrieval shape: IVF cell
+    * probing cuts candidates, int8 scalar quantization cuts bytes, and
+    * candidates are scored with exact integer dot products. This is the
+    * plan a 100 TB vector store actually runs (scan only int8 codes +
+    * cell ids — 4× less IO than floats — inside nprobe cells per query).
+    * The oracle re-trains the identical k-means codebook AND re-derives
+    * the identical quantizer in SQL, so the whole composition is pinned
+    * end-to-end, not just its halves. */
+  val qAnnIvfSq = Q("q_ann_ivf_sq",
+    (s, dir) => annIvfSq(s, dir, ivfNprobe),
+    Some("WITH " + KMeans.trainSql("embeddings", ivfCells, ivfIters) + s""",
+      |assignf AS (
+      |${ivfAssignSql(1, "")}
+      |), probe AS (
+      |${ivfAssignSql(ivfNprobe, s"\n    WHERE ${queryPredSql("e.")}")}
+      |), $sqSql, q AS (
+      |  SELECT p.vec_id AS query_id, p.cell, s.q8 AS qq8, s.qxx AS qyy
+      |  FROM probe p JOIN sqn s ON s.vec_id = p.vec_id
+      |), sqpairs AS (
+      |  SELECT q.query_id, q.qq8, q.qyy, a.vec_id AS nbr_id, s.q8, s.qxx
+      |  FROM q JOIN assignf a ON a.cell = q.cell AND a.vec_id <> q.query_id
+      |       JOIN sqn s ON s.vec_id = a.vec_id
+      |), sqscored AS (
+      |  SELECT query_id, nbr_id, round(
+      |    CAST(${sqDotSql("q8", "qq8")} AS DOUBLE)
+      |    / (sqrt(qxx) * sqrt(qyy)), 6) AS score
+      |  FROM sqpairs
+      |)
+      |SELECT query_id, rk, nbr_id, score FROM (
+      |  SELECT query_id, nbr_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, nbr_id) AS rk
+      |  FROM sqscored) t WHERE rk <= 3""".stripMargin),
+    "north star: IVF + int8 SQ composed retrieval (the 100 TB read shape; ref bar commercial_rfp_indexer.py:96-111)")
 
   /** Prefixed exact-rerank top-k CTE over `${prefix}dots`. */
   private def topSql(prefix: String, k: Int): String =
@@ -1348,5 +1394,5 @@ object SimilarityQueries {
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
-    qCentroids, qAnnIvf, qAnnSq, qAnnRecall, qAnnRecallClustered)
+    qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered)
 }

@@ -7,9 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchLineSpec extends AnyFunSuite {
 
   // 10.04 is the degradation-friendly shape: "10.04" at 2 decimals, "10"
-  // at 1 — each query sheds 3 chars when renderLine falls back
+  // at 1 — each query sheds 3 chars when renderLine falls back. Fixture
+  // names carry no `q_` prefix so renderLine's display-name strip is a
+  // no-op on them and the contains() assertions below stay literal.
   private def fakeTimings(n: Int): Seq[(String, Double)] =
-    (0 until n).map(i => f"q_fixture_name_$i%03d" -> 10.04)
+    (0 until n).map(i => f"fixture_name_$i%03d" -> 10.04)
 
   test("fmtTrim trims trailing zeros but stays a valid JSON number") {
     assert(Bench.fmtTrim(0.30, 2) == "0.3")
@@ -33,14 +35,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(":9.97"), "expected full 2-decimal precision — " +
       "registry has outgrown the capture window's full-precision headroom")
     assert(!line.contains('\n'))
+    // display names are the registry names minus the `q_` prefix, and the
+    // strip must never make two of them collide
+    assert(line.contains("\"asof_join\"") && !line.contains("\"q_asof_join\""))
+    assert(line.contains("\"q1_agg\""), "non-q_ names pass through unchanged")
+    val shorts = SparkEntry.queries.keys.toSeq.map(Bench.short)
+    assert(shorts.distinct.size == shorts.size, "display-name collision")
+    assert(line.contains("\"sf\":\"sf0.1\""), "sf renders as basename")
   }
 
   test("renderLine degrades precision instead of overflowing") {
-    // the first n whose FULL-precision line overflows the window
+    // the first n whose FULL-precision line no longer fits (renderLine
+    // stops emitting "10.04" exactly when the 2-decimal rung overflows)
     val n = (2 to 200).find { n =>
-      val two = fakeTimings(n).map { case (k, v) =>
-        s"${Bench.jstr(k)}:${Bench.fmtTrim(v, 2)}" }.mkString(",").length
-      two + 130 > Bench.maxLineChars
+      !Bench.renderLine(fakeTimings(n), Nil, 0.1, 0.1, "sf").contains("10.04")
     }.get
     val line = Bench.renderLine(fakeTimings(n), Nil, 0.1, 0.1, "sf")
     assert(line.length <= Bench.maxLineChars)
@@ -59,7 +67,7 @@ class BenchLineSpec extends AnyFunSuite {
       Bench.renderLine(fakeTimings(n), Nil, 0.1, 0.1, "sf").length >
         Bench.maxLineChars - 120
     }.get
-    val errs = (1 to 5).map(i => s"q_broken_$i" -> ("x" * 80))
+    val errs = (1 to 5).map(i => s"broken_$i" -> ("x" * 80))
     val line = Bench.renderLine(fakeTimings(n), errs, 0.1, 0.1, "sf")
     assert(line.length <= Bench.maxLineChars)
     errs.foreach { case (k, _) => assert(line.contains(k)) }
