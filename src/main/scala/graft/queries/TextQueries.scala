@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 import graft.{Q, Tables}
 import graft.ops.Shingles
 
@@ -437,6 +438,132 @@ object TextQueries {
       |FROM r""".stripMargin),
     "north star: repeated-n-gram repetition filter (Gopher-style quality gate)")
 
+  /** Non-overlapping span width (tokens) for corpus-level span dedup.
+    * RefinedWeb dedups exact LINES and C4 three-sentence spans; this
+    * corpus has neither newlines nor sentence marks, so fixed 8-token
+    * blocks are the analogous within-document unit. */
+  private val spanLen = 8
+
+  /** Corpus-wide repeated-span removal — the line-level dedup step of a
+    * pretraining pipeline (RefinedWeb exact-line dedup / C4 span dedup),
+    * DISTINCT from whole-document dedup (q_doc_dedup: drops documents),
+    * within-document repetition (q_rep_ngram: scores one doc against
+    * itself) and eval-set decontamination (q_decontam: scores against a
+    * foreign corpus). Each document is cut into non-overlapping
+    * [[spanLen]]-token blocks; any block whose text occurs in ≥2 DISTINCT
+    * documents is boilerplate and is removed from all of them; survivors
+    * are reassembled in document order.
+    *
+    * Scale shape: one explode (n_tokens/8 rows per doc), block counting
+    * keyed on the block's md5 (fixed 16-byte shuffle key instead of
+    * arbitrary-width text) in two phases — (hash, doc) partial then
+    * per-hash doc count — one anti join on the same key, and one per-doc
+    * reassembly groupBy whose state is bounded by document size. No
+    * broadcast of the duplicate set (it is corpus-sized in the worst
+    * case), no collect, every shuffle keyed — survives 100×. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("w"))
+    val nb = ceil(size(col("w")).cast("double") / spanLen).cast("int")
+    val blocks = base
+      .select(col(idCol), posexplode(transform(sequence(lit(0), nb - 1),
+        i => array_join(
+          slice(col("w"), i * spanLen + 1, lit(spanLen)), " "))))
+      .withColumnRenamed("col", "btxt")
+      .withColumn("bh", md5(col("btxt")))
+    val dup = blocks.groupBy("bh", idCol).agg(count(lit(1)).as("c"))
+      .groupBy("bh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("bh")
+    val kept = blocks.join(dup, Seq("bh"), "left_anti")
+    val re = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("btxt")))),
+        x => x.getField("btxt")), " ").as("kept_text"))
+    blocks.groupBy(idCol).agg(count(lit(1)).as("n_blocks"))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol), col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** q_span_dedup — [[spanDedup]] over `documents`. The oracle counts
+    * distinct-document occurrences of the block TEXT (no hash), so a
+    * md5 collision on the engine side would surface as a mismatch. */
+  val qSpanDedup = Q("q_span_dedup",
+    (s, dir) => spanDedup(Tables.documents(s, dir), "doc_id", "text"),
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id, w, unnest(generate_series(0,
+      |    CAST(ceil(len(w)/$spanLen.0) AS BIGINT) - 1)) AS pos
+      |  FROM t
+      |), b AS (
+      |  SELECT doc_id, pos, array_to_string(
+      |    list_slice(w, pos*$spanLen + 1, pos*$spanLen + $spanLen), ' ') AS btxt
+      |  FROM bi
+      |), f AS (
+      |  SELECT btxt, count(DISTINCT doc_id) AS nd FROM b GROUP BY btxt
+      |), k AS (
+      |  SELECT b.doc_id, b.pos, b.btxt
+      |  FROM b JOIN f USING (btxt) WHERE f.nd = 1
+      |), r AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(btxt, ' ' ORDER BY pos) AS kept_text
+      |  FROM k GROUP BY doc_id
+      |), nb AS (
+      |  SELECT doc_id, count(*) AS n_blocks FROM b GROUP BY doc_id
+      |)
+      |SELECT nb.doc_id, nb.n_blocks,
+      |  nb.n_blocks - coalesce(r.n_kept, 0) AS n_removed,
+      |  coalesce(r.kept_text, '') AS kept_text
+      |FROM nb LEFT JOIN r USING (doc_id)""".stripMargin),
+    "north star: corpus-wide repeated-span (boilerplate) removal, RefinedWeb/C4-style")
+
+  /** q_bpe_merge — the BPE TRAINER's inner step at corpus scale: count
+    * every adjacent token pair and rank the top merge candidates
+    * (q_token_bpe is the ENCODER side — applying a vocabulary; this is
+    * how the vocabulary's next merge rule is chosen). One explode
+    * (n_tokens − 1 pairs per doc, arrays built once per row — the HOF
+    * discipline [[graft.ops.Shingles.shingleSetOfWords]] documents), one
+    * map-side-combined count shuffle, and a TakeOrdered top-20 (no
+    * global sort); the final rank window touches 20 rows. */
+  val qBpeMerge = Q("q_bpe_merge",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(
+        split(trim(lower(coalesce(col("text"), lit("")))), "\\s+").as("w"))
+      val pairs = base.select(explode(
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      val top = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("pair"))))
+        .select("rk", "pair", "cnt")
+    },
+    Some("""WITH t AS (
+      |  SELECT string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+      |  FROM documents
+      |), p AS (
+      |  SELECT unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+      |    generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+      |    ELSE [] END) AS pair
+      |  FROM t
+      |), c AS (
+      |  SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+      |)
+      |SELECT rk, pair, cnt FROM (
+      |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+      |  FROM c) x
+      |WHERE rk <= 20""".stripMargin),
+    "north star: BPE merge-rule induction (adjacent-pair counting, the trainer half of q_token_bpe)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
-    qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram)
+    qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
+    qSpanDedup, qBpeMerge)
 }
