@@ -457,10 +457,18 @@ object TextQueries {
     * Scale shape: one explode (n_tokens/8 rows per doc), block counting
     * keyed on the block's md5 (fixed 16-byte shuffle key instead of
     * arbitrary-width text) in two phases — (hash, doc) partial then
-    * per-hash doc count — one anti join on the same key, and one per-doc
-    * reassembly groupBy whose state is bounded by document size. No
-    * broadcast of the duplicate set (it is corpus-sized in the worst
-    * case), no collect, every shuffle keyed — survives 100×. */
+    * per-hash doc count — then ONE left join marking duplicated blocks
+    * and ONE per-doc aggregation that produces the totals, the removal
+    * count, and the order-preserving reassembly in a single pass
+    * (collect_list skips the nulls the duplicate-flag `when` leaves, so
+    * survivors need no separate anti-join branch; a third pass over the
+    * exploded blocks — the first cut of this query — showed up as three
+    * posexplodes in the physical plan, which PlanSpec now pins at two).
+    * Per-doc aggregation state is bounded by document size, the
+    * duplicate-flag state per key is one count — no collect_set of
+    * carrier docs, which a mega-boilerplate block (millions of carriers)
+    * would blow up. No broadcast of the duplicate set (corpus-sized in
+    * the worst case), no collect, every shuffle keyed — survives 100×. */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol),
       split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("w"))
@@ -473,18 +481,16 @@ object TextQueries {
       .withColumn("bh", md5(col("btxt")))
     val dup = blocks.groupBy("bh", idCol).agg(count(lit(1)).as("c"))
       .groupBy("bh").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("bh")
-    val kept = blocks.join(dup, Seq("bh"), "left_anti")
-    val re = kept.groupBy(idCol).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("btxt")))),
-        x => x.getField("btxt")), " ").as("kept_text"))
-    blocks.groupBy(idCol).agg(count(lit(1)).as("n_blocks"))
-      .join(re, Seq(idCol), "left")
-      .select(col(idCol), col("n_blocks"),
-        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .filter(col("nd") >= 2)
+      .select(col("bh"), lit(true).as("is_dup"))
+    blocks.join(dup, Seq("bh"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("is_dup").isNull, struct(col("pos"), col("btxt"))))),
+          x => x.getField("btxt")), " ").as("kept_text"))
+      .select(col(idCol), col("n_blocks"), col("n_removed"), col("kept_text"))
   }
 
   /** q_span_dedup — [[spanDedup]] over `documents`. The oracle counts

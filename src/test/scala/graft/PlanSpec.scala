@@ -168,6 +168,30 @@ class PlanSpec extends SparkSpec {
       s"expected the broadcast candidate-set filter:\n$p")
   }
 
+  test("q_span_dedup: two block passes, duplicate-flag left join") {
+    import graft.queries.TextQueries
+    val p = plan(TextQueries.qSpanDedup)
+    // the duplicate-block set is corpus-sized in the worst case, so
+    // flagging must be a keyed JOIN (Spark may pick broadcast from
+    // small-SF stats, but the shape must stay a join, never a collect)
+    assert(p.contains("LeftOuter"), s"expected the duplicate-flag join:\n$p")
+    // the exploded block stream is consumed exactly twice (duplicate
+    // counting + the flagged per-doc pass); the first cut of this query
+    // planned a THIRD posexplode for a separate totals branch
+    assert(countOcc(p, "Generate posexplode") === 2,
+      s"expected exactly two posexplodes:\n$p")
+  }
+
+  test("q_bpe_merge: one counting shuffle, top-20 via TakeOrdered") {
+    import graft.queries.TextQueries
+    val p = plan(TextQueries.qBpeMerge)
+    // global top-k must compile to TakeOrderedAndProject (per-partition
+    // heaps + driver merge of 20 rows), not a full sort of the pair space
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+    assert(countOcc(p, "Exchange hashpartitioning") === 1,
+      s"expected exactly one hash shuffle (the pair count):\n$p")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
