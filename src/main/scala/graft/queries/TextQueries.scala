@@ -569,7 +569,70 @@ object TextQueries {
       |WHERE rk <= 20""".stripMargin),
     "north star: BPE merge-rule induction (adjacent-pair counting, the trainer half of q_token_bpe)")
 
+  /** Keep/drop threshold for [[qUnigramNll]] in nats: the corpus median
+    * sits at ~3.40 with a rare-token tail to 3.70, so 3.45 drops the
+    * tail (the real pipeline would fit this on a held-out slice; the
+    * mechanism — score against a corpus LM, gate on a threshold — is
+    * what's under test). */
+  private val nllKeep = 3.45
+
+  /** q_unigram_nll — the perplexity-filter pattern (KenLM-style quality
+    * gating) with a unigram LM trained on the corpus itself: per-token
+    * negative log-likelihood −ln(freq/N) under corpus frequencies,
+    * averaged per document; rare-token-dense documents score high and
+    * are dropped. Two passes over the token stream (frequency build +
+    * score join — the same shape q_tfidf accepts), one vocab-keyed
+    * shuffle join (NEVER a broadcast: the vocabulary of a 100 TB corpus
+    * is itself huge), and a per-doc aggregation.
+    *
+    * Determinism contract: each token's NLL is snapped to a fixed-point
+    * long (round(ln(N/c)·1e9) — per-VALUE ln + round is the established
+    * BM25/tf-idf cross-engine pattern) so the per-doc SUM is exact
+    * integer arithmetic in any order; only then does one
+    * division-by-constant and one division-by-count (both IEEE-exact on
+    * identical inputs) produce the double score. Per-doc sums stay far
+    * under 2^53 (≤ ~12·1e9 per token), so the BIGINT→double cast is
+    * exact in both engines. */
+  val qUnigramNll = Q("q_unigram_nll",
+    (s, dir) => {
+      val toks = Shingles.tokens(Tables.documents(s, dir), "doc_id", "text",
+        lowered = true)
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = freq.agg(sum(col("c")).cast("double").as("n"))
+      toks.join(freq, "tok").crossJoin(broadcast(total))
+        .withColumn("nc",
+          round(log(col("n") / col("c").cast("double")) * lit(1e9))
+            .cast("long"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("nc")).cast("double") / lit(1e9) / count(lit(1)), 6)
+            .as("avg_nll"))
+        .withColumn("verdict",
+          when(col("avg_nll") <= nllKeep, "keep").otherwise("drop"))
+        .select("doc_id", "n_tokens", "avg_nll", "verdict")
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      |  FROM documents
+      |), freq AS (
+      |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      |), total AS (
+      |  SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq
+      |), contrib AS (
+      |  SELECT t.doc_id,
+      |    CAST(round(ln(total.n / CAST(f.c AS DOUBLE)) * 1e9) AS BIGINT) AS nc
+      |  FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN total
+      |), d AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    round(CAST(sum(nc) AS BIGINT) / 1e9 / count(*), 6) AS avg_nll
+      |  FROM contrib GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, avg_nll,
+      |  CASE WHEN avg_nll <= $nllKeep THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM d""".stripMargin),
+    "north star: unigram-LM perplexity-filter analog (corpus-frequency NLL quality gate)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
-    qSpanDedup, qBpeMerge)
+    qSpanDedup, qBpeMerge, qUnigramNll)
 }
