@@ -422,7 +422,62 @@ object AnalyticsQueries {
     "scale diagnostics: Count-Min frequency sketch (bounded counters, " +
       "mergeable, probe-key estimates vs exact)")
 
+  /** q_anomaly — volume anomaly detection on the event stream: hourly
+    * counts per event_type, z-scored against that type's own
+    * mean/stddev, windows with |z| ≥ 3 flagged. The monitoring pattern
+    * every ingestion pipeline runs over its telemetry.
+    *
+    * Determinism contract: the moments are exact integer sums (count,
+    * Σc, Σc² over BIGINT hourly counts — no overflow anywhere near 2^63
+    * for hourly buckets), and the z formula applies only IEEE-exact ops
+    * (divide, multiply, subtract, sqrt are all correctly rounded, so
+    * identical inputs give bit-identical doubles in both engines) in the
+    * SAME expression order as the oracle: m = Σc/n, var = Σc²/n − m·m,
+    * z = (c − m)/√var. No double is ever summed.
+    *
+    * Scale shape: two keyed aggregations (hour-bucket counts, per-type
+    * moments — the second input is one row per (type, hour), thousands
+    * of times smaller than the events) and one join keyed on event_type;
+    * at real cardinalities the moments side is broadcast-sized, and
+    * Spark's stats pick that up on their own. */
+  val qAnomaly = Q("q_anomaly",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour").as("win"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"), col("win.start").as("w"), col("c"))
+      val stats = hourly.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      val m = col("sc").cast("double") / col("n")
+      val variance = col("sc2").cast("double") / col("n") - m * m
+      hourly.join(stats, "event_type")
+        .withColumn("z", round((col("c") - m) / sqrt(variance), 6))
+        .filter(abs(col("z")) >= 3.0)
+        .select(col("event_type"),
+          date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("c"), col("z"))
+    },
+    Some("""WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS w, count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT event_type, count(*) AS n, sum(c) AS sc, sum(c*c) AS sc2
+      |  FROM h GROUP BY 1
+      |), z AS (
+      |  SELECT h.event_type, h.w, h.c,
+      |    round((h.c - CAST(s.sc AS DOUBLE)/s.n) /
+      |      sqrt(CAST(s.sc2 AS DOUBLE)/s.n
+      |        - (CAST(s.sc AS DOUBLE)/s.n)*(CAST(s.sc AS DOUBLE)/s.n)),
+      |      6) AS z
+      |  FROM h JOIN s USING (event_type)
+      |)
+      |SELECT event_type, strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  c, z
+      |FROM z WHERE abs(z) >= 3.0""".stripMargin),
+    "north star: per-type volume anomaly detection (z-score over hourly windows)")
+
   def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
     qGroupingSets, qCardinality, qCohort, qFunnel, qSkewAudit,
-    qHeavyHitters, qCms)
+    qHeavyHitters, qCms, qAnomaly)
 }
