@@ -150,20 +150,24 @@ object Bench {
   private[graft] def renderLine(timings: Seq[(String, Double)],
       errors: Seq[(String, String)], floorPlan: Double, floorScan: Double,
       sfDir: String): String = {
-    def fmt3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(dp: Int, errVals: Boolean): String = {
       val qs = timings.map { case (k, v) =>
           s"${jstr(short(k))}:${fmtTrim(v, dp)}" }
         .mkString("{", ",", "}")
-      val errs = errors.map { case (k, v) =>
+      // the errors object is emitted ONLY when something failed — a
+      // literal `"errors":{}` on every healthy line spent 12 chars of
+      // window to say nothing (absence = zero errors)
+      val errs = if (errors.isEmpty) "" else
+        errors.map { case (k, v) =>
           s"${jstr(short(k))}:${if (errVals) jstr(v) else "\"\""}" }
-        .mkString("{", ",", "}")
+          .mkString(""","errors":{""", ",", "}")
       val total = timings.map(_._2).sum
       // sf renders as the directory basename ("sf0.1") — the full
-      // /root/testdata path spent 15 window chars saying nothing
+      // /root/testdata path spent 15 window chars saying nothing; the
+      // floor keys are fp/fs for the same reason (README spells out the
+      // mapping: fp = planning floor, fs = scan floor, both medians)
       val sf = sfDir.stripSuffix("/").split('/').last
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","floor_plan":${fmt3(floorPlan)},"floor_scan":${fmt3(floorScan)},"queries":$qs,"errors":$errs,"sf":${jstr(sf)}}"""
+      s"""{"metric":"total","value":${fmtTrim(total, 3)},"unit":"sec","fp":${fmtTrim(floorPlan, 3)},"fs":${fmtTrim(floorScan, 3)},"queries":$qs$errs,"sf":${jstr(sf)}}"""
     }
     // precision outranks error text (the gate compares per-query
     // timings), so try dropping error text before dropping a decimal

@@ -477,7 +477,53 @@ object AnalyticsQueries {
       |FROM z WHERE abs(z) >= 3.0""".stripMargin),
     "north star: per-type volume anomaly detection (z-score over hourly windows)")
 
+  /** Per-group exact moments (count, mean, stddev) of `value`, computed
+    * the deterministic way: values snapped to fixed-point cents
+    * (DECIMAL(18,2)·100 → BIGINT, the q_events_hourly cast), moments as
+    * exact integer sums, finishers restricted to IEEE-exact ops in a
+    * fixed order. Exactness contract: sums stay exact while
+    * n·cents² < 2^53 per group (here ≤ ~2e15; a group outgrowing that
+    * shards its key). Shared by [[qValueMoments]] and (op-chain
+    * identical) [[graft.streaming.Streams.momentsStream]], whose
+    * StreamMomentsSpec asserts batch ≡ stream equality. */
+  def valueMoments(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vc = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val agg = events.select(col("event_type"), vc.as("vc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
+        sum(col("vc") * col("vc")).as("s2"))
+    val m = col("s").cast("double") / col("n")
+    agg.select(col("event_type"), col("n"),
+      round(m / 100.0, 6).as("mean_value"),
+      round(sqrt(col("s2").cast("double") / col("n") - m * m) / 100.0, 6)
+        .as("std_value"))
+  }
+
+  /** q_value_moments — the per-type telemetry baseline (n/mean/stddev of
+    * event value): the batch twin of the O(1)-state streaming moments
+    * ([[graft.streaming.Streams.momentsStream]]) and the same moment
+    * arithmetic [[qAnomaly]] applies to hourly counts. */
+  val qValueMoments = Q("q_value_moments",
+    (s, dir) => valueMoments(Tables.events(s, dir)),
+    Some("""WITH v AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events
+      |), a AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(vc) AS BIGINT) AS s, CAST(sum(vc*vc) AS BIGINT) AS s2
+      |  FROM v GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |  round((CAST(s AS DOUBLE)/n) / 100.0, 6) AS mean_value,
+      |  round(sqrt(CAST(s2 AS DOUBLE)/n
+      |    - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)) / 100.0, 6)
+      |    AS std_value
+      |FROM a""".stripMargin),
+    "north star: exact per-group moments (the telemetry baseline q_anomaly z-scores against)")
+
   def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
     qGroupingSets, qCardinality, qCohort, qFunnel, qSkewAudit,
-    qHeavyHitters, qCms, qAnomaly)
+    qHeavyHitters, qCms, qAnomaly, qValueMoments)
 }

@@ -441,6 +441,55 @@ object Streams {
       }
   }
 
+  /** Per-group exact moments state: three longs — the whole point. A
+    * streaming mean/stddev baseline costs O(1) state per group because
+    * integer sums (n, Σv, Σv²) merge exactly in any batch order,
+    * whereas buffering values for a naive stddev would be O(history). */
+  final case class MomState(n: Long, s: Long, s2: Long)
+
+  /** Streaming per-group moments of a value column — the live telemetry
+    * baseline behind q_anomaly's z-scoring, maintained under
+    * `readStream` with three longs per group. Values are snapped to
+    * fixed-point cents with the exact cast chain of the batch
+    * [[graft.queries.AnalyticsQueries.valueMoments]]
+    * (DECIMAL(18,2)·100 → long), the state fold is pure integer
+    * addition (exact, order-independent, checkpoint-recoverable), and
+    * the finisher replicates the batch op chain digit-for-digit
+    * (double divisions, one multiply/subtract, sqrt, then HALF_UP
+    * rounding — the same sequence Spark's `round(…, 6)` performs), so
+    * StreamMomentsSpec asserts EXACT equality with the batch query at
+    * every stage and across a restart. Exactness holds while
+    * n·cents² < 2^53 per group (documented in valueMoments). */
+  def momentsStream(df: DataFrame, groupCol: String, valueCol: String)
+      : org.apache.spark.sql.Dataset[(String, Long, Double, Double)] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fin(st: MomState): (Double, Double) = {
+      val m = st.s.toDouble / st.n
+      val mean = BigDecimal(m / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val std = BigDecimal(
+          math.sqrt(st.s2.toDouble / st.n - m * m) / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (mean, std)
+    }
+    df.select(col(groupCol).cast("string"),
+        (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MomState, (String, Long, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long)], state: GroupState[MomState]) =>
+          val prev = state.getOption.getOrElse(MomState(0L, 0L, 0L))
+          var n = prev.n; var s = prev.s; var s2 = prev.s2
+          it.foreach { case (_, v) => n += 1; s += v; s2 += v * v }
+          val st = MomState(n, s, s2)
+          state.update(st)
+          val (mean, std) = fin(st)
+          Iterator.single((g, n, mean, std))
+      }
+  }
+
   /** One indexed document in [[Bm25State]]: its length and its term
     * frequencies over the query-term set only. */
   final case class Bm25Post(docId: Long, dl: Long, tf: Map[String, Long])

@@ -42,6 +42,8 @@ class BenchLineSpec extends AnyFunSuite {
     val shorts = SparkEntry.queries.keys.toSeq.map(Bench.short)
     assert(shorts.distinct.size == shorts.size, "display-name collision")
     assert(line.contains("\"sf\":\"sf0.1\""), "sf renders as basename")
+    assert(!line.contains("\"errors\""),
+      "a healthy line must not spend window bytes on an empty errors map")
   }
 
   test("renderLine degrades precision instead of overflowing") {
