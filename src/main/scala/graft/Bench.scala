@@ -106,12 +106,13 @@ object Bench {
   /** The harness captures only the LAST 2000 chars of stdout; a line that
     * outgrows that is truncated at the FRONT and silently stops parsing as
     * JSON — which re-loses the bench gate. The capture window must also
-    * hold whatever the runner prints AFTER our line (sbt's
-    * `[success] Total time: ...` trailer is ~75 chars) plus newlines, so
-    * the real budget is well under 2000. r7 proved 1950 is too tight: the
-    * 96-query line fit 1950 but the trailer pushed the front out of the
-    * window. 1850 leaves ~150 chars of trailer headroom. */
-  private[graft] val maxLineChars = 1850
+    * hold whatever lands on stdout AFTER our line: sbt's
+    * `[success] Total time: N s, completed <date>` trailer (66–75 chars
+    * in practice; r7's truncation arithmetic — a ≤1950 line losing its
+    * first ~12 chars — bounds it) plus two newlines. Budget
+    * 1880 + 75 + 2 = 1957 keeps ~43 chars of margin for trailer drift;
+    * Spark/log4j noise is on stderr, not in this window. */
+  private[graft] val maxLineChars = 1880
 
   private[graft] def jstr(s: String): String =
     "\"" + s.flatMap {

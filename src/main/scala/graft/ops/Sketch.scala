@@ -147,4 +147,37 @@ object Sketch {
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** Fixed-width histogram of `valueCol` per group → (group, bin, cnt),
+    * bin = floor(value/width). This is the mergeable QUANTILE-sketch
+    * state: bin counts are integers that add across partitions, days, or
+    * streams, and the whole state is O(value-range / width) per group —
+    * versus exact `percentile_disc` (q_quantiles), which must sort every
+    * group's full value set and cannot pre-aggregate map-side. The
+    * histogram is the 100 TB quantile path; `width` trades accuracy
+    * (estimates land on bin lower edges) for state. */
+  def histBins(df: DataFrame, groupCol: String, valueCol: String,
+               width: Double): DataFrame =
+    df.groupBy(col(groupCol),
+        floor(col(valueCol) / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Histogram quantile estimates per group: for each (name, q) the
+    * LOWER EDGE of the first bin whose cumulative count reaches
+    * ceil(q·n) — pure integer comparisons plus one exact double multiply
+    * (bin·width), so both engines agree bit-for-bit. Output:
+    * (group, n, <one column per requested quantile>). */
+  def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                    width: Double, qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy(groupCol)
+    val cum = histBins(df, groupCol, valueCol, width)
+      .withColumn("cum", sum(col("cnt")).over(byG.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(byG))
+    val ests = qs.map { case (name, q) =>
+      (min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin")))
+        .cast("double") * lit(width)).as(name)
+    }
+    cum.groupBy(groupCol).agg(max(col("n")).as("n"), ests: _*)
+  }
 }

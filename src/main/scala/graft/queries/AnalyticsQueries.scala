@@ -523,7 +523,38 @@ object AnalyticsQueries {
       |FROM a""".stripMargin),
     "north star: exact per-group moments (the telemetry baseline q_anomaly z-scores against)")
 
+  /** q_hist_quantile — mergeable histogram quantiles
+    * ([[graft.ops.Sketch.histQuantiles]]): the SCALE path next to
+    * q_quantiles' exact `percentile_disc`. Exact per-group quantiles
+    * must sort each group's full value set with no map-side
+    * pre-aggregation — unworkable when one group spans TBs — while the
+    * histogram pre-aggregates to O(range/width) integer bin counts that
+    * merge across partitions, days, and streams
+    * ([[graft.streaming.Streams.histQuantileStream]] carries the same
+    * state under readStream; StreamHistSpec asserts exact equality).
+    * Estimates land on bin lower edges — the declared accuracy trade. */
+  val qHistQuantile = Q("q_hist_quantile",
+    (s, dir) => graft.ops.Sketch.histQuantiles(
+      Tables.events(s, dir), "event_type", "value", 10.0,
+      Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99)),
+    Some("""WITH b AS (
+      |  SELECT event_type, CAST(floor(value/10.0) AS BIGINT) AS bin,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, bin,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM b
+      |)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN bin END) AS DOUBLE) * 10.0 AS p50_est,
+      |  CAST(min(CASE WHEN cum >= ceil(0.9*n) THEN bin END) AS DOUBLE) * 10.0 AS p90_est,
+      |  CAST(min(CASE WHEN cum >= ceil(0.99*n) THEN bin END) AS DOUBLE) * 10.0 AS p99_est
+      |FROM c GROUP BY event_type""".stripMargin),
+    "north star: mergeable histogram quantile sketch (the 100 TB path next to exact percentile_disc)")
+
   def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
     qGroupingSets, qCardinality, qCohort, qFunnel, qSkewAudit,
-    qHeavyHitters, qCms, qAnomaly, qValueMoments)
+    qHeavyHitters, qCms, qAnomaly, qValueMoments, qHistQuantile)
 }

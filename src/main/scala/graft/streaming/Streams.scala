@@ -490,6 +490,51 @@ object Streams {
       }
   }
 
+  /** Per-group histogram state: integer bin counts keyed by
+    * floor(value/width) — O(value-range / width) entries per group for
+    * the stream's lifetime, merged by plain addition. */
+  final case class HistState(bins: Map[Long, Long])
+
+  /** Streaming histogram quantiles — the same mergeable bin-count state
+    * as the batch [[graft.ops.Sketch.histQuantiles]], carried in
+    * GroupState: each micro-batch adds its bin counts (exact integer
+    * merge, any batch order), and the group emits refreshed
+    * (n, p50, p90, p99) estimates computed with the identical op chain
+    * (ceil(q·n) threshold scan over ordered bins, bin·width double
+    * multiply), so StreamHistSpec asserts EXACT equality with the batch
+    * query at every stage and across a checkpoint restart. */
+  def histQuantileStream(df: DataFrame, groupCol: String, valueCol: String,
+                         width: Double)
+      : org.apache.spark.sql.Dataset[(String, Long, Double, Double, Double)] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    df.select(col(groupCol).cast("string"),
+        floor(col(valueCol) / width).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HistState, (String, Long, Double, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long)], state: GroupState[HistState]) =>
+          val bins = scala.collection.mutable.Map.empty[Long, Long] ++
+            state.getOption.map(_.bins).getOrElse(Map.empty)
+          it.foreach { case (_, b) => bins.update(b, bins.getOrElse(b, 0L) + 1L) }
+          state.update(HistState(bins.toMap))
+          val n = bins.valuesIterator.sum
+          val sorted = bins.toSeq.sortBy(_._1)
+          def est(q: Double): Double = {
+            val need = math.ceil(q * n)
+            var cum = 0L
+            var ans = 0L
+            var found = false
+            sorted.foreach { case (b, c) =>
+              if (!found) { cum += c; if (cum >= need) { ans = b; found = true } }
+            }
+            ans.toDouble * width
+          }
+          Iterator.single((g, n, est(0.5), est(0.9), est(0.99)))
+      }
+  }
+
   /** One indexed document in [[Bm25State]]: its length and its term
     * frequencies over the query-term set only. */
   final case class Bm25Post(docId: Long, dl: Long, tf: Map[String, Long])
