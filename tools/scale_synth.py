@@ -111,6 +111,35 @@ def main() -> None:
             "hot-tier counts must scale exactly by the factor"
         print(f"lineitem: {nl} -> {nl * factor} (hot tier x{factor} exact)")
 
+    # events for the temporal/analytics family: replicas shift event_id by
+    # the base count (uniqueness) and user_id past the base max, so each
+    # replica is a disjoint user population living on the SAME timeline —
+    # per-user session/as-of structure is preserved exactly (sessions,
+    # funnel chains, and as-of matches scale x factor with identical
+    # per-user shapes) while per-type hourly volumes grow x factor
+    # (anomaly z-scores keep their structure: mean and std both scale).
+    if os.path.exists(f"{src}/events.parquet"):
+        con.execute(f"CREATE VIEW ev AS SELECT * FROM '{src}/events.parquet'")
+        nev, = con.execute("SELECT count(*) FROM ev").fetchone()
+        mxu, = con.execute("SELECT max(user_id) FROM ev").fetchone()
+        ushift = mxu + 1
+        con.execute(f"""
+          COPY (
+            SELECT event_id + k * {nev} AS event_id, ts,
+                   user_id + k * {ushift} AS user_id, event_type, value, props
+            FROM ev, unnest(generate_series(0, {factor - 1})) AS g(k)
+          ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """)
+        base = con.execute(
+            "SELECT event_type, count(*) FROM ev GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+        dstc = con.execute(
+            f"SELECT event_type, count(*) FROM '{dst}/events.parquet' "
+            "GROUP BY 1 ORDER BY 1").fetchall()
+        assert dstc == [(t, c * factor) for t, c in base], \
+            "per-type event counts must scale exactly by the factor"
+        print(f"events: {nev} -> {nev * factor} (per-type x{factor} exact)")
+
     for t, n in (("documents", nd), ("embeddings", ne)):
         got, = con.execute(
             f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()
