@@ -632,7 +632,70 @@ object TextQueries {
       |FROM d""".stripMargin),
     "north star: unigram-LM perplexity-filter analog (corpus-frequency NLL quality gate)")
 
+  /** Vocabulary size for [[qVocabEncode]]: deliberately below this
+    * corpus's 31 distinct tokens so the OOV path is exercised (a real
+    * run sets V to the tokenizer budget, e.g. 32k/50k). */
+  private val vocabV = 24
+
+  /** q_vocab_encode — the "tokenize the corpus to ids" step: induce a
+    * frequency-ranked vocabulary (top-V terms, rank = token id) and
+    * re-encode every document as its id sequence, OOV → 0. The encoded
+    * corpus is what a training run actually reads; emitting the ids as
+    * a space-joined string keeps the driver compare on scalar columns.
+    *
+    * Scale shape: one token pass builds the vocab (map-side-combined
+    * count + TakeOrdered-V — the id-assignment window then touches V
+    * rows), one token pass encodes via a BROADCAST join (the vocab is
+    * V entries by construction — the one join in this repo where
+    * broadcast is the contract, not a small-SF accident), and the
+    * per-doc reassembly groupBy is bounded by document size. */
+  val qVocabEncode = Q("q_vocab_encode",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        split(trim(lower(coalesce(col("text"), lit("")))), "\\s+").as("w"))
+      val toks = base.select(col("doc_id"), posexplode(col("w")))
+        .withColumnRenamed("col", "tok")
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(vocabV)
+        .withColumn("tid", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("tok"))))
+        .select("tok", "tid")
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tid").isNull, 1L).otherwise(0L)).as("n_oov"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"),
+              coalesce(col("tid"), lit(0)).as("tid")))),
+            x => x.getField("tid").cast("string")), " ").as("ids_text"))
+        .select("doc_id", "n_tokens", "n_oov", "ids_text")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS w
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, unnest(w) AS tok,
+      |    unnest(generate_series(0, len(w) - 1)) AS pos
+      |  FROM t
+      |), vc AS (
+      |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      |), vocab AS (
+      |  SELECT tok, rk AS tid FROM (
+      |    SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+      |    FROM vc) x
+      |  WHERE rk <= $vocabV
+      |)
+      |SELECT k.doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  string_agg(CAST(coalesce(v.tid, 0) AS VARCHAR), ' ' ORDER BY k.pos)
+      |    AS ids_text
+      |FROM toks k LEFT JOIN vocab v USING (tok)
+      |GROUP BY k.doc_id""".stripMargin),
+    "north star: vocab induction + corpus id-encoding (the tokenize-to-ids step a training run reads)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
-    qSpanDedup, qBpeMerge, qUnigramNll)
+    qSpanDedup, qBpeMerge, qUnigramNll, qVocabEncode)
 }

@@ -106,4 +106,37 @@ class SketchSpec extends SparkSpec {
       assert(Sketch.cmsBucketLocal(2, k, 64).toLong === sqlBuckets(k))
     }
   }
+
+  test("histogram quantiles bracket the exact quantile within one bin width") {
+    import org.scalacheck.{Gen, Prop}
+    val width = 7.0
+    val data = Gen.nonEmptyListOf(Gen.choose(0.0, 300.0))
+    checkProp(Prop.forAllNoShrink(data) { vs =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val got = Sketch.histQuantiles(df, "g", "v", width,
+          Seq("p50" -> 0.5, "p99" -> 0.99))
+        .as[(String, Long, Double, Double)].head()
+      val sorted = vs.sorted
+      def exact(q: Double): Double =
+        sorted(math.ceil(q * vs.size).toInt.max(1) - 1)
+      // the estimate is the LOWER EDGE of the bin holding the
+      // ceil(q·n)-th smallest value: est <= exact < est + width
+      got._2 == vs.size.toLong && Seq((got._3, 0.5), (got._4, 0.99))
+        .forall { case (est, q) =>
+          est <= exact(q) && exact(q) < est + width }
+    })
+  }
+
+  test("histogram bins merge by addition: sum of halves == bins of whole") {
+    val rows = (0 until 500).map(i => ("g" + i % 3, (i * 37 % 211).toDouble))
+    val (a, b) = rows.splitAt(191)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = Sketch.histBins(a.toDF("g", "v"), "g", "v", 10.0)
+      .unionAll(Sketch.histBins(b.toDF("g", "v"), "g", "v", 10.0))
+      .groupBy("g", "bin")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val whole = Sketch.histBins(rows.toDF("g", "v"), "g", "v", 10.0)
+    assert(toSet(merged) === toSet(whole)) // exactly equal, not approximately
+  }
 }
