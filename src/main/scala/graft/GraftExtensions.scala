@@ -28,6 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, arrDouble),
           org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), arrDouble))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[graft.expressions.IntDot].getName, "int_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"int_dot requires 2 arguments, got ${exprs.length}")
+        val arrInt = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)
+        graft.expressions.IntDot(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, arrInt),
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), arrInt))
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

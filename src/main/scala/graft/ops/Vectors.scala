@@ -46,6 +46,21 @@ object Vectors {
   def dotExact(a: Column, b: Column): Column =
     dotScaled(a, b).cast("double") / lit(1e15)
 
+  /** Exact integer dot product Σ aᵢ·bᵢ of two int arrays as a LONG —
+    * the codegen'd [[graft.expressions.IntDot]], the scoring kernel of
+    * the scalar-quantized ANN rungs. */
+  def intDot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(graft.expressions.IntDot(
+      GraftSqlBridge.expression(a.cast("array<int>")),
+      GraftSqlBridge.expression(b.cast("array<int>"))))
+
+  /** The HOF formulation of [[intDot]] — semantically identical
+    * (VectorsSpec asserts bit-equality); kept as the reference
+    * implementation and codegen cross-check. */
+  def intDotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
+      lit(0L), (acc, z) => acc + z)
+
   def toDoubleArr(a: Column): Column = transform(a, _.cast("double"))
 
   /** Cosine similarity with precomputed squared norms (engine side computes

@@ -1060,17 +1060,18 @@ object SimilarityQueries {
       .withColumn("q8", transform(col("v"),
         x => floor(x / greatest(col("mx"), lit(1e-30)) * lit(127.0) + lit(0.5))
           .cast("int")))
-      .withColumn("qxx", aggregate(col("q8"), lit(0L),
-        (a, x) => a + x.cast("long") * x))
+      .withColumn("qxx", Vectors.intDot(col("q8"), col("q8")))
       .select(col("vec_id"), col("q8"), col("qxx"))
 
   /** Integer dot product of two quantized vectors — exact in both
     * engines by construction (no fixed-point scaling needed: int
     * multiply-add is already order-independent; max |Σ| here is
-    * 64·127² ≈ 1.0e6, nowhere near overflow). */
-  private def sqDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
-      lit(0L), (acc, z) => acc + z)
+    * 64·127² ≈ 1.0e6, nowhere near overflow). Routed through the
+    * codegen'd [[graft.expressions.IntDot]] — the quantized brute-force
+    * rung runs this kernel |corpus|×|queries|×dims times, and the
+    * original zip_with+aggregate HOF chain evaluated it interpreted
+    * (VectorsSpec pins the two bit-identical). */
+  private def sqDot(a: Column, b: Column): Column = Vectors.intDot(a, b)
 
   /** SQ brute-force cosine top-3 over any (vec_id, embedding) frame. */
   private[queries] def annSqFrom(emb: DataFrame): DataFrame = {

@@ -50,6 +50,29 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("codegen IntDot is bit-identical to the HOF formulation") {
+    val vecs = Seq(
+      Seq.tabulate(64)(i => ((i * 37) % 255) - 127),
+      Seq.tabulate(64)(i => 127 - ((i * 91) % 255)),
+      Seq(127, -127, 0, 1, -1, 64))
+    vecs.combinations(2).foreach { case Seq(a, b0) =>
+      val b = b0.take(a.length).padTo(a.length, 3)
+      val df = Seq((a, b)).toDF("a", "b").select(
+        Vectors.intDot(col("a"), col("b")).as("gen"),
+        Vectors.intDotHof(col("a"), col("b")).as("hof"))
+      val (g, h) = df.as[(Long, Long)].head()
+      assert(g === h)
+      assert(g === a.zip(b).map { case (x, y) => x.toLong * y }.sum)
+    }
+  }
+
+  test("int_dot is SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT int_dot(array(3, -2, 7), array(5, 4, -1)) AS d")
+      .collect()(0).getLong(0)
+    assert(r === 0L) // 15 - 8 - 7
+  }
+
   test("planeWeights is deterministic and bounded in [-0.5, 0.5)") {
     val p1 = Vectors.planeWeights(6, 64)
     val p2 = Vectors.planeWeights(6, 64)
