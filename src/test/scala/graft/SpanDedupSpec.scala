@@ -61,4 +61,39 @@ class SpanDedupSpec extends SparkSpec {
     assert(r.getLong(1) === 2L && r.getLong(2) === 0L,
       "a block repeated only inside one document must survive")
   }
+
+  test("differential fuzz: engine output equals the in-memory model") {
+    import org.scalacheck.{Gen, Prop}
+    // documents are sequences of aligned 8-token blocks: a small shared
+    // pool (forces cross-document collisions) mixed with per-draw unique
+    // fillers — the model computes dedup by definition, the engine must
+    // match it exactly on every random corpus
+    val pool = (0 until 5).map(i => (1 to 8).map(j => s"p${i}x$j").mkString(" "))
+    var uid = 0
+    val uniqueBlock = Gen.delay {
+      uid += 1; Gen.const((1 to 8).map(j => s"u${uid}x$j").mkString(" "))
+    }
+    val genDoc = for {
+      n <- Gen.choose(1, 5)
+      blocks <- Gen.listOfN(n,
+        Gen.frequency(3 -> Gen.oneOf(pool), 2 -> uniqueBlock))
+    } yield blocks
+    val genCorpus = Gen.choose(2, 10).flatMap(k => Gen.listOfN(k, genDoc))
+    checkProp(Prop.forAllNoShrink(genCorpus) { corpus =>
+      val dupSet = corpus.zipWithIndex
+        .flatMap { case (bs, i) => bs.distinct.map(_ -> i) }
+        .groupBy(_._1).collect { case (b, cs) if cs.size >= 2 => b }.toSet
+      val expected = corpus.zipWithIndex.map { case (bs, i) =>
+        i.toLong -> ((bs.size.toLong, bs.count(dupSet).toLong,
+          bs.filterNot(dupSet).mkString(" ")))
+      }.toMap
+      val docs = corpus.zipWithIndex
+        .map { case (bs, i) => (i.toLong, bs.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextQueries.spanDedup(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      got == expected
+    }, minTests = 15)
+  }
 }
