@@ -84,11 +84,22 @@ object Sketch {
   // oracle replicates bit-for-bit, never engine-internal hashing.
   // --------------------------------------------------------------------
 
-  /** Row-j bucket of a key: 60-bit md5 hash of "j:key" mod width. Seeding
-    * by prefixing the row index is the standard way to get `depth`
-    * pairwise-independent-enough functions out of one strong hash. */
+  /** Row-j bucket of a key: a disjoint 28-bit slice (7 hex chars) of ONE
+    * md5(key) digest, mod width. The first cut seeded `depth` hashes by
+    * prefixing the row index ("j:key"), which costs one md5 per (row,
+    * key) — the dominant cost of the whole sketch build at 600k rows ×
+    * depth 4. One 128-bit digest carries four independent 28-bit slices
+    * (md5 bits are independent; 28 bits ≫ the 9-bit width), so all rows
+    * now share a single digest per key. Depth ≤ 4 by construction —
+    * [[cmsCounters]] guards it. */
   def cmsBucket(key: Column, row: Int, width: Int): Column =
-    hash60(concat_ws(":", lit(row), key)) % width
+    cmsBucketFromHex(md5(key), row, width)
+
+  /** Row-j bucket from an already-computed md5 hex column — lets the
+    * sketch build pay ONE md5 per input row ([[cmsCounters]] projects
+    * the digest before the ×depth explode). */
+  private def cmsBucketFromHex(h: Column, row: Int, width: Int): Column =
+    conv(substring(h, row * 7 + 1, 7), 16, 10).cast("long") % width
 
   private val md5Local =
     new ThreadLocal[java.security.MessageDigest] {
@@ -108,23 +119,54 @@ object Sketch {
     v >>> 4
   }
 
-  /** JVM twin of [[cmsBucket]] — StreamSketchSpec pins that the streaming
-    * CMS built on this equals the batch sketch bit-for-bit. */
+  /** JVM twin of [[cmsBucket]] — the streaming CMS built on this equals
+    * the batch sketch bit-for-bit (spec-pinned). Slices bits 28j..28j+27
+    * of the digest, exactly the 7-hex-char substring the SQL side
+    * parses. */
   def cmsBucketLocal(row: Int, key: String, width: Int): Int =
-    (hash60Local(s"$row:$key") % width).toInt
+    sliceBucket(md5Local.get()
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      row, width)
+
+  /** All `depth` row buckets of a key from ONE digest — the streaming
+    * fold's per-row fast path (the batch build likewise pays one md5 per
+    * row). */
+  def cmsBucketsLocal(key: String, depth: Int, width: Int): Array[Int] = {
+    val d = md5Local.get()
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Array.tabulate(depth)(sliceBucket(d, _, width))
+  }
+
+  /** Hex chars row·7 .. row·7+6 of the digest as a 28-bit big-endian
+    * value, mod width — NOT byte-aligned for odd rows, so it walks hex
+    * nibbles exactly like the SQL `substr(md5, 1+7·row, 7)` does. */
+  private def sliceBucket(d: Array[Byte], row: Int, width: Int): Int = {
+    var v = 0L
+    var i = row * 7
+    while (i < row * 7 + 7) {
+      val b = d(i / 2) & 0xff
+      val nibble = if (i % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    (v % width).toInt
+  }
 
   /** Build the counter table → (j, b, cnt), ≤ depth·width rows. The
     * explode multiplies rows ×depth BEFORE the partial aggregate, so the
     * map-side combine still bounds what shuffles at depth·width per
     * partition. */
   def cmsCounters(df: DataFrame, keyCol: String, depth: Int,
-                  width: Int): DataFrame =
+                  width: Int): DataFrame = {
+    require(depth <= 4, s"depth $depth > 4: one md5 carries four 28-bit slices")
     df.where(col(keyCol).isNotNull) // NULL keys are uncounted, as in MG
+      .select(md5(col(keyCol)).as("h")) // ONE digest per row, pre-explode
       .select(explode(array((0 until depth).map(j =>
-        struct(lit(j).as("j"), cmsBucket(col(keyCol), j, width).as("b"))): _*))
+        struct(lit(j).as("j"), cmsBucketFromHex(col("h"), j, width).as("b"))): _*))
         .as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Merge counter tables: counters add coordinate-wise — the sketch of a
     * union of streams IS the sum of their sketches (SketchSpec proves the

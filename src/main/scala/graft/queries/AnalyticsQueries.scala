@@ -398,7 +398,7 @@ object AnalyticsQueries {
     Some {
       val keyList = cmsKeys.map("'" + _ + "'").mkString(", ")
       def bSql(j: String, k: String) =
-        s"('0x' || substr(md5(CAST($j AS VARCHAR) || ':' || $k), 1, 15))::BIGINT % $cmsWidth"
+        s"('0x' || substr(md5($k), 1 + 7*$j, 7))::BIGINT % $cmsWidth"
       s"""WITH keyed AS (SELECT $hhKeySql AS key FROM lineitem),
         |qk AS (SELECT unnest([$keyList]) AS key),
         |js AS (SELECT unnest(range($cmsDepth)) AS j),

@@ -718,19 +718,18 @@ object Streams {
             .getOrElse(new Array[Long](depth * width))
           it.foreach { case (_, key) =>
             if (key != null) {
+              val bs = Sketch.cmsBucketsLocal(key, depth, width)
               var j = 0
-              while (j < depth) {
-                c(j * width + Sketch.cmsBucketLocal(j, key, width)) += 1L
-                j += 1
-              }
+              while (j < depth) { c(j * width + bs(j)) += 1L; j += 1 }
             }
           }
           state.update(CmsState(c))
           probeKeys.iterator.map { k =>
+            val bs = Sketch.cmsBucketsLocal(k, depth, width)
             var est = Long.MaxValue
             var j = 0
             while (j < depth) {
-              val v = c(j * width + Sketch.cmsBucketLocal(j, k, width))
+              val v = c(j * width + bs(j))
               if (v < est) est = v
               j += 1
             }
