@@ -132,6 +132,7 @@ object Sketch {
     * fold's per-row fast path (the batch build likewise pays one md5 per
     * row). */
   def cmsBucketsLocal(key: String, depth: Int, width: Int): Array[Int] = {
+    require(depth <= 4, s"depth $depth > 4: one md5 carries four 28-bit slices")
     val d = md5Local.get()
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Array.tabulate(depth)(sliceBucket(d, _, width))

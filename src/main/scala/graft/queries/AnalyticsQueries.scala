@@ -452,6 +452,10 @@ object AnalyticsQueries {
       val m = col("sc").cast("double") / col("n")
       val variance = col("sc2").cast("double") / col("n") - m * m
       hourly.join(stats, "event_type")
+        // variance > 0 guard: a perfectly constant group gives 0/0 = NaN,
+        // and NaN compares greater-than in both engines — without the
+        // guard every window of a flat stream is flagged as "anomalous".
+        .filter(variance > 0.0)
         .withColumn("z", round((col("c") - m) / sqrt(variance), 6))
         .filter(abs(col("z")) >= 3.0)
         .select(col("event_type"),
@@ -471,6 +475,8 @@ object AnalyticsQueries {
       |        - (CAST(s.sc AS DOUBLE)/s.n)*(CAST(s.sc AS DOUBLE)/s.n)),
       |      6) AS z
       |  FROM h JOIN s USING (event_type)
+      |  WHERE CAST(s.sc2 AS DOUBLE)/s.n
+      |    - (CAST(s.sc AS DOUBLE)/s.n)*(CAST(s.sc AS DOUBLE)/s.n) > 0
       |)
       |SELECT event_type, strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
       |  c, z
