@@ -153,6 +153,40 @@ object SimilarityQueries {
     * boilerplate bucket at corpus scale; mirrored in the oracle. */
   private val maxBucket = 1000
 
+  /** minh → bands → capped bands_c CTEs shared by the near-dup oracles
+    * (mirrors [[nearDupBands]]; the cap is [[maxBucket]]). */
+  private val bandsCSql = s"""minh AS (
+    |  SELECT doc_id,
+    |    min(substr(md5('0:' || s), 1, 8)) AS h0, min(substr(md5('0:' || s), 9, 8)) AS h1,
+    |    min(substr(md5('0:' || s), 17, 8)) AS h2, min(substr(md5('0:' || s), 25, 8)) AS h3,
+    |    min(substr(md5('1:' || s), 1, 8)) AS h4, min(substr(md5('1:' || s), 9, 8)) AS h5,
+    |    min(substr(md5('1:' || s), 17, 8)) AS h6, min(substr(md5('1:' || s), 25, 8)) AS h7
+    |  FROM shing GROUP BY doc_id
+    |), bands AS (
+    |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM minh
+    |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM minh
+    |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM minh
+    |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM minh
+    |), bsz AS (
+    |  SELECT band, sig, count(*) AS n FROM bands GROUP BY 1, 2
+    |), bands_c AS (
+    |  SELECT b.doc_id, b.band, b.sig FROM bands b
+    |  JOIN bsz ON bsz.band = b.band AND bsz.sig = b.sig
+    |  WHERE bsz.n <= $maxBucket
+    |)""".stripMargin
+
+  /** sizes + inter CTEs — exact shingle-intersection counts for a `cand`
+    * (doc_a, doc_b) CTE; mirrors [[jaccardPairs]]. */
+  private val jaccardSql =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+      |  FROM cand c
+      |    JOIN shing sa ON sa.doc_id = c.doc_a
+      |    JOIN shing sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
   // ------------------------------------------------------------ queries ---
 
   /** q_chunk — V1/V4 overlapping chunker with parent/child rows. The
@@ -405,90 +439,134 @@ object SimilarityQueries {
     * Jaccard verification ≥ 0.5. Candidates form only inside a band
     * bucket — never all-pairs — and a degenerate bucket cannot go
     * quadratic. */
+  /** Capped LSH band frame (doc_id, band, sig): ONE-PASS signature
+    * projection (the custom codegen'd MinHashSlicedExpr — no shingle
+    * explode, no signature groupBy shuffle; TextHashesSpec pins
+    * bit-equality with the aggregation formulation the oracle mirrors)
+    * → 4 bands of 2 slices, [[Shingles.capBuckets]] skew guard. Shared
+    * by the all-pairs ([[qNearDup]]) and representative
+    * ([[qNearDupRep]]) verification variants. */
+  private def nearDupBands(corpus: DataFrame): DataFrame = {
+    val sigTok = split(trim(col("text")), "\\s+")
+    val sigs = corpus
+      .select(col("doc_id"), Shingles.minhashSlicedCol(sigTok).as("s8"))
+      .filter(col("s8").isNotNull)
+    def sl(i: Int) = element_at(col("s8"), i + 1)
+    Shingles.capBuckets(
+      sigs.select(col("doc_id"), posexplode(array(
+          concat(sl(0), sl(1)), concat(sl(2), sl(3)),
+          concat(sl(4), sl(5)), concat(sl(6), sl(7)))))
+        .toDF("doc_id", "band", "sig"), cap = maxBucket)
+  }
+
+  /** Exact 3-gram Jaccard for candidate (doc_a, doc_b) pairs: pairs join
+    * back to the corpus TEXT (small), and the shingle-set arrays +
+    * array_intersect are computed only for rows that survive the join —
+    * |candidates| set builds, not 2×|corpus|, which is the LSH premise
+    * (candidates ≪ corpus) paid out in the plan. Words/sets/counts each
+    * bound in their OWN projection step so no non-cheap expression is
+    * duplicated downstream (see Shingles.shingleSetOfWords on why
+    * inlining would go quadratic). Emits unrounded `jac` so callers
+    * filter before display rounding. */
+  private def jaccardPairs(cand: DataFrame, corpus: DataFrame): DataFrame = {
+    val wtok = split(trim(col("text")), "\\s+")
+    cand
+      .join(corpus.select(col("doc_id").as("doc_a"), wtok.as("wa")),
+        "doc_a")
+      .join(corpus.select(col("doc_id").as("doc_b"), wtok.as("wb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Shingles.shingleSetOfWords(col("wa")).as("sa"),
+        Shingles.shingleSetOfWords(col("wb")).as("sb"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("ni"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .withColumn("jac", col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")))
+  }
+
   val qNearDup = Q("q_near_dup",
     (s, dir) => {
-      // Candidate generation: ONE-PASS signature projection (the custom
-      // codegen'd MinHashSlicedExpr — no shingle explode, no signature
-      // groupBy shuffle; TextHashesSpec pins bit-equality with the
-      // aggregation formulation the oracle mirrors) → LSH band
-      // equi-join. Verification: candidate pairs join back to the
-      // corpus TEXT (small), and the shingle-set arrays +
-      // array_intersect Jaccard are computed only for rows that survive
-      // the join — |candidates| set builds, not 2×|corpus|, which is
-      // the LSH premise (candidates ≪ corpus) paid out in the plan.
       // Shuffles: band join + two candidate-to-text joins only.
       val corpus = docCorpus(s, dir)
-      val sigTok = split(trim(col("text")), "\\s+")
-      val sigs = corpus
-        .select(col("doc_id"), Shingles.minhashSlicedCol(sigTok).as("s8"))
-        .filter(col("s8").isNotNull)
-      def sl(i: Int) = element_at(col("s8"), i + 1)
-      val bands = Shingles.capBuckets(
-        sigs.select(col("doc_id"), posexplode(array(
-            concat(sl(0), sl(1)), concat(sl(2), sl(3)),
-            concat(sl(4), sl(5)), concat(sl(6), sl(7)))))
-          .toDF("doc_id", "band", "sig"), cap = maxBucket)
+      val bands = nearDupBands(corpus)
       val cand = bands.toDF("doc_a", "band", "sig")
         .join(bands.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      // words/sets/counts each bound in their OWN projection step so no
-      // non-cheap expression is duplicated downstream (see
-      // Shingles.shingleSetOfWords on why inlining would go quadratic)
-      val wtok = split(trim(col("text")), "\\s+")
-      cand
-        .join(corpus.select(col("doc_id").as("doc_a"), wtok.as("wa")),
-          "doc_a")
-        .join(corpus.select(col("doc_id").as("doc_b"), wtok.as("wb")),
-          "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          Shingles.shingleSetOfWords(col("wa")).as("sa"),
-          Shingles.shingleSetOfWords(col("wb")).as("sb"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sa"), col("sb"))).as("ni"),
-          size(col("sa")).as("na"), size(col("sb")).as("nb"))
-        .withColumn("jac", col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")))
+      jaccardPairs(cand, corpus)
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
     },
-    Some("WITH " + corpusSql + ",\n" + shingSql + """,
-      |minh AS (
-      |  SELECT doc_id,
-      |    min(substr(md5('0:' || s), 1, 8)) AS h0, min(substr(md5('0:' || s), 9, 8)) AS h1,
-      |    min(substr(md5('0:' || s), 17, 8)) AS h2, min(substr(md5('0:' || s), 25, 8)) AS h3,
-      |    min(substr(md5('1:' || s), 1, 8)) AS h4, min(substr(md5('1:' || s), 9, 8)) AS h5,
-      |    min(substr(md5('1:' || s), 17, 8)) AS h6, min(substr(md5('1:' || s), 25, 8)) AS h7
-      |  FROM shing GROUP BY doc_id
-      |), bands AS (
-      |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM minh
-      |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM minh
-      |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM minh
-      |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM minh
-      |), bsz AS (
-      |  SELECT band, sig, count(*) AS n FROM bands GROUP BY 1, 2
-      |), bands_c AS (
-      |  SELECT b.doc_id, b.band, b.sig FROM bands b
-      |  JOIN bsz ON bsz.band = b.band AND bsz.sig = b.sig
-      |  WHERE bsz.n <= 1000
-      |), cand AS (
+    Some("WITH " + corpusSql + ",\n" + shingSql + ",\n" + bandsCSql + """,
+      |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands_c a JOIN bands_c b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      |), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
-      |inter AS (
-      |  SELECT c.doc_a, c.doc_b, count(*) AS ni
-      |  FROM cand c
-      |    JOIN shing sa ON sa.doc_id = c.doc_a
-      |    JOIN shing sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
-      |  GROUP BY 1, 2
-      |)
+      |), """.stripMargin + jaccardSql + """
       |SELECT i.doc_a, i.doc_b,
       |  round(CAST(i.ni AS DOUBLE)/(na.n + nb.n - i.ni), 6) AS jaccard
       |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
       |             JOIN sizes nb ON nb.doc_id = i.doc_b
       |WHERE CAST(i.ni AS DOUBLE)/(na.n + nb.n - i.ni) >= 0.5""".stripMargin),
     "north star: MinHash+LSH near-dup (ref has only exact dedup, :251)")
+
+  /** q_near_dup_rep — near-dup with CLUSTER-REPRESENTATIVE verification:
+    * same MinHash/LSH candidate generation as [[qNearDup]], but each
+    * bucket member is verified ONLY against the bucket's representative
+    * (min doc_id) instead of against every other member. Verified-pair
+    * volume per bucket drops from C(n,2) to n−1 — linear in clique size
+    * — which is the scale-safe shape for real corpora where boilerplate
+    * pages form mega-duplicate families (measured on the 100× fixture:
+    * the all-pairs variant verifies ~25M pairs; this one ~members).
+    * Output is a canonical cluster assignment: (doc_id, rep_id, jaccard)
+    * with rep_id the SMALLEST verified representative, so a doc landing
+    * in several buckets still maps to one cluster deterministically.
+    * Price, stated honestly: a member whose similarity to the
+    * representative falls below the threshold is dropped even when an
+    * all-pairs chain would have connected it — representative
+    * verification trades that recall sliver for the n² term.
+    * Shuffles: the rep min-aggregate folds onto the (band, sig)
+    * exchange its bands subtree already pays for capBuckets (partial
+    * min map-side, no exchange of its own), the rep join broadcasts
+    * (reps ≤ one row per bucket), and the final per-doc pick adds one
+    * exchange over the already-verified frame — where Spark 4's
+    * WindowGroupLimit prunes to one row per doc BEFORE the shuffle. */
+  val qNearDupRep = Q("q_near_dup_rep",
+    (s, dir) => {
+      val corpus = docCorpus(s, dir)
+      val bands = nearDupBands(corpus)
+      val reps = bands.groupBy("band", "sig")
+        .agg(min(col("doc_id")).as("doc_a"))
+      val cand = bands.join(reps, Seq("band", "sig"))
+        .filter(col("doc_id") =!= col("doc_a"))
+        .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_b").orderBy("doc_a")
+      jaccardPairs(cand, corpus)
+        .filter(col("jac") >= 0.5)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("rep_id"),
+          round(col("jac"), 6).as("jaccard"))
+    },
+    Some("WITH " + corpusSql + ",\n" + shingSql + ",\n" + bandsCSql + """,
+      |rep AS (
+      |  SELECT band, sig, min(doc_id) AS rep FROM bands_c GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+      |  FROM bands_c b JOIN rep r ON r.band = b.band AND r.sig = b.sig
+      |  WHERE b.doc_id <> r.rep
+      |), """.stripMargin + jaccardSql + """
+      |SELECT doc_id, rep_id, jaccard FROM (
+      |  SELECT i.doc_b AS doc_id, i.doc_a AS rep_id,
+      |    round(CAST(i.ni AS DOUBLE)/(na.n + nb.n - i.ni), 6) AS jaccard,
+      |    row_number() OVER (PARTITION BY i.doc_b ORDER BY i.doc_a) AS rk
+      |  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+      |               JOIN sizes nb ON nb.doc_id = i.doc_b
+      |  WHERE CAST(i.ni AS DOUBLE)/(na.n + nb.n - i.ni) >= 0.5
+      |) WHERE rk = 1""".stripMargin),
+    "north star: near-dup with linear cluster-representative verification")
 
   /** q_jaccard — exact n-gram Jaccard similarity scoring as its own
     * operator (the verification kernel of q_near_dup, standalone): each
@@ -1393,7 +1471,7 @@ object SimilarityQueries {
     "north star: ANN recall@3 on a clustered fixture (LSH band-survival ladder measurable; ref bar commercial_rfp_indexer.py:96-111)")
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
-    qNearDup, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
+    qNearDup, qNearDupRep, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
     qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered)
 }

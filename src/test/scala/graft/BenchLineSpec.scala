@@ -41,6 +41,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"q1_agg\""), "non-q_ names pass through unchanged")
     val shorts = SparkEntry.queries.keys.toSeq.map(Bench.short)
     assert(shorts.distinct.size == shorts.size, "display-name collision")
+    // the abbreviation map must only shorten NAMES THE REGISTRY HAS —
+    // a stale entry (query renamed/removed) would silently stop paying
+    // its way while README still documents it
+    val stripped = SparkEntry.queries.keys.toSeq
+      .map(_.stripPrefix("q_")).toSet
+    assert(Bench.displayAbbrev.keySet.subsetOf(stripped),
+      s"stale displayAbbrev keys: ${Bench.displayAbbrev.keySet -- stripped}")
+    assert(line.contains("\"dup_cl\"") && !line.contains("\"dup_clusters\""),
+      "abbreviated display names must actually land on the line")
+    // growth headroom: ~3 more typical queries (≈22 chars each at full
+    // precision) must fit before the next trim is needed — the VERDICT r8
+    // #7 guard against the driver losing a round's record to truncation
+    assert(line.length <= Bench.maxLineChars - 66,
+      s"${line.length} chars leaves <3 queries of growth headroom — " +
+        "extend Bench.displayAbbrev before registering more queries")
     assert(line.contains("\"sf\":\"sf0.1\""), "sf renders as basename")
     assert(!line.contains("\"errors\""),
       "a healthy line must not spend window bytes on an empty errors map")
