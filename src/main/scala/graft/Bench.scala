@@ -176,7 +176,17 @@ object Bench {
     "util_scalars" -> "util_scal",
     "binary_scan" -> "bin_scan",
     "sync_upload" -> "sync_up",
-    "sync_delete" -> "sync_del")
+    "sync_delete" -> "sync_del",
+    "stream_moments" -> "str_mom",
+    "near_dup_rep" -> "nd_rep",
+    "vocab_encode" -> "vocab_enc",
+    "media_resize" -> "media_rsz",
+    "media_frames" -> "media_frm",
+    "latest_per_q" -> "latest_pq",
+    "unigram_nll" -> "uni_nll",
+    "topk_native" -> "topk_nat",
+    "cardinality" -> "card",
+    "fingerprint" -> "fprint")
 
   private[graft] def short(name: String): String = {
     val s = name.stripPrefix("q_")

@@ -203,6 +203,54 @@ object StreamQueries {
       |  AND c.c_us BETWEEN s.s_us AND s.s_us + 21600000000""".stripMargin),
     "range join (north star: bucketed point-in-interval equi-join)")
 
+  private val streamRunId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q_stream_moments — the ONE registry entry whose Spark side actually
+    * executes `readStream`: [[graft.streaming.Streams.momentsStream]]
+    * (three-long GroupState per event_type) over the events parquet under
+    * `Trigger.AvailableNow`, Update-mode into a memory sink, then the
+    * final emission per group (argmax n — n is strictly monotone per
+    * group, so the largest-n row IS the post-all-data state; ties are
+    * impossible because a group only re-emits when it absorbs rows).
+    * `maxFilesPerTrigger=1` forces one micro-batch per input file, so a
+    * multi-file table genuinely exercises cross-batch state folding, not
+    * a single-batch degenerate run.
+    *
+    * The oracle is q_value_moments' SQL verbatim — the batch/stream
+    * unification contract (StreamMomentsSpec pins digit-exact equality of
+    * the integer-sum state and the HALF_UP finisher chain) made
+    * driver-checkable: DuckDB computes the batch answer, the Spark side
+    * reaches it through an actual streaming execution. */
+  val qStreamMoments = Q("q_stream_moments",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.Trigger
+      // streaming file sources need an explicit schema; the batch reader's
+      // inferred one reflects the session's parquet handling exactly
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // testdata ships single-FILE parquet; for a NON-glob path the file
+      // stream source force-sets basePath to the path itself, which must
+      // be a directory — so read through a glob and pin basePath to the
+      // containing dir explicitly
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+        .select(col("event_type"), col("value"))
+      val sink = s"graft_stream_moments_${streamRunId.incrementAndGet()}"
+      val q = graft.streaming.Streams.momentsStream(src, "event_type", "value")
+        .toDF("event_type", "n", "mean_value", "std_value")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("n").desc)))
+        .filter(col("rk") === 1).drop("rk")
+    },
+    graft.queries.AnalyticsQueries.qValueMoments.oracle,
+    "north star: a real readStream execution inside the correctness gate " +
+      "(AvailableNow + memory sink; final Update emission per group)")
+
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson, qEventsTopK,
-    qAsof, qAsofBcast, qRangeJoin)
+    qAsof, qAsofBcast, qRangeJoin, qStreamMoments)
 }
