@@ -198,17 +198,33 @@ object Sketch {
     * versus exact `percentile_disc` (q_quantiles), which must sort every
     * group's full value set and cannot pre-aggregate map-side. The
     * histogram is the 100 TB quantile path; `width` trades accuracy
-    * (estimates land on bin lower edges) for state. */
+    * (estimates interpolate within one bin) for state. */
   def histBins(df: DataFrame, groupCol: String, valueCol: String,
                width: Double): DataFrame =
     df.groupBy(col(groupCol),
         floor(col(valueCol) / width).cast("long").as("bin"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Histogram quantile estimates per group: for each (name, q) the
-    * LOWER EDGE of the first bin whose cumulative count reaches
-    * ceil(q·n) — pure integer comparisons plus one exact double multiply
-    * (bin·width), so both engines agree bit-for-bit. Output:
+  /** Histogram quantile estimates per group, linearly INTERPOLATED within
+    * the selected bin: for each (name, q), find the first bin whose
+    * cumulative count reaches need = ceil(q·n), then place the estimate
+    * at `bin·width + ((need − cum_before_bin) / bin_cnt)·width` — the
+    * rank's fractional position inside the bin under the
+    * uniform-within-bin assumption. The estimate lands in
+    * (lower edge, upper edge], so |est − exact| < width two-sided
+    * (SketchSpec pins the bracket AND that interpolation beats the
+    * lower-edge rung's mean error), versus the pre-r9 lower-edge rule's
+    * one-sided est ≤ exact < est + width with error up to a full width
+    * at the top of the bin.
+    *
+    * Determinism across engines: the selection is integer comparisons
+    * (struct-min by bin carries that bin's cum/cnt along), and the
+    * finisher is a fixed IEEE op chain — double ceil, two exact
+    * integer-valued subtractions, one division, multiply-adds in a
+    * pinned order — mirrored token-for-token by the DuckDB oracle
+    * (arg_min FILTER) and by the streaming twin
+    * [[graft.streaming.Streams.histQuantileStream]] (StreamHistSpec
+    * asserts exact equality). Output:
     * (group, n, <one column per requested quantile>). */
   def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                     width: Double, qs: Seq[(String, Double)]): DataFrame = {
@@ -217,10 +233,21 @@ object Sketch {
     val cum = histBins(df, groupCol, valueCol, width)
       .withColumn("cum", sum(col("cnt")).over(byG.orderBy(col("bin"))))
       .withColumn("n", sum(col("cnt")).over(byG))
-    val ests = qs.map { case (name, q) =>
-      (min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin")))
-        .cast("double") * lit(width)).as(name)
+    // one struct-min per quantile: cum is strictly increasing in bin, so
+    // min-by-bin IS the first qualifying bin, and the struct carries the
+    // bin's own cnt (NOT min cnt over qualifying bins) along with it
+    val sels = qs.map { case (name, q) =>
+      min(when(col("cum") >= ceil(lit(q) * col("n")),
+        struct(col("bin"), col("cum"), col("cnt")))).as(s"_sel_$name")
     }
-    cum.groupBy(groupCol).agg(max(col("n")).as("n"), ests: _*)
+    val agg = cum.groupBy(groupCol).agg(max(col("n")).as("n"), sels: _*)
+    val ests = qs.map { case (name, q) =>
+      val sel = col(s"_sel_$name")
+      val need = ceil(lit(q) * col("n")).cast("double")
+      val before = (sel("cum") - sel("cnt")).cast("double")
+      (sel("bin").cast("double") * lit(width) +
+        (need - before) / sel("cnt").cast("double") * lit(width)).as(name)
+    }
+    agg.select(col(groupCol) +: col("n") +: ests: _*)
   }
 }

@@ -538,7 +538,10 @@ object AnalyticsQueries {
     * merge across partitions, days, and streams
     * ([[graft.streaming.Streams.histQuantileStream]] carries the same
     * state under readStream; StreamHistSpec asserts exact equality).
-    * Estimates land on bin lower edges — the declared accuracy trade. */
+    * Since r9 estimates are linearly INTERPOLATED within the selected
+    * bin (uniform-within-bin assumption; |est − exact| < width
+    * two-sided) — the oracle mirrors the selection with
+    * `arg_min(..., bin) FILTER` and the identical IEEE finisher chain. */
   val qHistQuantile = Q("q_hist_quantile",
     (s, dir) => graft.ops.Sketch.histQuantiles(
       Tables.events(s, dir), "event_type", "value", 10.0,
@@ -548,15 +551,27 @@ object AnalyticsQueries {
       |    count(*) AS cnt
       |  FROM events GROUP BY 1, 2
       |), c AS (
-      |  SELECT event_type, bin,
+      |  SELECT event_type, bin, cnt,
       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
       |    sum(cnt) OVER (PARTITION BY event_type) AS n
       |  FROM b
       |)
       |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-      |  CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN bin END) AS DOUBLE) * 10.0 AS p50_est,
-      |  CAST(min(CASE WHEN cum >= ceil(0.9*n) THEN bin END) AS DOUBLE) * 10.0 AS p90_est,
-      |  CAST(min(CASE WHEN cum >= ceil(0.99*n) THEN bin END) AS DOUBLE) * 10.0 AS p99_est
+      |  CAST(min(bin) FILTER (WHERE cum >= ceil(0.5*n)) AS DOUBLE) * 10.0
+      |    + (ceil(0.5 * max(n))
+      |       - CAST(arg_min(cum - cnt, bin) FILTER (WHERE cum >= ceil(0.5*n)) AS DOUBLE))
+      |      / CAST(arg_min(cnt, bin) FILTER (WHERE cum >= ceil(0.5*n)) AS DOUBLE)
+      |      * 10.0 AS p50_est,
+      |  CAST(min(bin) FILTER (WHERE cum >= ceil(0.9*n)) AS DOUBLE) * 10.0
+      |    + (ceil(0.9 * max(n))
+      |       - CAST(arg_min(cum - cnt, bin) FILTER (WHERE cum >= ceil(0.9*n)) AS DOUBLE))
+      |      / CAST(arg_min(cnt, bin) FILTER (WHERE cum >= ceil(0.9*n)) AS DOUBLE)
+      |      * 10.0 AS p90_est,
+      |  CAST(min(bin) FILTER (WHERE cum >= ceil(0.99*n)) AS DOUBLE) * 10.0
+      |    + (ceil(0.99 * max(n))
+      |       - CAST(arg_min(cum - cnt, bin) FILTER (WHERE cum >= ceil(0.99*n)) AS DOUBLE))
+      |      / CAST(arg_min(cnt, bin) FILTER (WHERE cum >= ceil(0.99*n)) AS DOUBLE)
+      |      * 10.0 AS p99_est
       |FROM c GROUP BY event_type""".stripMargin),
     "north star: mergeable histogram quantile sketch (the 100 TB path next to exact percentile_disc)")
 

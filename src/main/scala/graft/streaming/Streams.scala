@@ -521,15 +521,23 @@ object Streams {
           state.update(HistState(bins.toMap))
           val n = bins.valuesIterator.sum
           val sorted = bins.toSeq.sortBy(_._1)
+          // batch-identical interpolation op chain (Sketch.histQuantiles):
+          // double ceil, exact integer-valued subtractions, one division,
+          // multiply-adds in the same order
           def est(q: Double): Double = {
             val need = math.ceil(q * n)
             var cum = 0L
             var ans = 0L
+            var cnt = 0L
             var found = false
             sorted.foreach { case (b, c) =>
-              if (!found) { cum += c; if (cum >= need) { ans = b; found = true } }
+              if (!found) {
+                cum += c
+                if (cum >= need) { ans = b; cnt = c; found = true }
+              }
             }
-            ans.toDouble * width
+            val before = (cum - cnt).toDouble
+            ans.toDouble * width + (need - before) / cnt.toDouble * width
           }
           Iterator.single((g, n, est(0.5), est(0.9), est(0.99)))
       }
