@@ -33,7 +33,9 @@ import graft.expressions.FixedPointDot.scaledRound
   */
 object KMeans {
 
-  /** Scaled L2 distance (constant ‖v‖² dropped) to a fixed centroid. */
+  /** Scaled L2 distance (constant ‖v‖² dropped) to a fixed centroid —
+    * kept as the struct formulation's building block for
+    * [[assignCellStructs]], the spec twin of the codegen'd kernel. */
   private def dist2(v: Column, c: Seq[Double]): Column = {
     val dcc = c.map(x => scaledRound(x * x)).sum
     lit(dcc) - lit(2L) * Vectors.dotScaled(v, typedLit(c))
@@ -47,16 +49,29 @@ object KMeans {
       struct(dist2(v, c).as("d2"), lit(cl).as("cl"))
     }
 
-  /** Nearest cell id: argmin over (d2, cell id) — ties to the lower id. */
-  def assignCell(v: Column, codebook: Seq[(Int, Seq[Double])]): Column =
+  /** The original array-of-structs argmin (one [[dist2]] per cell): the
+    * semantics-by-construction twin KMeansSpec pins the codegen'd
+    * [[NearestCells]] kernel against. Not used on the hot path — the
+    * expression tree is O(cells·dims) literals, which falls out of
+    * whole-stage codegen and goes allocation-bound at √n cell counts. */
+  private[graft] def assignCellStructs(v: Column,
+      codebook: Seq[(Int, Seq[Double])]): Column =
     array_min(array(cellStructs(v, codebook): _*)).getField("cl")
+
+  /** Nearest cell id: argmin over (d2, cell id) — ties to the lower id.
+    * One generated loop over the codebook matrix
+    * ([[graft.expressions.NearestCells]]). */
+  def assignCell(v: Column, codebook: Seq[(Int, Seq[Double])]): Column =
+    probeCells(v, codebook, 1).getItem(0)
 
   /** The `nprobe` nearest cell ids, nearest first — the multi-cell probe
     * set of an IVF query (recall knob, mirroring q_ann_mp's probe count). */
   def probeCells(v: Column, codebook: Seq[(Int, Seq[Double])],
-                 nprobe: Int): Column =
-    transform(slice(array_sort(array(cellStructs(v, codebook): _*)),
-      1, nprobe), s => s.getField("cl"))
+                 nprobe: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.expressions.NearestCells(
+      GraftSqlBridge.expression(v.cast("array<double>")), codebook, nprobe))
+  }
 
   /** Trains the codebook: `iters` rounds of assign + fixed-point-mean
     * update from the md5-ranked seeds. `df` must carry (`vec_id`,

@@ -56,6 +56,30 @@ class KMeansSpec extends SparkSpec {
     assert(assigned.count() === base.count())
   }
 
+  test("codegen'd NearestCells kernel == struct-argmin formulation at 45 cells") {
+    // the √n-cells production shape is where the struct formulation fell
+    // out of codegen — pin the two argmins bit-equal at that scale, on a
+    // codebook with holes (dropped cells) so the id tie-break contract is
+    // exercised off the dense 0..k-1 path
+    val cb = KMeans.train(base, k = 45, iters = 2)
+    val both = base
+      .withColumn("fast", KMeans.assignCell(col("v"), cb))
+      .withColumn("slow", KMeans.assignCellStructs(col("v"), cb))
+    assert(both.filter(col("fast") =!= col("slow")).isEmpty,
+      "codegen'd kernel diverged from the struct argmin")
+    // probe order too: nprobe=4 against a driver-side sorted oracle
+    val got = base.withColumn("probes", KMeans.probeCells(col("v"), cb, 4))
+      .collect().map(r => (r.getSeq[Double](1), r.getSeq[Int](2)))
+    got.foreach { case (v, probes) =>
+      val want = cb.map { case (cl, c) =>
+        val dcc = c.map(x => scaledRound(x * x)).sum
+        val dot = v.zip(c).map { case (a, b) => scaledRound(a * b) }.sum
+        (dcc - 2 * dot, cl)
+      }.sorted.take(4).map(_._2)
+      assert(probes === want)
+    }
+  }
+
   test("probeCells returns nearest-first distinct cells, head == assignCell") {
     val cb = KMeans.train(base, k = 8, iters = 2)
     val rows = base

@@ -33,10 +33,14 @@ import sys
 import duckdb
 
 
+HOT_BLOCK = "aurum bolt cinder dray ember flux grove helix"
+
+
 def main() -> None:
     src = sys.argv[1]
     dst = sys.argv[2]
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    hotblock = len(sys.argv) > 4 and sys.argv[4] == "hotblock"
     con = duckdb.connect()
     con.execute(f"CREATE VIEW d AS SELECT * FROM '{src}/documents.parquet'")
     con.execute(f"CREATE VIEW e AS SELECT * FROM '{src}/embeddings.parquet'")
@@ -45,15 +49,29 @@ def main() -> None:
 
     import os
     os.makedirs(dst, exist_ok=True)
+    # hotblock mode (r8 verdict #4's skew stress): prepend ONE fixed
+    # 8-word boilerplate block (exactly the engine's spanLen so it is one
+    # whole dedup block at position 0, never straddling a boundary) to
+    # every even FINAL doc_id — applied AFTER replica rotation, so 50% of
+    # the full corpus carries the identical intact block, making the
+    # block hash (q_span_dedup's dup-mark join key) and each of the 8
+    # words (q_unigram_nll's keyed vocab join, q_vocab_encode's vocab
+    # counts) deliberate hot keys. The words are not in the base corpus,
+    # so the hot keys cannot be diluted by anything else.
+    hot = (f"CASE WHEN doc_id % 2 = 0 THEN '{HOT_BLOCK} ' || text "
+           "ELSE text END") if hotblock else "text"
     con.execute(f"""
       COPY (
-        SELECT doc_id + k * {nd} AS doc_id,
-          CASE WHEN k = 0 THEN text ELSE array_to_string(
-            w[(k % greatest(len(w), 1)) + 1 :] || w[1 : (k % greatest(len(w), 1))],
-            ' ') END AS text,
-          lang, source, n_chars
-        FROM (SELECT *, string_split(text, ' ') AS w FROM d),
-             unnest(generate_series(0, {factor - 1})) AS g(k)
+        SELECT doc_id, {hot} AS text, lang, source, n_chars
+        FROM (
+          SELECT doc_id + k * {nd} AS doc_id,
+            CASE WHEN k = 0 THEN text ELSE array_to_string(
+              w[(k % greatest(len(w), 1)) + 1 :] || w[1 : (k % greatest(len(w), 1))],
+              ' ') END AS text,
+            lang, source, n_chars
+          FROM (SELECT *, string_split(text, ' ') AS w FROM d),
+               unnest(generate_series(0, {factor - 1})) AS g(k)
+        )
       ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
     # query cap read from the engine source (SimilarityQueries.maxQueryId)
@@ -93,6 +111,14 @@ def main() -> None:
             f"CREATE VIEW li AS SELECT * FROM '{src}/lineitem.parquet'")
         nl, = con.execute("SELECT count(*) FROM li").fetchone()
         mx, = con.execute("SELECT max(l_orderkey) FROM li").fetchone()
+        # the shift must clear BOTH fact tables' orderkey ranges so the
+        # lineitem↔orders join stays consistent per replica (same shift
+        # on both sides)
+        if os.path.exists(f"{src}/orders.parquet"):
+            con.execute(
+                f"CREATE VIEW oo AS SELECT * FROM '{src}/orders.parquet'")
+            mo, = con.execute("SELECT max(o_orderkey) FROM oo").fetchone()
+            mx = max(mx, mo)
         oshift = ((mx // 16384) + 1) * 16384
         con.execute(f"""
           COPY (
@@ -110,6 +136,53 @@ def main() -> None:
         assert hot_dst == [(r, c * factor) for r, c in hot_base], \
             "hot-tier counts must scale exactly by the factor"
         print(f"lineitem: {nl} -> {nl * factor} (hot tier x{factor} exact)")
+
+        # orders replicates with the SAME shift (per-replica join keys line
+        # up with that replica's lineitem; o_custkey is unchanged, so each
+        # customer's order count scales x factor — the fact tables grow,
+        # the dimensions don't, exactly the 100 TB star shape). Dimensions
+        # (customer/supplier/nation/region) copy through verbatim so the
+        # relational family (q3_top, q5_region, q_having_join) runs on the
+        # probe fixture; part replicates with a p_partkey shift (p_type
+        # kept, so per-type price means are invariant and
+        # q_scalar_subquery's output scales x factor exactly).
+        if os.path.exists(f"{src}/orders.parquet"):
+            no, = con.execute("SELECT count(*) FROM oo").fetchone()
+            con.execute(f"""
+              COPY (
+                SELECT * REPLACE (o_orderkey + k * {oshift} AS o_orderkey)
+                FROM oo, unnest(generate_series(0, {factor - 1})) AS g(k)
+              ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+            """)
+            joined_base, = con.execute(
+                "SELECT count(*) FROM li JOIN oo ON l_orderkey = o_orderkey"
+            ).fetchone()
+            joined_dst, = con.execute(
+                f"SELECT count(*) FROM '{dst}/lineitem.parquet' "
+                f"JOIN '{dst}/orders.parquet' ON l_orderkey = o_orderkey"
+            ).fetchone()
+            assert joined_dst == joined_base * factor, \
+                "lineitem-orders join cardinality must scale exactly"
+            print(f"orders: {no} -> {no * factor} (join x{factor} exact)")
+        if os.path.exists(f"{src}/part.parquet"):
+            con.execute(f"CREATE VIEW pp AS SELECT * FROM '{src}/part.parquet'")
+            np_, = con.execute("SELECT count(*) FROM pp").fetchone()
+            mp, = con.execute("SELECT max(p_partkey) FROM pp").fetchone()
+            pshift = mp + 1
+            con.execute(f"""
+              COPY (
+                SELECT * REPLACE (p_partkey + k * {pshift} AS p_partkey)
+                FROM pp, unnest(generate_series(0, {factor - 1})) AS g(k)
+              ) TO '{dst}/part.parquet' (FORMAT PARQUET)
+            """)
+            print(f"part: {np_} -> {np_ * factor}")
+        for t in ("customer", "supplier", "nation", "region"):
+            if os.path.exists(f"{src}/{t}.parquet"):
+                con.execute(f"""
+                  COPY (SELECT * FROM '{src}/{t}.parquet')
+                  TO '{dst}/{t}.parquet' (FORMAT PARQUET)
+                """)
+        print("dimensions copied: customer supplier nation region")
 
     # events for the temporal/analytics family: replicas shift event_id by
     # the base count (uniqueness) and user_id past the base max, so each
