@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
@@ -251,6 +252,89 @@ object StreamQueries {
     "north star: a real readStream execution inside the correctness gate " +
       "(AvailableNow + memory sink; final Update emission per group)")
 
+  /** The events parquet as a STREAM with the same `ts` normalization
+    * [[graft.Tables.events]] applies to the batch read (the testdata
+    * stores INT64 TIMESTAMP(NANOS); the session reads it as long). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
+
+  /** q_stream_sessionize — a SECOND real readStream execution in the
+    * gate, exercising the state pattern q_stream_moments does not:
+    * `flatMapGroupsWithState` session windows
+    * ([[graft.streaming.Streams.sessionizeStreamSnapshot]], Update mode,
+    * one OpenSession per user carried across micro-batches). The snapshot
+    * variant re-emits the open session whenever it absorbs events, so
+    * the final emission per (user, session) — argmax n_events, which is
+    * strictly monotone within a session — reconstructs the COMPLETE
+    * batch answer including each user's final never-closed session (the
+    * Append variant's structural blind spot). Oracle: q_sessionize's SQL
+    * verbatim — the batch window-function formulation and the streaming
+    * GroupState formulation share nothing but the gap contract. */
+  val qStreamSessionize = Q("q_stream_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val src = eventsStream(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id").cast("long").as("event_id"))
+        .as[graft.ops.Sessionize.Event]
+      val sink = s"graft_stream_sess_${streamRunId.incrementAndGet()}"
+      val q = graft.streaming.Streams.sessionizeStreamSnapshot(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"), col("session_id"))
+            .orderBy(col("n_events").desc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          date_format(timestamp_micros(col("start_us")),
+            "yyyy-MM-dd HH:mm:ss").as("session_start"))
+    },
+    qSessionize.oracle,
+    "north star: flatMapGroupsWithState sessionization executed as a " +
+      "real stream inside the correctness gate (Update-mode snapshots)")
+
+  /** q_stream_hourly — windowed streaming aggregation in the gate via the
+    * third output discipline: Complete mode, where the sink holds the
+    * whole result table and the last micro-batch's emission IS the final
+    * answer (no argmax reconstruction needed). Runs the exact
+    * [[graft.streaming.Streams.hourlyCounts]] plan q_events_hourly runs
+    * in batch — built-in `window()` tumbling state rather than custom
+    * GroupState — under AvailableNow with one micro-batch per file.
+    * Oracle: q_events_hourly's SQL verbatim. Complete mode keeps all
+    * window state resident (the watermark cannot evict), which is
+    * exactly why it is reserved for bounded window×group outputs like
+    * this hourly rollup; unbounded-key streams use the Update path. */
+  val qStreamHourly = Q("q_stream_hourly",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sink = s"graft_stream_hourly_${streamRunId.incrementAndGet()}"
+      val q = graft.streaming.Streams.hourlyCounts(eventsStream(s, dir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    },
+    qHourly.oracle,
+    "north star: built-in window() streaming aggregation in the gate " +
+      "(Complete mode — final micro-batch emission is the answer)")
+
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson, qEventsTopK,
-    qAsof, qAsofBcast, qRangeJoin, qStreamMoments)
+    qAsof, qAsofBcast, qRangeJoin, qStreamMoments, qStreamSessionize,
+    qStreamHourly)
 }

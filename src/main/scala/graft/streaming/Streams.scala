@@ -73,6 +73,57 @@ object Streams {
       }
   }
 
+  /** [[sessionizeStream]] in Update mode, additionally emitting the OPEN
+    * session's current snapshot at the end of every invocation that
+    * absorbed events. Unlike the Append variant (whose final open session
+    * per user is never emitted — no later event closes it), the
+    * end-of-stream answer is fully recoverable from the emitted rows: a
+    * session's `n_events` is strictly monotone across its emissions and
+    * its final emission carries the final count, so
+    * `argmax n_events per (user_id, session_id)` over the sink IS the
+    * batch sessionizer's complete output. This is the upsert-sink reading
+    * discipline (each emission is a revision keyed by (user, session));
+    * a memory/file sink just keeps every revision, and re-emissions of an
+    * unchanged session are bit-identical rows, so the argmax is
+    * well-defined. State is one OpenSession per user, exactly as the
+    * Append variant. */
+  def sessionizeStreamSnapshot(
+      events: org.apache.spark.sql.Dataset[graft.ops.Sessionize.Event],
+      gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[graft.ops.Sessionize.Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.ops.Sessionize.{Event, Session}
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          val evs = it.toArray
+          java.util.Arrays.sort(evs,
+            Ordering.by((e: Event) => (e.ts_us, e.event_id)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption
+          for (e <- evs) {
+            open match {
+              case Some(o) if e.ts_us - o.last_us <= gapUs =>
+                open = Some(o.copy(n_events = o.n_events + 1, last_us = e.ts_us))
+              case Some(o) =>
+                out += Session(uid, o.session_id, o.n_events, o.start_us)
+                open = Some(OpenSession(o.session_id + 1, 1L, e.ts_us, e.ts_us))
+              case None =>
+                open = Some(OpenSession(1L, 1L, e.ts_us, e.ts_us))
+            }
+          }
+          open.foreach { o =>
+            state.update(o)
+            if (evs.nonEmpty)
+              out += Session(uid, o.session_id, o.n_events, o.start_us)
+          }
+          out.iterator
+      }
+  }
+
   /** Event carrying the raw timestamp (micros reconstructed exactly from
     * the Timestamp's millis+nanos, so gap decisions match the batch
     * sessionizer bit-for-bit). */

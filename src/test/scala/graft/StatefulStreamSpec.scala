@@ -56,6 +56,47 @@ class StatefulStreamSpec extends SparkSpec {
     assert(expectedClosed.except(got).isEmpty && got.except(expectedClosed).isEmpty)
   }
 
+  test("snapshot variant reconstructs the COMPLETE batch answer (argmax)") {
+    val dir = Files.createTempDirectory("graft-sess-snap").toFile
+    dir.deleteOnExit()
+    val src = s"${dir.getAbsolutePath}/events"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id").cast("long"))
+    val cutoff = ev.agg(percentile_approx(col("ts_us"), lit(0.5), lit(100)))
+      .as[Long].head()
+    ev.filter(col("ts_us") < cutoff).coalesce(1).write.parquet(src)
+    ev.filter(col("ts_us") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[Sessionize.Event]
+    val q = Streams.sessionizeStreamSnapshot(stream).writeStream
+      .format("memory").queryName("sess_snap_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
+
+    // the final emission per (user, session) — n_events is monotone within
+    // a session — must equal the FULL batch answer, open sessions included
+    import org.apache.spark.sql.expressions.Window
+    val got = spark.table("sess_snap_stream")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("rk") === 1).drop("rk")
+    val expected = Sessionize.sessions(
+      Tables.events(spark, "/root/testdata/sf0.001")).toDF()
+
+    assert(got.count() === expected.count())
+    assert(expected.except(got).isEmpty && got.except(expected).isEmpty)
+  }
+
   test("event-time timeout flushes idle sessions and emits every session") {
     val dir = Files.createTempDirectory("graft-sess-to").toFile
     dir.deleteOnExit()
