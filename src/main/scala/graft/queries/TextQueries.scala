@@ -695,7 +695,35 @@ object TextQueries {
       |GROUP BY k.doc_id""".stripMargin),
     "north star: vocab induction + corpus id-encoding (the tokenize-to-ids step a training run reads)")
 
+  /** q_fuzzy_join — approximate string similarity self-join at edit
+    * distance ≤ 1 over supplier names ([[graft.ops.FuzzyJoin.edJoin]]:
+    * FastSS deletion-neighborhood blocking + exact levenshtein verify;
+    * scale analysis in the op's scaladoc). The oracle rebuilds the same
+    * neighborhood on the raw variant TEXT — an engine-side md5 collision
+    * would surface as a mismatch, like q_span_dedup's contract. */
+  val qFuzzyJoin = Q("q_fuzzy_join",
+    (s, dir) => graft.ops.FuzzyJoin.edJoin(
+      Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", "s_name"),
+    Some("""WITH d AS (
+      |  SELECT s_suppkey, s_name,
+      |    CASE WHEN p = 0 THEN s_name
+      |         ELSE substr(s_name, 1, p-1) || substr(s_name, p+1) END AS var
+      |  FROM (SELECT s_suppkey, s_name,
+      |          unnest(generate_series(0, len(s_name))) AS p
+      |        FROM supplier) t
+      |), c AS (
+      |  SELECT DISTINCT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+      |         a.s_name AS a_name, b.s_name AS b_name
+      |  FROM d a JOIN d b ON a.var = b.var AND a.s_suppkey < b.s_suppkey
+      |)
+      |SELECT a_key, b_key, a_name, b_name,
+      |  CAST(levenshtein(a_name, b_name) AS INT) AS dist
+      |FROM c WHERE levenshtein(a_name, b_name) <= 1""".stripMargin),
+    "north star: FastSS deletion-neighborhood fuzzy join (edit-distance " +
+      "<=1 without the O(n^2) all-pairs verify)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
-    qSpanDedup, qBpeMerge, qUnigramNll, qVocabEncode)
+    qSpanDedup, qBpeMerge, qUnigramNll, qVocabEncode, qFuzzyJoin)
 }
