@@ -178,6 +178,10 @@ object Bench {
     "sync_upload" -> "sync_up",
     "sync_delete" -> "sync_del",
     "stream_moments" -> "str_mom",
+    "stream_sessionize" -> "str_sess",
+    "stream_hourly" -> "str_hr",
+    "fuzzy_join" -> "fuzzy",
+    "semdedup" -> "semdd",
     "near_dup_rep" -> "nd_rep",
     "vocab_encode" -> "vocab_enc",
     "media_resize" -> "media_rsz",
@@ -186,7 +190,19 @@ object Bench {
     "unigram_nll" -> "uni_nll",
     "topk_native" -> "topk_nat",
     "cardinality" -> "card",
-    "fingerprint" -> "fprint")
+    "fingerprint" -> "fprint",
+    "sessionize" -> "sess",
+    "simhash_dup" -> "sim_dup",
+    "ann_recall" -> "ann_rec",
+    "dedup_exact" -> "dedup_ex",
+    "delta_dedup" -> "delta_dd",
+    "doc_render" -> "doc_rnd",
+    "latest_file" -> "latest_f",
+    "range_join" -> "range_j",
+    "having_join" -> "having_j",
+    "anti_join" -> "anti_j",
+    "semi_join" -> "semi_j",
+    "embed_dup" -> "emb_dup")
 
   private[graft] def short(name: String): String = {
     val s = name.stripPrefix("q_")

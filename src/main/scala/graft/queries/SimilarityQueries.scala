@@ -1581,8 +1581,76 @@ object SimilarityQueries {
     Some("WITH " + cembSql + ",\n" + annRecallSql("cemb")),
     "north star: ANN recall@3 on a clustered fixture (LSH band-survival ladder measurable; ref bar commercial_rfp_indexer.py:96-111)")
 
+  /** SemDeDup cosine threshold: within-cluster angles on the clustered
+    * fixture are ≈ 0.1 rad (cos ≈ 0.995) and cross-cluster near π/2, so
+    * 0.9 cleanly splits "same underlying center as the representative"
+    * from "different center sharing a k-means cell". */
+  private val semDedupTau = 0.9
+
+  /** q_semdedup — SEMANTIC deduplication in the SemDeDup shape (Abbas et
+    * al. 2023): cluster the embedding space with the deterministic
+    * k-means coarse quantizer, then within each cluster compare every
+    * vector to the cluster REPRESENTATIVE (min vec_id) and flag members
+    * above the cosine threshold as semantic duplicates. This is the
+    * third rung of the dedup ladder — q_doc_dedup drops byte-identical
+    * documents, q_near_dup/q_embed_dup drop near-IDENTICAL ones (cos ≥
+    * 0.99 / shingle-Jaccard), semdedup drops semantically REDUNDANT ones
+    * that say the same thing in different bytes (τ = [[semDedupTau]]).
+    * Runs on the clustered fixture ([[clusteredEmb]]) — the data shape
+    * where semantic redundancy exists by construction; the shipped
+    * near-uniform vectors would flag nothing (cosine concentration, see
+    * [[ctrCount]]'s scaladoc).
+    *
+    * Scale shape: NEVER all-pairs — the representative comparison is
+    * exactly the linear-verification discipline q_near_dup_rep
+    * established (n−1 comparisons per cell, not C(n,2)); cells ~√n at
+    * corpus scale ([[scaledIvfParams]]) with the codebook trained on a
+    * sample and shipped as literals into one codegen'd
+    * [[graft.expressions.NearestCells]] assignment pass; the per-cell
+    * rep aggregate, the rep equi-join and the one [[Vectors.dotExact]]
+    * call per member are all keyed shuffles. Emits the full audit (cell,
+    * rep, score, verdict per vector) — the kept set is the
+    * `!is_dup` slice, the SemDeDup prune rate is `avg(is_dup)`. */
+  val qSemDedup = Q("q_semdedup",
+    (s, dir) => {
+      val base = withNorm(clusteredEmb(s, dir))
+      val codebook = KMeans.train(base.select("vec_id", "v"), ivfCells, ivfIters)
+      val assigned = base
+        .withColumn("cell", KMeans.assignCell(col("v"), codebook))
+      val reps = assigned.groupBy("cell").agg(min(col("vec_id")).as("rep_id"))
+      val repVecs = assigned.select(col("vec_id").as("rep_id"),
+        col("v").as("rv"), col("dxx").as("rxx"))
+      assigned.join(reps, "cell").join(repVecs, "rep_id")
+        .withColumn("score", round(Vectors.cosineFromParts(
+          Vectors.dotExact(col("v"), col("rv")), col("dxx"), col("rxx")), 6))
+        .select(col("vec_id"), col("cell"), col("rep_id"), col("score"),
+          (col("vec_id") =!= col("rep_id") &&
+            col("score") >= semDedupTau).as("is_dup"))
+    },
+    Some("WITH " + cembSql + ",\n" +
+      KMeans.trainSql("cemb", ivfCells, ivfIters) + s""",
+      |assignf AS (
+      |${ivfAssignSql(1, "")}
+      |), rep AS (
+      |  SELECT cell, min(vec_id) AS rep_id FROM assignf GROUP BY cell
+      |), pair AS (
+      |  SELECT a.vec_id, a.cell, r.rep_id, e.embedding AS v, re.embedding AS rv
+      |  FROM assignf a JOIN rep r USING (cell)
+      |       JOIN cemb e ON e.vec_id = a.vec_id
+      |       JOIN cemb re ON re.vec_id = r.rep_id
+      |), """.stripMargin +
+      dotsSql("pair", "v", "rv", "vec_id, cell, rep_id") + s"""
+      |SELECT vec_id, cell, rep_id,
+      |  round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |  (vec_id <> rep_id AND round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) >= $semDedupTau)
+      |    AS is_dup
+      |FROM dots""".stripMargin),
+    "north star: SemDeDup semantic dedup (k-means cells + " +
+      "verify-against-representative, the linear-verification discipline)")
+
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qNearDupRep, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
-    qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered)
+    qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
+    qSemDedup)
 }
