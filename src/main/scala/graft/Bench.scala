@@ -182,6 +182,7 @@ object Bench {
     "stream_hourly" -> "str_hr",
     "fuzzy_join" -> "fuzzy",
     "semdedup" -> "semdd",
+    "entity_canon" -> "ecanon",
     "near_dup_rep" -> "nd_rep",
     "vocab_encode" -> "vocab_enc",
     "media_resize" -> "media_rsz",

@@ -33,13 +33,27 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** All (a, b) pairs with `levenshtein(a.str, b.str) ≤ 1` and
-    * `a.key < b.key`. Output: (a_key, b_key, a_name, b_name, dist). */
+    * `a.key < b.key`. Output: (a_key, b_key, a_name, b_name, dist).
+    *
+    * The variant frame is explicitly repartitioned by `vh` at the
+    * session's full shuffle width BEFORE the self-join, with the
+    * partition count pinned so AQE cannot coalesce it: the variant
+    * frame's shuffle bytes are small (len+1 rows of 16-byte hashes per
+    * name), but the join EXPANDS — Σ block² candidate rows materialize
+    * on the reduce side — and AQE sizes partitions by the map-side
+    * bytes it can see, not the post-join expansion it can't. Measured
+    * on the 100k-name fixture: the coalesced plan ran the 15M-candidate
+    * expansion in ~2 tasks, one core pegged for ~58 s; the pinned-width
+    * plan spreads it across the full width (also making the self-join
+    * co-partitioned — no further shuffle on either side). */
   def edJoin(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val d = df
       .select(col(keyCol), col(strCol),
         explode(sequence(lit(0), length(col(strCol)))).as("p"))
       .withColumn("vh", md5(deleteAt(col(strCol), col("p"))))
       .select(col(keyCol), col(strCol), col("vh"))
+      .repartition(nPart, col("vh"))
     d.select(col(keyCol).as("a_key"), col(strCol).as("a_name"), col("vh"))
       .join(d.select(col(keyCol).as("b_key"), col(strCol).as("b_name"),
         col("vh")), Seq("vh"))

@@ -40,7 +40,8 @@ def main() -> None:
     src = sys.argv[1]
     dst = sys.argv[2]
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    hotblock = len(sys.argv) > 4 and sys.argv[4] == "hotblock"
+    hotblock = len(sys.argv) > 4 and "hotblock" in sys.argv[4:]
+    ersupplier = len(sys.argv) > 4 and "ersupplier" in sys.argv[4:]
     con = duckdb.connect()
     con.execute(f"CREATE VIEW d AS SELECT * FROM '{src}/documents.parquet'")
     con.execute(f"CREATE VIEW e AS SELECT * FROM '{src}/embeddings.parquet'")
@@ -176,13 +177,39 @@ def main() -> None:
               ) TO '{dst}/part.parquet' (FORMAT PARQUET)
             """)
             print(f"part: {np_} -> {np_ * factor}")
-        for t in ("customer", "supplier", "nation", "region"):
+        # ersupplier mode (round-9 ER-family scaling): replicate supplier
+        # with REGENERATED 9-digit names ('Supplier#' || lpad(new key)) —
+        # the generator's own naming rule — so the FastSS match graph
+        # grows naturally with the entity space (deletion-variant blocks
+        # stay <=10 ids per digit position; candidate volume stays
+        # ~27 pairs/name). Default leaves supplier verbatim because the
+        # relational family's recorded 100x slopes assume the TPC-H star
+        # shape (facts grow, dimensions don't).
+        copy_dims = ["customer", "nation", "region"]
+        if ersupplier and os.path.exists(f"{src}/supplier.parquet"):
+            con.execute(f"CREATE VIEW sup AS SELECT * FROM '{src}/supplier.parquet'")
+            ns, = con.execute("SELECT count(*) FROM sup").fetchone()
+            ms, = con.execute("SELECT max(s_suppkey) FROM sup").fetchone()
+            sshift = ms + 1
+            con.execute(f"""
+              COPY (
+                SELECT s_suppkey + k * {sshift} AS s_suppkey,
+                  'Supplier#' || lpad(CAST(s_suppkey + k * {sshift} AS VARCHAR),
+                                      9, '0') AS s_name,
+                  s_nationkey, s_acctbal
+                FROM sup, unnest(generate_series(0, {factor - 1})) AS g(k)
+              ) TO '{dst}/supplier.parquet' (FORMAT PARQUET)
+            """)
+            print(f"supplier: {ns} -> {ns * factor} (names regenerated)")
+        else:
+            copy_dims.insert(1, "supplier")
+        for t in copy_dims:
             if os.path.exists(f"{src}/{t}.parquet"):
                 con.execute(f"""
                   COPY (SELECT * FROM '{src}/{t}.parquet')
                   TO '{dst}/{t}.parquet' (FORMAT PARQUET)
                 """)
-        print("dimensions copied: customer supplier nation region")
+        print(f"dimensions copied: {' '.join(copy_dims)}")
 
     # events for the temporal/analytics family: replicas shift event_id by
     # the base count (uniqueness) and user_id past the base max, so each
