@@ -1617,10 +1617,18 @@ object SimilarityQueries {
       val codebook = KMeans.train(base.select("vec_id", "v"), ivfCells, ivfIters)
       val assigned = base
         .withColumn("cell", KMeans.assignCell(col("v"), codebook))
-      val reps = assigned.groupBy("cell").agg(min(col("vec_id")).as("rep_id"))
-      val repVecs = assigned.select(col("vec_id").as("rep_id"),
-        col("v").as("rv"), col("dxx").as("rxx"))
-      assigned.join(reps, "cell").join(repVecs, "rep_id")
+      // one map-side-combined agg carries the representative's VECTOR out
+      // with its id (min_by on the unique vec_id), so the rep frame is
+      // |cells| rows — a legitimate broadcast at any corpus size. The
+      // first cut joined members back to the full corpus on rep_id
+      // (only |cells| of n rows match), which AQE "fixed" by
+      // broadcasting the whole corpus — exactly the plan that dies at
+      // 100 TB.
+      val reps = assigned.groupBy("cell").agg(
+        min(col("vec_id")).as("rep_id"),
+        min_by(col("v"), col("vec_id")).as("rv"),
+        min_by(col("dxx"), col("vec_id")).as("rxx"))
+      assigned.join(broadcast(reps), "cell")
         .withColumn("score", round(Vectors.cosineFromParts(
           Vectors.dotExact(col("v"), col("rv")), col("dxx"), col("rxx")), 6))
         .select(col("vec_id"), col("cell"), col("rep_id"), col("score"),

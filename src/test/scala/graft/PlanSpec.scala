@@ -192,6 +192,29 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash shuffle (the pair count):\n$p")
   }
 
+  test("q_fuzzy_join pins the variant shuffle against AQE coalescing") {
+    // the self-join's output is far larger than its input (Σ block²
+    // candidate rows exist only on the reduce side); AQE sizes partitions
+    // by the map bytes it can see and coalesced the 100×-fixture run to
+    // ~2 tasks (~58 s, one core pegged). The REPARTITION_BY_NUM exchange
+    // is the guard — losing it reintroduces the single-core expansion.
+    val p = plan(graft.queries.TextQueries.qFuzzyJoin)
+    assert(countOcc(p, "REPARTITION_BY_NUM") === 2,
+      s"expected the pinned variant repartition on both join inputs:\n$p")
+  }
+
+  test("q_semdedup broadcasts |cells| rep rows, never the corpus") {
+    // the min_by agg carries each cell representative's vector out of the
+    // cell aggregation, so the ONLY join is members × |cells| reps — the
+    // first cut joined members to the full corpus on rep_id (AQE
+    // broadcast the corpus: fine at demo scale, dead at 100 TB)
+    val p = plan(graft.queries.SimilarityQueries.qSemDedup)
+    assert(countOcc(p, "BroadcastHashJoin") === 1,
+      s"expected exactly the rep-side broadcast join:\n$p")
+    assert(p.contains("min_by") || p.contains("nearest_cells"),
+      s"rep vectors must come from the cell agg, not a corpus join:\n$p")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
