@@ -159,7 +159,7 @@ object Bench {
     "dup_clusters_star" -> "dup_cl_star",
     "scalar_subquery" -> "scalar_sub",
     "events_sliding" -> "ev_sliding",
-    "events_hourly" -> "ev_hourly",
+    "events_hourly" -> "ev_hr",
     "events_topk" -> "ev_topk",
     "events_json" -> "ev_json",
     "media_features" -> "media_feat",
@@ -183,6 +183,9 @@ object Bench {
     "fuzzy_join" -> "fuzzy",
     "semdedup" -> "semdd",
     "entity_canon" -> "ecanon",
+    "triangles" -> "tri",
+    "quantiles" -> "quant",
+    "centroids" -> "centr",
     "near_dup_rep" -> "nd_rep",
     "vocab_encode" -> "vocab_enc",
     "media_resize" -> "media_rsz",

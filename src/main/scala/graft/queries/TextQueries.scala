@@ -790,8 +790,52 @@ object TextQueries {
       "CC cluster -> canonical id), the dirty-dimension merge a real " +
       "pipeline needs")
 
+  /** q_triangles — per-node triangle counts over the supplier fuzzy-match
+    * graph ([[graft.ops.Triangles.perNode]]: degree-ordered node-iterator,
+    * scale analysis there). Triangle density is the graph metric the
+    * dedup/ER family reads to tell a genuine mutual-duplicate clique
+    * (all edges present, max triangles) from a hub-and-spoke chain of
+    * borderline matches (no triangles) — the precursor to clustering
+    * coefficients. The supplier ed≤1 graph is triangle-rich by
+    * construction: ids differing pairwise in one digit position close
+    * into 10-cliques per position family. Oracle: the naive three-way
+    * self-join with a<b<c (each triangle materialized once), per-node via
+    * unnest — a wholly different enumeration order than the oriented
+    * wedge join, so agreement is a differential check of the
+    * orientation argument (exactly one wedge source per triangle). */
+  val qTriangles = Q("q_triangles",
+    (s, dir) => graft.ops.Triangles.perNode(
+      graft.ops.FuzzyJoin.edJoin(
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", "s_name")
+        .select(col("a_key").as("a"), col("b_key").as("b"))),
+    Some("""WITH d AS (
+      |  SELECT s_suppkey, s_name,
+      |    CASE WHEN p = 0 THEN s_name
+      |         ELSE substr(s_name, 1, p-1) || substr(s_name, p+1) END AS var
+      |  FROM (SELECT s_suppkey, s_name,
+      |          unnest(generate_series(0, len(s_name))) AS p
+      |        FROM supplier) t
+      |), c AS (
+      |  SELECT DISTINCT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+      |         a.s_name AS a_name, b.s_name AS b_name
+      |  FROM d a JOIN d b ON a.var = b.var AND a.s_suppkey < b.s_suppkey
+      |), e AS (
+      |  SELECT a_key AS a, b_key AS b FROM c
+      |  WHERE levenshtein(a_name, b_name) <= 1
+      |), tri AS (
+      |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      |  FROM e ab JOIN e bc ON bc.a = ab.b
+      |       JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+      |), nodes AS (
+      |  SELECT unnest([x, y, z]) AS node FROM tri
+      |)
+      |SELECT node, count(*) AS n_tri FROM nodes GROUP BY node""".stripMargin),
+    "north star: degree-ordered triangle counting (the clique-vs-chain " +
+      "metric over the match graph; skew-proof orientation)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
     qSpanDedup, qBpeMerge, qUnigramNll, qVocabEncode, qFuzzyJoin,
-    qEntityCanon)
+    qEntityCanon, qTriangles)
 }
