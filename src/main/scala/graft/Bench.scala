@@ -184,6 +184,11 @@ object Bench {
     "semdedup" -> "semdd",
     "entity_canon" -> "ecanon",
     "triangles" -> "tri",
+    "pagerank" -> "pgrank",
+    "asof_bcast" -> "asof_bc",
+    "asof_join" -> "asof_j",
+    "skew_audit" -> "skew",
+    "decontam" -> "decon",
     "quantiles" -> "quant",
     "centroids" -> "centr",
     "near_dup_rep" -> "nd_rep",

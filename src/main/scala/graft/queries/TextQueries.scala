@@ -834,8 +834,43 @@ object TextQueries {
     "north star: degree-ordered triangle counting (the clique-vs-chain " +
       "metric over the match graph; skew-proof orientation)")
 
+  /** q_pagerank — damped PageRank centrality (5 fixed-point iterations,
+    * [[graft.ops.PageRank.scores]]) over the same supplier match graph as
+    * [[qTriangles]], completing the match-graph trio: reachability
+    * (q_dup_clusters' CC), local density (q_triangles), and now global
+    * centrality — the signal that ranks WHICH member of a duplicate
+    * family is the most-corroborated canonical record. All arithmetic is
+    * integer fixed-point (12 digits, floor division), so the oracle's
+    * unrolled-CTE replica agrees bit-for-bit — the iterative-computation
+    * analog of the FixedPointDot determinism discipline. */
+  val qPagerank = Q("q_pagerank",
+    (s, dir) => graft.ops.PageRank.scores(
+      graft.ops.FuzzyJoin.edJoin(
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", "s_name")
+        .select(col("a_key").as("a"), col("b_key").as("b")), iters = 5),
+    Some("""WITH d AS (
+      |  SELECT s_suppkey, s_name,
+      |    CASE WHEN p = 0 THEN s_name
+      |         ELSE substr(s_name, 1, p-1) || substr(s_name, p+1) END AS var
+      |  FROM (SELECT s_suppkey, s_name,
+      |          unnest(generate_series(0, len(s_name))) AS p
+      |        FROM supplier) t
+      |), c AS (
+      |  SELECT DISTINCT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+      |         a.s_name AS a_name, b.s_name AS b_name
+      |  FROM d a JOIN d b ON a.var = b.var AND a.s_suppkey < b.s_suppkey
+      |), e AS (
+      |  SELECT a_key AS a, b_key AS b FROM c
+      |  WHERE levenshtein(a_name, b_name) <= 1
+      |),
+      |""".stripMargin + graft.ops.PageRank.scoresSql("e", 5) + """
+      |SELECT node, CAST(fp AS DOUBLE)/1e12 AS pr FROM pr5""".stripMargin),
+    "north star: fixed-point PageRank centrality (bit-identical iterative " +
+      "graph computation; canonical-record ranking signal)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
     qSpanDedup, qBpeMerge, qUnigramNll, qVocabEncode, qFuzzyJoin,
-    qEntityCanon, qTriangles)
+    qEntityCanon, qTriangles, qPagerank)
 }
