@@ -189,6 +189,10 @@ object Bench {
     "asof_join" -> "asof_j",
     "skew_audit" -> "skew",
     "decontam" -> "decon",
+    "curate_e2e" -> "cur_e2e",
+    "hybrid_rrf" -> "rrf",
+    "inline_scan" -> "inline",
+    "chunk_index" -> "chunk_idx",
     "quantiles" -> "quant",
     "centroids" -> "centr",
     "near_dup_rep" -> "nd_rep",

@@ -182,6 +182,70 @@ object CurationQueries {
       |GROUP BY 1""".stripMargin),
     "north star: incremental corpus dedup (batch anti-join vs retained hashes)")
 
+  /** q_curate_e2e — the full pretraining-prep dataflow as ONE declarative
+    * plan, the curation counterpart of q_pipeline_e2e's RFP flagship:
+    *
+    *   quality gate ([[TextQueries.qualityScored]], the SAME definition
+    *   q_quality checks — keep score ≥ 3)
+    *   → exact content dedup (min-id keeper per normalized-text md5)
+    *   → leak-free 90/10 split ([[graft.ops.Sample.splitByGroup]] on the
+    *     content-group id, so byte-dup families can never straddle sides)
+    *   → context-window packing per (split, lang)
+    *     ([[graft.ops.Pack.packByBudget]], 10k-char budget)
+    *   → the per-bin manifest a batch assembler consumes.
+    *
+    * Each stage is an independently-oracled operator elsewhere in the
+    * registry; composing them into one plan is the point — Catalyst sees
+    * the whole dataflow (the quality projection fuses into the scan, the
+    * dedup window and the packing window are the only two shuffles) where
+    * the reference's pipeline materializes between every pandas stage.
+    * Scale: projection-fused scan + two keyed windows; nothing collected,
+    * nothing broadcast but the packing manifest agg. */
+  val qCurateE2e = Q("q_curate_e2e",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val kept = TextQueries.qualityScored(Tables.documents(s, dir))
+        .filter(col("quality") >= 3)
+      val keepers = kept
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))))
+        .filter(col("doc_id") === col("keep_id"))
+        .withColumn("split", Sample.splitByGroup(col("keep_id"),
+          Seq("train" -> 900, "eval" -> 1000)))
+      Pack.packByBudget(
+          keepers.select(col("split"), col("lang"), col("doc_id"),
+            col("n_chars")),
+          struct(col("split"), col("lang")), col("doc_id"), col("n_chars"),
+          budget = 10000L)
+        .groupBy("split", "lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+    },
+    Some("WITH " + TextQueries.qualityScoredSql + s""",
+      |kept AS (SELECT * FROM scored WHERE quality >= 3),
+      |groups AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    min(doc_id) OVER (PARTITION BY
+      |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keep_id
+      |  FROM kept
+      |), splits AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+      |           < ${900 * 65536L / 1000L} THEN 'train' ELSE 'eval' END AS split
+      |  FROM groups WHERE doc_id = keep_id
+      |), packed AS (
+      |  SELECT split, lang, doc_id, n_chars,
+      |    CAST(floor(COALESCE(SUM(n_chars) OVER (PARTITION BY split, lang
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) / 10000.0) AS BIGINT) AS pack_id
+      |  FROM splits
+      |)
+      |SELECT split, lang, pack_id, count(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM packed GROUP BY 1, 2, 3""".stripMargin),
+    "north star: the pretraining-prep dataflow composed end-to-end " +
+      "(quality -> dedup -> leak-free split -> pack) as one Catalyst plan")
+
   def all: Seq[Q] = Seq(qRedact, qPack, qSample, qSampleK, qUpsert,
-    qDeltaDedup)
+    qDeltaDedup, qCurateE2e)
 }

@@ -101,34 +101,65 @@ object TextQueries {
 
   private val stopWords = Seq("the", "a", "and", "of", "to", "in")
 
+  /** Shared quality-gate scoring (q_quality and q_curate_e2e's first
+    * stage use THIS definition — one predicate, two consumers): adds the
+    * feature columns and the 4-point `quality` score; pure projection,
+    * no shuffle. */
+  private[queries] def qualityScored(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val stopArr = typedLit(stopWords)
+    docs
+      .withColumn("text_len", length(col("text")))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_punct", length(col("text")) -
+        length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .withColumn("n_stop", size(filter(split(trim(lower(col("text"))), "\\s+"),
+        t => array_contains(stopArr, t))))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / col("text_len"))
+      .withColumn("quality",
+        (when(col("text_len") >= 100, 1).otherwise(0) +
+          when(col("n_tokens") >= 20, 1).otherwise(0) +
+          when(col("stop_ratio") >= 0.02, 1).otherwise(0) +
+          when(col("punct_ratio") <= 0.1, 1).otherwise(0)).cast("long"))
+  }
+
+  /** The quality-gate SQL twin of [[qualityScored]] as a CTE pair
+    * (`feats`, `scored` with the `quality` column), shared by the
+    * q_quality and q_curate_e2e oracles. */
+  private[queries] def qualityScoredSql: String = {
+    val list = stopWords.map(w => s"'$w'").mkString(",")
+    s"""feats AS (
+       |  SELECT *, length(text) AS text_len,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        t -> t IN ($list))) AS n_stop
+       |  FROM documents
+       |), scored AS (
+       |  SELECT *,
+       |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |    CAST(n_punct AS DOUBLE) / text_len AS punct_ratio,
+       |    CAST((CASE WHEN text_len >= 100 THEN 1 ELSE 0 END
+       |      + CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END
+       |      + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.02 THEN 1 ELSE 0 END
+       |      + CASE WHEN CAST(n_punct AS DOUBLE) / text_len <= 0.1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS quality
+       |  FROM feats
+       |)""".stripMargin
+  }
+
   /** q_quality — quality scoring from length / punctuation / stop-word
     * features, 4-point score, keep score ≥ 3 (the training-data quality
     * gate pattern). Pure projection + filter: no shuffle at all. */
   val qQuality = Q("q_quality",
-    (s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val stopArr = typedLit(stopWords)
-      Tables.documents(s, dir)
-        .withColumn("text_len", length(col("text")))
-        .withColumn("n_tokens", size(toks))
-        .withColumn("n_punct", length(col("text")) -
-          length(regexp_replace(col("text"), "[.,;:!?]", "")))
-        .withColumn("n_stop", size(filter(split(trim(lower(col("text"))), "\\s+"),
-          t => array_contains(stopArr, t))))
-        .withColumn("stop_ratio",
-          col("n_stop").cast("double") / col("n_tokens"))
-        .withColumn("punct_ratio",
-          col("n_punct").cast("double") / col("text_len"))
-        .withColumn("quality",
-          (when(col("text_len") >= 100, 1).otherwise(0) +
-            when(col("n_tokens") >= 20, 1).otherwise(0) +
-            when(col("stop_ratio") >= 0.02, 1).otherwise(0) +
-            when(col("punct_ratio") <= 0.1, 1).otherwise(0)).cast("long"))
-        .filter(col("quality") >= 3)
-        .select(col("doc_id"), col("lang"), col("text_len"), col("n_tokens"),
-          round(col("stop_ratio"), 6).as("stop_ratio"),
-          round(col("punct_ratio"), 6).as("punct_ratio"), col("quality"))
-    },
+    (s, dir) => qualityScored(Tables.documents(s, dir))
+      .filter(col("quality") >= 3)
+      .select(col("doc_id"), col("lang"), col("text_len"), col("n_tokens"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("punct_ratio"), 6).as("punct_ratio"), col("quality")),
     Some {
       val list = stopWords.map(w => s"'$w'").mkString(",")
       s"""WITH feats AS (
