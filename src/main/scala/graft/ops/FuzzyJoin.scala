@@ -35,6 +35,12 @@ object FuzzyJoin {
   /** All (a, b) pairs with `levenshtein(a.str, b.str) ≤ 1` and
     * `a.key < b.key`. Output: (a_key, b_key, a_name, b_name, dist).
     *
+    * Contract: `strCol` is a NAME/KEY-length string — the explode factor
+    * is len+1, so document-scale text does not belong here (that's the
+    * shingle/LSH family's job). NULL strings generate no variants and
+    * therefore match nothing, including other nulls — the SQL-join
+    * convention, stated here because a dirty dimension usually has some.
+    *
     * The variant frame is explicitly repartitioned by `vh` at the
     * session's full shuffle width BEFORE the self-join, with the
     * partition count pinned so AQE cannot coalesce it: the variant

@@ -252,21 +252,75 @@ object StreamQueries {
     "north star: a real readStream execution inside the correctness gate " +
       "(AvailableNow + memory sink; final Update emission per group)")
 
-  /** The events parquet as a STREAM with the same `ts` normalization
-    * [[graft.Tables.events]] applies to the batch read (the testdata
-    * stores INT64 TIMESTAMP(NANOS); the session reads it as long). */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+  /** The events table cut into `parts` TIME-ORDERED parquet slices
+    * (exact `ts` quartiles via percentile_approx, strict-</>= bands so
+    * every row lands in exactly one slice), written once per source dir
+    * under java.io.tmpdir and reused. With `maxFilesPerTrigger=1` the
+    * file source replays them in modification-time order — ascending, as
+    * written — so the gate's streaming executions genuinely fold state
+    * ACROSS micro-batches (a single-file source would be one degenerate
+    * batch; the time ordering is what lets the no-timeout sessionizer's
+    * gap logic see each user's events in order, same contract as
+    * StatefulStreamSpec's two-file split). */
+  private def slicedEventsDir(s: SparkSession, dir: String,
+                              parts: Int = 4): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_slices_$key")
+    this.synchronized {
+      if (!out.exists()) {
+        val tmp = new java.io.File(out.getParent, out.getName + ".tmp")
+        deleteRec(tmp)
+        tmp.mkdirs()
+        val ev = Tables.events(s, dir)
+        val qs = (1 until parts).map(_.toDouble / parts)
+        val cuts = ev.select(percentile_approx(unix_micros(col("ts")),
+            typedLit(qs), lit(10000)).as("c"))
+          .head().getSeq[Long](0)
+        val us = unix_micros(col("ts"))
+        for (k <- 0 until parts) {
+          val lo = if (k == 0) None else Some(cuts(k - 1))
+          val hi = if (k == parts - 1) None else Some(cuts(k))
+          // slices carry the NORMALIZED ts TIMESTAMP (Tables.events), so
+          // the stream reader consumes them without re-normalizing
+          val slice = ev
+            .filter(lo.map(us >= _).getOrElse(lit(true)) &&
+              hi.map(us < _).getOrElse(lit(true)))
+          val sdir = new java.io.File(tmp, s"build$k")
+          slice.coalesce(1).write.parquet(sdir.getAbsolutePath)
+          val part = sdir.listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file written for slice $k"))
+          val dst = new java.io.File(tmp, f"slice_$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          deleteRec(sdir)
+          // the file source replays in (mtime, path) order and ms-level
+          // mtimes of back-to-back writes can collide — stamp explicit
+          // ascending mtimes so slice order IS time order
+          dst.setLastModified(1700000000000L + k * 60000L)
+          ()
+        }
+        if (!tmp.renameTo(out)) // lost a race: another session built it
+          deleteRec(tmp)
+      }
     }
+    out.getAbsolutePath
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+    ()
+  }
+
+  /** readStream over [[slicedEventsDir]]: one micro-batch per time slice. */
+  private def eventsStreamSliced(s: SparkSession, dir: String): DataFrame = {
+    val sliced = slicedEventsDir(s, dir)
+    val schema = s.read.parquet(sliced).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(sliced)
   }
 
   /** q_stream_sessionize — a SECOND real readStream execution in the
@@ -278,15 +332,19 @@ object StreamQueries {
     * the final emission per (user, session) — argmax n_events, which is
     * strictly monotone within a session — reconstructs the COMPLETE
     * batch answer including each user's final never-closed session (the
-    * Append variant's structural blind spot). Oracle: q_sessionize's SQL
-    * verbatim — the batch window-function formulation and the streaming
-    * GroupState formulation share nothing but the gap contract. */
+    * Append variant's structural blind spot). Runs over
+    * [[slicedEventsDir]]'s four time-ordered slices with one micro-batch
+    * each, so the gate run genuinely folds per-user state across FOUR
+    * batch boundaries — not a single-batch degenerate pass. Oracle:
+    * q_sessionize's SQL verbatim — the batch window-function formulation
+    * and the streaming GroupState formulation share nothing but the gap
+    * contract. */
   val qStreamSessionize = Q("q_stream_sessionize",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
-      val src = eventsStream(s, dir)
+      val src = eventsStreamSliced(s, dir)
         .select(col("user_id").cast("long").as("user_id"),
           unix_micros(col("ts")).as("ts_us"),
           col("event_id").cast("long").as("event_id"))
@@ -324,7 +382,7 @@ object StreamQueries {
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"graft_stream_hourly_${streamRunId.incrementAndGet()}"
-      val q = graft.streaming.Streams.hourlyCounts(eventsStream(s, dir))
+      val q = graft.streaming.Streams.hourlyCounts(eventsStreamSliced(s, dir))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

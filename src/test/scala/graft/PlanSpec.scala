@@ -192,6 +192,26 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash shuffle (the pair count):\n$p")
   }
 
+  test("rank-limit pushdown (WindowGroupLimit) fires on the rn<=k dedups") {
+    // Spark's InferWindowGroupLimit prunes each map partition to the
+    // per-group rank limit BEFORE the window shuffle — the built-in
+    // optimization our row_number()-then-filter formulations are written
+    // to trigger (the Spark-first alternative to hand-rolling the prune;
+    // the custom TopKPerGroup operator remains the (c)-tier demo and the
+    // global-top-k path). A formulation drift that silently loses the
+    // pushdown (e.g. filtering on a derived column) fails here.
+    assert(plan(RfpQueries.qDedupExact).contains("WindowGroupLimit"))
+    assert(plan(graft.Registry.byName("q_topk_per_group"))
+      .contains("WindowGroupLimit"))
+    // q_latest_per_q is CORRECTLY exempt: its A5/A6 semantics keep ALL
+    // rows tied at the max date, so it is a windowed max + filter (no
+    // rank function), which the rank-limit rule cannot and should not
+    // touch — pin that it stays a Window, not a silent semantic change
+    // to row_number
+    val lp = plan(graft.Registry.byName("q_latest_per_q"))
+    assert(lp.contains("Window") && !lp.contains("WindowGroupLimit"))
+  }
+
   test("q_fuzzy_join pins the variant shuffle against AQE coalescing") {
     // the self-join's output is far larger than its input (Σ block²
     // candidate rows exist only on the reduce side); AQE sizes partitions
