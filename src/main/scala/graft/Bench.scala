@@ -170,7 +170,7 @@ object Bench {
     "heavy_hitters" -> "heavy_hit",
     "hist_quantile" -> "hist_quant",
     "retrieval_e2e" -> "retr_e2e",
-    "value_moments" -> "val_moments",
+    "value_moments" -> "val_mom",
     "longest_resp" -> "long_resp",
     "pipeline_e2e" -> "pipe_e2e",
     "util_scalars" -> "util_scal",
@@ -190,6 +190,10 @@ object Bench {
     "skew_audit" -> "skew",
     "decontam" -> "decon",
     "curate_e2e" -> "cur_e2e",
+    "mix_temp" -> "mix_t",
+    "span_dedup" -> "span_dd",
+    "bpe_merge" -> "bpe_m",
+    "top_terms" -> "top_t",
     "hybrid_rrf" -> "rrf",
     "inline_scan" -> "inline",
     "chunk_index" -> "chunk_idx",

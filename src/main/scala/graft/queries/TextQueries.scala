@@ -390,6 +390,59 @@ object TextQueries {
       |GROUP BY source""".stripMargin),
     "north star: dataset mixing via weighted repetition (deterministic)")
 
+  /** q_mix_temp — TEMPERATURE mixing, the production counterpart of
+    * [[qMix]]'s hand-pinned weights: sampling probabilities computed FROM
+    * the corpus, p_i ∝ n_i^(1/τ-adjusted exponent) with the standard
+    * α = 0.5 square-root damping (multilingual-LM recipe — small sources
+    * up-weighted, huge sources down-weighted, exponent 1 = proportional,
+    * 0 = uniform). Emits the per-source mixing manifest: probability,
+    * target document count for a 2-epoch-equivalent budget, and the
+    * full-epochs + remainder decomposition a sampler executes.
+    *
+    * Determinism discipline: sqrt is one correctly-rounded IEEE op, but
+    * Σ√n_i is order-dependent in doubles — so the weights are snapped to
+    * fixed-point longs FIRST (round(√n·1e9)) and the normalizer is an
+    * exact integer sum; every downstream value is then one or two
+    * correctly-rounded double ops from exact integers. Same trick as the
+    * unigram-NLL and PageRank fixed-point contracts. Scale: one
+    * map-side-combined count by source + a |sources|-row broadcast. */
+  val qMixTemp = Q("q_mix_temp",
+    (s, dir) => {
+      val sizes = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("wl",
+          round(sqrt(col("n_docs").cast("double")) * 1e9).cast("long"))
+      val tot = sizes.agg(sum(col("wl")).as("wsum"),
+        sum(col("n_docs")).as("ntot"))
+      sizes.crossJoin(broadcast(tot))
+        .withColumn("p", col("wl").cast("double") / col("wsum"))
+        .withColumn("target_docs",
+          round(col("p") * (col("ntot") * 2)).cast("long"))
+        .select(col("source"), col("n_docs"),
+          round(col("p"), 6).as("mix_p"), col("target_docs"),
+          expr("target_docs div n_docs").as("full_epochs"),
+          (col("target_docs") % col("n_docs")).as("rem_docs"))
+    },
+    Some("""WITH sizes AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT) AS wl
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(wl) AS BIGINT) AS wsum,
+      |         CAST(SUM(n_docs) AS BIGINT) AS ntot
+      |  FROM sizes
+      |), t AS (
+      |  SELECT source, n_docs, CAST(wl AS DOUBLE) / wsum AS p, ntot
+      |  FROM sizes, tot
+      |)
+      |SELECT source, n_docs, round(p, 6) AS mix_p,
+      |  CAST(round(p * (ntot * 2)) AS BIGINT) AS target_docs,
+      |  CAST(round(p * (ntot * 2)) AS BIGINT) // n_docs AS full_epochs,
+      |  CAST(round(p * (ntot * 2)) AS BIGINT) % n_docs AS rem_docs
+      |FROM t""".stripMargin),
+    "north star: temperature mixing (alpha=0.5 corpus-derived sampling " +
+      "weights, the multilingual-LM recipe; fixed-point normalizer)")
+
   /** Per-document repeated-n-gram repetition scoring (the Gopher-family
     * repetition filter: documents whose word 2-/3-grams repeat heavily
     * are boilerplate/spam and get dropped from pretraining mixes; Rae et
@@ -903,5 +956,5 @@ object TextQueries {
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
     qSpanDedup, qBpeMerge, qUnigramNll, qVocabEncode, qFuzzyJoin,
-    qEntityCanon, qTriangles, qPagerank)
+    qEntityCanon, qTriangles, qPagerank, qMixTemp)
 }
