@@ -9,16 +9,18 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * machine drift from real regressions by comparing medians ACROSS
   * rounds instead of re-probing.
   *
-  * Default query set = the top-10 heaviest from the BENCH_r08 record
-  * (full registry names); override by listing names after the round arg.
+  * Default query set = the heaviest queries on the round-9 record
+  * (full registry names, streaming + graph + dedup families included);
+  * override by listing names after the round arg.
   *
   * Usage: runMain graft.BenchHistory <round> [sfDir] [query ...]
   */
 object BenchHistory {
   private val defaultQueries = Seq(
-    "q_dup_clusters_star", "q_dup_clusters", "q_ann_recall_cl",
-    "q_dup_keep", "q_cms", "q_ann_recall", "q_split_leakfree",
-    "q_near_dup", "q_ann_ivf_sq", "q_ann_ivf")
+    "q_dup_clusters_star", "q_dup_clusters", "q_dup_keep",
+    "q_split_leakfree", "q_ann_recall_cl", "q_ann_recall", "q_pagerank",
+    "q_stream_sessionize", "q_stream_hourly", "q_cms", "q_near_dup",
+    "q_semdedup", "q_entity_canon", "q_ann_ivf_sq", "q_near_dup_rep")
 
   def main(args: Array[String]): Unit = {
     val round = args(0).toInt
