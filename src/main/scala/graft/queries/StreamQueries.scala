@@ -213,9 +213,9 @@ object StreamQueries {
     * final emission per group (argmax n — n is strictly monotone per
     * group, so the largest-n row IS the post-all-data state; ties are
     * impossible because a group only re-emits when it absorbs rows).
-    * `maxFilesPerTrigger=1` forces one micro-batch per input file, so a
-    * multi-file table genuinely exercises cross-batch state folding, not
-    * a single-batch degenerate run.
+    * Since late r9 it streams [[slicedEventsDir]]'s four time-ordered
+    * slices with `maxFilesPerTrigger=1`, so the gate run folds the
+    * per-type (n, Σ, Σ²) state across four genuine micro-batches.
     *
     * The oracle is q_value_moments' SQL verbatim — the batch/stream
     * unification contract (StreamMomentsSpec pins digit-exact equality of
@@ -226,16 +226,7 @@ object StreamQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.streaming.Trigger
-      // streaming file sources need an explicit schema; the batch reader's
-      // inferred one reflects the session's parquet handling exactly
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // testdata ships single-FILE parquet; for a NON-glob path the file
-      // stream source force-sets basePath to the path itself, which must
-      // be a directory — so read through a glob and pin basePath to the
-      // containing dir explicitly
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
+      val src = eventsStreamSliced(s, dir)
         .select(col("event_type"), col("value"))
       val sink = s"graft_stream_moments_${streamRunId.incrementAndGet()}"
       val q = graft.streaming.Streams.momentsStream(src, "event_type", "value")
