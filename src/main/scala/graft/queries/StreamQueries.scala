@@ -255,8 +255,15 @@ object StreamQueries {
     * StatefulStreamSpec's two-file split). */
   private def slicedEventsDir(s: SparkSession, dir: String,
                               parts: Int = 4): String = {
+    // cache key includes the source file's size+mtime, not just its
+    // path: the driver has regenerated testdata in place across rounds
+    // (the ts-encoding drift), and a path-keyed cache would silently
+    // serve slices of the PREVIOUS corpus against oracles computed on
+    // the new one
+    val src = new java.io.File(s"$dir/events.parquet")
+    val stamp = s"$dir|${src.length()}|${src.lastModified()}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val out = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_stream_slices_$key")
     this.synchronized {
