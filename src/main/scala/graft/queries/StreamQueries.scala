@@ -253,7 +253,7 @@ object StreamQueries {
     * batch; the time ordering is what lets the no-timeout sessionizer's
     * gap logic see each user's events in order, same contract as
     * StatefulStreamSpec's two-file split). */
-  private def slicedEventsDir(s: SparkSession, dir: String,
+  private[graft] def slicedEventsDir(s: SparkSession, dir: String,
                               parts: Int = 4): String = {
     // cache key includes the source file's size+mtime, not just its
     // path: the driver has regenerated testdata in place across rounds
