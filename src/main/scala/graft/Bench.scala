@@ -158,7 +158,7 @@ object Bench {
     "dup_clusters" -> "dup_cl",
     "dup_clusters_star" -> "dup_cl_star",
     "scalar_subquery" -> "scalar_sub",
-    "events_sliding" -> "ev_sliding",
+    "events_sliding" -> "ev_slide",
     "events_hourly" -> "ev_hr",
     "events_topk" -> "ev_topk",
     "events_json" -> "ev_json",
@@ -191,6 +191,9 @@ object Bench {
     "decontam" -> "decon",
     "curate_e2e" -> "cur_e2e",
     "mix_temp" -> "mix_t",
+    "mad_outliers" -> "mad",
+    "dup_stats" -> "dup_st",
+    "dup_count" -> "dup_cnt",
     "span_dedup" -> "span_dd",
     "bpe_merge" -> "bpe_m",
     "top_terms" -> "top_t",

@@ -575,7 +575,57 @@ object AnalyticsQueries {
       |FROM c GROUP BY event_type""".stripMargin),
     "north star: mergeable histogram quantile sketch (the 100 TB path next to exact percentile_disc)")
 
+  /** q_mad_outliers — robust per-type outlier detection via median /
+    * median-absolute-deviation, the breakdown-resistant complement to
+    * q_anomaly's mean/stddev z-scores (one pathological burst inflates a
+    * stddev and HIDES further outliers; the median/MAD pair has a 50%
+    * breakdown point). Both medians are DISCRETE quantiles
+    * (q_quantiles' parity discipline — each engine selects an actual
+    * data value, no interpolation formula to couple), the deviation and
+    * the 3·MAD fence are single IEEE ops on identical inputs, so the
+    * flag boundary is exact on both engines with no rounding.
+    *
+    * Plan shape: exact robust stats cost two sorted aggregations and a
+    * re-join by construction (med → deviations → mad → fence count) —
+    * all keyed on the |types|-sized group key; `q_hist_quantile` is the
+    * one-pass mergeable-sketch alternative when exactness can yield. */
+  val qMadOutliers = Q("q_mad_outliers",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select("event_type", "value")
+      val med = ev.groupBy("event_type").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val dev = ev.join(med, "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+    Some("""WITH med AS (
+      |  SELECT event_type, quantile_disc(value, 0.5) AS med
+      |  FROM events GROUP BY 1
+      |), dev AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      |  FROM events e JOIN med m USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, quantile_disc(dev, 0.5) AS mad
+      |  FROM dev GROUP BY 1
+      |)
+      |SELECT d.event_type, min(d.med) AS med, min(m.mad) AS mad,
+      |  count(*) AS n,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type""".stripMargin),
+    "north star: robust median/MAD outlier fence (50% breakdown point " +
+      "vs the z-score's zero)")
+
   def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
     qGroupingSets, qCardinality, qCohort, qFunnel, qSkewAudit,
-    qHeavyHitters, qCms, qAnomaly, qValueMoments, qHistQuantile)
+    qHeavyHitters, qCms, qAnomaly, qValueMoments, qHistQuantile,
+    qMadOutliers)
 }
