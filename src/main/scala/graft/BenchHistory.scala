@@ -20,7 +20,11 @@ object BenchHistory {
     "q_dup_clusters_star", "q_dup_clusters", "q_dup_keep",
     "q_split_leakfree", "q_ann_recall_cl", "q_ann_recall", "q_pagerank",
     "q_stream_sessionize", "q_stream_hourly", "q_cms", "q_near_dup",
-    "q_semdedup", "q_entity_canon", "q_ann_ivf_sq", "q_near_dup_rep")
+    "q_semdedup", "q_entity_canon", "q_ann_ivf_sq", "q_near_dup_rep",
+    // q_rollup: r9 single-run bench showed a 2× wobble on this trivial
+    // full-scan rollup; keep its median on the record so drift vs
+    // regression is adjudicated by data (VERDICT r9 housekeeping)
+    "q_rollup")
 
   def main(args: Array[String]): Unit = {
     val round = args(0).toInt

@@ -261,7 +261,7 @@ object StreamQueries {
     // serve slices of the PREVIOUS corpus against oracles computed on
     // the new one
     val src = new java.io.File(s"$dir/events.parquet")
-    val stamp = s"$dir|${src.length()}|${src.lastModified()}"
+    val stamp = s"$dir|$parts|${src.length()}|${src.lastModified()}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val out = new java.io.File(
@@ -296,9 +296,12 @@ object StreamQueries {
           deleteRec(sdir)
           // the file source replays in (mtime, path) order and ms-level
           // mtimes of back-to-back writes can collide — stamp explicit
-          // ascending mtimes so slice order IS time order
-          dst.setLastModified(1700000000000L + k * 60000L)
-          ()
+          // ascending mtimes so slice order IS time order; fail loudly at
+          // build time if the filesystem refuses the stamp (silent
+          // failure would surface much later as an order-dependent
+          // q_stream_sessionize mismatch far from this cause)
+          require(dst.setLastModified(1700000000000L + k * 60000L),
+            s"could not stamp mtime on $dst")
         }
         if (!tmp.renameTo(out)) // lost a race: another session built it
           deleteRec(tmp)

@@ -783,8 +783,10 @@ object TextQueries {
     * distance ≤ 1 over supplier names ([[graft.ops.FuzzyJoin.edJoin]]:
     * FastSS deletion-neighborhood blocking + exact levenshtein verify;
     * scale analysis in the op's scaladoc). The oracle rebuilds the same
-    * neighborhood on the raw variant TEXT — an engine-side md5 collision
-    * would surface as a mismatch, like q_span_dedup's contract. */
+    * neighborhood on the raw variant TEXT; an engine-side md5 variant
+    * collision stays benign (and invisible) on both sides — colliding
+    * variants only add candidates, and the exact levenshtein verify
+    * prunes every spurious one, so the outputs still agree. */
   val qFuzzyJoin = Q("q_fuzzy_join",
     (s, dir) => graft.ops.FuzzyJoin.edJoin(
       Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),

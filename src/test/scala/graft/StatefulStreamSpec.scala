@@ -14,6 +14,24 @@ import graft.streaming.Streams
 class StatefulStreamSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Base mtime for [[stampOrder]] — far in the past of any real write. */
+  private val stampBase = 1600000000000L
+
+  /** Stamps the not-yet-stamped part files under `src` with write-ordinal
+    * `i`'s fixed mtime. The file source replays files in (mtime, path)
+    * order, and ms-resolution mtimes of back-to-back writes can collide —
+    * which makes replay order path-dependent (random part-file UUIDs) and
+    * every order-sensitive assertion here flaky. Call after EVERY ordered
+    * write with increasing `i` (the same discipline as
+    * StreamQueries.slicedEventsDir). Fresh writes carry the current clock
+    * (≫ stampBase), so "not yet stamped" is an mtime threshold. */
+  private def stampOrder(src: String, i: Int): Unit =
+    new java.io.File(src).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        f.lastModified() > stampBase + 86400000L)
+      .foreach(f => assert(f.setLastModified(stampBase + i * 60000L),
+        s"could not stamp mtime on $f"))
+
   test("flatMapGroupsWithState closes sessions across micro-batches") {
     val dir = Files.createTempDirectory("graft-sess").toFile
     dir.deleteOnExit()
@@ -28,7 +46,9 @@ class StatefulStreamSpec extends SparkSpec {
     // two time-ordered files → two micro-batches (no per-user inversion:
     // every batch-1 event precedes every batch-2 event in (ts, id) order)
     ev.filter(col("ts_us") < cutoff).coalesce(1).write.parquet(src)
+    stampOrder(src, 0)
     ev.filter(col("ts_us") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+    stampOrder(src, 1)
 
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
@@ -68,7 +88,9 @@ class StatefulStreamSpec extends SparkSpec {
     val cutoff = ev.agg(percentile_approx(col("ts_us"), lit(0.5), lit(100)))
       .as[Long].head()
     ev.filter(col("ts_us") < cutoff).coalesce(1).write.parquet(src)
+    stampOrder(src, 0)
     ev.filter(col("ts_us") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+    stampOrder(src, 1)
 
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
@@ -110,8 +132,10 @@ class StatefulStreamSpec extends SparkSpec {
       lit(0.5), lit(100))).as[Long].head()
     val maxTs = ev.agg(max(unix_micros(col("ts")))).as[Long].head()
     ev.filter(unix_micros(col("ts")) < cutoffTs).coalesce(1).write.parquet(src)
+    stampOrder(src, 0)
     ev.filter(unix_micros(col("ts")) >= cutoffTs).coalesce(1)
       .write.mode("append").parquet(src)
+    stampOrder(src, 1)
     // two far-future sentinel files: the first advances the watermark past
     // every real session's last+gap; processing the second fires the
     // timeouts that flush all real users' open sessions
@@ -119,7 +143,9 @@ class StatefulStreamSpec extends SparkSpec {
       (-1L, new java.sql.Timestamp(maxTs / 1000 + daysAhead * 86400000L), id))
       .toDF("user_id", "ts", "event_id")
     sentinel(10, 9000001L).coalesce(1).write.mode("append").parquet(src)
+    stampOrder(src, 2)
     sentinel(20, 9000002L).coalesce(1).write.mode("append").parquet(src)
+    stampOrder(src, 3)
 
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
@@ -150,10 +176,14 @@ class StatefulStreamSpec extends SparkSpec {
 
     val day = 86400000L
     val t0 = 1700000000000L // fixed epoch millis; only relative order matters
-    def file(rows: (Long, Long, Long)*): Unit = rows.toSeq
-      .map { case (uid, ms, id) => (uid, new java.sql.Timestamp(ms), id) }
-      .toDF("user_id", "ts", "event_id")
-      .coalesce(1).write.mode("append").parquet(src)
+    val nWrites = new java.util.concurrent.atomic.AtomicInteger(0)
+    def file(rows: (Long, Long, Long)*): Unit = {
+      rows.toSeq
+        .map { case (uid, ms, id) => (uid, new java.sql.Timestamp(ms), id) }
+        .toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(src)
+      stampOrder(src, nWrites.getAndIncrement())
+    }
 
     // batch 1: user 100's first session (2 events, 1 min apart)
     file((100L, t0, 1L), (100L, t0 + 60000L, 2L))
