@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.{Q, Tables}
 import graft.ops.Shingles
 
@@ -653,6 +653,190 @@ object TextQueries {
       |WHERE rk <= 20""".stripMargin),
     "north star: BPE merge-rule induction (adjacent-pair counting, the trainer half of q_token_bpe)")
 
+  // ------------------------------------------------------------------
+  // Iterative BPE trainer (q_bpe_train / q_bpe_encode).
+  //
+  // q_bpe_merge is ONE pair-count pass; a real tokenizer trainer
+  // ITERATES: pick the best pair (count desc, then (pa, pb) asc — the
+  // deterministic tie-break), apply that merge corpus-wide, recount.
+  // The corpus rides as ONE delimited string per document — each token
+  // wrapped as U+0001·tok·U+0002 — so "apply merge (a, b) everywhere,
+  // greedily left-to-right, non-overlapping" is a single literal
+  // string `replace` of U+0001·a·U+0002·U+0001·b·U+0002 with
+  // U+0001·a·U+001F·b·U+0002: because every token carries BOTH its own
+  // delimiters, adjacent matches share no boundary characters, so the
+  // scan-forward-after-each-replacement semantics that Spark's
+  // `replace` and DuckDB's `replace` both implement IS exactly BPE's
+  // greedy merge application (probed: replace('aaa','aa','b')='ba',
+  // replace('aaaa','aa','a')='aa' in both engines — leftmost,
+  // non-overlapping, replacement text never rescanned). Merged tokens
+  // join their halves with U+001F, so later rounds can merge merged
+  // tokens; pair identity stays a two-field (pa, pb) struct — a merged
+  // half may itself contain U+001F, so a single joined pair string
+  // would be ambiguous. Contract: the three control chars must not
+  // appear in the text column (trivially true of this corpus; a
+  // production run picks delimiters outside its alphabet).
+  //
+  // Scale shape per round: one narrow pair-count shuffle (map-side
+  // combined) + a TakeOrdered-1 (the chosen rule — one row to the
+  // driver, the same bounded-collect contract as KMeans' codebook) +
+  // one codegen'd projection applying the rule + one map-side-combined
+  // token-count agg that AUDITS the application (toks_after binds the
+  // oracle to the merged corpus itself, not just the chosen pairs).
+  // The corpus is persisted between rounds, so round r rescans the
+  // merged strings, not the lineage back to parquet. Oracle: the
+  // KMeans.trainSql / PageRank.scoresSql unrolled-CTE discipline —
+  // every round's count→argmin→replace replayed as plain CTEs.
+  // ------------------------------------------------------------------
+
+  /** Number of merge rounds the trainer runs (≥5 per the depth bar;
+    * a real run sets the vocab budget, e.g. 32k merges). */
+  private val bpeRounds = 6
+
+  private val bpeS1 = "\u0001" // token-open delimiter
+  private val bpeS2 = "\u0002" // token-close delimiter
+  private val bpeGl = "\u001f" // merged-token glue
+
+  /** Tokens of a delimited corpus string (strip outer delims, split on
+    * close+open — no regex metachars in either). */
+  private[graft] def bpeToks(s: Column): Column =
+    split(s.substr(lit(2), length(s) - 2), bpeS2 + bpeS1)
+
+  /** documents → (doc_id, s) in the delimited representation, from the
+    * exact token stream q_bpe_merge counts. */
+  private[graft] def bpeCorpus0(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit(bpeS1),
+        array_join(split(trim(lower(coalesce(col("text"), lit("")))), "\\s+"),
+          bpeS2 + bpeS1),
+        lit(bpeS2)).as("s"))
+
+  /** One learned merge rule: round, pair halves, the pair's count when
+    * chosen, and the corpus token count AFTER applying it. */
+  private[graft] final case class BpeMerge(rk: Int, pa: String, pb: String,
+                                             cnt: Long, toks_after: Long)
+
+  /** Runs the iterative trainer: `rounds` × (count pairs → pick best →
+    * replace corpus-wide → audit token count). Returns the merge table
+    * and the fully-merged corpus (doc_id, s). */
+  private[graft] def bpeTrain(corpus0: DataFrame,
+                                rounds: Int): (Seq[BpeMerge], DataFrame) = {
+    var corpus = corpus0.persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    for (r <- 1 to rounds) {
+      val best = corpus.select(bpeToks(col("s")).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("pa"),
+            element_at(col("w"), i + 1).as("pb")))).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).head()
+      val (pa, pb, cnt) = (best.getString(0), best.getString(1),
+        best.getLong(2))
+      val next = corpus.withColumn("s", call_function("replace", col("s"),
+        lit(bpeS1 + pa + bpeS2 + bpeS1 + pb + bpeS2),
+        lit(bpeS1 + pa + bpeGl + pb + bpeS2))).persist()
+      val toksAfter = next.agg(sum(size(bpeToks(col("s")))).as("t"))
+        .head().getLong(0)
+      corpus.unpersist()
+      corpus = next
+      merges += BpeMerge(r, pa, pb, cnt, toksAfter)
+    }
+    (merges.toSeq, corpus)
+  }
+
+  /** The oracle replica of [[bpeTrain]] as unrolled DuckDB CTEs
+    * (`bc0..bc<rounds>` corpora, `bm1..` chosen merges, `bt1..` audit
+    * counts) — the KMeans.trainSql pattern applied to a string-rewrite
+    * iteration. Callers select from `bm<r>`/`bt<r>`/`bc<rounds>`. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """bc0 AS (
+        |  SELECT doc_id,
+        |    chr(1) || array_to_string(
+        |      string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+        |      chr(2) || chr(1)) || chr(2) AS s
+        |  FROM documents
+        |)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |bw$r AS (
+        |  SELECT doc_id,
+        |    string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS w
+        |  FROM bc${r - 1}
+        |), bm$r AS (
+        |  SELECT w[i] AS pa, w[i+1] AS pb, count(*) AS cnt
+        |  FROM bw$r, unnest(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |  GROUP BY 1, 2 ORDER BY cnt DESC, pa, pb LIMIT 1
+        |), bc$r AS (
+        |  SELECT c.doc_id,
+        |    replace(c.s, chr(1) || m.pa || chr(2) || chr(1) || m.pb || chr(2),
+        |                 chr(1) || m.pa || chr(31) || m.pb || chr(2)) AS s
+        |  FROM bc${r - 1} c, bm$r m
+        |), bt$r AS (
+        |  SELECT CAST(sum(len(
+        |    string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1))))
+        |    AS BIGINT) AS toks_after
+        |  FROM bc$r
+        |)""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** q_bpe_train — the iterative BPE TRAINER (block comment above): the
+    * learned merge table after [[bpeRounds]] greedy rounds, each row
+    * carrying the chosen pair, its count at selection time, and the
+    * corpus token count after applying it (the application audit — a
+    * divergence in the greedy replace on EITHER side breaks every
+    * subsequent round's counts, so six agreeing rounds pin the whole
+    * rewrite chain, not just the argmax). */
+  val qBpeTrain = Q("q_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val (merges, corpus) = bpeTrain(bpeCorpus0(s, dir), bpeRounds)
+      corpus.unpersist()
+      merges.toDF()
+    },
+    Some("WITH " + bpeTrainSql(bpeRounds) + "\n" +
+      (1 to bpeRounds).map(r =>
+        s"SELECT $r AS rk, m.pa, m.pb, m.cnt, t.toks_after FROM bm$r m, bt$r t")
+        .mkString("\nUNION ALL\n")),
+    "north star: iterative BPE trainer (pick best pair -> merge " +
+      "corpus-wide -> recount, the vocabulary-learning loop q_bpe_merge " +
+      "only sampled)")
+
+  /** q_bpe_encode — the ENCODER re-pointed at the LEARNED vocabulary:
+    * applies [[qBpeTrain]]'s merge rules (in training order — BPE
+    * encoding replays merges by rule priority) to every document and
+    * emits the merged token stream. Completes the trainer/encoder pair:
+    * q_token_bpe counts a FIXED regex pre-tokenization; this one
+    * tokenizes with rules the corpus itself induced. `text_bpe` joins
+    * merged tokens with spaces (merged halves stay glued by U+001F), so
+    * the oracle comparison covers every token of every document, not
+    * just counts. */
+  val qBpeEncode = Q("q_bpe_encode",
+    (s, dir) => {
+      val (_, corpus) = bpeTrain(bpeCorpus0(s, dir), bpeRounds)
+      val out = corpus
+        .select(col("doc_id"),
+          size(bpeToks(col("s"))).cast("long").as("n_tok_bpe"),
+          array_join(bpeToks(col("s")), " ").as("text_bpe"))
+      corpus.unpersist()
+      out
+    },
+    Some("WITH " + bpeTrainSql(bpeRounds) + s"""
+      |SELECT doc_id,
+      |  CAST(len(string_split(substr(s, 2, length(s) - 2),
+      |    chr(2) || chr(1))) AS BIGINT) AS n_tok_bpe,
+      |  array_to_string(string_split(substr(s, 2, length(s) - 2),
+      |    chr(2) || chr(1)), ' ') AS text_bpe
+      |FROM bc$bpeRounds""".stripMargin),
+    "north star: BPE encoding under the LEARNED merges (trainer/encoder " +
+      "pair closed; q_token_bpe keeps the fixed-regex counting rung)")
+
   /** Keep/drop threshold for [[qUnigramNll]] in nats: the corpus median
     * sits at ~3.40 with a rare-token tail to 3.70, so 3.45 drops the
     * tail (the real pipeline would fit this on a held-out slice; the
@@ -957,6 +1141,6 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
-    qSpanDedup, qBpeMerge, qUnigramNll, qVocabEncode, qFuzzyJoin,
-    qEntityCanon, qTriangles, qPagerank, qMixTemp)
+    qSpanDedup, qBpeMerge, qBpeTrain, qBpeEncode, qUnigramNll, qVocabEncode,
+    qFuzzyJoin, qEntityCanon, qTriangles, qPagerank, qMixTemp)
 }
