@@ -254,14 +254,63 @@ object StreamQueries {
     * gap logic see each user's events in order, same contract as
     * StatefulStreamSpec's two-file split). */
   private[graft] def slicedEventsDir(s: SparkSession, dir: String,
-                              parts: Int = 4): String = {
+                              parts: Int = 4): String =
+    buildSliceDir(s, dir, s"q$parts", {
+      val ev = Tables.events(s, dir)
+      val qs = (1 until parts).map(_.toDouble / parts)
+      val cuts = ev.select(percentile_approx(unix_micros(col("ts")),
+          typedLit(qs), lit(10000)).as("c"))
+        .head().getSeq[Long](0)
+      val us = unix_micros(col("ts"))
+      (0 until parts).map { k =>
+        val lo = if (k == 0) None else Some(cuts(k - 1))
+        val hi = if (k == parts - 1) None else Some(cuts(k))
+        ev.filter(lo.map(us >= _).getOrElse(lit(true)) &&
+          hi.map(us < _).getOrElse(lit(true)))
+      }
+    })
+
+  /** The slice layout for the APPEND-mode gate query: three time-ordered
+    * on-time slices (exact `ts` terciles of the on-time set) followed by
+    * one deliberately LATE slice — the day-one events with
+    * `event_id % 10 = 7`, withheld until every on-time slice has been
+    * processed. By the time the late slice arrives, the watermark sits at
+    * global-max(ts) − delay (29 days past the late rows' event times), so
+    * a correct Append-mode run must DROP every one of them — which is the
+    * eviction behavior [[qStreamAppend]]'s oracle encodes. The late-set
+    * predicate is deliberately SQL-expressible (unlike the tercile cuts,
+    * which don't affect the answer) so the oracle can name the same set. */
+  private[graft] def lateSlicedEventsDir(s: SparkSession, dir: String): String =
+    buildSliceDir(s, dir, "late3", {
+      val ev = Tables.events(s, dir)
+      val us = unix_micros(col("ts"))
+      val t0 = ev.agg(min(us).as("t0")).head().getLong(0)
+      val isLate = (col("event_id") % 10 === 7) && (us < t0 + 86400000000L)
+      val ontime = ev.filter(!isLate)
+      val cuts = ontime.select(percentile_approx(us,
+          typedLit(Seq(1.0 / 3, 2.0 / 3)), lit(10000)).as("c"))
+        .head().getSeq[Long](0)
+      Seq(
+        ontime.filter(us < cuts(0)),
+        ontime.filter(us >= cuts(0) && us < cuts(1)),
+        ontime.filter(us >= cuts(1)),
+        ev.filter(isLate))
+    })
+
+  /** Writes `slices` (call-by-name: only evaluated on a cache miss) as
+    * time-ordered single-file parquet slices under java.io.tmpdir,
+    * stamped with ascending mtimes so the file source replays them in
+    * write order, one micro-batch each under `maxFilesPerTrigger=1`.
+    * Cached per (dir, tag, source size+mtime). */
+  private def buildSliceDir(s: SparkSession, dir: String, tag: String,
+                            slices: => Seq[DataFrame]): String = {
     // cache key includes the source file's size+mtime, not just its
     // path: the driver has regenerated testdata in place across rounds
     // (the ts-encoding drift), and a path-keyed cache would silently
     // serve slices of the PREVIOUS corpus against oracles computed on
     // the new one
     val src = new java.io.File(s"$dir/events.parquet")
-    val stamp = s"$dir|$parts|${src.length()}|${src.lastModified()}"
+    val stamp = s"$dir|$tag|${src.length()}|${src.lastModified()}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val out = new java.io.File(
@@ -271,20 +320,9 @@ object StreamQueries {
         val tmp = new java.io.File(out.getParent, out.getName + ".tmp")
         deleteRec(tmp)
         tmp.mkdirs()
-        val ev = Tables.events(s, dir)
-        val qs = (1 until parts).map(_.toDouble / parts)
-        val cuts = ev.select(percentile_approx(unix_micros(col("ts")),
-            typedLit(qs), lit(10000)).as("c"))
-          .head().getSeq[Long](0)
-        val us = unix_micros(col("ts"))
-        for (k <- 0 until parts) {
-          val lo = if (k == 0) None else Some(cuts(k - 1))
-          val hi = if (k == parts - 1) None else Some(cuts(k))
+        slices.zipWithIndex.foreach { case (slice, k) =>
           // slices carry the NORMALIZED ts TIMESTAMP (Tables.events), so
           // the stream reader consumes them without re-normalizing
-          val slice = ev
-            .filter(lo.map(us >= _).getOrElse(lit(true)) &&
-              hi.map(us < _).getOrElse(lit(true)))
           val sdir = new java.io.File(tmp, s"build$k")
           slice.coalesce(1).write.parquet(sdir.getAbsolutePath)
           val part = sdir.listFiles()
@@ -393,7 +431,65 @@ object StreamQueries {
     "north star: built-in window() streaming aggregation in the gate " +
       "(Complete mode — final micro-batch emission is the answer)")
 
+  /** q_stream_append — the FOURTH streaming output discipline in the
+    * gate, and the one production jobs actually run: APPEND mode with
+    * watermark eviction. The exact [[graft.streaming.Streams.hourlyCounts]]
+    * plan (1-hour tumbling windows, 2-hour watermark) streams
+    * [[lateSlicedEventsDir]]'s four slices — three time-ordered on-time
+    * terciles, then a deliberately LATE slice of day-one events arriving
+    * when the watermark already sits 29 days past them. Append-mode
+    * semantics under test, both encoded in the oracle:
+    *
+    *  - **late data is DROPPED**: the late slice's rows belong to windows
+    *    finalized long before it arrives, so they must not appear in (or
+    *    re-emit) any result row — the oracle excludes the late set;
+    *  - **only watermark-finalized windows emit**: a window appears in
+    *    the sink exactly once, when the watermark (max event time − 2 h,
+    *    recomputed per micro-batch from all PRIOR batches) passes its
+    *    end; windows inside the final 2 hours of the timeline are never
+    *    finalized and must be ABSENT — the oracle keeps only windows
+    *    with end ≤ max(ts) − 2 h. (The window ends are hour-aligned and
+    *    the corpus max-ts is not, so the ≤-vs-< boundary reading of
+    *    Spark's eviction predicate cannot change the answer.)
+    *
+    * Update/Complete (the other gate runs) would emit MORE than this —
+    * Append's whole contract is what it withholds, which is why its
+    * oracle is the one that differs from the batch answer. State at
+    * scale: O(groups × windows-in-flight) — the watermark evicts
+    * everything older, the property this query finally executes rather
+    * than asserts. */
+  val qStreamAppend = Q("q_stream_append",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sliced = lateSlicedEventsDir(s, dir)
+      val schema = s.read.parquet(sliced).schema
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(sliced)
+      val sink = s"graft_stream_append_${streamRunId.incrementAndGet()}"
+      val q = graft.streaming.Streams.hourlyCounts(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    },
+    Some("""WITH lim AS (
+      |  SELECT min(ts) + INTERVAL 1 DAY AS early_cut,
+      |         max(ts) - INTERVAL 2 HOUR AS wm
+      |  FROM events
+      |), ontime AS (
+      |  SELECT e.* FROM events e, lim
+      |  WHERE NOT (e.event_id % 10 = 7 AND e.ts < lim.early_cut)
+      |)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM ontime, lim
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= lim.wm
+      |GROUP BY 1, 2""".stripMargin),
+    "north star: Append-mode watermark eviction executed in the gate " +
+      "(late slice dropped, unfinalized tail windows withheld)")
+
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson, qEventsTopK,
     qAsof, qAsofBcast, qRangeJoin, qStreamMoments, qStreamSessionize,
-    qStreamHourly)
+    qStreamHourly, qStreamAppend)
 }

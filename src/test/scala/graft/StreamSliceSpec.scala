@@ -37,4 +37,41 @@ class StreamSliceSpec extends SparkSpec {
       assert(hi < lo2, s"slices overlap in time: $hi >= $lo2")
     }
   }
+
+  test("late fixture: last slice is exactly the day-one late set, " +
+    "arriving after all on-time data") {
+    val lateDir = queries.StreamQueries.lateSlicedEventsDir(spark, dir)
+    val files = new java.io.File(lateDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+    assert(files.length === 4)
+    val ev = Tables.events(spark, dir)
+    val t0 = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val isLate = (col("event_id") % 10 === 7) &&
+      (unix_micros(col("ts")) < t0 + 86400000000L)
+    // union of slices == events table, and the LAST slice == the late set
+    val all = spark.read.parquet(lateDir)
+    assert(all.count() === ev.count())
+    assert(ev.select("event_id").except(all.select("event_id")).isEmpty)
+    val last = spark.read.parquet(files.last.getAbsolutePath)
+    val expectedLate = ev.filter(isLate)
+    assert(last.count() === expectedLate.count() && last.count() > 0,
+      "late set must be non-empty or the Append gate query is vacuous")
+    assert(expectedLate.select("event_id").except(last.select("event_id"))
+      .isEmpty)
+    // on-time slices are time-ordered among themselves and the late
+    // slice's events all PRECEDE the watermark its arrival sees
+    val onRanges = files.init.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    onRanges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2)
+    }
+    val lateMax = last.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val onMax = onRanges.last._2
+    assert(lateMax < onMax - 7200L * 1000000L,
+      "late rows must sit beyond the 2h watermark delay when they arrive")
+  }
 }
