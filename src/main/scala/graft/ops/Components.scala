@@ -44,8 +44,16 @@ object Components {
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    // the symmetrized edge list is joined EVERY round: checkpoint it
+    // once so (a) an expensive upstream edge plan — e.g. the FastSS
+    // variant join feeding q_entity_canon — executes once, not
+    // once per round, and (b) the per-round logical plan embeds a
+    // constant-size scan instead of the whole upstream tree (observed:
+    // multi-MB plan strings per action on the depth-2 match graph,
+    // re-rendered every round, before this truncation)
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .checkpoint(eager = true)
     // one propagation hop: each node adopts the min label in its closed
     // neighborhood. Plain one-hop propagation: rounds = cluster
     // diameter. The pointer-jumping shortcut (adopt the label OF the

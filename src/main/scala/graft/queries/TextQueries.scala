@@ -1060,6 +1060,103 @@ object TextQueries {
       "CC cluster -> canonical id), the dirty-dimension merge a real " +
       "pipeline needs")
 
+  /** The depth-2 deletion neighborhood of the `names(p_name, nid)` CTE as
+    * oracle SQL — (p1, p2) spans identity (0,0), single deletions (0,p)
+    * and double deletions (p1<p2), mirroring FuzzyJoin.edJoin(maxDist=2)
+    * on raw variant text (no hashing, so the check is differential). */
+  private val ed2VarSql =
+    """d AS (
+      |  SELECT nid, p_name,
+      |    CASE WHEN p1 = 0 AND p2 = 0 THEN p_name
+      |         WHEN p1 = 0 THEN substr(p_name, 1, p2-1) || substr(p_name, p2+1)
+      |         ELSE substr(p_name, 1, p1-1) || substr(p_name, p1+1, p2-p1-1)
+      |              || substr(p_name, p2+1) END AS var
+      |  FROM (SELECT nid, p_name, a.i AS p1, b.i AS p2
+      |        FROM names, unnest(generate_series(0, len(p_name))) a(i),
+      |             unnest(generate_series(0, len(p_name))) b(i)
+      |        WHERE a.i = 0 OR a.i < b.i) t
+      |)""".stripMargin
+
+  /** q_fuzzy_join2 — the FastSS join at edit distance ≤ 2
+    * ([[graft.ops.FuzzyJoin.edJoin]] with maxDist = 2: two-deletion
+    * neighborhoods, still linear in names), over DISTINCT part names at
+    * name granularity — the named-entity shape where depth 2 pays off
+    * (two-typo variants of dictionary-word names; ed≤2 triples the ed≤1
+    * match set here, 8 → 24 name pairs at sf0.01). Deliberately NOT over
+    * supplier ids: dense digit-key spaces have a Θ(n²/k) TRUE ed≤2 pair
+    * set (most id pairs differ in ≤2 digit positions), which no blocking
+    * can make sub-output — see the op scaladoc's negative result. */
+  val qFuzzyJoin2 = Q("q_fuzzy_join2",
+    (s, dir) => {
+      val names = Tables.part(s, dir)
+        .groupBy("p_name").agg(min(col("p_partkey")).as("nid"))
+      graft.ops.FuzzyJoin.edJoin(names, "nid", "p_name", maxDist = 2)
+        .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+          col("dist"))
+    },
+    Some("""WITH names AS (
+      |  SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name
+      |), """.stripMargin + ed2VarSql + """, c AS (
+      |  SELECT DISTINCT a.nid AS a_key, b.nid AS b_key,
+      |         a.p_name AS a_name, b.p_name AS b_name
+      |  FROM d a JOIN d b ON a.var = b.var AND a.nid < b.nid
+      |)
+      |SELECT a_key, b_key, a_name, b_name,
+      |  CAST(levenshtein(a_name, b_name) AS INT) AS dist
+      |FROM c WHERE levenshtein(a_name, b_name) <= 2""".stripMargin),
+    "north star: FastSS at edit distance 2 (two-deletion neighborhoods; " +
+      "the two-typo match a dirty name column needs)")
+
+  /** q_entity_canon2 — [[qEntityCanon]] re-based on the DEPTH-2 match
+    * graph: block (two-deletion neighborhoods) → verify (levenshtein ≤ 2)
+    * → CC cluster → canonical min-id, joined back to every part row. The
+    * looser verify admits two-typo variants into the same entity, so
+    * clusters are strictly coarser than the ed≤1 stack's (EntityCanon2
+    * cases in FuzzyJoinSpec pin the refinement relation). Same scale
+    * shape as qEntityCanon: resolution at distinct-name granularity,
+    * linear blocking, round-bound CC, one name-keyed join back to
+    * facts. */
+  val qEntityCanon2 = Q("q_entity_canon2",
+    (s, dir) => {
+      val parts = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+      val names = parts.groupBy("p_name").agg(min(col("p_partkey")).as("nid"))
+      val edges = graft.ops.FuzzyJoin.edJoin(names, "nid", "p_name",
+          maxDist = 2)
+        .select(col("a_key").as("a"), col("b_key").as("b"))
+      val comp = graft.ops.Components.connectedComponents(edges)
+        .toDF("nid", "cluster_id")
+      val canon = names.join(comp, Seq("nid"), "left")
+        .select(col("p_name"),
+          coalesce(col("cluster_id"), col("nid")).as("canon_id"))
+      parts.join(canon, "p_name")
+        .select(col("p_partkey"), col("p_name"), col("canon_id"))
+    },
+    Some("""WITH RECURSIVE names AS (
+      |  SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name
+      |), """.stripMargin + ed2VarSql + """, e AS (
+      |  SELECT DISTINCT a.nid AS a, b.nid AS b, a.p_name AS an, b.p_name AS bn
+      |  FROM d a JOIN d b ON a.var = b.var AND a.nid < b.nid
+      |), e1 AS (
+      |  SELECT a, b FROM e WHERE levenshtein(an, bn) <= 2
+      |), sym AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+      |), lab AS (
+      |  SELECT n.node, least(n.node, min(r.b)) AS cluster_id
+      |  FROM (SELECT DISTINCT a AS node FROM sym) n
+      |  JOIN reach r ON r.a = n.node
+      |  GROUP BY n.node
+      |), canon AS (
+      |  SELECT nm.p_name, coalesce(l.cluster_id, nm.nid) AS canon_id
+      |  FROM names nm LEFT JOIN lab l ON l.node = nm.nid
+      |)
+      |SELECT p.p_partkey, p.p_name, c.canon_id
+      |FROM part p JOIN canon c USING (p_name)""".stripMargin),
+    "north star: entity resolution under the two-typo match graph " +
+      "(depth-2 FastSS -> verify -> CC -> canonical id)")
+
   /** q_triangles — per-node triangle counts over the supplier fuzzy-match
     * graph ([[graft.ops.Triangles.perNode]]: degree-ordered node-iterator,
     * scale analysis there). Triangle density is the graph metric the
@@ -1142,5 +1239,5 @@ object TextQueries {
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
     qSpanDedup, qBpeMerge, qBpeTrain, qBpeEncode, qUnigramNll, qVocabEncode,
-    qFuzzyJoin, qEntityCanon, qTriangles, qPagerank, qMixTemp)
+    qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qTriangles, qPagerank, qMixTemp)
 }
