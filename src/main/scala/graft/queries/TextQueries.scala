@@ -1157,6 +1157,104 @@ object TextQueries {
     "north star: entity resolution under the two-typo match graph " +
       "(depth-2 FastSS -> verify -> CC -> canonical id)")
 
+  /** [[qEntityCanonPr]]'s body over any (p_partkey, p_name) frame —
+    * exposed so EntityCanonPrSpec can drive it with a synthetic star
+    * graph whose PageRank champion is NOT the min id (the shipped
+    * fixture's clusters happen to agree on both, so the divergence the
+    * centrality choice exists for needs a constructed case). */
+  private[graft] def canonByCentrality(parts: DataFrame): DataFrame = {
+    val names = parts.groupBy("p_name").agg(min(col("p_partkey")).as("nid"))
+    val edges = graft.ops.FuzzyJoin.edJoin(names, "nid", "p_name")
+      .select(col("a_key").as("a"), col("b_key").as("b"))
+    val comp = graft.ops.Components.connectedComponents(edges)
+      .toDF("nid", "cluster_id")
+    val pr = graft.ops.PageRank.scores(edges, iters = 5)
+    // per-cluster champion: max (pr, -node) struct — pr desc, then
+    // node asc on ties; one map-side-combined aggregate, no window
+    val champ = comp.join(pr, comp("nid") === pr("node"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("pr"), (-col("node")).as("nn"))).as("w"))
+      .select(col("cluster_id"), (-col("w.nn")).as("canon_node"))
+    val canon = names
+      .join(comp, Seq("nid"), "left")
+      .join(champ, Seq("cluster_id"), "left")
+      .select(col("p_name"),
+        coalesce(col("canon_node"), col("nid")).as("canon_id"))
+    parts.join(canon, "p_name")
+      .select(col("p_partkey"), col("p_name"), col("canon_id"))
+  }
+
+  /** q_entity_canon_pr — [[qEntityCanon]] with the canonical record
+    * chosen by CENTRALITY instead of min-id: within each CC cluster of
+    * the ed≤1 part-name match graph, the canonical entity is the member
+    * with the highest PageRank score (ties → lower node id) — the
+    * most-corroborated record, exactly the signal
+    * [[graft.ops.PageRank]]'s scaladoc promises the ER family. A
+    * hub name matched by many variants outranks a peripheral variant
+    * even when the variant carries the smaller id, so this genuinely
+    * diverges from min-id canonicalization whenever a cluster's hub is
+    * not its min (EntityCanonPrSpec pins a divergent case).
+    *
+    * The first registry query composing TWO iterative computations, and
+    * its oracle composes their two oracle disciplines: the
+    * recursive-CTE min-reachable-id CC and the unrolled-CTE fixed-point
+    * PageRank, joined by an argmax window. Determinism across engines:
+    * pr = fp/1e12 with fp an exact integer < 2^53, so the double
+    * comparison in the argmax IS the integer comparison.
+    *
+    * Scale shape: everything qEntityCanon does plus 5 PageRank
+    * iterations (one keyed join + one map-side-combined sum each) and a
+    * per-cluster argmax (max-of-struct, map-side combined) — no new
+    * shuffle discipline, no collect. */
+  val qEntityCanonPr = Q("q_entity_canon_pr",
+    (s, dir) => canonByCentrality(
+      Tables.part(s, dir).select(col("p_partkey"), col("p_name"))),
+    Some("""WITH RECURSIVE names AS (
+      |  SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name
+      |), d AS (
+      |  SELECT nid, p_name,
+      |    CASE WHEN p = 0 THEN p_name
+      |         ELSE substr(p_name, 1, p-1) || substr(p_name, p+1) END AS var
+      |  FROM (SELECT nid, p_name,
+      |          unnest(generate_series(0, len(p_name))) AS p
+      |        FROM names) t
+      |), e AS (
+      |  SELECT DISTINCT a.nid AS a, b.nid AS b, a.p_name AS an, b.p_name AS bn
+      |  FROM d a JOIN d b ON a.var = b.var AND a.nid < b.nid
+      |), e1 AS (
+      |  SELECT a, b FROM e WHERE levenshtein(an, bn) <= 1
+      |), csym AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM csym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN csym s ON s.a = r.b
+      |), lab AS (
+      |  SELECT n.node, least(n.node, min(r.b)) AS cluster_id
+      |  FROM (SELECT DISTINCT a AS node FROM csym) n
+      |  JOIN reach r ON r.a = n.node
+      |  GROUP BY n.node
+      |),
+      |""".stripMargin + graft.ops.PageRank.scoresSql("e1", 5) + """,
+      |prs AS (SELECT node, CAST(fp AS DOUBLE)/1e12 AS pr FROM pr5),
+      |champ AS (
+      |  SELECT cluster_id, node AS canon_node FROM (
+      |    SELECT l.cluster_id, p.node,
+      |      row_number() OVER (PARTITION BY l.cluster_id
+      |        ORDER BY p.pr DESC, p.node) AS rk
+      |    FROM lab l JOIN prs p ON p.node = l.node) t
+      |  WHERE rk = 1
+      |), canon AS (
+      |  SELECT nm.p_name, coalesce(c.canon_node, nm.nid) AS canon_id
+      |  FROM names nm
+      |  LEFT JOIN lab l ON l.node = nm.nid
+      |  LEFT JOIN champ c ON c.cluster_id = l.cluster_id
+      |)
+      |SELECT p.p_partkey, p.p_name, cn.canon_id
+      |FROM part p JOIN canon cn USING (p_name)""".stripMargin),
+    "north star: centrality-canonical entity resolution (CC clusters + " +
+      "PageRank champion — two iterative computations composed, engine " +
+      "and oracle)")
+
   /** q_triangles — per-node triangle counts over the supplier fuzzy-match
     * graph ([[graft.ops.Triangles.perNode]]: degree-ordered node-iterator,
     * scale analysis there). Triangle density is the graph metric the
@@ -1239,5 +1337,5 @@ object TextQueries {
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
     qSpanDedup, qBpeMerge, qBpeTrain, qBpeEncode, qUnigramNll, qVocabEncode,
-    qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qTriangles, qPagerank, qMixTemp)
+    qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qEntityCanonPr, qTriangles, qPagerank, qMixTemp)
 }
