@@ -110,18 +110,40 @@ object KMeans {
   /** The oracle's replica of [[train]] + final assignment as DuckDB CTEs:
     * emits `kmelems` (unnested corpus), `kc0..kc<iters>` (codebooks) and
     * expects the caller to assign/probe against `kc<iters>`.
-    * `src` must expose (vec_id, embedding). */
-  def trainSql(src: String, k: Int, iters: Int): String = {
+    * `src` must expose (vec_id, embedding).
+    *
+    * `trainPermille < 1000` replicates [[train]]'s sampled posture: the
+    * seed ranking and every Lloyd pass run over the md5-bucketed sample
+    * (`kmtelems`, the Sample.keep predicate verbatim in SQL), while
+    * `kmelems` still carries the FULL corpus for the caller's final
+    * assignment — exactly the train-on-a-sample / assign-everything
+    * split the 100 TB posture requires. The default emits the same SQL
+    * as before (no sample CTEs). */
+  def trainSql(src: String, k: Int, iters: Int,
+               trainPermille: Int = 1000): String = {
+    val sampled = trainPermille < 1000
+    val keepSql = s"('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))" +
+      s"::BIGINT < ${trainPermille * 65536L / 1000L}"
+    val trainElems = if (sampled) "kmtelems" else "kmelems"
+    val seedSrc = if (sampled) s"(SELECT * FROM $src WHERE $keepSql)"
+                  else src
     val sb = new StringBuilder
     sb ++=
       s"""kmelems AS (
          |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
          |         unnest(generate_series(0, len(embedding)-1)) AS dim
          |  FROM $src
-         |), seeds AS (
+         |)""".stripMargin
+    if (sampled) sb ++=
+      s""",
+         |kmtelems AS (
+         |  SELECT * FROM kmelems WHERE $keepSql
+         |)""".stripMargin
+    sb ++=
+      s""", seeds AS (
          |  SELECT vec_id,
          |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cl
-         |  FROM $src
+         |  FROM $seedSrc
          |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= $k
          |), kc0 AS (
          |  SELECT s.cl, e.dim, e.x AS c
@@ -134,13 +156,13 @@ object KMeans {
          |    SELECT e.vec_id, c.cl,
          |      SUM(CAST(round(c.c*c.c*1e15) AS BIGINT))
          |        - 2*SUM(CAST(round(e.x*c.c*1e15) AS BIGINT)) AS d2
-         |    FROM kmelems e JOIN kc${i - 1} c ON c.dim = e.dim
+         |    FROM $trainElems e JOIN kc${i - 1} c ON c.dim = e.dim
          |    GROUP BY e.vec_id, c.cl)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
          |), kc$i AS (
          |  SELECT a.cell AS cl, e.dim,
          |    CAST(CAST(SUM(CAST(round(e.x*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15/count(*) AS c
-         |  FROM ka$i a JOIN kmelems e ON e.vec_id = a.vec_id
+         |  FROM ka$i a JOIN $trainElems e ON e.vec_id = a.vec_id
          |  GROUP BY a.cell, e.dim
          |)""".stripMargin
       // the BIGINT drop dodges DuckDB's truncating HUGEINT→double cast

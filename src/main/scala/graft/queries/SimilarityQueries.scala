@@ -1611,32 +1611,39 @@ object SimilarityQueries {
     * call per member are all keyed shuffles. Emits the full audit (cell,
     * rep, score, verdict per vector) — the kept set is the
     * `!is_dup` slice, the SemDeDup prune rate is `avg(is_dup)`. */
-  val qSemDedup = Q("q_semdedup",
-    (s, dir) => {
-      val base = withNorm(clusteredEmb(s, dir))
-      val codebook = KMeans.train(base.select("vec_id", "v"), ivfCells, ivfIters)
-      val assigned = base
-        .withColumn("cell", KMeans.assignCell(col("v"), codebook))
-      // one map-side-combined agg carries the representative's VECTOR out
-      // with its id (min_by on the unique vec_id), so the rep frame is
-      // |cells| rows — a legitimate broadcast at any corpus size. The
-      // first cut joined members back to the full corpus on rep_id
-      // (only |cells| of n rows match), which AQE "fixed" by
-      // broadcasting the whole corpus — exactly the plan that dies at
-      // 100 TB.
-      val reps = assigned.groupBy("cell").agg(
-        min(col("vec_id")).as("rep_id"),
-        min_by(col("v"), col("vec_id")).as("rv"),
-        min_by(col("dxx"), col("vec_id")).as("rxx"))
-      assigned.join(broadcast(reps), "cell")
-        .withColumn("score", round(Vectors.cosineFromParts(
-          Vectors.dotExact(col("v"), col("rv")), col("dxx"), col("rxx")), 6))
-        .select(col("vec_id"), col("cell"), col("rep_id"), col("score"),
-          (col("vec_id") =!= col("rep_id") &&
-            col("score") >= semDedupTau).as("is_dup"))
-    },
-    Some("WITH " + cembSql + ",\n" +
-      KMeans.trainSql("cemb", ivfCells, ivfIters) + s""",
+  /** [[qSemDedup]]'s engine body, parameterized on the training sample
+    * rate ([[graft.ops.KMeans.train]]'s `trainPermille`). */
+  private def semDedup(s: SparkSession, dir: String,
+                       trainPermille: Int): DataFrame = {
+    val base = withNorm(clusteredEmb(s, dir))
+    val codebook = KMeans.train(base.select("vec_id", "v"), ivfCells,
+      ivfIters, trainPermille)
+    val assigned = base
+      .withColumn("cell", KMeans.assignCell(col("v"), codebook))
+    // one map-side-combined agg carries the representative's VECTOR out
+    // with its id (min_by on the unique vec_id), so the rep frame is
+    // |cells| rows — a legitimate broadcast at any corpus size. The
+    // first cut joined members back to the full corpus on rep_id
+    // (only |cells| of n rows match), which AQE "fixed" by
+    // broadcasting the whole corpus — exactly the plan that dies at
+    // 100 TB.
+    val reps = assigned.groupBy("cell").agg(
+      min(col("vec_id")).as("rep_id"),
+      min_by(col("v"), col("vec_id")).as("rv"),
+      min_by(col("dxx"), col("vec_id")).as("rxx"))
+    assigned.join(broadcast(reps), "cell")
+      .withColumn("score", round(Vectors.cosineFromParts(
+        Vectors.dotExact(col("v"), col("rv")), col("dxx"), col("rxx")), 6))
+      .select(col("vec_id"), col("cell"), col("rep_id"), col("score"),
+        (col("vec_id") =!= col("rep_id") &&
+          col("score") >= semDedupTau).as("is_dup"))
+  }
+
+  /** [[qSemDedup]]'s oracle body after codebook training: assignment of
+    * the FULL corpus under `kc<ivfIters>`, per-cell representative,
+    * fixed-point cosine vs the rep, and the τ verdict. */
+  private val semDedupTailSql =
+    s""",
       |assignf AS (
       |${ivfAssignSql(1, "")}
       |), rep AS (
@@ -1652,13 +1659,40 @@ object SimilarityQueries {
       |  round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
       |  (vec_id <> rep_id AND round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) >= $semDedupTau)
       |    AS is_dup
-      |FROM dots""".stripMargin),
+      |FROM dots""".stripMargin
+
+  val qSemDedup = Q("q_semdedup",
+    (s, dir) => semDedup(s, dir, trainPermille = 1000),
+    Some("WITH " + cembSql + ",\n" +
+      KMeans.trainSql("cemb", ivfCells, ivfIters) + semDedupTailSql),
     "north star: SemDeDup semantic dedup (k-means cells + " +
       "verify-against-representative, the linear-verification discipline)")
+
+  /** Training sample rate for [[qSemDedupSampled]]: 40% of the corpus
+    * trains the codebook; every vector is still assigned and audited. */
+  private val semDedupTrainPermille = 400
+
+  /** q_semdedup_s — [[qSemDedup]] at the documented 100 TB posture:
+    * the k-means codebook trains on a deterministic md5-bucketed SAMPLE
+    * ([[graft.ops.KMeans.train]] trainPermille = 400) while assignment
+    * and the rep-verify audit still cover every vector — train-on-a-
+    * sample / assign-everything, the split that keeps Lloyd passes
+    * bounded as the corpus grows. The oracle replicates the sampling in
+    * SQL (the Sample.keep md5-bucket predicate inside
+    * KMeans.trainSql), so the sampled codebook — different seeds,
+    * different cells than q_semdedup's — is re-derived exactly. */
+  val qSemDedupSampled = Q("q_semdedup_s",
+    (s, dir) => semDedup(s, dir, semDedupTrainPermille),
+    Some("WITH " + cembSql + ",\n" +
+      KMeans.trainSql("cemb", ivfCells, ivfIters, semDedupTrainPermille) +
+      semDedupTailSql),
+    "north star: SemDeDup with sampled codebook training (the " +
+      "train-on-a-sample / assign-everything 100 TB posture, " +
+      "oracle-replicated sampling)")
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qNearDupRep, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
     qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
-    qSemDedup)
+    qSemDedup, qSemDedupSampled)
 }
