@@ -191,6 +191,79 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  // --------------------------------------------------------------------
+  // Hash-sample quantile sketch: RANGE-FREE mergeable quantiles — the
+  // KLL slot (Karnin, Lang & Liberty 2016), filled by the CANONICAL
+  // construction this repo's determinism bar demands.
+  //
+  // The fixed-width histogram (below) needs the value range a priori and
+  // carries O(range/width) state — a real liability for unbounded-domain
+  // columns at 100 TB. The literature's range-free answer is KLL, but
+  // vanilla KLL is a function of ARRIVAL ORDER (each compaction keeps
+  // odd- or even-indexed survivors of whatever happened to be in the
+  // buffer), so two honest implementations disagree bit-for-bit, and
+  // merge-of-halves ≠ sketch-of-whole even with derandomized coin flips.
+  // This repo's sketches hold a stronger bar: the state must be a pure
+  // function of the input MULTISET (KMV's order statistics, CMS's
+  // counters), so the DuckDB oracle can re-derive it and the merge spec
+  // can demand exact equality. The canonical range-free construction
+  // with that property is the BOTTOM-K HASH SAMPLE: keep the k rows with
+  // the smallest md5-derived id hash (a uniform without-replacement
+  // sample selected by hash, not by arrival), estimate quantiles as
+  // order statistics of the kept values. Merge = k-smallest-of-union —
+  // associative, commutative, and EQUAL to the sketch of the whole, by
+  // the same argument as KMV. The price of canonicity is accuracy:
+  // rank error O(√(q(1-q)/k)) per query (sampling), versus KLL's
+  // O(1/k) — the honest trade, recorded here and in the spec's bracket.
+  // State is O(k) regardless of value range or key cardinality; at
+  // 100 TB the k survivors per group pre-aggregate map-side through the
+  // bounded-heap TopK operator exactly like KMV's minima.
+  // --------------------------------------------------------------------
+
+  /** The sketch state: the k (hash, value) pairs with the smallest
+    * [[hash60]] of `idCol` per group → (group, h, v). `idCol` must be
+    * row-unique (the hash is the sampling coin AND the tie-break, so
+    * selection is total-ordered and partition-invariant); duplicate
+    * VALUES each keep their own row — a multiset sample, which is what
+    * quantile estimation needs. */
+  def qsampleState(df: DataFrame, groupCol: String, idCol: String,
+                   valueCol: String, k: Int): DataFrame = {
+    val hashed = df.select(col(groupCol),
+      hash60(col(idCol).cast("string")).as("h"),
+      col(valueCol).cast("double").as("v"))
+    TopK.perGroup(hashed, Seq(hashed(groupCol)),
+        Seq(hashed("h") -> false, hashed("v") -> false), k)
+      .select(col(groupCol), col("h"), col("v"))
+  }
+
+  /** Merge two state frames built over DISJOINT row sets (the
+    * union-of-streams contract, as [[cmsMerge]]): k smallest of the
+    * union — SketchSpec proves merge-of-halves == sketch-of-whole as an
+    * exact frame equality, the property vanilla KLL cannot offer. */
+  def qsampleMerge(a: DataFrame, b: DataFrame, groupCol: String,
+                   k: Int): DataFrame = {
+    val u = a.unionAll(b)
+    TopK.perGroup(u, Seq(u(groupCol)), Seq(u("h") -> false, u("v") -> false), k)
+      .select(col(groupCol), col("h"), col("v"))
+  }
+
+  /** Finisher: quantile estimates from a state frame → (group, m,
+    * <name per q>), est(q) = the ceil(q·m)-th smallest kept value (the
+    * sample's order statistic; exact when the group held ≤ k rows —
+    * KMV's small-cardinality exactness, in the quantile domain). The
+    * collect is bounded at k doubles per group by construction. */
+  def qsampleQuantiles(state: DataFrame, groupCol: String,
+                       qs: Seq[(String, Double)]): DataFrame = {
+    val agg = state.groupBy(groupCol).agg(
+      count(lit(1)).as("m"),
+      array_sort(collect_list(col("v"))).as("vs"))
+    val ests = qs.map { case (name, q) =>
+      element_at(col("vs"),
+        ceil(lit(q) * col("m")).cast("int")).as(name)
+    }
+    agg.select(col(groupCol) +: col("m") +: ests: _*)
+  }
+
   /** Fixed-width histogram of `valueCol` per group → (group, bin, cnt),
     * bin = floor(value/width). This is the mergeable QUANTILE-sketch
     * state: bin counts are integers that add across partitions, days, or

@@ -575,6 +575,62 @@ object AnalyticsQueries {
       |FROM c GROUP BY event_type""".stripMargin),
     "north star: mergeable histogram quantile sketch (the 100 TB path next to exact percentile_disc)")
 
+  /** Sample capacity for [[qSampleQuantile]]: 1024 keeps the per-group
+    * state at 8 KiB of doubles while the 3σ rank error stays under ~5%
+    * (√(0.25/1024) ≈ 1.6% σ — the canonicity trade recorded in
+    * [[graft.ops.Sketch]]'s block comment). */
+  private val qsampleK = 1024
+
+  /** q_sample_quantile — RANGE-FREE mergeable quantiles
+    * ([[graft.ops.Sketch.qsampleState]]): the third rung of the quantile
+    * ladder. q_quantiles is exact but unmergeable (full sort per group);
+    * q_hist_quantile pre-aggregates but needs the value range a priori
+    * and carries O(range/width) state — a genuine 100 TB liability for
+    * unbounded-domain columns; this one is O(k) state with NO domain
+    * knowledge: the bottom-k-by-hash sample (the canonical, multiset-
+    * determined construction in the KLL slot — the op's block comment
+    * records why vanilla KLL's arrival-order compaction cannot meet the
+    * merge≡whole / oracle bit-equality bar, and the O(√(1/k)) accuracy
+    * price of canonicity). Estimates are sample order statistics, so
+    * both engines pick the identical data value — no interpolation
+    * formula to couple. At sf0.01+ every event_type holds more rows
+    * than k, so the gate exercises the genuinely-sketched path (at
+    * sf0.001 groups fit and the estimates are exact — KMV's
+    * small-cardinality exactness in the quantile domain). */
+  val qSampleQuantile = Q("q_sample_quantile",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = graft.ops.Sketch.qsampleQuantiles(
+        graft.ops.Sketch.qsampleState(ev, "event_type", "event_id", "value",
+          qsampleK),
+        "event_type",
+        Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      n.join(est, "event_type")
+        .select("event_type", "n", "m", "p50_est", "p90_est", "p99_est")
+    },
+    Some(s"""WITH s AS (
+      |  SELECT event_type, v FROM (
+      |    SELECT event_type, CAST(value AS DOUBLE) AS v,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY
+      |        ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+      |        CAST(value AS DOUBLE)) AS rk
+      |    FROM events) t
+      |  WHERE rk <= $qsampleK
+      |), e AS (
+      |  SELECT event_type, count(*) AS m, list(v ORDER BY v) AS vs
+      |  FROM s GROUP BY event_type
+      |), nn AS (
+      |  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+      |)
+      |SELECT nn.event_type, nn.n, e.m,
+      |  vs[CAST(ceil(0.5 * m) AS INT)] AS p50_est,
+      |  vs[CAST(ceil(0.9 * m) AS INT)] AS p90_est,
+      |  vs[CAST(ceil(0.99 * m) AS INT)] AS p99_est
+      |FROM nn JOIN e USING (event_type)""".stripMargin),
+    "north star: range-free mergeable quantile sketch (bottom-k hash " +
+      "sample, the canonical KLL-slot construction; merge == whole exact)")
+
   /** q_mad_outliers — robust per-type outlier detection via median /
     * median-absolute-deviation, the breakdown-resistant complement to
     * q_anomaly's mean/stddev z-scores (one pathological burst inflates a
@@ -627,5 +683,5 @@ object AnalyticsQueries {
   def all: Seq[Q] = Seq(qQuantiles, qPivot, qLagLead, qProfile,
     qGroupingSets, qCardinality, qCohort, qFunnel, qSkewAudit,
     qHeavyHitters, qCms, qAnomaly, qValueMoments, qHistQuantile,
-    qMadOutliers)
+    qSampleQuantile, qMadOutliers)
 }

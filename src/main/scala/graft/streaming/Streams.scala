@@ -594,6 +594,51 @@ object Streams {
       }
   }
 
+  /** Per-group hash-sample state: total row count plus the k (hash,
+    * value) pairs with the smallest id hash seen so far — O(k) for the
+    * stream's lifetime regardless of value range or arrival volume. */
+  final case class QSampleState(n: Long, keep: List[(Long, Double)])
+
+  /** Streaming hash-sample quantiles — the same bottom-k-by-hash state
+    * as the batch [[graft.ops.Sketch.qsampleState]], carried in
+    * GroupState: each micro-batch's (hash60(id), value) pairs fold into
+    * the k-smallest set (selection by HASH, not arrival, so any batch
+    * slicing converges on the identical state — the canonicity argument
+    * in the op's block comment, executed), and the group emits
+    * refreshed (n, m, p50, p90, p99) with the identical finisher
+    * (ceil(q·m)-th smallest kept value). StreamQSampleSpec asserts
+    * EXACT equality with the batch sketch across micro-batch splits. */
+  def qsampleStream(df: DataFrame, groupCol: String, idCol: String,
+                    valueCol: String, k: Int)
+      : org.apache.spark.sql.Dataset[
+          (String, Long, Long, Double, Double, Double)] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    df.select(col(groupCol).cast("string"),
+        col(idCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QSampleState,
+          (String, Long, Long, Double, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, String, Double)],
+         state: GroupState[QSampleState]) =>
+          val st = state.getOption.getOrElse(QSampleState(0L, Nil))
+          var n = st.n
+          val batch = it.map { case (_, id, v) =>
+            n += 1
+            (graft.ops.Sketch.hash60Local(id), v)
+          }.toList
+          // (h, v) ascending — the TopK ordering of the batch sketch
+          val keep = (st.keep ++ batch).sorted.take(k)
+          state.update(QSampleState(n, keep))
+          val vs = keep.map(_._2).sorted.toIndexedSeq
+          val m = vs.length.toLong
+          def est(q: Double): Double = vs(math.ceil(q * m).toInt - 1)
+          Iterator.single((g, n, m, est(0.5), est(0.9), est(0.99)))
+      }
+  }
+
   /** One indexed document in [[Bm25State]]: its length and its term
     * frequencies over the query-term set only. */
   final case class Bm25Post(docId: Long, dl: Long, tf: Map[String, Long])

@@ -174,4 +174,63 @@ class SketchSpec extends SparkSpec {
     val whole = Sketch.histBins(rows.toDF("g", "v"), "g", "v", 10.0)
     assert(toSet(merged) === toSet(whole)) // exactly equal, not approximately
   }
+
+  // ------------------------------------------------------ hash sample ---
+
+  private def qsRows(n: Int): Seq[(String, Long, Double)] =
+    (0 until n).map(i => ("g" + i % 2, i.toLong, (i * 131 % 997).toDouble))
+
+  test("hash sample: merge of halves == sketch of whole, EXACTLY") {
+    // split by value parity, NOT by position — the state must be a pure
+    // function of the multiset, indifferent to how rows were distributed
+    val rows = qsRows(3000)
+    val (a, b) = rows.partition(_._2 % 2 == 0)
+    val k = 128
+    def st(r: Seq[(String, Long, Double)]) =
+      Sketch.qsampleState(r.toDF("g", "id", "v"), "g", "id", "v", k)
+    val merged = Sketch.qsampleMerge(st(a), st(b), "g", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val whole = st(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(merged === whole) // frame equality, the property KLL can't give
+  }
+
+  test("hash sample: groups at or under k estimate every quantile exactly") {
+    val rows = (0 until 200).map(i => ("g", i.toLong, i.toDouble))
+    val est = Sketch.qsampleQuantiles(
+        Sketch.qsampleState(rows.toDF("g", "id", "v"), "g", "id", "v", 1024),
+        "g", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .head()
+    assert(est.getLong(1) === 200L)
+    // ceil(0.5*200)=100th smallest of 0..199 = 99.0; ceil(0.9*200)=180th = 179.0
+    assert(est.getDouble(2) === 99.0 && est.getDouble(3) === 179.0)
+  }
+
+  test("hash sample: rank error within the sampling bracket at k=1024") {
+    val n = 20000
+    val rows = (0 until n).map(i => ("g", i.toLong, (i * 7919 % n).toDouble))
+    val est = Sketch.qsampleQuantiles(
+        Sketch.qsampleState(rows.toDF("g", "id", "v"), "g", "id", "v", 1024),
+        "g", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .head()
+    // values are a permutation of 0..n-1, so a value IS its rank; the
+    // sample q-quantile's population rank deviates by ~√(q(1-q)/k)·n
+    // (σ ≤ 1.6% of n at k=1024) — assert a 3σ+slack bracket of 6%
+    for ((q, idx) <- Seq((0.5, 2), (0.9, 3), (0.99, 4))) {
+      val rank = est.getDouble(idx) / n
+      assert(math.abs(rank - q) < 0.06,
+        s"q=$q: sample rank $rank outside the 6% bracket")
+    }
+  }
+
+  test("hash sample: deterministic across repartitionings") {
+    val rows = qsRows(2500)
+    def est(parts: Int) = Sketch.qsampleQuantiles(
+        Sketch.qsampleState(rows.toDF("g", "id", "v").repartition(parts),
+          "g", "id", "v", 256),
+        "g", Seq("p50" -> 0.5, "p99" -> 0.99))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(est(1) === est(17))
+  }
 }
