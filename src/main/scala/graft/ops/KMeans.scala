@@ -118,51 +118,57 @@ object KMeans {
     * `kmelems` still carries the FULL corpus for the caller's final
     * assignment — exactly the train-on-a-sample / assign-everything
     * split the 100 TB posture requires. The default emits the same SQL
-    * as before (no sample CTEs). */
+    * as before (no sample CTEs).
+    *
+    * `kmelems` is hinted MATERIALIZED: it is referenced 2·iters+1 times
+    * downstream, and DuckDB's inlining otherwise re-derives the whole
+    * upstream corpus expression per reference — measured on the 10×
+    * clustered fixture, the four-trainer PQ oracle went from >100 GiB
+    * (OOM) to 6 s under the hint, with identical results. */
   def trainSql(src: String, k: Int, iters: Int,
-               trainPermille: Int = 1000): String = {
+               trainPermille: Int = 1000, prefix: String = ""): String = {
     val sampled = trainPermille < 1000
     val keepSql = s"('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))" +
       s"::BIGINT < ${trainPermille * 65536L / 1000L}"
-    val trainElems = if (sampled) "kmtelems" else "kmelems"
+    val trainElems = prefix + (if (sampled) "kmtelems" else "kmelems")
     val seedSrc = if (sampled) s"(SELECT * FROM $src WHERE $keepSql)"
                   else src
     val sb = new StringBuilder
     sb ++=
-      s"""kmelems AS (
+      s"""${prefix}kmelems AS MATERIALIZED (
          |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
          |         unnest(generate_series(0, len(embedding)-1)) AS dim
          |  FROM $src
          |)""".stripMargin
     if (sampled) sb ++=
       s""",
-         |kmtelems AS (
-         |  SELECT * FROM kmelems WHERE $keepSql
+         |${prefix}kmtelems AS MATERIALIZED (
+         |  SELECT * FROM ${prefix}kmelems WHERE $keepSql
          |)""".stripMargin
     sb ++=
-      s""", seeds AS (
+      s""", ${prefix}seeds AS (
          |  SELECT vec_id,
          |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cl
          |  FROM $seedSrc
          |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= $k
-         |), kc0 AS (
+         |), ${prefix}kc0 AS (
          |  SELECT s.cl, e.dim, e.x AS c
-         |  FROM seeds s JOIN kmelems e ON e.vec_id = s.vec_id
+         |  FROM ${prefix}seeds s JOIN ${prefix}kmelems e ON e.vec_id = s.vec_id
          |)""".stripMargin
     for (i <- 1 to iters) {
       sb ++= s""",
-         |ka$i AS (
+         |${prefix}ka$i AS (
          |  SELECT vec_id, cl AS cell FROM (
          |    SELECT e.vec_id, c.cl,
          |      SUM(CAST(round(c.c*c.c*1e15) AS BIGINT))
          |        - 2*SUM(CAST(round(e.x*c.c*1e15) AS BIGINT)) AS d2
-         |    FROM $trainElems e JOIN kc${i - 1} c ON c.dim = e.dim
+         |    FROM $trainElems e JOIN ${prefix}kc${i - 1} c ON c.dim = e.dim
          |    GROUP BY e.vec_id, c.cl)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
-         |), kc$i AS (
+         |), ${prefix}kc$i AS (
          |  SELECT a.cell AS cl, e.dim,
          |    CAST(CAST(SUM(CAST(round(e.x*1e15) AS BIGINT)) AS BIGINT) AS DOUBLE)/1e15/count(*) AS c
-         |  FROM ka$i a JOIN $trainElems e ON e.vec_id = a.vec_id
+         |  FROM ${prefix}ka$i a JOIN $trainElems e ON e.vec_id = a.vec_id
          |  GROUP BY a.cell, e.dim
          |)""".stripMargin
       // the BIGINT drop dodges DuckDB's truncating HUGEINT→double cast

@@ -1405,6 +1405,194 @@ object SimilarityQueries {
     row.getDouble(0) / row.getDouble(1)
   }
 
+  // ------------------------------------------------------------ IVF-PQ ---
+  // Product quantization (Jégou, Douze & Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011) — the memory-scale vector
+  // index format real ANN systems store: the vector space factors into
+  // pqM orthogonal sub-spaces, each quantized by its OWN kPq-cell
+  // k-means codebook, so a vector compresses to pqM small codes
+  // (4 bytes here vs 256 float bytes — a 64× smaller index scan) and a
+  // query scores candidates via per-block LOOKUP TABLES: dot(q, x) ≈
+  // Σ_b dot(q_b, centroid_b[code_b(x)]), pqM·kPq dot products computed
+  // ONCE per query regardless of corpus size (asymmetric distance
+  // computation — the query side stays unquantized). The per-subspace
+  // trainer reuses KMeans.train verbatim per block, and the oracle
+  // re-derives all pqM codebooks in SQL (KMeans.trainSql with per-block
+  // CTE prefixes). All LUT entries and norms are fixed-point longs, so
+  // the block sums — integer additions — are order- and
+  // engine-independent; one double division chain at the end mirrors
+  // dotsSql's BIGINT→double discipline.
+  // ------------------------------------------------------------------
+
+  private val pqM = 4
+  private val pqSub = embDims / pqM
+  private val pqK = 8
+  private val pqIters = 2
+
+  /** ADC shortlist size before the exact rerank. 8 codes per block
+    * cannot separate MEMBERS of one tight cluster (they all quantize to
+    * the same code tuple — ADC scores tie), so pure ADC top-3 on the
+    * clustered fixture honestly scores ~0 recall; the production PQ
+    * shape (FAISS-style refine) takes the ADC top-R shortlist and
+    * reranks those R float vectors exactly. R = 32 ≳ the fixture's
+    * ~25-member clusters, so the shortlist covers the query's whole
+    * cluster while touching 32/500 of the float vectors. */
+  private val pqShortlist = 32
+
+  /** The pqM per-block codebooks, each trained on its 16-dim slice of
+    * the corpus (`base` must carry (vec_id, v)). The four trainers are
+    * independent job chains over the same input, so they run
+    * CONCURRENTLY (Spark schedules actions from separate threads in
+    * parallel) — results are deterministic per block, only wall-clock
+    * overlaps. */
+  private def pqCodebooks(base: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until pqM).map { b =>
+      Future(KMeans.train(base.select(col("vec_id"),
+        slice(col("v"), b * pqSub + 1, pqSub).as("v")), pqK, pqIters))
+    }), Duration.Inf)
+  }
+
+  /** PQ/ADC cosine top-3 over any (vec_id, embedding) frame: train
+    * per-block codebooks, encode every vector to pqM codes (one narrow
+    * codegen'd pass — at corpus scale the only per-vector state the
+    * scan touches), build the per-query LUT (|queries|·pqM·pqK rows —
+    * broadcast by construction), score candidates by code lookup and
+    * integer block sums. The approximate norm ‖x̂‖² = Σ_b ‖c_b‖² comes
+    * from the same LUT frame, so scoring never touches the float
+    * vectors. */
+  private def annPqFrom(emb: DataFrame): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val base = withNorm(emb)
+    val books = pqCodebooks(base)
+    val coded = base.select(col("vec_id") +: (0 until pqM).map(b =>
+      KMeans.assignCell(slice(col("v"), b * pqSub + 1, pqSub), books(b))
+        .as(s"c$b")): _*)
+    val codes = coded.select(col("vec_id"),
+        explode(array((0 until pqM).map(b =>
+          struct(lit(b).as("b"), col(s"c$b").as("code"))): _*)).as("bc"))
+      .select(col("vec_id"), col("bc.b").as("b"), col("bc.code").as("code"))
+    val cb = books.zipWithIndex.flatMap { case (book, b) =>
+      book.map { case (cl, c) => (b, cl, c) } }
+      .toDF("b", "code", "c")
+    val qs = base.filter(isQuery).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("dxx").as("qxx"))
+    val lut = qs.crossJoin(cb)
+      .select(col("query_id"), col("qxx"), col("b"), col("code"),
+        Vectors.dotScaled(
+          slice(col("qv"), col("b") * lit(pqSub) + lit(1), lit(pqSub)),
+          col("c")).as("dq"),
+        Vectors.dotScaled(col("c"), col("c")).as("cc"))
+    // ADC pass: integer code-table lookups over the whole corpus — the
+    // scan that at index scale touches 4 bytes/vector instead of 256
+    val shortlist = codes.join(broadcast(lut), Seq("b", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("dq")).as("sdq"), sum(col("cc")).as("scc"),
+        max(col("qxx")).as("qxx"))
+      .withColumn("score_adc", round(
+        (col("sdq").cast("double") / lit(1e15)) /
+          (sqrt(col("qxx")) * sqrt(col("scc").cast("double") / lit(1e15))),
+        6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_adc").desc, col("nbr_id"))))
+      .filter(col("rk") <= pqShortlist)
+      .select("query_id", "nbr_id")
+    // refine: exact float rerank of the R-row shortlist per query
+    val cand = shortlist
+      .join(base.select(col("vec_id").as("nbr_id"), col("v"), col("dxx")),
+        "nbr_id")
+      .join(broadcast(qs), "query_id")
+    topK(cand, 3, Seq("query_id", "rk", "nbr_id", "score"))
+  }
+
+  /** The oracle replica of [[annPqFrom]] as CTEs over `src`: pqM
+    * per-block trainers (prefixed pq0../pq3..), per-block assignment,
+    * the code/codebook unions, per-query LUT and norms, ADC scoring,
+    * and `ptop` (query_id, nbr_id) for the recall scorecard. */
+  private def pqSql(src: String): String = {
+    val blocks = (0 until pqM).map { b =>
+      KMeans.trainSql(
+        s"(SELECT vec_id, embedding[${b * pqSub + 1}:${(b + 1) * pqSub}]" +
+          s" AS embedding FROM $src)",
+        pqK, pqIters, prefix = s"pq$b")
+    }.mkString(",\n")
+    val pas = (0 until pqM).map { b =>
+      s"""pa$b AS (
+         |  SELECT vec_id, cl AS code FROM (
+         |    SELECT e.vec_id, c.cl,
+         |      SUM(CAST(round(c.c*c.c*1e15) AS BIGINT))
+         |        - 2*SUM(CAST(round(e.x*c.c*1e15) AS BIGINT)) AS d2
+         |    FROM pq${b}kmelems e JOIN pq${b}kc$pqIters c ON c.dim = e.dim
+         |    GROUP BY e.vec_id, c.cl)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val codesU = (0 until pqM)
+      .map(b => s"SELECT vec_id, $b AS b, code FROM pa$b")
+      .mkString("\n  UNION ALL\n  ")
+    val cbU = (0 until pqM)
+      .map(b => s"SELECT $b AS b, cl AS code, dim, c FROM pq${b}kc$pqIters")
+      .mkString("\n  UNION ALL\n  ")
+    blocks + ",\n" + pas + s""",
+      |pcodes AS (
+      |  $codesU
+      |), pcb AS (
+      |  $cbU
+      |), pqq AS (
+      |  SELECT vec_id AS query_id, embedding FROM $src WHERE ${queryPredSql()}
+      |), pqel AS (
+      |  SELECT query_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         unnest(generate_series(0, len(embedding)-1)) AS dim
+      |  FROM pqq
+      |), pqx AS (
+      |  SELECT query_id,
+      |    CAST(SUM(CAST(round(x*x*1e15) AS BIGINT)) AS BIGINT) AS qxx
+      |  FROM pqel GROUP BY query_id
+      |), plut AS (
+      |  SELECT e.query_id, c.b, c.code,
+      |    CAST(SUM(CAST(round(e.x*c.c*1e15) AS BIGINT)) AS BIGINT) AS dq
+      |  FROM pcb c JOIN pqel e ON e.dim = c.b*$pqSub + c.dim
+      |  GROUP BY 1, 2, 3
+      |), pcc AS (
+      |  SELECT b, code,
+      |    CAST(SUM(CAST(round(c*c*1e15) AS BIGINT)) AS BIGINT) AS cc
+      |  FROM pcb GROUP BY 1, 2
+      |), pscore AS (
+      |  SELECT s.query_id, s.nbr_id,
+      |    round((CAST(s.sdq AS DOUBLE)/1e15)
+      |      / (sqrt(CAST(q.qxx AS DOUBLE)/1e15)
+      |         * sqrt(CAST(s.scc AS DOUBLE)/1e15)), 6) AS score
+      |  FROM (
+      |    SELECT l.query_id, k.vec_id AS nbr_id,
+      |      CAST(SUM(l.dq) AS BIGINT) AS sdq, CAST(SUM(n.cc) AS BIGINT) AS scc
+      |    FROM pcodes k
+      |      JOIN plut l ON l.b = k.b AND l.code = k.code
+      |      JOIN pcc n ON n.b = k.b AND n.code = k.code
+      |    WHERE k.vec_id <> l.query_id
+      |    GROUP BY 1, 2) s
+      |  JOIN pqx q ON q.query_id = s.query_id
+      |), pshort AS (
+      |  SELECT query_id, nbr_id FROM (
+      |    SELECT query_id, nbr_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, nbr_id) AS rk
+      |    FROM pscore) t
+      |  WHERE rk <= $pqShortlist
+      |), pcand AS (
+      |  SELECT ps.query_id, ps.nbr_id, e.embedding AS nv, q.embedding AS qv
+      |  FROM pshort ps
+      |    JOIN $src e ON e.vec_id = ps.nbr_id
+      |    JOIN pqq q ON q.query_id = ps.query_id
+      |), """.stripMargin +
+      dotsSql("pcand", "nv", "qv", "query_id, nbr_id", "p") + ",\n" +
+      topSql("p", 3)
+  }
+
   /** Prefixed exact-rerank top-k CTE over `${prefix}dots`. */
   private def topSql(prefix: String, k: Int): String =
     s"""${prefix}top AS (
@@ -1454,6 +1642,7 @@ object SimilarityQueries {
       .unionAll(recallOf("mp", annMpFrom(emb)))
       .unionAll(recallOf("ivf", annIvfFrom(emb, ivfNprobe)))
       .unionAll(recallOf("mt", annMtFrom(emb)))
+      .unionAll(recallOf("pq", annPqFrom(emb)))
   }
 
   /** The full recall-scorecard oracle body (everything after `WITH `),
@@ -1509,11 +1698,13 @@ object SimilarityQueries {
       dotsSql("icand", "nv", "qv", "query_id, nbr_id", "i") + ",\n" +
       topSql("i", 3) + ",\n" +
       mtbSql(src) + ",\n" + mtTailSql(src) + ",\n" +
-      topSql("t", 3) + "\n" +
+      topSql("t", 3) + ",\n" +
+      pqSql(src) + "\n" +
       recallSelect("lsh", "l") + "\nUNION ALL\n" +
       recallSelect("mp", "m") + "\nUNION ALL\n" +
       recallSelect("ivf", "i") + "\nUNION ALL\n" +
-      recallSelect("mt", "t")
+      recallSelect("mt", "t") + "\nUNION ALL\n" +
+      recallSelect("pq", "p")
 
   val qAnnRecall = Q("q_ann_recall",
     (s, dir) => annRecallFrom(Tables.embeddings(s, dir)),
@@ -1560,7 +1751,7 @@ object SimilarityQueries {
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |         unnest(generate_series(0, len(embedding)-1)) AS i
        |  FROM embeddings
-       |), cemb AS (
+       |), cemb AS MATERIALIZED (
        |  SELECT e.vec_id,
        |    list(CAST(ct.w + $ctrNoise * e.x AS FLOAT) ORDER BY e.i) AS embedding
        |  FROM celems e JOIN ctrw ct ON ct.c = e.vec_id % $ctrCount AND ct.i = e.i
@@ -1580,6 +1771,23 @@ object SimilarityQueries {
     (s, dir) => annRecallFrom(clusteredEmb(s, dir)),
     Some("WITH " + cembSql + ",\n" + annRecallSql("cemb")),
     "north star: ANN recall@3 on a clustered fixture (LSH band-survival ladder measurable; ref bar commercial_rfp_indexer.py:96-111)")
+
+  /** q_ann_pq — the PQ/ADC rung on the clustered fixture (the data
+    * shape where ANN quality is measurable, [[ctrCount]]'s scaladoc);
+    * the oracle re-derives all four per-block codebooks in SQL and
+    * replays encode → LUT → integer block sums → cosine. */
+  val qAnnPq = Q("q_ann_pq",
+    (s, dir) => annPqFrom(clusteredEmb(s, dir)),
+    Some("WITH " + cembSql + ",\n" + pqSql("cemb") + """
+      |SELECT query_id, rk, nbr_id, score FROM (
+      |  SELECT query_id, nbr_id,
+      |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |  FROM pdots) t
+      |WHERE rk <= 3""".stripMargin),
+    "north star: product quantization ANN (per-subspace codebooks, " +
+      "ADC lookup-table scoring; the memory-scale index format)")
 
   /** SemDeDup cosine threshold: within-cluster angles on the clustered
     * fixture are ≈ 0.1 rad (cos ≈ 0.995) and cross-cluster near π/2, so
@@ -1694,5 +1902,5 @@ object SimilarityQueries {
     qNearDup, qNearDupRep, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
     qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
-    qSemDedup, qSemDedupSampled)
+    qAnnPq, qSemDedup, qSemDedupSampled)
 }

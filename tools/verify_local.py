@@ -41,6 +41,16 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # DuckDB's peak memory on the heavy retrained-codebook oracles scales
+    # with thread count (per-thread pipeline buffers); at 32 threads the
+    # 10x fixtures exceed even a 100 GiB budget while 8 threads fit in
+    # <48 GiB. Tunable for big-fixture runs; default leaves DuckDB as-is.
+    threads = os.environ.get("GRAFT_ORACLE_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
+    memlim = os.environ.get("GRAFT_ORACLE_MEM")
+    if memlim:
+        con.execute(f"SET memory_limit='{memlim}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
