@@ -156,34 +156,72 @@ object Bench {
     * growth. */
   private[graft] val displayAbbrev = Map(
     "dup_clusters" -> "dup_cl",
-    "dup_clusters_star" -> "dup_cl_star",
-    "scalar_subquery" -> "scalar_sub",
-    "events_sliding" -> "ev_slide",
+    "ann_ivf" -> "ivf",
+    "ann_ivf_sq" -> "ivf_sq",
+    "ann_lsh" -> "lsh",
+    "ann_mp" -> "mp",
+    "ann_mt" -> "mt",
+    "ann_pq" -> "pq",
+    "ann_recall" -> "rec",
+    "ann_recall_cl" -> "rec_cl",
+    "ann_sq" -> "asq",
+    "anomaly" -> "anom",
+    "chunk_index" -> "chk_idx",
+    "chunk_ref" -> "chk_ref",
+    "dedup_exact" -> "dd_ex",
+    "delta_dedup" -> "del_dd",
+    "doc_dedup" -> "doc_dd",
+    "dup_clusters_star" -> "dc_star",
+    "entity_canon_pr" -> "ecan_pr",
+    "having_join" -> "hav_j",
+    "heavy_hitters" -> "hhit",
+    "hist_quantile" -> "hist_q",
+    "jaccard" -> "jacc",
+    "lag_lead" -> "lag",
+    "lastwins" -> "lastw",
+    "latest_file" -> "lat_f",
+    "latest_per_q" -> "lat_pq",
+    "longest_resp" -> "lresp",
+    "media_features" -> "m_feat",
+    "media_meta" -> "m_meta",
+    "profile" -> "prof",
+    "q5_region" -> "q5_reg",
+    "quality" -> "qual",
+    "rep_ngram" -> "rep_ng",
+    "sample_quantile" -> "samp_q",
+    "scalar_subquery" -> "sc_sub",
+    "simhash" -> "simh",
+    "text_stats" -> "txt_st",
+    "token_bpe" -> "tok_bpe",
+    "topk_native" -> "tk_nat",
+    "topk_per_group" -> "tk_grp",
+    "util_scalars" -> "util",
+    "vocab_encode" -> "voc_enc",
+            "events_sliding" -> "ev_slide",
     "events_hourly" -> "ev_hr",
     "events_topk" -> "ev_topk",
     "events_json" -> "ev_json",
-    "media_features" -> "media_feat",
-    "split_leakfree" -> "leakfree",
-    "topk_per_group" -> "topk_grp",
-    "ann_recall_cl" -> "ann_rec_cl",
-    "grouping_sets" -> "grp_sets",
-    "heavy_hitters" -> "heavy_hit",
-    "hist_quantile" -> "hist_quant",
-    "retrieval_e2e" -> "retr_e2e",
+        "split_leakfree" -> "leakfree",
+            "grouping_sets" -> "grp_sets",
+            "retrieval_e2e" -> "retr_e2e",
     "value_moments" -> "val_mom",
-    "longest_resp" -> "long_resp",
-    "pipeline_e2e" -> "pipe_e2e",
-    "util_scalars" -> "util_scal",
-    "binary_scan" -> "bin_scan",
+        "pipeline_e2e" -> "pipe_e2e",
+        "binary_scan" -> "bin_scan",
     "sync_upload" -> "sync_up",
     "sync_delete" -> "sync_del",
     "stream_moments" -> "str_mom",
     "stream_sessionize" -> "str_sess",
     "stream_hourly" -> "str_hr",
     "fuzzy_join" -> "fuzzy",
+    "fuzzy_join2" -> "fuzzy2",
     "semdedup" -> "semdd",
+    "semdedup_s" -> "semdd_s",
     "entity_canon" -> "ecanon",
-    "triangles" -> "tri",
+    "entity_canon2" -> "ecanon2",
+        "stream_append" -> "str_app",
+    "bpe_train" -> "bpe_tr",
+    "bpe_encode" -> "bpe_enc",
+        "triangles" -> "tri",
     "pagerank" -> "pgrank",
     "asof_bcast" -> "asof_bc",
     "asof_join" -> "asof_j",
@@ -199,27 +237,18 @@ object Bench {
     "top_terms" -> "top_t",
     "hybrid_rrf" -> "rrf",
     "inline_scan" -> "inline",
-    "chunk_index" -> "chunk_idx",
     "quantiles" -> "quant",
     "centroids" -> "centr",
     "near_dup_rep" -> "nd_rep",
-    "vocab_encode" -> "vocab_enc",
-    "media_resize" -> "media_rsz",
-    "media_frames" -> "media_frm",
-    "latest_per_q" -> "latest_pq",
+    "media_resize" -> "m_rsz",
+    "media_frames" -> "m_frm",
     "unigram_nll" -> "uni_nll",
-    "topk_native" -> "topk_nat",
     "cardinality" -> "card",
     "fingerprint" -> "fprint",
     "sessionize" -> "sess",
     "simhash_dup" -> "sim_dup",
-    "ann_recall" -> "ann_rec",
-    "dedup_exact" -> "dedup_ex",
-    "delta_dedup" -> "delta_dd",
     "doc_render" -> "doc_rnd",
-    "latest_file" -> "latest_f",
     "range_join" -> "range_j",
-    "having_join" -> "having_j",
     "anti_join" -> "anti_j",
     "semi_join" -> "semi_j",
     "embed_dup" -> "emb_dup")

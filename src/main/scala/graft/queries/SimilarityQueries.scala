@@ -1480,7 +1480,7 @@ object SimilarityQueries {
       .toDF("b", "code", "c")
     val qs = base.filter(isQuery).select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("dxx").as("qxx"))
-    val lut = qs.crossJoin(cb)
+    val lut = qs.crossJoin(broadcast(cb))
       .select(col("query_id"), col("qxx"), col("b"), col("code"),
         Vectors.dotScaled(
           slice(col("qv"), col("b") * lit(pqSub) + lit(1), lit(pqSub)),

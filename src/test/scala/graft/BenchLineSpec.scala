@@ -37,7 +37,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains('\n'))
     // display names are the registry names minus the `q_` prefix, and the
     // strip must never make two of them collide
-    assert(line.contains("\"doc_dedup\"") && !line.contains("\"q_doc_dedup\""))
+    assert(line.contains("\"doc_dd\"") && !line.contains("\"q_doc_dedup\""))
     assert(line.contains("\"q1_agg\""), "non-q_ names pass through unchanged")
     val shorts = SparkEntry.queries.keys.toSeq.map(Bench.short)
     assert(shorts.distinct.size == shorts.size, "display-name collision")
