@@ -24,7 +24,12 @@ object BenchHistory {
     // q_rollup: r9 single-run bench showed a 2× wobble on this trivial
     // full-scan rollup; keep its median on the record so drift vs
     // regression is adjudicated by data (VERDICT r9 housekeeping)
-    "q_rollup")
+    "q_rollup",
+    // round-10 heavy additions: the iterative trainer/encoder pair, the
+    // Append-eviction stream run, the composed-iteration ER query, the
+    // depth-2 ER stack, and the PQ rung
+    "q_bpe_train", "q_bpe_encode", "q_stream_append", "q_entity_canon_pr",
+    "q_entity_canon2", "q_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val round = args(0).toInt

@@ -35,9 +35,20 @@ object PageRank {
     * double (fp ≤ 1e12 < 2^53). Input edges: undirected, `a` < `b`. */
   def scores(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    val sc = edges.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString)
+    // sym and deg are referenced by EVERY unrolled iteration of one lazy
+    // plan — without truncation the upstream edge plan (e.g. the FastSS
+    // variant join) is embedded ~3·iters times and re-executed per
+    // reference; one eager checkpoint each makes every iteration read a
+    // constant-size scan (the Components.connectedComponents discipline)
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .checkpoint(eager = true)
     val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
+      .checkpoint(eager = true)
     val nn = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(nn))
       .select(col("a").as("node"),
