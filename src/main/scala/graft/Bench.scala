@@ -156,6 +156,18 @@ object Bench {
     * growth. */
   private[graft] val displayAbbrev = Map(
     "dup_clusters" -> "dup_cl",
+    "embed_dup" -> "emb_dd",
+    "sync_diff" -> "sdif",
+    "sample_k" -> "samp_k",
+    "dup_keys" -> "dup_ky",
+    "keys_sha" -> "ksha",
+    "near_dup" -> "ndup",
+    "dup_keep" -> "dup_kp",
+    "bpe_subword" -> "bpe_sub",
+    "session_window" -> "swin",
+    "stream_sess_win" -> "str_sw",
+    "bigram_nll" -> "bi_nll",
+    "containment" -> "cont",
     "ann_ivf" -> "ivf",
     "ann_ivf_sq" -> "ivf_sq",
     "ann_lsh" -> "lsh",
@@ -192,25 +204,25 @@ object Bench {
     "scalar_subquery" -> "sc_sub",
     "simhash" -> "simh",
     "text_stats" -> "txt_st",
-    "token_bpe" -> "tok_bpe",
+    "token_bpe" -> "tbpe",
     "topk_native" -> "tk_nat",
     "topk_per_group" -> "tk_grp",
     "util_scalars" -> "util",
     "vocab_encode" -> "voc_enc",
-            "events_sliding" -> "ev_slide",
+            "events_sliding" -> "ev_sl",
     "events_hourly" -> "ev_hr",
     "events_topk" -> "ev_topk",
     "events_json" -> "ev_json",
-        "split_leakfree" -> "leakfree",
-            "grouping_sets" -> "grp_sets",
-            "retrieval_e2e" -> "retr_e2e",
+        "split_leakfree" -> "leakf",
+            "grouping_sets" -> "grps",
+            "retrieval_e2e" -> "r_e2e",
     "value_moments" -> "val_mom",
-        "pipeline_e2e" -> "pipe_e2e",
-        "binary_scan" -> "bin_scan",
+        "pipeline_e2e" -> "p_e2e",
+        "binary_scan" -> "bscan",
     "sync_upload" -> "sync_up",
-    "sync_delete" -> "sync_del",
+    "sync_delete" -> "sdel",
     "stream_moments" -> "str_mom",
-    "stream_sessionize" -> "str_sess",
+    "stream_sessionize" -> "str_se",
     "stream_hourly" -> "str_hr",
     "fuzzy_join" -> "fuzzy",
     "fuzzy_join2" -> "fuzzy2",

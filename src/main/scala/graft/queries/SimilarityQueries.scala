@@ -616,6 +616,98 @@ object SimilarityQueries {
       |WHERE na.n + nb.n - COALESCE(i.ni, 0) > 0""".stripMargin),
     "north star: exact n-gram Jaccard similarity scoring")
 
+  /** q_containment — ASYMMETRIC near-dup scoring: shingle containment
+    * C(A→B) = |S(A) ∩ S(B)| / |S(A)| (Broder's containment, the measure
+    * behind quote/excerpt detection) next to symmetric Jaccard. A short
+    * document fully embedded in a long one scores C ≈ 1 while Jaccard
+    * sits near |A|/|B| — exactly the doc-in-doc case a dedup pipeline's
+    * symmetric threshold misses (the composite keeps the content; the
+    * contained source is the redundant row). The fixture constructs the
+    * case: for every doc_id ≡ 0 (mod 20), a COMPOSITE document
+    * (id + 3e6) concatenates that doc and its successor; each composite
+    * is scored against both sources (containment ≈ 1, Jaccard ≈ ½) and
+    * the two sources against each other (both low — the control pair).
+    * Contiguous embedding ⇒ every 3-gram shingle of a source appears in
+    * its composite except none (shingles are windowed within the
+    * concatenation), so source→composite containment is exactly 1.0
+    * unless a source shingle ALSO spans into new cross-boundary
+    * trigrams — which add to S(B), not S(A).
+    *
+    * Scale shape: pair-keyed joins on known ids (the q_jaccard
+    * construction discipline); at corpus scale the candidate pairs come
+    * from the LSH bucket join and this scoring is the per-pair verify
+    * kernel — one array_intersect over two bounded shingle sets. */
+  val qContainment = Q("q_containment",
+    (s, dir) => {
+      val wtok = split(trim(col("text")), "\\s+")
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val comp = d.as("a").join(d.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id"))
+        .filter(col("a.doc_id") % 20 === 0)
+        .select((col("a.doc_id") + 3000000).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      val corpus = d.unionAll(comp)
+      val pairs = comp.select((col("doc_id") - 3000000).as("src_id"),
+          col("doc_id").as("whole_id"))
+        .unionAll(comp.select((col("doc_id") - 3000000 + 1).as("src_id"),
+          col("doc_id").as("whole_id")))
+        .unionAll(comp.select((col("doc_id") - 3000000).as("src_id"),
+          (col("doc_id") - 3000000 + 1).as("whole_id")))
+      val sets = corpus.filter(size(wtok) >= 3)
+        .select(col("doc_id"),
+          Shingles.shingleSetOfWords(wtok).as("sh"))
+      pairs
+        .join(sets.select(col("doc_id").as("src_id"), col("sh").as("sa")),
+          "src_id")
+        .join(sets.select(col("doc_id").as("whole_id"), col("sh").as("sb")),
+          "whole_id")
+        .select(col("src_id"), col("whole_id"),
+          size(array_intersect(col("sa"), col("sb"))).as("ni"),
+          size(col("sa")).as("na"), size(col("sb")).as("nb"))
+        .select(col("src_id"), col("whole_id"),
+          round(col("ni").cast("double") / col("na"), 6).as("containment"),
+          round(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+    },
+    Some("""WITH comp AS (
+      |  SELECT a.doc_id + 3000000 AS doc_id, a.text || ' ' || b.text AS text
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 20 = 0
+      |), corpus2 AS (
+      |  SELECT doc_id, text FROM documents UNION ALL SELECT * FROM comp
+      |), pairs AS (
+      |  SELECT doc_id - 3000000 AS src_id, doc_id AS whole_id FROM comp
+      |  UNION ALL
+      |  SELECT doc_id - 3000000 + 1, doc_id FROM comp
+      |  UNION ALL
+      |  SELECT doc_id - 3000000, doc_id - 3000000 + 1 FROM comp
+      |), toks2 AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM corpus2
+      |), shing2 AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks2, unnest(generate_series(1, len(w)-2)) AS g(i)
+      |  WHERE len(w) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM shing2 GROUP BY doc_id
+      |), inter AS (
+      |  SELECT p.src_id, p.whole_id, count(*) AS ni
+      |  FROM pairs p
+      |    JOIN shing2 a ON a.doc_id = p.src_id
+      |    JOIN shing2 b ON b.doc_id = p.whole_id AND b.s = a.s
+      |  GROUP BY p.src_id, p.whole_id
+      |)
+      |SELECT p.src_id, p.whole_id,
+      |  round(CAST(COALESCE(i.ni, 0) AS DOUBLE) / na.n, 6) AS containment,
+      |  round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+      |        / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+      |FROM pairs p
+      |  JOIN sizes na ON na.doc_id = p.src_id
+      |  JOIN sizes nb ON nb.doc_id = p.whole_id
+      |  LEFT JOIN inter i ON i.src_id = p.src_id AND i.whole_id = p.whole_id""".stripMargin),
+    "north star: asymmetric shingle containment (doc-in-doc / quote " +
+      "detection, the directional measure symmetric Jaccard misses)")
+
   /** q_doc_dedup — exact content dedup via hash-groupBy on the normalized
     * text fingerprint: first-wins keeper + copy count per content group. */
   val qDocDedup = Q("q_doc_dedup",
@@ -1899,7 +1991,7 @@ object SimilarityQueries {
       "oracle-replicated sampling)")
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
-    qNearDup, qNearDupRep, qJaccard, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
+    qNearDup, qNearDupRep, qJaccard, qContainment, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
     qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
     qAnnPq, qSemDedup, qSemDedupSampled)

@@ -73,6 +73,41 @@ object StreamQueries {
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
       |FROM sess GROUP BY user_id, session_id""".stripMargin))
 
+  /** q_session_window — the same 30-minute-gap sessions via Spark's
+    * BUILT-IN `session_window` (dynamic merging windows inside one
+    * aggregation — the native capability [[qSessionize]] hand-rolls with
+    * lag + running sum, and the state discipline streaming session
+    * windows use). Boundary semantics differ between the two
+    * formulations and the oracle encodes session_window's: a session's
+    * end is last-event + gap and windows are half-open, so an event at
+    * EXACTLY gap distance starts a NEW session (strict <), where the
+    * lag formulation keeps it (<=); no consecutive per-user gap in the
+    * fixture sits exactly on 1800 s, so both capabilities stay
+    * independently checkable. One shuffle on the user key; the window
+    * merge is per-group state, no second exchange. */
+  val qSessionWindow = Q("q_session_window",
+    (s, dir) => graft.streaming.Streams.sessionWindows(Tables.events(s, dir)),
+    Some("""WITH gaps AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM gaps)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+      |    AS session_end,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin),
+    "§2.8 capability: built-in session_window dynamic merging windows " +
+      "(the native twin of the hand-rolled sessionizer)")
+
   /** q_events_json — JSON prop extraction + bucket aggregation. */
   val qJson = Q("q_events_json",
     (s, dir) => Tables.events(s, dir)
@@ -489,7 +524,71 @@ object StreamQueries {
     "north star: Append-mode watermark eviction executed in the gate " +
       "(late slice dropped, unfinalized tail windows withheld)")
 
-  def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qJson, qEventsTopK,
+  /** q_stream_sess_win — the FIFTH streaming discipline in the gate:
+    * built-in `session_window` under Append mode — dynamic MERGING
+    * window state (none of the fixed-window or custom-GroupState runs
+    * exercise it: a user's open session absorbs and MERGES events
+    * delivered across micro-batches, and emits exactly once when the
+    * watermark passes its end = last event + gap). Streams
+    * [[lateSlicedEventsDir]], so the run also re-proves Append's two
+    * withholdings in the merging-window regime: the day-one late slice
+    * arrives 29 days behind the watermark and is dropped row-by-row
+    * (each late row's provisional window end ts+gap is far below the
+    * watermark), and sessions ending inside the final 2 hours never
+    * finalize. The oracle therefore sessionizes the ON-TIME set only
+    * (dropping a bridging event may legitimately SPLIT a session — the
+    * oracle recomputes sessions from scratch on on-time rows, exactly
+    * what the engine's input-side eviction produces) and keeps sessions
+    * with end ≤ max(ts) − 2 h, using session_window's strict-< gap
+    * boundary. */
+  val qStreamSessWin = Q("q_stream_sess_win",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sliced = lateSlicedEventsDir(s, dir)
+      val schema = s.read.parquet(sliced).schema
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(sliced)
+      val sink = s"graft_stream_sesswin_${streamRunId.incrementAndGet()}"
+      val q = graft.streaming.Streams.sessionWindows(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    },
+    Some("""WITH lim AS (
+      |  SELECT min(ts) + INTERVAL 1 DAY AS early_cut,
+      |         max(ts) - INTERVAL 2 HOUR AS wm
+      |  FROM events
+      |), ontime AS (
+      |  SELECT e.* FROM events e, lim
+      |  WHERE NOT (e.event_id % 10 = 7 AND e.ts < lim.early_cut)
+      |), gaps AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ontime
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM gaps
+      |), agg AS (
+      |  SELECT user_id, min(ts) AS st,
+      |         max(ts) + INTERVAL 30 MINUTE AS en, count(*) AS n_events
+      |  FROM sess GROUP BY user_id, sid
+      |)
+      |SELECT user_id,
+      |  strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  n_events
+      |FROM agg, lim WHERE en <= lim.wm""".stripMargin),
+    "north star: session_window Append-mode eviction executed in the " +
+      "gate (merging-window state across micro-batches; late slice " +
+      "dropped, unfinalized tail sessions withheld)")
+
+  def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qSessionWindow, qJson, qEventsTopK,
     qAsof, qAsofBcast, qRangeJoin, qStreamMoments, qStreamSessionize,
-    qStreamHourly, qStreamAppend)
+    qStreamHourly, qStreamAppend, qStreamSessWin)
 }

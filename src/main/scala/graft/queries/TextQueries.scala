@@ -837,6 +837,112 @@ object TextQueries {
     "north star: BPE encoding under the LEARNED merges (trainer/encoder " +
       "pair closed; q_token_bpe keeps the fixed-regex counting rung)")
 
+  /** Merge rounds for the CHARACTER-level trainer ([[qBpeSubword]]). */
+  private val bpeSubRounds = 8
+
+  /** q_bpe_subword — classic CHARACTER-level BPE (Sennrich, Haddow &
+    * Birch 2016): where [[qBpeTrain]] merges adjacent WORD pairs (the
+    * phrase-mining granularity q_bpe_merge established), this is the
+    * granularity real tokenizers train at — merge adjacent CHARACTER
+    * units inside words, never across word boundaries. The trainer runs
+    * on the WORD-FREQUENCY DICTIONARY, the standard formulation: the
+    * corpus collapses to (word, count) — here 31 distinct words, at
+    * 100 TB still only the corpus vocabulary — every word becomes a
+    * delimiter-wrapped character sequence, and each round counts
+    * adjacent unit pairs WEIGHTED by word count, picks the best
+    * (count desc, pair asc), and applies the greedy merge to the
+    * dictionary (a |vocab|-row projection, NOT a corpus pass — the
+    * decisive scale property of dictionary-based training; only the
+    * one vocabulary-building pass ever scans the corpus). The merge
+    * application reuses the delimiter/replace machinery of the
+    * word-level trainer verbatim, so BpeTrainSpec's greedy-overlap
+    * pins carry over. `units_after` audits each round: the WEIGHTED
+    * corpus unit count Σ count(w)·|units(w)|.
+    *
+    * Oracle: the same unrolled-CTE replay at character granularity —
+    * character wrapping via one regexp_replace('(.)' → wrapped capture)
+    * on both engines, weighted counts as exact integer sums. */
+  val qBpeSubword = Q("q_bpe_subword",
+    (s, dir) => {
+      import s.implicits._
+      val dict = Tables.documents(s, dir)
+        .select(explode(split(trim(lower(coalesce(col("text"), lit("")))),
+          "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .withColumn("s", regexp_replace(col("word"), "(.)",
+          bpeS1 + "$1" + bpeS2))
+      var cur = dict.select(col("c"), col("s")).persist()
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long, Long)]
+      for (r <- 1 to bpeSubRounds) {
+        val best = cur.select(col("c"), bpeToks(col("s")).as("u"))
+          .where(size(col("u")) >= 2)
+          .select(col("c"), explode(transform(
+            sequence(lit(1), size(col("u")) - 1),
+            i => struct(element_at(col("u"), i).as("pa"),
+              element_at(col("u"), i + 1).as("pb")))).as("p"))
+          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).head()
+        val (pa, pb, cnt) = (best.getString(0), best.getString(1),
+          best.getLong(2))
+        val next = cur.withColumn("s", call_function("replace", col("s"),
+          lit(bpeS1 + pa + bpeS2 + bpeS1 + pb + bpeS2),
+          lit(bpeS1 + pa + bpeGl + pb + bpeS2))).persist()
+        val unitsAfter = next
+          .agg(sum(col("c") * size(bpeToks(col("s")))).as("t"))
+          .head().getLong(0)
+        cur.unpersist()
+        cur = next
+        merges += ((r, pa, pb, cnt, unitsAfter))
+      }
+      cur.unpersist()
+      merges.toSeq.toDF("rk", "pa", "pb", "cnt", "units_after")
+    },
+    Some {
+      val sb = new StringBuilder
+      sb ++=
+        """WITH bd0 AS (
+          |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+          |    regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s
+          |  FROM (
+          |    SELECT unnest(string_split_regex(
+          |      trim(lower(coalesce(text, ''))), '\s+')) AS word
+          |    FROM documents) t
+          |  GROUP BY word
+          |)""".stripMargin
+      for (r <- 1 to bpeSubRounds) {
+        sb ++= s""",
+          |bw$r AS (
+          |  SELECT cnt,
+          |    string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS u
+          |  FROM bd${r - 1}
+          |), bm$r AS (
+          |  SELECT u[i] AS pa, u[i+1] AS pb, CAST(sum(cnt) AS BIGINT) AS cnt
+          |  FROM bw$r, unnest(generate_series(1, len(u) - 1)) AS g(i)
+          |  WHERE len(u) >= 2
+          |  GROUP BY 1, 2 ORDER BY cnt DESC, pa, pb LIMIT 1
+          |), bd$r AS (
+          |  SELECT d.word, d.cnt,
+          |    replace(d.s, chr(1) || m.pa || chr(2) || chr(1) || m.pb || chr(2),
+          |                 chr(1) || m.pa || chr(31) || m.pb || chr(2)) AS s
+          |  FROM bd${r - 1} d, bm$r m
+          |), bt$r AS (
+          |  SELECT CAST(sum(cnt * len(
+          |    string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1))))
+          |    AS BIGINT) AS units_after
+          |  FROM bd$r
+          |)""".stripMargin
+      }
+      sb ++= "\n" + (1 to bpeSubRounds).map(r =>
+        s"SELECT $r AS rk, m.pa, m.pb, m.cnt, t.units_after FROM bm$r m, bt$r t")
+        .mkString("\nUNION ALL\n")
+      sb.result()
+    },
+    "north star: character-level BPE on the word-frequency dictionary " +
+      "(the real tokenizer-training granularity; corpus scanned once, " +
+      "merges applied to |vocab| rows)")
+
   /** Keep/drop threshold for [[qUnigramNll]] in nats: the corpus median
     * sits at ~3.40 with a rare-token tail to 3.70, so 3.45 drops the
     * tail (the real pipeline would fit this on a held-out slice; the
@@ -899,6 +1005,111 @@ object TextQueries {
       |  CASE WHEN avg_nll <= $nllKeep THEN 'keep' ELSE 'drop' END AS verdict
       |FROM d""".stripMargin),
     "north star: unigram-LM perplexity-filter analog (corpus-frequency NLL quality gate)")
+
+  /** Interpolation weight on the bigram term of [[qBigramNll]]. */
+  private val biLambda = 0.7
+
+  /** Keep/drop threshold for [[qBigramNll]] in nats: the corpus
+    * distribution sits ~3.39±0.03 under the interpolated bigram model
+    * (barely below the unigram 3.40 — this corpus is near-unigram by
+    * construction; real text drops much further), so 3.41 splits it. */
+  private val biNllKeep = 3.41
+
+  /** q_bigram_nll — the perplexity filter upgraded one Markov order
+    * (KenLM-style quality gating uses n-gram models precisely because
+    * unigram frequency can't see disfluent sequences of common words):
+    * per-token NLL under an INTERPOLATED bigram LM trained on the corpus
+    * itself, p(w|prev) = λ·c(prev,w)/c⁺(prev) + (1−λ)·c(w)/N, with the
+    * context count c⁺(prev) = prev's occurrences in non-final positions
+    * (so the bigram term is a proper distribution) and the document's
+    * first token scored by the unigram term alone. Train==score corpus,
+    * so every bigram has c ≥ 1 and no smoothing floor is needed — the
+    * mechanism (n-gram LM score, threshold gate) is what's under test.
+    *
+    * Scale shape: one token pass builds both count tables (map-side
+    * combined), scoring joins are KEYED on the bigram / context / token
+    * (never broadcast — an n-gram table at 100 TB is itself huge, the
+    * q_unigram_nll vocabulary argument squared), one per-doc agg.
+    * Determinism: p is assembled by a pinned IEEE op chain over
+    * integer-valued doubles (two divisions, two multiplies, one add —
+    * identical token-for-token in the oracle), then each token's NLL
+    * snaps to a fixed-point long (round(−ln(p)·1e9)) so the per-doc sum
+    * is exact integer arithmetic in any order — the q_unigram_nll
+    * contract, one Markov order up. */
+  val qBigramNll = Q("q_bigram_nll",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+          posexplode(split(trim(lower(coalesce(col("text"), lit("")))),
+            "\\s+")))
+        .withColumnRenamed("col", "tok")
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+      val total = uni.agg(sum(col("cu")).cast("double").as("n"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val seq = toks.withColumn("prev", lag(col("tok"), 1).over(byDoc))
+      val bi = seq.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+      val ctx = bi.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+      val scored = seq
+        .join(uni, "tok")
+        .join(bi, Seq("prev", "tok"), "left")
+        .join(ctx, Seq("prev"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("p",
+          when(col("prev").isNull, col("cu").cast("double") / col("n"))
+            .otherwise(lit(biLambda) *
+              (col("cb").cast("double") / col("cp").cast("double")) +
+              lit(1 - biLambda) * (col("cu").cast("double") / col("n"))))
+        .withColumn("nc", round(-log(col("p")) * lit(1e9)).cast("long"))
+      scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("nc")).cast("double") / lit(1e9) / count(lit(1)), 6)
+            .as("avg_nll"))
+        .withColumn("verdict",
+          when(col("avg_nll") <= biNllKeep, "keep").otherwise("drop"))
+        .select("doc_id", "n_tokens", "avg_nll", "verdict")
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id, unnest(w) AS tok,
+      |    unnest(generate_series(0, len(w) - 1)) AS pos
+      |  FROM (SELECT doc_id, string_split_regex(
+      |          trim(lower(coalesce(text, ''))), '\\s+') AS w
+      |        FROM documents) t
+      |), uni AS (
+      |  SELECT tok, count(*) AS cu FROM toks GROUP BY tok
+      |), total AS (
+      |  SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uni
+      |), seq AS (
+      |  SELECT doc_id, pos, tok,
+      |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM toks
+      |), bi AS (
+      |  SELECT prev, tok, count(*) AS cb FROM seq
+      |  WHERE prev IS NOT NULL GROUP BY prev, tok
+      |), ctx AS (
+      |  SELECT prev, CAST(sum(cb) AS BIGINT) AS cp FROM bi GROUP BY prev
+      |), scored AS (
+      |  SELECT s.doc_id,
+      |    CAST(round(-ln(CASE WHEN s.prev IS NULL
+      |        THEN CAST(u.cu AS DOUBLE) / total.n
+      |        ELSE $biLambda * (CAST(b.cb AS DOUBLE) / CAST(c.cp AS DOUBLE))
+      |             + ${1 - biLambda} * (CAST(u.cu AS DOUBLE) / total.n)
+      |      END) * 1e9) AS BIGINT) AS nc
+      |  FROM seq s
+      |    JOIN uni u ON u.tok = s.tok
+      |    LEFT JOIN bi b ON b.prev = s.prev AND b.tok = s.tok
+      |    LEFT JOIN ctx c ON c.prev = s.prev
+      |    CROSS JOIN total
+      |), d AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    round(CAST(sum(nc) AS BIGINT) / 1e9 / count(*), 6) AS avg_nll
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, avg_nll,
+      |  CASE WHEN avg_nll <= $biNllKeep THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM d""".stripMargin),
+    "north star: interpolated bigram-LM perplexity filter (the n-gram " +
+      "quality gate one Markov order above q_unigram_nll)")
 
   /** Vocabulary size for [[qVocabEncode]]: deliberately below this
     * corpus's 31 distinct tokens so the OOV path is exercised (a real
@@ -1336,6 +1547,6 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
-    qSpanDedup, qBpeMerge, qBpeTrain, qBpeEncode, qUnigramNll, qVocabEncode,
+    qSpanDedup, qBpeMerge, qBpeTrain, qBpeEncode, qBpeSubword, qUnigramNll, qBigramNll, qVocabEncode,
     qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qEntityCanonPr, qTriangles, qPagerank, qMixTemp)
 }

@@ -594,6 +594,23 @@ object Streams {
       }
   }
 
+  /** Built-in session windows (30-minute gap) per user with a 2-hour
+    * watermark — the q_session_window plan, usable in BOTH batch (the
+    * watermark analyzes away) and streaming (Append mode: a session
+    * emits exactly once, when the watermark passes its end = last event
+    * + gap; open sessions hold O(users) state and merge as micro-batches
+    * deliver more of a user's timeline — the dynamic MERGING-window
+    * state discipline none of the fixed-window runs exercise). */
+  def sessionWindows(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "2 hours")
+    .groupBy(col("user_id"),
+      session_window(col("ts"), "30 minutes").as("w"))
+    .agg(count(lit(1)).as("n_events"))
+    .select(col("user_id"),
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+      col("n_events"))
+
   /** Per-group hash-sample state: total row count plus the k (hash,
     * value) pairs with the smallest id hash seen so far — O(k) for the
     * stream's lifetime regardless of value range or arrival volume. */
