@@ -156,6 +156,7 @@ object Bench {
     * growth. */
   private[graft] val displayAbbrev = Map(
     "dup_clusters" -> "dup_cl",
+    "stream_join" -> "s_join",
     "embed_dup" -> "emb_dd",
     "sync_diff" -> "sdif",
     "sample_k" -> "samp_k",
@@ -186,7 +187,7 @@ object Bench {
     "dup_clusters_star" -> "dc_star",
     "entity_canon_pr" -> "ecan_pr",
     "having_join" -> "hav_j",
-    "heavy_hitters" -> "hhit",
+    "heavy_hitters" -> "hh",
     "hist_quantile" -> "hist_q",
     "jaccard" -> "jacc",
     "lag_lead" -> "lag",
@@ -230,7 +231,7 @@ object Bench {
     "semdedup_s" -> "semdd_s",
     "entity_canon" -> "ecanon",
     "entity_canon2" -> "ecanon2",
-        "stream_append" -> "str_app",
+        "stream_append" -> "sapp",
     "bpe_train" -> "bpe_tr",
     "bpe_encode" -> "bpe_enc",
         "triangles" -> "tri",

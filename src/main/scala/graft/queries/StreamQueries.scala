@@ -588,7 +588,74 @@ object StreamQueries {
       "gate (merging-window state across micro-batches; late slice " +
       "dropped, unfinalized tail sessions withheld)")
 
+  /** q_stream_join — the SIXTH streaming discipline in the gate: a real
+    * STREAM-STREAM interval join (the q_range_join semantics — each
+    * signup joined to the same user's clicks within 6 hours — as two
+    * readStream sources joined under event-time watermarks). The state
+    * discipline is join-specific: each side buffers rows until the
+    * OTHER side's watermark proves no future partner can match (a
+    * signup's state lives until the click watermark passes signup+6h; a
+    * click's until the signup watermark passes the click), and matches
+    * emit the moment they form — no finalization wait, so unlike the
+    * Append aggregations the tail is NOT withheld. Both sources stream
+    * [[lateSlicedEventsDir]] in lockstep (maxFilesPerTrigger=1 pulls
+    * one file per source per trigger); time-ordered delivery plus the
+    * 2-hour watermark delay covers the 6-hour join window, so no
+    * ON-TIME match can be lost to state eviction — the only divergence
+    * from the batch answer is the late day-one slice, dropped on
+    * arrival on whichever side it lands. Oracle: the q_range_join SQL
+    * over the ON-TIME set only. (At sf0.01 no match happens to involve
+    * a late row, so on-time == full there; sf0.1 has 19 late-involved
+    * matches and the 10× fixture 190 — the drop is discriminated by the
+    * 10× bit-identity record, the gate by the join itself.) */
+  val qStreamJoin = Q("q_stream_join",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sliced = lateSlicedEventsDir(s, dir)
+      val schema = s.read.parquet(sliced).schema
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(sliced)
+      val signups = src().filter(col("event_type") === "signup")
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").as("s_ts"))
+      val clicks = src().filter(col("event_type") === "click")
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts").as("c_ts"))
+      val joined = signups.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("s_ts") &&
+            col("c_ts") <= col("s_ts") + expr("INTERVAL 6 HOURS"))
+        .select(col("user_id"), col("signup_id"), col("click_id"),
+          (unix_micros(col("c_ts")) - unix_micros(col("s_ts")))
+            .as("offset_us"))
+      val sink = s"graft_stream_join_${streamRunId.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    },
+    Some("""WITH lim AS (
+      |  SELECT min(ts) + INTERVAL 1 DAY AS early_cut FROM events
+      |), ontime AS (
+      |  SELECT e.* FROM events e, lim
+      |  WHERE NOT (e.event_id % 10 = 7 AND e.ts < lim.early_cut)
+      |), s AS (
+      |  SELECT user_id, event_id AS signup_id, epoch_us(ts) AS s_us
+      |  FROM ontime WHERE event_type = 'signup'
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+      |  FROM ontime WHERE event_type = 'click'
+      |)
+      |SELECT s.user_id, s.signup_id, c.click_id, c.c_us - s.s_us AS offset_us
+      |FROM s JOIN c ON c.user_id = s.user_id
+      |  AND c.c_us BETWEEN s.s_us AND s.s_us + 21600000000""".stripMargin),
+    "north star: stream-stream interval join executed in the gate " +
+      "(two watermarked sources, join-state eviction, late slice " +
+      "dropped on either side)")
+
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qSessionWindow, qJson, qEventsTopK,
     qAsof, qAsofBcast, qRangeJoin, qStreamMoments, qStreamSessionize,
-    qStreamHourly, qStreamAppend, qStreamSessWin)
+    qStreamHourly, qStreamAppend, qStreamSessWin, qStreamJoin)
 }
