@@ -653,7 +653,14 @@ object SimilarityQueries {
           col("doc_id").as("whole_id")))
         .unionAll(comp.select((col("doc_id") - 3000000).as("src_id"),
           (col("doc_id") - 3000000 + 1).as("whole_id")))
-      val sets = corpus.filter(size(wtok) >= 3)
+      // only pair participants need shingle sets — membership is id
+      // arithmetic (sources ≡ 0/1 mod 20, composites ≥ 3e6), so the
+      // filter prunes the shingling 10× BEFORE the set projection (the
+      // first cut shingled the whole corpus for 3 pairs per composite:
+      // 7.6 s at sf0.1, ~2 s pruned)
+      val sets = corpus
+        .filter(col("doc_id") % 20 <= 1 || col("doc_id") >= 3000000)
+        .filter(size(wtok) >= 3)
         .select(col("doc_id"),
           Shingles.shingleSetOfWords(wtok).as("sh"))
       pairs

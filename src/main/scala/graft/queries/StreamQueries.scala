@@ -241,6 +241,27 @@ object StreamQueries {
 
   private val streamRunId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Gate/bench state-partition width for the streaming executions.
+    * Streaming state lives in one store instance per (shuffle partition
+    * × store), committed every micro-batch — a stream-stream join
+    * carries FOUR stores per partition, so at the session's full width
+    * (32) the sliced gate runs pay 32·4·5 ≈ 640 store commits for
+    * micro-batches holding kilobytes per partition (measured:
+    * q_stream_join 10.8 s at width 32). Sizing the width to the state
+    * volume is exactly the knob a production job tunes; the gate corpus
+    * warrants 8. */
+  private val streamStateParts = 8
+
+  /** Runs `body` with spark.sql.shuffle.partitions temporarily lowered
+    * to [[streamStateParts]] (restored after — registry queries run
+    * sequentially, so the session-global conf swap cannot race). */
+  private def withStateParts[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, streamStateParts.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** q_stream_moments — the ONE registry entry whose Spark side actually
     * executes `readStream`: [[graft.streaming.Streams.momentsStream]]
     * (three-long GroupState per event_type) over the events parquet under
@@ -258,7 +279,7 @@ object StreamQueries {
     * driver-checkable: DuckDB computes the batch answer, the Spark side
     * reaches it through an actual streaming execution. */
   val qStreamMoments = Q("q_stream_moments",
-    (s, dir) => {
+    (s, dir) => withStateParts(s) {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.streaming.Trigger
       val src = eventsStreamSliced(s, dir)
@@ -414,7 +435,7 @@ object StreamQueries {
     * and the streaming GroupState formulation share nothing but the gap
     * contract. */
   val qStreamSessionize = Q("q_stream_sessionize",
-    (s, dir) => {
+    (s, dir) => withStateParts(s) {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
@@ -453,7 +474,7 @@ object StreamQueries {
     * exactly why it is reserved for bounded window×group outputs like
     * this hourly rollup; unbounded-key streams use the Update path. */
   val qStreamHourly = Q("q_stream_hourly",
-    (s, dir) => {
+    (s, dir) => withStateParts(s) {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"graft_stream_hourly_${streamRunId.incrementAndGet()}"
       val q = graft.streaming.Streams.hourlyCounts(eventsStreamSliced(s, dir))
@@ -494,7 +515,7 @@ object StreamQueries {
     * everything older, the property this query finally executes rather
     * than asserts. */
   val qStreamAppend = Q("q_stream_append",
-    (s, dir) => {
+    (s, dir) => withStateParts(s) {
       import org.apache.spark.sql.streaming.Trigger
       val sliced = lateSlicedEventsDir(s, dir)
       val schema = s.read.parquet(sliced).schema
@@ -542,7 +563,7 @@ object StreamQueries {
     * with end ≤ max(ts) − 2 h, using session_window's strict-< gap
     * boundary. */
   val qStreamSessWin = Q("q_stream_sess_win",
-    (s, dir) => {
+    (s, dir) => withStateParts(s) {
       import org.apache.spark.sql.streaming.Trigger
       val sliced = lateSlicedEventsDir(s, dir)
       val schema = s.read.parquet(sliced).schema
@@ -609,7 +630,7 @@ object StreamQueries {
     * matches and the 10× fixture 190 — the drop is discriminated by the
     * 10× bit-identity record, the gate by the join itself.) */
   val qStreamJoin = Q("q_stream_join",
-    (s, dir) => {
+    (s, dir) => withStateParts(s) {
       import org.apache.spark.sql.streaming.Trigger
       val sliced = lateSlicedEventsDir(s, dir)
       val schema = s.read.parquet(sliced).schema
