@@ -157,6 +157,7 @@ object Bench {
   private[graft] val displayAbbrev = Map(
     "dup_clusters" -> "dup_cl",
     "stream_join" -> "s_join",
+    "stream_dedup" -> "s_dd",
     "embed_dup" -> "emb_dd",
     "sync_diff" -> "sdif",
     "sample_k" -> "samp_k",
@@ -212,8 +213,8 @@ object Bench {
     "vocab_encode" -> "voc_enc",
             "events_sliding" -> "ev_sl",
     "events_hourly" -> "ev_hr",
-    "events_topk" -> "ev_topk",
-    "events_json" -> "ev_json",
+    "events_topk" -> "ev_tk",
+    "events_json" -> "ev_js",
         "split_leakfree" -> "leakf",
             "grouping_sets" -> "grps",
             "retrieval_e2e" -> "r_e2e",
@@ -259,9 +260,9 @@ object Bench {
     "cardinality" -> "card",
     "fingerprint" -> "fprint",
     "sessionize" -> "sess",
-    "simhash_dup" -> "sim_dup",
-    "doc_render" -> "doc_rnd",
-    "range_join" -> "range_j",
+    "simhash_dup" -> "sdup",
+    "doc_render" -> "drnd",
+    "range_join" -> "rng_j",
     "anti_join" -> "anti_j",
     "semi_join" -> "semi_j",
     "embed_dup" -> "emb_dup")

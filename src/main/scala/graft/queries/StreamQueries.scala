@@ -676,7 +676,55 @@ object StreamQueries {
       "(two watermarked sources, join-state eviction, late slice " +
       "dropped on either side)")
 
+  /** q_stream_dedup — the SEVENTH streaming discipline in the gate:
+    * watermark-bounded `dropDuplicates` (the exactly-once input stage
+    * every production ingest runs; [[graft.streaming.Streams.dedupByKey]]
+    * is the redelivery-suppression variant this generalizes). Dedup key
+    * = (user_id, event_type, minute bucket), with the BUCKET as the
+    * watermarked event-time column and part of the key — the condition
+    * under which Spark evicts dedup state (keys older than the
+    * watermark leave the store; a key's duplicates all share its
+    * minute, so they always arrive inside the live window and the dedup
+    * is exact). Streams [[lateSlicedEventsDir]]: the day-one late slice
+    * is dropped at input, so keys occurring ONLY there never emit. The
+    * output projects the KEY COLUMNS ALONE — which physical row
+    * survives per key depends on intra-batch order (file scans are
+    * unordered), and a correctness gate may only assert what the
+    * semantics determine: the distinct on-time key set. First-arrival
+    * rows emit immediately (Append without finalization wait, like the
+    * join). */
+  val qStreamDedup = Q("q_stream_dedup",
+    (s, dir) => withStateParts(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      val sliced = lateSlicedEventsDir(s, dir)
+      val schema = s.read.parquet(sliced).schema
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(sliced)
+        .withColumn("m", date_trunc("minute", col("ts")))
+        .withWatermark("m", "2 hours")
+        .dropDuplicates("user_id", "event_type", "m")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("m"), "yyyy-MM-dd HH:mm:ss").as("minute"))
+      val sink = s"graft_stream_dedup_${streamRunId.incrementAndGet()}"
+      val q = src.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    },
+    Some("""WITH lim AS (
+      |  SELECT min(ts) + INTERVAL 1 DAY AS early_cut FROM events
+      |), ontime AS (
+      |  SELECT e.* FROM events e, lim
+      |  WHERE NOT (e.event_id % 10 = 7 AND e.ts < lim.early_cut)
+      |)
+      |SELECT DISTINCT user_id, event_type,
+      |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
+      |FROM ontime""".stripMargin),
+    "north star: watermark-bounded streaming dedup executed in the gate " +
+      "(exactly-once ingest stage; state evicted behind the watermark, " +
+      "late slice dropped)")
+
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qSessionWindow, qJson, qEventsTopK,
     qAsof, qAsofBcast, qRangeJoin, qStreamMoments, qStreamSessionize,
-    qStreamHourly, qStreamAppend, qStreamSessWin, qStreamJoin)
+    qStreamHourly, qStreamAppend, qStreamSessWin, qStreamJoin, qStreamDedup)
 }
