@@ -235,6 +235,42 @@ class PlanSpec extends SparkSpec {
       s"rep vectors must come from the cell agg, not a corpus join:\n$p")
   }
 
+  test("q_fuzzy_join2 keeps the pinned variant shuffle at depth 2") {
+    // depth 2 multiplies variants per name (~len²/2) and widens blocks —
+    // the AQE-coalescing trap q_fuzzy_join documented applies with more
+    // force, so the same REPARTITION_BY_NUM guard must hold
+    val p = plan(graft.queries.TextQueries.qFuzzyJoin2)
+    assert(countOcc(p, "REPARTITION_BY_NUM") === 2,
+      s"expected the pinned variant repartition on both join inputs:\n$p")
+  }
+
+  test("q_ann_pq scores through the broadcast LUT and keeps the query cap") {
+    val p = plan(graft.queries.SimilarityQueries.qAnnPq)
+    // codes ⋈ LUT must be a broadcast hash join (the LUT is
+    // |queries|·pqM·pqK rows by construction); the float vectors are
+    // only touched by the shortlist rerank join
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the LUT broadcast join:\n$p")
+    assert(p.contains("LessThan(vec_id,3200)"),
+      "query-set cap not pushed to the broadcast-side scan")
+  }
+
+  test("q_sample_quantile takes its bottom-k through the custom TopK " +
+    "operator") {
+    // the sample state must ride the bounded-heap operator (map-side
+    // pruning: ≤ k·|groups| rows shuffle) — a window formulation would
+    // sort the full value stream
+    val p = plan(graft.queries.AnalyticsQueries.qSampleQuantile)
+    assert(p.contains("LocalTopK") && p.contains("FinalTopK"),
+      s"expected the custom top-k physical operators in the plan:\n$p")
+  }
+
+  test("q_session_window plans the native session-window aggregation") {
+    val p = plan(graft.queries.StreamQueries.qSessionWindow)
+    assert(p.contains("session_window"),
+      s"expected the built-in session_window expression:\n$p")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
