@@ -29,7 +29,9 @@ object BenchHistory {
     // Append-eviction stream run, the composed-iteration ER query, the
     // depth-2 ER stack, and the PQ rung
     "q_bpe_train", "q_bpe_encode", "q_stream_append", "q_entity_canon_pr",
-    "q_entity_canon2", "q_ann_pq")
+    "q_entity_canon2", "q_ann_pq",
+    // second-wave r10 heavies
+    "q_bpe_subword", "q_stream_join", "q_stream_sess_win")
 
   def main(args: Array[String]): Unit = {
     val round = args(0).toInt
