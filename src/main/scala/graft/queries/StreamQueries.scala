@@ -241,24 +241,31 @@ object StreamQueries {
 
   private val streamRunId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Gate/bench state-partition width for the streaming executions.
-    * Streaming state lives in one store instance per (shuffle partition
-    * × store), committed every micro-batch — a stream-stream join
-    * carries FOUR stores per partition, so at the session's full width
-    * (32) the sliced gate runs pay 32·4·5 ≈ 640 store commits for
+  /** Gate/bench state-partition width for the streaming executions,
+    * sized to the SOURCE VOLUME — the knob a production streaming job
+    * tunes. Streaming state lives in one store instance per (shuffle
+    * partition × store), committed every micro-batch; a stream-stream
+    * join carries FOUR stores per partition, so at the session's full
+    * width (32) the sf0.1 gate runs paid 32·4·5 ≈ 640 store commits for
     * micro-batches holding kilobytes per partition (measured:
-    * q_stream_join 10.8 s at width 32). Sizing the width to the state
-    * volume is exactly the knob a production job tunes; the gate corpus
-    * warrants 8. */
-  private val streamStateParts = 8
+    * q_stream_join 10.8 s at width 32, 4.0 s at 8) — while at the 100×
+    * fixture the per-batch data is 2.5M rows and width 8 STARVES the
+    * aggregation (q_stream_hourly 2.4 s at 32, 7.7 s at 8). Width
+    * follows the events source size: 8 below 32 MiB, the session width
+    * above. */
+  private def streamStateParts(s: SparkSession, dir: String): Int = {
+    val bytes = new java.io.File(s"$dir/events.parquet").length()
+    if (bytes < 32L * 1024 * 1024) 8
+    else s.sessionState.conf.numShufflePartitions
+  }
 
-  /** Runs `body` with spark.sql.shuffle.partitions temporarily lowered
-    * to [[streamStateParts]] (restored after — registry queries run
+  /** Runs `body` with spark.sql.shuffle.partitions temporarily set to
+    * [[streamStateParts]] (restored after — registry queries run
     * sequentially, so the session-global conf swap cannot race). */
-  private def withStateParts[T](s: SparkSession)(body: => T): T = {
+  private def withStateParts[T](s: SparkSession, dir: String)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, streamStateParts.toString)
+    s.conf.set(key, streamStateParts(s, dir).toString)
     try body finally s.conf.set(key, prev)
   }
 
@@ -279,7 +286,7 @@ object StreamQueries {
     * driver-checkable: DuckDB computes the batch answer, the Spark side
     * reaches it through an actual streaming execution. */
   val qStreamMoments = Q("q_stream_moments",
-    (s, dir) => withStateParts(s) {
+    (s, dir) => withStateParts(s, dir) {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.streaming.Trigger
       val src = eventsStreamSliced(s, dir)
@@ -435,7 +442,7 @@ object StreamQueries {
     * and the streaming GroupState formulation share nothing but the gap
     * contract. */
   val qStreamSessionize = Q("q_stream_sessionize",
-    (s, dir) => withStateParts(s) {
+    (s, dir) => withStateParts(s, dir) {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
@@ -474,7 +481,7 @@ object StreamQueries {
     * exactly why it is reserved for bounded window×group outputs like
     * this hourly rollup; unbounded-key streams use the Update path. */
   val qStreamHourly = Q("q_stream_hourly",
-    (s, dir) => withStateParts(s) {
+    (s, dir) => withStateParts(s, dir) {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"graft_stream_hourly_${streamRunId.incrementAndGet()}"
       val q = graft.streaming.Streams.hourlyCounts(eventsStreamSliced(s, dir))
@@ -515,7 +522,7 @@ object StreamQueries {
     * everything older, the property this query finally executes rather
     * than asserts. */
   val qStreamAppend = Q("q_stream_append",
-    (s, dir) => withStateParts(s) {
+    (s, dir) => withStateParts(s, dir) {
       import org.apache.spark.sql.streaming.Trigger
       val sliced = lateSlicedEventsDir(s, dir)
       val schema = s.read.parquet(sliced).schema
@@ -563,7 +570,7 @@ object StreamQueries {
     * with end ≤ max(ts) − 2 h, using session_window's strict-< gap
     * boundary. */
   val qStreamSessWin = Q("q_stream_sess_win",
-    (s, dir) => withStateParts(s) {
+    (s, dir) => withStateParts(s, dir) {
       import org.apache.spark.sql.streaming.Trigger
       val sliced = lateSlicedEventsDir(s, dir)
       val schema = s.read.parquet(sliced).schema
@@ -630,7 +637,7 @@ object StreamQueries {
     * matches and the 10× fixture 190 — the drop is discriminated by the
     * 10× bit-identity record, the gate by the join itself.) */
   val qStreamJoin = Q("q_stream_join",
-    (s, dir) => withStateParts(s) {
+    (s, dir) => withStateParts(s, dir) {
       import org.apache.spark.sql.streaming.Trigger
       val sliced = lateSlicedEventsDir(s, dir)
       val schema = s.read.parquet(sliced).schema
@@ -694,7 +701,7 @@ object StreamQueries {
     * rows emit immediately (Append without finalization wait, like the
     * join). */
   val qStreamDedup = Q("q_stream_dedup",
-    (s, dir) => withStateParts(s) {
+    (s, dir) => withStateParts(s, dir) {
       import org.apache.spark.sql.streaming.Trigger
       val sliced = lateSlicedEventsDir(s, dir)
       val schema = s.read.parquet(sliced).schema
