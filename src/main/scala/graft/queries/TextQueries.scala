@@ -275,7 +275,11 @@ object TextQueries {
   /** q_token_bpe — token counting both ways the north star names:
     * whitespace tokens and BPE-ish regex pre-tokens, plus their ratio
     * (the "subword inflation" a budget estimator needs). Pure projection,
-    * no shuffle. */
+    * no shuffle. This is the FIXED-rule counting rung; tokenization
+    * under LEARNED merges lives in [[qBpeEncode]] (word-level rules from
+    * [[qBpeTrain]]) and [[qBpeSubword]] (character-level rules), which
+    * together re-point the encoder at vocabularies the corpus itself
+    * induced. */
   val qTokenBpe = Q("q_token_bpe",
     (s, dir) => {
       val nWs = size(split(trim(col("text")), "\\s+")).cast("long")
