@@ -264,8 +264,7 @@ object Bench {
     "doc_render" -> "drnd",
     "range_join" -> "rng_j",
     "anti_join" -> "anti_j",
-    "semi_join" -> "semi_j",
-    "embed_dup" -> "emb_dup")
+    "semi_join" -> "semi_j")
 
   private[graft] def short(name: String): String = {
     val s = name.stripPrefix("q_")

@@ -259,6 +259,22 @@ object StreamQueries {
     else s.sessionState.conf.numShufflePartitions
   }
 
+  /** Shared oracle preamble for every [[lateSlicedEventsDir]] gate
+    * query: the late-set predicate and the final-watermark cutoff,
+    * defined ONCE so the four streaming oracles and the slice builder
+    * cannot silently desynchronize (the engine-side predicate lives in
+    * [[lateSlicedEventsDir]]; change both together). Emits `lim`
+    * (early_cut, wm) and `ontime`. */
+  private val lateOntimeSql =
+    """lim AS (
+      |  SELECT min(ts) + INTERVAL 1 DAY AS early_cut,
+      |         max(ts) - INTERVAL 2 HOUR AS wm
+      |  FROM events
+      |), ontime AS (
+      |  SELECT e.* FROM events e, lim
+      |  WHERE NOT (e.event_id % 10 = 7 AND e.ts < lim.early_cut)
+      |)""".stripMargin
+
   /** Runs `body` with spark.sql.shuffle.partitions temporarily set to
     * [[streamStateParts]] (restored after — registry queries run
     * sequentially, so the session-global conf swap cannot race). */
@@ -535,14 +551,7 @@ object StreamQueries {
       q.awaitTermination()
       s.table(sink)
     },
-    Some("""WITH lim AS (
-      |  SELECT min(ts) + INTERVAL 1 DAY AS early_cut,
-      |         max(ts) - INTERVAL 2 HOUR AS wm
-      |  FROM events
-      |), ontime AS (
-      |  SELECT e.* FROM events e, lim
-      |  WHERE NOT (e.event_id % 10 = 7 AND e.ts < lim.early_cut)
-      |)
+    Some("WITH " + lateOntimeSql + """
       |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, count(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -583,14 +592,7 @@ object StreamQueries {
       q.awaitTermination()
       s.table(sink)
     },
-    Some("""WITH lim AS (
-      |  SELECT min(ts) + INTERVAL 1 DAY AS early_cut,
-      |         max(ts) - INTERVAL 2 HOUR AS wm
-      |  FROM events
-      |), ontime AS (
-      |  SELECT e.* FROM events e, lim
-      |  WHERE NOT (e.event_id % 10 = 7 AND e.ts < lim.early_cut)
-      |), gaps AS (
+    Some("WITH " + lateOntimeSql + """, gaps AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
@@ -664,12 +666,7 @@ object StreamQueries {
       q.awaitTermination()
       s.table(sink)
     },
-    Some("""WITH lim AS (
-      |  SELECT min(ts) + INTERVAL 1 DAY AS early_cut FROM events
-      |), ontime AS (
-      |  SELECT e.* FROM events e, lim
-      |  WHERE NOT (e.event_id % 10 = 7 AND e.ts < lim.early_cut)
-      |), s AS (
+    Some("WITH " + lateOntimeSql + """, s AS (
       |  SELECT user_id, event_id AS signup_id, epoch_us(ts) AS s_us
       |  FROM ontime WHERE event_type = 'signup'
       |), c AS (
@@ -718,12 +715,7 @@ object StreamQueries {
       q.awaitTermination()
       s.table(sink)
     },
-    Some("""WITH lim AS (
-      |  SELECT min(ts) + INTERVAL 1 DAY AS early_cut FROM events
-      |), ontime AS (
-      |  SELECT e.* FROM events e, lim
-      |  WHERE NOT (e.event_id % 10 = 7 AND e.ts < lim.early_cut)
-      |)
+    Some("WITH " + lateOntimeSql + """
       |SELECT DISTINCT user_id, event_type,
       |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
       |FROM ontime""".stripMargin),

@@ -735,9 +735,12 @@ object TextQueries {
             element_at(col("w"), i + 1).as("pb")))).as("p"))
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).head()
-      val (pa, pb, cnt) = (best.getString(0), best.getString(1),
-        best.getLong(2))
+        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).collect()
+      require(best.nonEmpty,
+        s"BPE round $r: no adjacent pair left to merge — corpus exhausted " +
+          "(every document is a single token); lower the round count")
+      val (pa, pb, cnt) = (best(0).getString(0), best(0).getString(1),
+        best(0).getLong(2))
       val next = corpus.withColumn("s", call_function("replace", col("s"),
         lit(bpeS1 + pa + bpeS2 + bpeS1 + pb + bpeS2),
         lit(bpeS1 + pa + bpeGl + pb + bpeS2))).persist()
@@ -887,9 +890,12 @@ object TextQueries {
               element_at(col("u"), i + 1).as("pb")))).as("p"))
           .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
           .agg(sum(col("c")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).head()
-        val (pa, pb, cnt) = (best.getString(0), best.getString(1),
-          best.getLong(2))
+          .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).collect()
+        require(best.nonEmpty,
+          s"subword BPE round $r: no adjacent unit pair left to merge — " +
+            "every dictionary word is a single unit; lower the round count")
+        val (pa, pb, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
         val next = cur.withColumn("s", call_function("replace", col("s"),
           lit(bpeS1 + pa + bpeS2 + bpeS1 + pb + bpeS2),
           lit(bpeS1 + pa + bpeGl + pb + bpeS2))).persist()
