@@ -172,6 +172,7 @@ object Bench {
     "containment" -> "cont",
     "ann_ivf" -> "ivf",
     "ann_ivf_sq" -> "ivf_sq",
+    "ann_ivf_pq" -> "ivfpq",
     "ann_lsh" -> "lsh",
     "ann_mp" -> "mp",
     "ann_mt" -> "mt",
@@ -180,8 +181,8 @@ object Bench {
     "ann_recall_cl" -> "rec_cl",
     "ann_sq" -> "asq",
     "anomaly" -> "anom",
-    "chunk_index" -> "chk_idx",
-    "chunk_ref" -> "chk_ref",
+    "chunk_index" -> "cidx",
+    "chunk_ref" -> "cref",
     "dedup_exact" -> "dd_ex",
     "delta_dedup" -> "del_dd",
     "doc_dedup" -> "doc_dd",
@@ -223,7 +224,7 @@ object Bench {
         "binary_scan" -> "bscan",
     "sync_upload" -> "sync_up",
     "sync_delete" -> "sdel",
-    "stream_moments" -> "str_mom",
+    "stream_moments" -> "smom",
     "stream_sessionize" -> "str_se",
     "stream_hourly" -> "str_hr",
     "fuzzy_join" -> "fuzzy",
@@ -241,7 +242,7 @@ object Bench {
     "asof_join" -> "asof_j",
     "skew_audit" -> "skew",
     "decontam" -> "decon",
-    "curate_e2e" -> "cur_e2e",
+    "curate_e2e" -> "c_e2e",
     "mix_temp" -> "mix_t",
     "mad_outliers" -> "mad",
     "dup_stats" -> "dup_st",

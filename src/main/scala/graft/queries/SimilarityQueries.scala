@@ -1692,6 +1692,120 @@ object SimilarityQueries {
       topSql("p", 3)
   }
 
+  /** IVF-PQ composed: the coarse k-means quantizer gates CANDIDATES
+    * (each corpus vector sits in one of [[ivfCells]] cells; a query
+    * probes its [[ivfNprobe]] nearest), and within the probed cells
+    * scoring touches only the PQ CODES via the broadcast LUT — the
+    * full memory-scale retrieval shape (FAISS's IVFPQ + refine): at
+    * corpus scale the scan reads cell id + 4 code bytes per vector,
+    * candidates shrink by cells/nprobe, and floats surface only for
+    * the top-[[pqShortlist]] rerank. Engine-side both quantizers train
+    * concurrently; the oracle re-derives the coarse codebook AND all
+    * four per-block codebooks in one statement. */
+  private def annIvfPqFrom(emb: DataFrame): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val base = withNorm(emb)
+    val (coarse, books) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cf = Future(KMeans.train(base.select("vec_id", "v"),
+        ivfCells, ivfIters))
+      val bf = Future(pqCodebooks(base))
+      (Await.result(cf, Duration.Inf), Await.result(bf, Duration.Inf))
+    }
+    val coded = base.select(col("vec_id"),
+      KMeans.assignCell(col("v"), coarse).as("cell"),
+      array((0 until pqM).map(b =>
+        struct(lit(b).as("b"),
+          KMeans.assignCell(slice(col("v"), b * pqSub + 1, pqSub),
+            books(b)).as("code"))): _*).as("bcs"))
+    val codes = coded.select(col("vec_id"), col("cell"),
+        explode(col("bcs")).as("bc"))
+      .select(col("vec_id"), col("cell"),
+        col("bc.b").as("b"), col("bc.code").as("code"))
+    val cb = books.zipWithIndex.flatMap { case (book, b) =>
+      book.map { case (cl, c) => (b, cl, c) } }
+      .toDF("b", "code", "c")
+    val qs = base.filter(isQuery).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("dxx").as("qxx"),
+      KMeans.probeCells(col("v"), coarse, ivfNprobe).as("qcells"))
+    // per-(query, probed cell, block, code) LUT rows: the cell gate and
+    // the code lookup land in ONE broadcast equi-join against the codes
+    // scan — no separate candidate materialization
+    val lut = qs.select(col("query_id"), col("qxx"), col("qv"),
+        explode(col("qcells")).as("cell"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("qxx"), col("cell"), col("b"),
+        col("code"),
+        Vectors.dotScaled(
+          slice(col("qv"), col("b") * lit(pqSub) + lit(1), lit(pqSub)),
+          col("c")).as("dq"),
+        Vectors.dotScaled(col("c"), col("c")).as("cc"))
+    val shortlist = codes.join(broadcast(lut), Seq("cell", "b", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("dq")).as("sdq"), sum(col("cc")).as("scc"),
+        max(col("qxx")).as("qxx"))
+      .withColumn("score_adc", round(
+        (col("sdq").cast("double") / lit(1e15)) /
+          (sqrt(col("qxx")) * sqrt(col("scc").cast("double") / lit(1e15))),
+        6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_adc").desc, col("nbr_id"))))
+      .filter(col("rk") <= pqShortlist)
+      .select("query_id", "nbr_id")
+    val qflat = base.filter(isQuery).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("dxx").as("qxx"))
+    val cand = shortlist
+      .join(base.select(col("vec_id").as("nbr_id"), col("v"), col("dxx")),
+        "nbr_id")
+      .join(broadcast(qflat), "query_id")
+    topK(cand, 3, Seq("query_id", "rk", "nbr_id", "score"))
+  }
+
+  /** Oracle tail for [[annIvfPqFrom]] over `src` — assumes the COARSE
+    * trainer CTEs (KMeans.trainSql, unprefixed: assignf/probe built by
+    * the caller) and the PQ block trainers + pa/pcodes/pcb/pqq/pqel/
+    * pqx/plut/pcc CTEs of [[pqSql]] are in scope; gates the ADC sum by
+    * the probed-cell candidate join, shortlists, and reranks exactly. */
+  private def ivfPqTailSql(src: String): String =
+    s"""ipcand AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS nbr_id
+      |  FROM probe p JOIN assignf a ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.vec_id
+      |), ipsc AS (
+      |  SELECT c.query_id, c.nbr_id,
+      |    CAST(SUM(l.dq) AS BIGINT) AS sdq, CAST(SUM(n.cc) AS BIGINT) AS scc
+      |  FROM ipcand c
+      |    JOIN pcodes k ON k.vec_id = c.nbr_id
+      |    JOIN plut l ON l.query_id = c.query_id AND l.b = k.b
+      |         AND l.code = k.code
+      |    JOIN pcc n ON n.b = k.b AND n.code = k.code
+      |  GROUP BY c.query_id, c.nbr_id
+      |), ipscore AS (
+      |  SELECT s.query_id, s.nbr_id,
+      |    round((CAST(s.sdq AS DOUBLE)/1e15)
+      |      / (sqrt(CAST(q.qxx AS DOUBLE)/1e15)
+      |         * sqrt(CAST(s.scc AS DOUBLE)/1e15)), 6) AS score
+      |  FROM ipsc s JOIN pqx q ON q.query_id = s.query_id
+      |), ipshort AS (
+      |  SELECT query_id, nbr_id FROM (
+      |    SELECT query_id, nbr_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, nbr_id) AS rk
+      |    FROM ipscore) t
+      |  WHERE rk <= $pqShortlist
+      |), ipc AS (
+      |  SELECT ps.query_id, ps.nbr_id, e.embedding AS nv, q.embedding AS qv
+      |  FROM ipshort ps
+      |    JOIN $src e ON e.vec_id = ps.nbr_id
+      |    JOIN pqq q ON q.query_id = ps.query_id
+      |), """.stripMargin +
+      dotsSql("ipc", "nv", "qv", "query_id, nbr_id", "ip")
+
   /** Prefixed exact-rerank top-k CTE over `${prefix}dots`. */
   private def topSql(prefix: String, k: Int): String =
     s"""${prefix}top AS (
@@ -1888,6 +2002,33 @@ object SimilarityQueries {
     "north star: product quantization ANN (per-subspace codebooks, " +
       "ADC lookup-table scoring; the memory-scale index format)")
 
+  /** q_ann_ivf_pq — the COMPOSED flagship: IVF cells gate candidates,
+    * PQ codes score them, floats only at the refine ([[annIvfPqFrom]]).
+    * The oracle re-derives BOTH quantizer families in one statement —
+    * the coarse codebook (KMeans.trainSql) and the four per-block PQ
+    * codebooks (prefixed trainers) — then replays gate → LUT → integer
+    * block sums → shortlist → exact rerank. */
+  val qAnnIvfPq = Q("q_ann_ivf_pq",
+    (s, dir) => annIvfPqFrom(clusteredEmb(s, dir)),
+    Some("WITH " + cembSql + ",\n" +
+      KMeans.trainSql("cemb", ivfCells, ivfIters) + s""",
+      |assignf AS (
+      |${ivfAssignSql(1, "")}
+      |), probe AS (
+      |${ivfAssignSql(ivfNprobe, s"\n    WHERE ${queryPredSql("e.")}")}
+      |), """.stripMargin +
+      pqSql("cemb") + ",\n" + ivfPqTailSql("cemb") + """
+      |SELECT query_id, rk, nbr_id, score FROM (
+      |  SELECT query_id, nbr_id,
+      |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |  FROM ipdots) t
+      |WHERE rk <= 3""".stripMargin),
+    "north star: IVF-PQ composed retrieval (cell gate + code scoring + " +
+      "exact refine — the FAISS IVFPQ shape, both quantizers " +
+      "oracle-retrained)")
+
   /** SemDeDup cosine threshold: within-cluster angles on the clustered
     * fixture are ≈ 0.1 rad (cos ≈ 0.995) and cross-cluster near π/2, so
     * 0.9 cleanly splits "same underlying center as the representative"
@@ -2001,5 +2142,5 @@ object SimilarityQueries {
     qNearDup, qNearDupRep, qJaccard, qContainment, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
     qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
-    qAnnPq, qSemDedup, qSemDedupSampled)
+    qAnnPq, qAnnIvfPq, qSemDedup, qSemDedupSampled)
 }
