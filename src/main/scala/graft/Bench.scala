@@ -158,7 +158,8 @@ object Bench {
     "dup_clusters" -> "dup_cl",
     "stream_join" -> "s_join",
     "stream_dedup" -> "s_dd",
-    "embed_dup" -> "emb_dd",
+    // embed_dup keeps its r9 display key for record continuity
+    "embed_dup" -> "emb_dup",
     "sync_diff" -> "sdif",
     "sample_k" -> "samp_k",
     "dup_keys" -> "dup_ky",
@@ -230,7 +231,7 @@ object Bench {
     "fuzzy_join" -> "fuzzy",
     "fuzzy_join2" -> "fuzzy2",
     "semdedup" -> "semdd",
-    "semdedup_s" -> "semdd_s",
+    "semdedup_s" -> "sdd_s",
     "entity_canon" -> "ecanon",
     "entity_canon2" -> "ecanon2",
         "stream_append" -> "sapp",

@@ -1554,40 +1554,62 @@ object SimilarityQueries {
     }), Duration.Inf)
   }
 
-  /** PQ/ADC cosine top-3 over any (vec_id, embedding) frame: train
-    * per-block codebooks, encode every vector to pqM codes (one narrow
-    * codegen'd pass — at corpus scale the only per-vector state the
-    * scan touches), build the per-query LUT (|queries|·pqM·pqK rows —
-    * broadcast by construction), score candidates by code lookup and
-    * integer block sums. The approximate norm ‖x̂‖² = Σ_b ‖c_b‖² comes
-    * from the same LUT frame, so scoring never touches the float
-    * vectors. */
-  private def annPqFrom(emb: DataFrame): DataFrame = {
+  /** The SHARED PQ retrieval body ([[annPqFrom]] / [[annIvfPqFrom]] are
+    * the two postures): train the per-block codebooks (plus, when
+    * `ivfGate`, the coarse quantizer — both concurrently), encode every
+    * vector to pqM codes in one narrow codegen'd pass (at corpus scale
+    * the only per-vector state the scan touches), score by integer
+    * code-table lookups against the broadcast per-query LUT
+    * (|queries|·[gate cells]·pqM·pqK rows by construction; the
+    * approximate norm ‖x̂‖² = Σ_b ‖c_b‖² rides the same frame, so
+    * scoring never touches floats), shortlist the ADC top-R, and rerank
+    * those R float vectors exactly. With the gate on, each corpus
+    * vector carries its coarse cell and the LUT carries one copy per
+    * probed cell, so the SAME (cell, b, code) equi-join implements both
+    * the candidate gate and the code lookup; with it off, `cell` is a
+    * constant and the join degenerates to the flat ADC scan. */
+  private def pqRetrieve(emb: DataFrame, ivfGate: Boolean): DataFrame = {
     val sp = emb.sparkSession
     import sp.implicits._
     val base = withNorm(emb)
-    val books = pqCodebooks(base)
-    val coded = base.select(col("vec_id") +: (0 until pqM).map(b =>
-      KMeans.assignCell(slice(col("v"), b * pqSub + 1, pqSub), books(b))
-        .as(s"c$b")): _*)
-    val codes = coded.select(col("vec_id"),
+    val (coarse, books) =
+      if (!ivfGate) (Seq.empty[(Int, Seq[Double])], pqCodebooks(base))
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val cf = Future(KMeans.train(base.select("vec_id", "v"),
+          ivfCells, ivfIters))
+        val bf = Future(pqCodebooks(base))
+        (Await.result(cf, Duration.Inf), Await.result(bf, Duration.Inf))
+      }
+    val cellOf =
+      if (ivfGate) KMeans.assignCell(col("v"), coarse) else lit(0)
+    val probesOf =
+      if (ivfGate) KMeans.probeCells(col("v"), coarse, ivfNprobe)
+      else array(lit(0))
+    val codes = base.select(col("vec_id"), cellOf.as("cell"),
         explode(array((0 until pqM).map(b =>
-          struct(lit(b).as("b"), col(s"c$b").as("code"))): _*)).as("bc"))
-      .select(col("vec_id"), col("bc.b").as("b"), col("bc.code").as("code"))
+          struct(lit(b).as("b"),
+            KMeans.assignCell(slice(col("v"), b * pqSub + 1, pqSub),
+              books(b)).as("code"))): _*)).as("bc"))
+      .select(col("vec_id"), col("cell"),
+        col("bc.b").as("b"), col("bc.code").as("code"))
     val cb = books.zipWithIndex.flatMap { case (book, b) =>
       book.map { case (cl, c) => (b, cl, c) } }
       .toDF("b", "code", "c")
     val qs = base.filter(isQuery).select(col("vec_id").as("query_id"),
-      col("v").as("qv"), col("dxx").as("qxx"))
-    val lut = qs.crossJoin(broadcast(cb))
-      .select(col("query_id"), col("qxx"), col("b"), col("code"),
+      col("v").as("qv"), col("dxx").as("qxx"), probesOf.as("qcells"))
+    val lut = qs.select(col("query_id"), col("qxx"), col("qv"),
+        explode(col("qcells")).as("cell"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("qxx"), col("cell"), col("b"),
+        col("code"),
         Vectors.dotScaled(
           slice(col("qv"), col("b") * lit(pqSub) + lit(1), lit(pqSub)),
           col("c")).as("dq"),
         Vectors.dotScaled(col("c"), col("c")).as("cc"))
-    // ADC pass: integer code-table lookups over the whole corpus — the
-    // scan that at index scale touches 4 bytes/vector instead of 256
-    val shortlist = codes.join(broadcast(lut), Seq("b", "code"))
+    val shortlist = codes.join(broadcast(lut), Seq("cell", "b", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
       .agg(sum(col("dq")).as("sdq"), sum(col("cc")).as("scc"),
@@ -1605,15 +1627,29 @@ object SimilarityQueries {
     val cand = shortlist
       .join(base.select(col("vec_id").as("nbr_id"), col("v"), col("dxx")),
         "nbr_id")
-      .join(broadcast(qs), "query_id")
+      .join(broadcast(qs.drop("qcells")), "query_id")
     topK(cand, 3, Seq("query_id", "rk", "nbr_id", "score"))
   }
 
-  /** The oracle replica of [[annPqFrom]] as CTEs over `src`: pqM
+  /** Flat-scan PQ/ADC + refine. */
+  private def annPqFrom(emb: DataFrame): DataFrame =
+    pqRetrieve(emb, ivfGate = false)
+
+  /** IVF-gated PQ/ADC + refine — the composed FAISS-IVFPQ shape: at
+    * corpus scale the scan reads cell id + 4 code bytes per vector and
+    * candidates shrink by nprobe/cells. */
+  private def annIvfPqFrom(emb: DataFrame): DataFrame =
+    pqRetrieve(emb, ivfGate = true)
+
+  /** The shared oracle CORE for both PQ postures over `src`: pqM
     * per-block trainers (prefixed pq0../pq3..), per-block assignment,
-    * the code/codebook unions, per-query LUT and norms, ADC scoring,
-    * and `ptop` (query_id, nbr_id) for the recall scorecard. */
-  private def pqSql(src: String): String = {
+    * the code/codebook unions (`pcodes`/`pcb`), and the per-query LUT
+    * and norms (`pqq`/`pqel`/`pqx`/`plut`/`pcc`). The two scoring
+    * tails — [[pqSql]]'s flat scan and [[ivfPqTailSql]]'s cell-gated
+    * candidates — both consume exactly these CTEs; the fixed-point
+    * scoring discipline (1e15 scale, BIGINT drop, shortlist, exact
+    * rerank) is shared between them and must change together. */
+  private def pqCoreSql(src: String): String = {
     val blocks = (0 until pqM).map { b =>
       KMeans.trainSql(
         s"(SELECT vec_id, embedding[${b * pqSub + 1}:${(b + 1) * pqSub}]" +
@@ -1661,7 +1697,14 @@ object SimilarityQueries {
       |  SELECT b, code,
       |    CAST(SUM(CAST(round(c*c*1e15) AS BIGINT)) AS BIGINT) AS cc
       |  FROM pcb GROUP BY 1, 2
-      |), pscore AS (
+      |)""".stripMargin
+  }
+
+  /** Flat-scan ADC scoring tail over [[pqCoreSql]]'s CTEs, ending in
+    * `ptop` (the recall scorecards' hook) and `pdots` (q_ann_pq's
+    * final rerank source). */
+  private def pqFlatTailSql(src: String): String =
+    s"""pscore AS (
       |  SELECT s.query_id, s.nbr_id,
       |    round((CAST(s.sdq AS DOUBLE)/1e15)
       |      / (sqrt(CAST(q.qxx AS DOUBLE)/1e15)
@@ -1690,81 +1733,10 @@ object SimilarityQueries {
       |), """.stripMargin +
       dotsSql("pcand", "nv", "qv", "query_id, nbr_id", "p") + ",\n" +
       topSql("p", 3)
-  }
 
-  /** IVF-PQ composed: the coarse k-means quantizer gates CANDIDATES
-    * (each corpus vector sits in one of [[ivfCells]] cells; a query
-    * probes its [[ivfNprobe]] nearest), and within the probed cells
-    * scoring touches only the PQ CODES via the broadcast LUT — the
-    * full memory-scale retrieval shape (FAISS's IVFPQ + refine): at
-    * corpus scale the scan reads cell id + 4 code bytes per vector,
-    * candidates shrink by cells/nprobe, and floats surface only for
-    * the top-[[pqShortlist]] rerank. Engine-side both quantizers train
-    * concurrently; the oracle re-derives the coarse codebook AND all
-    * four per-block codebooks in one statement. */
-  private def annIvfPqFrom(emb: DataFrame): DataFrame = {
-    val sp = emb.sparkSession
-    import sp.implicits._
-    val base = withNorm(emb)
-    val (coarse, books) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val cf = Future(KMeans.train(base.select("vec_id", "v"),
-        ivfCells, ivfIters))
-      val bf = Future(pqCodebooks(base))
-      (Await.result(cf, Duration.Inf), Await.result(bf, Duration.Inf))
-    }
-    val coded = base.select(col("vec_id"),
-      KMeans.assignCell(col("v"), coarse).as("cell"),
-      array((0 until pqM).map(b =>
-        struct(lit(b).as("b"),
-          KMeans.assignCell(slice(col("v"), b * pqSub + 1, pqSub),
-            books(b)).as("code"))): _*).as("bcs"))
-    val codes = coded.select(col("vec_id"), col("cell"),
-        explode(col("bcs")).as("bc"))
-      .select(col("vec_id"), col("cell"),
-        col("bc.b").as("b"), col("bc.code").as("code"))
-    val cb = books.zipWithIndex.flatMap { case (book, b) =>
-      book.map { case (cl, c) => (b, cl, c) } }
-      .toDF("b", "code", "c")
-    val qs = base.filter(isQuery).select(col("vec_id").as("query_id"),
-      col("v").as("qv"), col("dxx").as("qxx"),
-      KMeans.probeCells(col("v"), coarse, ivfNprobe).as("qcells"))
-    // per-(query, probed cell, block, code) LUT rows: the cell gate and
-    // the code lookup land in ONE broadcast equi-join against the codes
-    // scan — no separate candidate materialization
-    val lut = qs.select(col("query_id"), col("qxx"), col("qv"),
-        explode(col("qcells")).as("cell"))
-      .crossJoin(broadcast(cb))
-      .select(col("query_id"), col("qxx"), col("cell"), col("b"),
-        col("code"),
-        Vectors.dotScaled(
-          slice(col("qv"), col("b") * lit(pqSub) + lit(1), lit(pqSub)),
-          col("c")).as("dq"),
-        Vectors.dotScaled(col("c"), col("c")).as("cc"))
-    val shortlist = codes.join(broadcast(lut), Seq("cell", "b", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
-      .agg(sum(col("dq")).as("sdq"), sum(col("cc")).as("scc"),
-        max(col("qxx")).as("qxx"))
-      .withColumn("score_adc", round(
-        (col("sdq").cast("double") / lit(1e15)) /
-          (sqrt(col("qxx")) * sqrt(col("scc").cast("double") / lit(1e15))),
-        6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score_adc").desc, col("nbr_id"))))
-      .filter(col("rk") <= pqShortlist)
-      .select("query_id", "nbr_id")
-    val qflat = base.filter(isQuery).select(col("vec_id").as("query_id"),
-      col("v").as("qv"), col("dxx").as("qxx"))
-    val cand = shortlist
-      .join(base.select(col("vec_id").as("nbr_id"), col("v"), col("dxx")),
-        "nbr_id")
-      .join(broadcast(qflat), "query_id")
-    topK(cand, 3, Seq("query_id", "rk", "nbr_id", "score"))
-  }
+  /** Full flat-scan PQ oracle body: core + flat tail. */
+  private def pqSql(src: String): String =
+    pqCoreSql(src) + ",\n" + pqFlatTailSql(src)
 
   /** Oracle tail for [[annIvfPqFrom]] over `src` — assumes the COARSE
     * trainer CTEs (KMeans.trainSql, unprefixed: assignf/probe built by
@@ -1856,6 +1828,7 @@ object SimilarityQueries {
       .unionAll(recallOf("ivf", annIvfFrom(emb, ivfNprobe)))
       .unionAll(recallOf("mt", annMtFrom(emb)))
       .unionAll(recallOf("pq", annPqFrom(emb)))
+      .unionAll(recallOf("ivfpq", annIvfPqFrom(emb)))
   }
 
   /** The full recall-scorecard oracle body (everything after `WITH `),
@@ -1912,12 +1885,15 @@ object SimilarityQueries {
       topSql("i", 3) + ",\n" +
       mtbSql(src) + ",\n" + mtTailSql(src) + ",\n" +
       topSql("t", 3) + ",\n" +
-      pqSql(src) + "\n" +
+      pqSql(src) + ",\n" +
+      ivfPqTailSql(src) + ",\n" +
+      topSql("ip", 3) + "\n" +
       recallSelect("lsh", "l") + "\nUNION ALL\n" +
       recallSelect("mp", "m") + "\nUNION ALL\n" +
       recallSelect("ivf", "i") + "\nUNION ALL\n" +
       recallSelect("mt", "t") + "\nUNION ALL\n" +
-      recallSelect("pq", "p")
+      recallSelect("pq", "p") + "\nUNION ALL\n" +
+      recallSelect("ivfpq", "ip")
 
   val qAnnRecall = Q("q_ann_recall",
     (s, dir) => annRecallFrom(Tables.embeddings(s, dir)),
@@ -2017,7 +1993,7 @@ object SimilarityQueries {
       |), probe AS (
       |${ivfAssignSql(ivfNprobe, s"\n    WHERE ${queryPredSql("e.")}")}
       |), """.stripMargin +
-      pqSql("cemb") + ",\n" + ivfPqTailSql("cemb") + """
+      pqCoreSql("cemb") + ",\n" + ivfPqTailSql("cemb") + """
       |SELECT query_id, rk, nbr_id, score FROM (
       |  SELECT query_id, nbr_id,
       |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
