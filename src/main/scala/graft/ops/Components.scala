@@ -41,9 +41,7 @@ object Components {
                           ckptEvery: Int = 4): DataFrame = {
     require(ckptEvery >= 1, s"ckptEvery must be >= 1: $ckptEvery")
     val sc = edges.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    Checkpoints.ensureDir(sc)
     // the symmetrized edge list is joined EVERY round: checkpoint it
     // once so (a) an expensive upstream edge plan — e.g. the FastSS
     // variant join feeding q_entity_canon — executes once, not
@@ -153,9 +151,7 @@ object Components {
     * side-effect, the loop holds zero cache blocks at any point. */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sc = edges.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    Checkpoints.ensureDir(sc)
 
     def sym(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("b").as("a"), col("a").as("b")))

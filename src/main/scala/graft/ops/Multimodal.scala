@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * columns with a typed metadata struct, plus frame sampling and batch
   * feature extraction.
   *
-  * The decode step is STUBBED — image/audio codecs are not available in
-  * this environment — with deterministic byte-level statistics standing in
-  * for pixel/sample decoding. Everything around the stub is real Spark
-  * plumbing: BinaryType content, nested StructType metadata, codegen'd
+  * Decode posture, two tiers: for self-describing uncompressed formats
+  * the engine performs REAL decode — [[MediaCodec.decodeWav]] (RIFF/PCM16)
+  * and [[MediaCodec.decodeBmp]] (24bpp DIB) parse actual headers and
+  * samples/pixels, oracle-checked byte-for-byte. For COMPRESSED codecs
+  * (JPEG/MP3/H.264), absent from this sandbox, the paths below substitute
+  * deterministic byte-level statistics in the decode slot — everything
+  * around that substitution is the same real Spark plumbing both tiers
+  * share: BinaryType content, nested StructType metadata, codegen'd
   * binary slicing for frame sampling, and a typed `mapPartitions` pass
   * (the JVM analog of a vectorized batch-UDF decode: one iterator per
-  * partition, so a real codec would amortize model/codec init per
-  * partition, not per row).
+  * partition, so codec init amortizes per partition, not per row).
   *
   * Scale: content stays opaque until the last step — predicates and
   * metadata projections never touch the bytes, so column pruning keeps

@@ -36,9 +36,7 @@ object PageRank {
   def scores(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val sc = edges.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString)
+    Checkpoints.ensureDir(sc)
     // sym and deg are referenced by EVERY unrolled iteration of one lazy
     // plan — without truncation the upstream edge plan (e.g. the FastSS
     // variant join) is embedded ~3·iters times and re-executed per

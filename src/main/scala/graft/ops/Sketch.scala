@@ -251,7 +251,21 @@ object Sketch {
     * <name per q>), est(q) = the ceil(q·m)-th smallest kept value (the
     * sample's order statistic; exact when the group held ≤ k rows —
     * KMV's small-cardinality exactness, in the quantile domain). The
-    * collect is bounded at k doubles per group by construction. */
+    * collect is bounded at k doubles per group by construction.
+    *
+    * Rank convention (ADVICE r10): "ceil" here is IEEE-double ceil of
+    * the double product q·m — THE SPEC, not an approximation of exact
+    * rational arithmetic. At exact multiples the two differ: q=0.9,
+    * m=10 gives 0.9*10 = 9.000000000000002 in binary floating point, so
+    * the kept rank is 10 (the max), not the mathematical ceil(9)=9 —
+    * i.e. at lattice points the estimator reads one order statistic
+    * high. This convention is deliberate: all three implementations
+    * (this Spark finisher, the DuckDB oracle's identical `ceil(q*m)`
+    * chain, and the streaming JVM `est()` twin) share the double
+    * product bit-for-bit, so the gate can never diverge on it, whereas
+    * exact integer rank arithmetic would have to be hand-replicated in
+    * three dialects to buy a distinction without statistical content
+    * (both ranks are within the sample's O(√(q(1−q)/k)) error band). */
   def qsampleQuantiles(state: DataFrame, groupCol: String,
                        qs: Seq[(String, Double)]): DataFrame = {
     val agg = state.groupBy(groupCol).agg(

@@ -148,6 +148,92 @@ object MultimodalQueries {
       |FROM params p LEFT JOIN resized r ON r.doc_id = p.doc_id""".stripMargin),
     "north star: resize/downsample plumbing (decode stub), oracle-checked")
 
+  // ------------------------------------------------- real decode (r11) ---
+
+  /** DuckDB byte accessor over `hx` = hex(content): 0-indexed byte `e` as
+    * a BIGINT (two hex chars at 2e+1). The oracle's whole decode is built
+    * from this — an independent implementation of the same format spec,
+    * sharing nothing with the JVM decoder but the files. */
+  private def hB(e: String): String =
+    s"(('0x' || substr(hx, 2*($e) + 1, 2))::BIGINT)"
+
+  private def mediaFiles(s: SparkSession, ext: String): DataFrame = {
+    val dir = graft.ops.MediaFixture.ensure()
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ext)).map(_.getAbsolutePath).sorted
+    s.read.format("binaryFile").load(files.toIndexedSeq: _*)
+  }
+
+  /** q_media_wav — REAL audio decode in the gate (VERDICT r10 #2): RIFF
+    * chunk walk, PCM16 validation, per-channel sample statistics over the
+    * [[graft.ops.MediaFixture]] corpus, hash-checked against the oracle's
+    * independent hex-arithmetic decode of the same bytes. SF-invariant
+    * like q_binary_scan (a media store does not scale with the analytic
+    * SF); the 100 TB posture is the plumbing, which is unchanged from the
+    * stubbed paths: binary scan → mapPartitions decode → narrow stats. */
+  val qMediaWav = Q("q_media_wav",
+    (s, _) => graft.ops.MediaCodec.decodeWav(mediaFiles(s, ".wav")).toDF(),
+    Some(s"""WITH raw AS (
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+      |         hex(content) AS hx
+      |  FROM read_blob('${graft.ops.MediaFixture.path}/*.wav')
+      |), hdr AS (
+      |  SELECT file_name, hx,
+      |    CAST(${hB("22")} + 256*${hB("23")} AS INTEGER) AS channels,
+      |    CAST(${hB("24")} + 256*${hB("25")} + 65536*${hB("26")}
+      |         + 16777216*${hB("27")} AS INTEGER) AS sample_rate,
+      |    CAST((${hB("40")} + 256*${hB("41")} + 65536*${hB("42")}
+      |         + 16777216*${hB("43")}) // 2 AS BIGINT) AS n_samples
+      |  FROM raw
+      |), sv AS (
+      |  SELECT file_name, channels, sample_rate, n_samples,
+      |    CAST(j % channels AS INTEGER) AS channel,
+      |    ${hB("44 + 2*j")} + 256*${hB("45 + 2*j")}
+      |      - CASE WHEN ${hB("45 + 2*j")} >= 128 THEN 65536 ELSE 0 END AS v
+      |  FROM hdr, unnest(generate_series(0, n_samples - 1)) AS g(j)
+      |)
+      |SELECT file_name, sample_rate, channels,
+      |  CAST(n_samples // channels AS INTEGER) AS n_frames, channel,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v, CAST(SUM(v*v) AS BIGINT) AS sum_sq,
+      |  CAST(MIN(v) AS INTEGER) AS min_v, CAST(MAX(v) AS INTEGER) AS max_v
+      |FROM sv
+      |GROUP BY file_name, sample_rate, channels, n_samples, channel""".stripMargin),
+    "north star: REAL WAV (RIFF/PCM16) decode, oracle-checked byte-for-byte")
+
+  /** q_media_bmp — REAL image decode in the gate: BITMAPINFOHEADER
+    * validation, bottom-up padded-row walk, per-color-channel pixel sums.
+    * `row_weighted` keys on the LOGICAL top-down row index, so a decoder
+    * that forgot BMP's bottom-up storage (or the 4-byte row padding —
+    * widths 4-8 make stride ≠ 3·width for most files) fails the hash. */
+  val qMediaBmp = Q("q_media_bmp",
+    (s, _) => graft.ops.MediaCodec.decodeBmp(mediaFiles(s, ".bmp")).toDF(),
+    Some(s"""WITH raw AS (
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+      |         hex(content) AS hx
+      |  FROM read_blob('${graft.ops.MediaFixture.path}/*.bmp')
+      |), hdr AS (
+      |  SELECT file_name, hx,
+      |    CAST(${hB("10")} + 256*${hB("11")} + 65536*${hB("12")}
+      |         + 16777216*${hB("13")} AS BIGINT) AS off,
+      |    CAST(${hB("18")} + 256*${hB("19")} + 65536*${hB("20")}
+      |         + 16777216*${hB("21")} AS INTEGER) AS width,
+      |    CAST(${hB("22")} + 256*${hB("23")} + 65536*${hB("24")}
+      |         + 16777216*${hB("25")} AS INTEGER) AS height
+      |  FROM raw
+      |), px AS (
+      |  SELECT file_name, width, height, CAST(c AS INTEGER) AS channel, y,
+      |    ${hB("off + (height-1-y) * (((width*3 + 3)//4)*4) + x*3 + c")} AS v
+      |  FROM hdr,
+      |    unnest(generate_series(0, width - 1)) AS gx(x),
+      |    unnest(generate_series(0, height - 1)) AS gy(y),
+      |    unnest(generate_series(0, 2)) AS gc(c)
+      |)
+      |SELECT file_name, width, height, channel, count(*) AS n_px,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(SUM((y + 1) * v) AS BIGINT) AS row_weighted
+      |FROM px GROUP BY file_name, width, height, channel""".stripMargin),
+    "north star: REAL BMP (24bpp) decode with orientation proof, oracle-checked")
+
   def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaFeatures,
-    qMediaResize)
+    qMediaResize, qMediaWav, qMediaBmp)
 }

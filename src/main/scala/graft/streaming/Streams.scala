@@ -623,8 +623,11 @@ object Streams {
     * slicing converges on the identical state — the canonicity argument
     * in the op's block comment, executed), and the group emits
     * refreshed (n, m, p50, p90, p99) with the identical finisher
-    * (ceil(q·m)-th smallest kept value). StreamQSampleSpec asserts
-    * EXACT equality with the batch sketch across micro-batch splits. */
+    * (ceil(q·m)-th smallest kept value, IEEE-double-ceil rank
+    * convention — see [[graft.ops.Sketch.qsampleQuantiles]] for why
+    * that double chain IS the spec on all three sides). StreamQSampleSpec
+    * asserts EXACT equality with the batch sketch across micro-batch
+    * splits. */
   def qsampleStream(df: DataFrame, groupCol: String, idCol: String,
                     valueCol: String, k: Int)
       : org.apache.spark.sql.Dataset[

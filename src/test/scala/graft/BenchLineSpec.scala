@@ -37,8 +37,10 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains('\n'))
     // display names are the registry names minus the `q_` prefix, and the
     // strip must never make two of them collide
-    assert(line.contains("\"doc_dd\"") && !line.contains("\"q_doc_dedup\""))
-    assert(line.contains("\"q1_agg\""), "non-q_ names pass through unchanged")
+    assert(line.contains("\"docd\"") && !line.contains("\"q_doc_dedup\""))
+    assert(line.contains("\"bm25\""), "unmapped names pass through unchanged")
+    assert(line.contains("\"q1\"") && !line.contains("\"q1_agg\""),
+      "non-q_ names are abbreviatable too (wave 5)")
     val shorts = SparkEntry.queries.keys.toSeq.map(Bench.short)
     assert(shorts.distinct.size == shorts.size, "display-name collision")
     // the abbreviation map must only shorten NAMES THE REGISTRY HAS —
@@ -48,7 +50,7 @@ class BenchLineSpec extends AnyFunSuite {
       .map(_.stripPrefix("q_")).toSet
     assert(Bench.displayAbbrev.keySet.subsetOf(stripped),
       s"stale displayAbbrev keys: ${Bench.displayAbbrev.keySet -- stripped}")
-    assert(line.contains("\"dup_cl\"") && !line.contains("\"dup_clusters\""),
+    assert(line.contains("\"dcl\"") && !line.contains("\"dup_clusters\""),
       "abbreviated display names must actually land on the line")
     // growth headroom: ~2 more typical queries (≈22 chars each at full
     // precision) must fit before the next trim is needed — the VERDICT r8
@@ -63,6 +65,30 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"sf\":\"sf0.1\""), "sf renders as basename")
     assert(!line.contains("\"errors\""),
       "a healthy line must not spend window bytes on an empty errors map")
+  }
+
+  test("README mapping table and bench_keymap.json match Bench.displayAbbrev") {
+    // ADVICE r10: the README table drifted from the code map twice
+    // (emb_dd/semdd_s vs the shipped keys) — anyone decoding bench lines
+    // from the README would mis-key those queries. The README's strict
+    // `name`→`abbr` pattern appears ONLY in the mapping table, so the
+    // extraction below is exact, and the table is now asserted equal to
+    // the code map (both directions). bench_keymap.json's r11 entry is
+    // the machine-readable twin for round-over-round tooling.
+    val pat = "`([a-z0-9_]+)`→`([a-z0-9_]+)`".r
+    def extract(path: String): Map[String, String] =
+      pat.findAllMatchIn(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8"))
+        .map(m => m.group(1) -> m.group(2)).toMap
+    assert(extract("README.md") == Bench.displayAbbrev,
+      "README mapping table is out of sync with Bench.displayAbbrev — " +
+        "regenerate the README block")
+    val keymap = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_keymap.json")), "UTF-8")
+    Bench.displayAbbrev.foreach { case (k, v) =>
+      assert(keymap.contains(s""""$k": "$v""""),
+        s"bench_keymap.json r11 section is missing $k -> $v")
+    }
   }
 
   test("renderLine degrades precision instead of overflowing") {

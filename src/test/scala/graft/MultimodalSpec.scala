@@ -59,4 +59,57 @@ class MultimodalSpec extends SparkSpec {
       assert(got(id).peak_byte === counts.filter(_._2 == maxCount).keys.min)
     }
   }
+
+  // --- real decode (r11): checked against the GENERATION FORMULA, not
+  // the file bytes — a third independent derivation besides the JVM
+  // decoder (header walk over bytes) and the DuckDB oracle (hex
+  // arithmetic over the same bytes), so a bug shared by writer and
+  // reader (e.g. both skipping row padding) still fails here.
+
+  test("decodeWav recovers header fields and exact per-channel PCM stats") {
+    val dir = graft.ops.MediaFixture.ensure()
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".wav")).map(_.getAbsolutePath).sorted
+    val got = graft.ops.MediaCodec.decodeWav(
+        spark.read.format("binaryFile").load(files.toIndexedSeq: _*))
+      .collect().map(r => (r.file_name, r.channel) -> r).toMap
+    assert(got.size === (0 until MediaFixtureParams.n)
+      .map(i => 1 + (i % 2)).sum)
+    for (i <- 0 until MediaFixtureParams.n) {
+      val ch = 1 + (i % 2)
+      val frames = 64 + (i % 5) * 16
+      val samples = (0 until frames * ch)
+        .map(j => (j % ch, ((i * 7919 + j * 31) % 4001) - 2000))
+      for (c <- 0 until ch) {
+        val vs = samples.filter(_._1 == c).map(_._2)
+        val r = got((f"wav_$i%03d.wav", c))
+        assert(r.sample_rate === Seq(8000, 16000, 44100)(i % 3))
+        assert(r.channels === ch && r.n_frames === frames)
+        assert(r.sum_v === vs.map(_.toLong).sum)
+        assert(r.sum_sq === vs.map(v => v.toLong * v).sum)
+        assert(r.min_v === vs.min && r.max_v === vs.max)
+      }
+    }
+  }
+
+  test("decodeBmp flips bottom-up rows and skips row padding") {
+    val dir = graft.ops.MediaFixture.ensure()
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bmp")).map(_.getAbsolutePath).sorted
+    val got = graft.ops.MediaCodec.decodeBmp(
+        spark.read.format("binaryFile").load(files.toIndexedSeq: _*))
+      .collect().map(r => (r.file_name, r.channel) -> r).toMap
+    for (i <- 0 until MediaFixtureParams.n; c <- 0 until 3) {
+      val w = 4 + (i % 5); val h = 3 + (i % 4)
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield (y, (i * 13 + x * 7 + y * 11 + c * 5) % 256)
+      val r = got((f"bmp_$i%03d.bmp", c))
+      assert(r.width === w && r.height === h)
+      assert(r.n_px === w.toLong * h)
+      assert(r.sum_v === px.map(_._2.toLong).sum)
+      assert(r.row_weighted === px.map { case (y, v) => (y + 1).toLong * v }.sum)
+    }
+  }
 }
+
+private object MediaFixtureParams { val n = graft.ops.MediaFixture.count }
