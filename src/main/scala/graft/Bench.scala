@@ -193,15 +193,16 @@ object Bench {
     "doc_dedup" -> "docd", "doc_render" -> "drnd", "dup_clusters" -> "dcl",
     "dup_clusters_star" -> "dcs", "dup_count" -> "dcnt",
     "dup_keep" -> "dkp", "dup_keys" -> "dky", "dup_stats" -> "dst",
+    "embed_hash" -> "ehsh",
     "embed_dup" -> "edup", "entity_canon" -> "ecan",
     "entity_canon2" -> "ec2", "entity_canon_pr" -> "ecpr",
     "events_hourly" -> "evh", "events_json" -> "evj",
     "events_sliding" -> "evs", "events_topk" -> "evt",
     "fingerprint" -> "fpr", "funnel" -> "fun", "fuzzy_join" -> "fz",
-    "fuzzy_join2" -> "fz2", "grouping_sets" -> "grps",
+    "fuzzy_join2" -> "fz2", "grouping_sets" -> "grps", "hash_recall" -> "hrec",
     "having_join" -> "havj", "heavy_hitters" -> "hh",
     "hist_quantile" -> "hq", "hybrid_rrf" -> "rrf",
-    "inline_scan" -> "inl", "jaccard" -> "jacc", "keys_sha" -> "ksha",
+    "inline_scan" -> "inl", "jaccard" -> "jacc", "keys_sha" -> "ksha", "knn_hash" -> "hknn",
     "lag_lead" -> "lag", "lang_id" -> "lid", "lastwins" -> "lw",
     "latest_file" -> "latf", "latest_per_q" -> "lpq",
     "longest_resp" -> "lrsp", "mad_outliers" -> "mad",
@@ -210,7 +211,7 @@ object Bench {
     "media_wav" -> "wav", "mix_temp" -> "mixt",
     "near_dup" -> "ndup", "near_dup_rep" -> "ndr", "pagerank" -> "pgr",
     "pipeline_e2e" -> "pe2", "pivot" -> "piv", "profile" -> "prof",
-    "quality" -> "qual", "quantiles" -> "qnt", "range_join" -> "rngj",
+    "quality" -> "qual", "quality_model" -> "qmod", "quantiles" -> "qnt", "range_join" -> "rngj",
     "redact" -> "red", "rep_ngram" -> "repn", "retrieval_e2e" -> "re2",
     "rollup" -> "roll", "sample" -> "smp", "sample_k" -> "smpk",
     "sample_quantile" -> "smpq", "scalar_subquery" -> "scs",

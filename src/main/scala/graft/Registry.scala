@@ -24,7 +24,8 @@ object Registry {
       queries.StreamQueries.all ++
       queries.CurationQueries.all ++
       queries.AnalyticsQueries.all ++
-      queries.RetrievalQueries.all
+      queries.RetrievalQueries.all ++
+      queries.EmbedQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap
