@@ -221,7 +221,7 @@ object Bench {
     "skew_audit" -> "skew", "span_dedup" -> "spdd",
     "split_leakfree" -> "leak", "stream_append" -> "sap",
     "stream_dedup" -> "sdd", "stream_hourly" -> "shr",
-    "stream_join" -> "sjn", "stream_moments" -> "smo",
+    "stream_join" -> "sjn", "stream_moments" -> "smo", "stream_neardup" -> "snd",
     "stream_sess_win" -> "ssw", "stream_sessionize" -> "sse",
     "sync_delete" -> "sdel", "sync_diff" -> "sdif",
     "sync_upload" -> "syup", "text_stats" -> "txst", "tfidf" -> "tfi",

@@ -27,7 +27,7 @@ object SimilarityQueries {
   // ------------------------------------------------------------ corpora ---
 
   /** documents + near-dup variants; mirrors [[corpusSql]]. */
-  private def docCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     d.unionAll(
         d.filter(col("doc_id") % 10 === 5).select(
@@ -38,7 +38,7 @@ object SimilarityQueries {
           (col("doc_id") + 2000000).as("doc_id"), col("text")))
   }
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -47,7 +47,7 @@ object SimilarityQueries {
       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
-  private val shingSql =
+  private[queries] val shingSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
       |shing AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s

@@ -382,13 +382,14 @@ object StreamQueries {
     * write order, one micro-batch each under `maxFilesPerTrigger=1`.
     * Cached per (dir, tag, source size+mtime). */
   private def buildSliceDir(s: SparkSession, dir: String, tag: String,
-                            slices: => Seq[DataFrame]): String = {
+                            slices: => Seq[DataFrame],
+                            srcName: String = "events"): String = {
     // cache key includes the source file's size+mtime, not just its
     // path: the driver has regenerated testdata in place across rounds
     // (the ts-encoding drift), and a path-keyed cache would silently
     // serve slices of the PREVIOUS corpus against oracles computed on
     // the new one
-    val src = new java.io.File(s"$dir/events.parquet")
+    val src = new java.io.File(s"$dir/$srcName.parquet")
     val stamp = s"$dir|$tag|${src.length()}|${src.lastModified()}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -723,7 +724,137 @@ object StreamQueries {
       "(exactly-once ingest stage; state evicted behind the watermark, " +
       "late slice dropped)")
 
+  /** The near-dup stream's event-time layout, shared by engine, slicer
+    * and oracle: tsm(doc) = (doc_id mod 10⁶)·10 + (doc_id div 10⁶)·7
+    * MINUTES past a fixed epoch — originals on the 10-minute grid, the
+    * +10⁶ near-dup variants 7 minutes behind their original (INSIDE the
+    * 8-minute window → caught), the +2·10⁶ exact copies 14 minutes
+    * behind (OUTSIDE → their signatures' state has idled past the
+    * window, so they re-enter as new — the eviction semantics executed,
+    * not asserted). Injective (tsm mod 10 ∈ {0, 7, 4} by origin class),
+    * so ordering ties are impossible; and a gap of EXACTLY 8 minutes is
+    * unreachable (gaps are 10a+7b with |b| ≤ 2, and 10a+7b ≡ 8 (mod 10)
+    * forces b ≡ 4 (mod 10)), so the ≤-vs-< window boundary cannot
+    * change the answer — the q_stream_append boundary discipline. */
+  private[graft] def neardupTsm = (col("doc_id") % 1000000) * 10 +
+    expr("doc_id div 1000000") * 7
+  private val neardupGapMin = 8
+
+  /** In-stream MinHash banding as a PURE PROJECTION (no pre-shuffle —
+    * the property that makes near-dup streamable): 3-word shingles via
+    * a transform over the token array, the 8 minhashes as array_min of
+    * md5 slices (identical to the batch [[SimilarityQueries]] banding:
+    * min over a multiset equals min over its distinct set), 4 banded
+    * signatures exploded to (bkey, doc_id, ts) rows. */
+  private[graft] def neardupBandRows(src: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), "\\s+")
+    def mh(seed: Int, off: Int) = array_min(transform(col("sh"),
+      x => substring(md5(concat(lit(s"$seed:"), x)), off, 8)))
+    src.withColumn("w", w)
+      .withColumn("sh", expr("CASE WHEN size(w) >= 3 THEN " +
+        "transform(sequence(0, size(w)-3), " +
+        "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) ELSE array() END"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", explode(array(
+        struct(lit(0L).as("band"), concat(mh(0, 1), mh(0, 9)).as("s")),
+        struct(lit(1L).as("band"), concat(mh(0, 17), mh(0, 25)).as("s")),
+        struct(lit(2L).as("band"), concat(mh(1, 1), mh(1, 9)).as("s")),
+        struct(lit(3L).as("band"), concat(mh(1, 17), mh(1, 25)).as("s")))))
+      .select(concat_ws(":", col("sig.band"), col("sig.s")).as("bkey"),
+        col("doc_id"), col("ts"))
+  }
+
+  /** Time-ordered slices of the near-dup corpus (documents + variants,
+    * ts from [[neardupTsm]]). The two cuts are pinned BETWEEN an
+    * original with doc_id ≡ 5 (mod 10) and its +7-minute near-dup
+    * variant, so at least two dup chains are guaranteed to straddle a
+    * micro-batch boundary — the cross-batch state fold is exercised by
+    * construction, not by luck of a percentile cut. */
+  private[graft] def neardupSliceDir(s: SparkSession, dir: String): String =
+    buildSliceDir(s, dir, "nd3", {
+      val c = SimilarityQueries.docCorpus(s, dir)
+        .withColumn("ts", expr("timestampadd(MINUTE, " +
+          "cast((doc_id % 1000000) * 10 + (doc_id div 1000000) * 7 as int), " +
+          "timestamp'2025-01-01 00:00:00')"))
+      val maxDoc = c.agg(max(col("doc_id") % 1000000)).head().getLong(0)
+      def cut(k: Int): Long = {
+        val d = maxDoc * k / 3
+        (d - d % 10 + 5) * 10 + 5 // between original 10d and variant 10d+7
+      }
+      val tsm = neardupTsm
+      Seq(c.filter(tsm < cut(1)),
+        c.filter(tsm >= cut(1) && tsm < cut(2)),
+        c.filter(tsm >= cut(2)))
+    }, srcName = "documents")
+
+  /** q_stream_neardup — the EIGHTH streaming discipline in the gate, and
+    * the near-dup family's streaming twin (VERDICT r10 #5): MinHash-band
+    * LSH dedup as a real readStream execution. The banding runs
+    * IN-STREAM as a projection; [[graft.streaming.Streams.neardupStream]]
+    * holds one last-arrival long per live band signature under
+    * EventTimeTimeout (verdicts from stored state, eviction as the
+    * resource bound — see its scaladoc), and the per-doc verdict
+    * aggregates the four band verdicts AFTER the sink (each input row
+    * emits exactly once, so no argmax reconstruction is needed). The
+    * oracle recomputes banding and the sliding-window gap chain with a
+    * lag window over (band, sig) — batch SQL and streaming GroupState
+    * share nothing but the window contract. */
+  val qStreamNearDup = Q("q_stream_neardup",
+    (s, dir) => withStateParts(s, dir) {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val sliced = neardupSliceDir(s, dir)
+      val schema = s.read.parquet(sliced).schema
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(sliced)
+      val rows = neardupBandRows(src)
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.Streams.BandArrival]
+      val sink = s"graft_stream_neardup_${streamRunId.incrementAndGet()}"
+      val q = graft.streaming.Streams.neardupStream(rows, neardupGapMin)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bands"),
+          sum(col("dup")).as("n_dup_bands"),
+          max(col("dup")).as("is_dup"))
+    },
+    Some("WITH " + SimilarityQueries.corpusSql + ",\n" +
+      SimilarityQueries.shingSql + s""",
+      |ndm AS (
+      |  SELECT doc_id,
+      |    min(substr(md5('0:' || s), 1, 8)) AS h0, min(substr(md5('0:' || s), 9, 8)) AS h1,
+      |    min(substr(md5('0:' || s), 17, 8)) AS h2, min(substr(md5('0:' || s), 25, 8)) AS h3,
+      |    min(substr(md5('1:' || s), 1, 8)) AS h4, min(substr(md5('1:' || s), 9, 8)) AS h5,
+      |    min(substr(md5('1:' || s), 17, 8)) AS h6, min(substr(md5('1:' || s), 25, 8)) AS h7
+      |  FROM shing GROUP BY doc_id
+      |), ndb AS (
+      |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM ndm
+      |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM ndm
+      |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM ndm
+      |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM ndm
+      |), ndt AS (
+      |  SELECT doc_id, band, sig,
+      |    (doc_id % 1000000) * 10 + (doc_id // 1000000) * 7 AS tsm
+      |  FROM ndb
+      |), ndv AS (
+      |  SELECT doc_id, band,
+      |    CASE WHEN tsm - lag(tsm) OVER w <= $neardupGapMin
+      |         THEN 1 ELSE 0 END AS dup
+      |  FROM ndt WINDOW w AS (PARTITION BY band, sig ORDER BY tsm)
+      |)
+      |SELECT doc_id, count(*) AS n_bands,
+      |  CAST(SUM(dup) AS BIGINT) AS n_dup_bands,
+      |  CAST(MAX(dup) AS BIGINT) AS is_dup
+      |FROM ndv GROUP BY doc_id""".stripMargin),
+    "north star: streaming MinHash-band near-dup executed in the gate " +
+      "(in-stream banding, per-signature GroupState with event-time " +
+      "eviction, window semantics from stored state)")
+
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qSessionWindow, qJson, qEventsTopK,
     qAsof, qAsofBcast, qRangeJoin, qStreamMoments, qStreamSessionize,
-    qStreamHourly, qStreamAppend, qStreamSessWin, qStreamJoin, qStreamDedup)
+    qStreamHourly, qStreamAppend, qStreamSessWin, qStreamJoin, qStreamDedup,
+    qStreamNearDup)
 }
