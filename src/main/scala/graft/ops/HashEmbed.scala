@@ -93,10 +93,10 @@ object HashEmbed {
     * `hsparse` (doc_id, dim, val) over `src` (needs doc_id, text).
     * Prefix with WITH / splice after other CTEs. */
   def sparseSql(src: String = "documents"): String =
-    s"""hwords AS (
+    s"""hwords AS MATERIALIZED (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
        |  FROM $src
-       |), hterms AS (
+       |), hterms AS MATERIALIZED (
        |  SELECT doc_id, term, count(*) AS tf FROM (
        |    SELECT doc_id, unnest(w) AS term FROM hwords
        |    UNION ALL
@@ -109,7 +109,7 @@ object HashEmbed {
        |    CAST(round(ln(CAST((SELECT count(*) FROM $src) AS DOUBLE)
        |      / count(*)) * 1000) AS BIGINT) AS idf3
        |  FROM hterms GROUP BY term
-       |), hsparse AS (
+       |), hsparse AS MATERIALIZED (
        |  SELECT doc_id,
        |    ('0x' || substr(md5(t.term), 1, 4))::BIGINT % $dims AS dim,
        |    CAST(SUM((CASE WHEN ('0x' || substr(md5(t.term), 5, 1))::BIGINT % 2 = 0

@@ -66,7 +66,7 @@ object EmbedQueries {
     * as the engine's array kernel does, instead of dropping out of a
     * sparse inner join. */
   private def hashKnnSql(k: Int): String =
-    s"""hdense AS (
+    s"""hdense AS MATERIALIZED (
        |  SELECT d.doc_id, g.dim, COALESCE(s.val, CAST(0 AS BIGINT)) AS val
        |  FROM documents d
        |  CROSS JOIN unnest(generate_series(0, ${HashEmbed.dims - 1})) AS g(dim)

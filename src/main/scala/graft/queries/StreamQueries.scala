@@ -578,7 +578,18 @@ object StreamQueries {
     * oracle recomputes sessions from scratch on on-time rows, exactly
     * what the engine's input-side eviction produces) and keeps sessions
     * with end ≤ max(ts) − 2 h, using session_window's strict-< gap
-    * boundary. */
+    * boundary.
+    *
+    * Eviction-boundary status (ADVICE r10): unlike q_stream_append,
+    * whose hour-aligned window ends make a watermark tie unreachable,
+    * session ends (last event + 30 min) and the watermark share the
+    * second grid, so end == watermark IS reachable on a future fixture.
+    * The oracle's inclusive cutoff (`en <= lim.wm`) is therefore no
+    * longer an assumption: SessionWindowBoundarySpec constructs the
+    * exact tie and pins that Spark's Append-mode session-window
+    * eviction EMITS it (inclusive), alongside a strictly-before control
+    * and a withheld tail — if a Spark upgrade flips the comparison,
+    * that spec names the drift and this cutoff flips with it. */
   val qStreamSessWin = Q("q_stream_sess_win",
     (s, dir) => withStateParts(s, dir) {
       import org.apache.spark.sql.streaming.Trigger
