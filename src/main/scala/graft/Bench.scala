@@ -228,7 +228,8 @@ object Bench {
     "token_bpe" -> "tbpe", "top_terms" -> "topt", "topk_native" -> "tkn",
     "topk_per_group" -> "tkg", "triangles" -> "tri",
     "unigram_nll" -> "unll", "upsert" -> "ups", "util_scalars" -> "util",
-    "value_moments" -> "vmom", "vocab_encode" -> "venc", "winnow" -> "win")
+    "value_moments" -> "vmom", "vocab_encode" -> "venc", "winnow" -> "win",
+    "xlsx_scan" -> "xls")
 
   private[graft] def short(name: String): String = {
     val s = name.stripPrefix("q_")

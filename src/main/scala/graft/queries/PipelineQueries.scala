@@ -402,7 +402,93 @@ object PipelineQueries {
     "ref E2 end-to-end: commercial_rfp_raw_data_ingestion_and_cleaning.py:279-322" +
       " + commercial_rfp_content_doc_library_creation.py:46-131")
 
+  // ------------------------------------------------- real xlsx (r11) ---
+
+  /** The q_xlsx_scan oracle, built from hex-domain primitives: the gate
+    * fixture is STORED-zip (each XML part contiguous plaintext inside the
+    * blob — see [[graft.ops.Xlsx]]), so DuckDB can re-parse the SAME BYTES
+    * with `read_blob` + regular expressions over `hex(content)`, sharing
+    * nothing with the JVM reader but the files and the OOXML cell
+    * grammar. Each XML-side character class is expressed as its hex-pair
+    * class: digits `30-39` → `3[0-9]`, uppercase `41-5A` →
+    * `4[1-9A-F]|5[0-9A]`, identifier chars (digits, `_` 5F, lowercase
+    * `61-7A`) for string payloads. Matched hex runs are decoded back in
+    * SQL — numbers by stripping the `3` nibble prefix, strings by a
+    * per-byte `chr()` aggregation. */
+  private def xlsxOracleSql: String = {
+    def xh(s: String): String = s.getBytes("UTF-8").map("%02X".format(_)).mkString
+    val xRef = "((?:3[0-9]|4[1-9A-F]|5[0-9A])+?)" // A1-style cell reference
+    val xNum = "((?:3[0-9])+)"                    // decimal digit run
+    val xTxt = "((?:3[0-9]|5F|6[0-9A-F]|7[0-9A])+)" // [0-9_a-z]+ payload
+    def xUnhex(c: String): String =
+      s"(SELECT string_agg(chr(('0x' || substr($c, 2*i-1, 2))::INT), '' ORDER BY i) " +
+        s"FROM unnest(generate_series(1, length($c)//2)) AS g(i))"
+    def xRow(r: String): String =
+      s"CAST(regexp_replace(regexp_replace($r, '4[1-9A-F]|5[0-9A]', '', 'g'), " +
+        s"'3([0-9])', '\\1', 'g') AS BIGINT)"
+    def xDig(c: String): String =
+      s"CAST(regexp_replace($c, '3([0-9])', '\\1', 'g') AS BIGINT)"
+    val cp = xh("<c r=\"")
+    s"""WITH raw AS (
+       |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name, hex(content) AS hx
+       |  FROM read_blob('${graft.ops.XlsxFixture.path}/*.xlsx')
+       |), sst0 AS (
+       |  SELECT file_name,
+       |    regexp_extract_all(hx, '${xh("<si><t>")}$xTxt${xh("</t></si>")}', 1) AS lst
+       |  FROM raw
+       |), sst AS (
+       |  SELECT file_name, si - 1 AS sidx, ${xUnhex("lst[si]")} AS client
+       |  FROM sst0, unnest(generate_series(1, len(lst))) AS g(si)
+       |), sc0 AS (
+       |  SELECT file_name,
+       |    unnest(regexp_extract_all(hx, '$cp$xRef${xh("\" t=\"s\"><v>")}$xNum${xh("</v>")}', 1)) AS refh,
+       |    unnest(regexp_extract_all(hx, '$cp$xRef${xh("\" t=\"s\"><v>")}$xNum${xh("</v>")}', 2)) AS vh
+       |  FROM raw
+       |), sc AS (SELECT file_name, ${xRow("refh")} AS row_id, ${xDig("vh")} AS sidx FROM sc0),
+       |nc0 AS (
+       |  SELECT file_name,
+       |    unnest(regexp_extract_all(hx, '$cp$xRef${xh("\"><v>")}$xNum${xh("</v>")}', 1)) AS refh,
+       |    unnest(regexp_extract_all(hx, '$cp$xRef${xh("\"><v>")}$xNum${xh("</v>")}', 2)) AS vh
+       |  FROM raw
+       |), nc AS (SELECT file_name, ${xRow("refh")} AS row_id, ${xDig("vh")} AS amount FROM nc0),
+       |ic0 AS (
+       |  SELECT file_name,
+       |    unnest(regexp_extract_all(hx, '$cp$xRef${xh("\" t=\"inlineStr\"><is><t>")}$xTxt${xh("</t>")}', 1)) AS refh,
+       |    unnest(regexp_extract_all(hx, '$cp$xRef${xh("\" t=\"inlineStr\"><is><t>")}$xTxt${xh("</t>")}', 2)) AS vh
+       |  FROM raw
+       |), ic AS (SELECT file_name, ${xRow("refh")} AS row_id, ${xUnhex("vh")} AS note FROM ic0)
+       |SELECT s.file_name, s.row_id, t.client, n.amount, i.note
+       |FROM sc s
+       |JOIN sst t ON t.file_name = s.file_name AND t.sidx = s.sidx
+       |JOIN nc n ON n.file_name = s.file_name AND n.row_id = s.row_id
+       |JOIN ic i ON i.file_name = s.file_name AND i.row_id = s.row_id
+       |ORDER BY s.file_name, s.row_id""".stripMargin
+  }
+
+  /** q_xlsx_scan — S1/S2 REAL Excel ingestion (the reference's actual
+    * entry format, closing the last declared codec delta): a ZIP walk
+    * with `java.util.zip` (STORED and DEFLATE alike), shared-string
+    * resolution, and A1-grammar cell parsing inside a typed
+    * `mapPartitions` pass over the `binaryFile` source — see
+    * [[graft.ops.Xlsx]]. SF-invariant like q_binary_scan (a workbook
+    * drop-folder does not scale with the analytic SF); the 100 TB
+    * posture is one-workbook-one-row parallelism with no shuffle until
+    * downstream aggregation. Codec-completeness (DEFLATE parses
+    * identically to the STORED gate fixture) is XlsxSpec's proof. */
+  val qXlsxScan = Q("q_xlsx_scan",
+    (s, _) => {
+      val dir = graft.ops.XlsxFixture.ensure()
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".xlsx")).map(_.getAbsolutePath).sorted
+      graft.ops.Xlsx.readWorkbooks(
+          s.read.format("binaryFile").load(files.toIndexedSeq: _*))
+        .toDF().orderBy("file_name", "row_id")
+    },
+    Some(xlsxOracleSql),
+    "ref commercial_rfp_raw_data_ingestion_and_cleaning.py:286 (S1/S2): " +
+      "real .xlsx bytes -> table, oracle re-parses the same bytes in SQL")
+
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
     qSyncDiff, qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan,
-    qPipelineE2e)
+    qXlsxScan, qPipelineE2e)
 }
