@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Spark-native deterministic text→vector featurizer (VERDICT r10 #3):
@@ -51,21 +51,74 @@ object HashEmbed {
     when(conv(substring(md5(term), 5, 1), 16, 10).cast("long") % 2 === 0,
       lit(1L)).otherwise(lit(-1L))
 
-  /** Sparse hashed TF-IDF components: (id, dim, val), val = Σ over the
-    * bucket's terms of sign·tf·idf3 (a fixed-point long). */
-  def sparse(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tc = termCounts(docs, idCol, textCol)
+  /** The corpus idf dictionary (term, idf3 = round(ln(N/df)·1000)) —
+    * exposed since r11 so the reranker can featurize QUERY text against
+    * the corpus statistics without re-deriving them (at 100 TB this is
+    * the precomputed idf dictionary a serving path would broadcast). */
+  def idf3Frame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.agg(count(lit(1)).as("nn"))
-    val idf = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    termCounts(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .select(col("term"),
         round(log(col("nn").cast("double") / col("df")) * 1000)
           .cast("long").as("idf3"))
-    tc.join(idf, "term")
+  }
+
+  /** [[sparse]] against a caller-supplied idf frame — lets the reranker
+    * featurize only the SHORTLIST docs while keeping corpus-wide term
+    * weights (featurizing a restricted frame with [[sparse]] itself would
+    * silently recompute df on the restriction). */
+  def sparseWithIdf(docs: DataFrame, idCol: String, textCol: String,
+                    idf: DataFrame): DataFrame =
+    termCounts(docs, idCol, textCol).join(idf, "term")
       .select(col(idCol), bucketOf(col("term")).as("dim"),
         (signOf(col("term")) * col("tf") * col("idf3")).as("c"))
       .groupBy(col(idCol), col("dim"))
       .agg(sum(col("c")).as("val"))
+
+  /** Sparse hashed TF-IDF components: (id, dim, val), val = Σ over the
+    * bucket's terms of sign·tf·idf3 (a fixed-point long). */
+  def sparse(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    sparseWithIdf(docs, idCol, textCol, idf3Frame(docs, idCol, textCol))
+
+  /** Hashed feature vector of one QUERY string against the corpus idf:
+    * (dim, qval) — the same unigram+bigram grammar, tf from the query
+    * text itself, weights from the corpus (OOV query terms drop via the
+    * inner join, exactly as df=0 has no idf). At most terms-of-query dims
+    * are nonzero, so the frame is O(1) by contract — broadcast it. */
+  def queryVector(spark: SparkSession, idf: DataFrame,
+                  queryText: String): DataFrame = {
+    import spark.implicits._
+    termCounts(Seq((0L, queryText)).toDF("qid", "qtext"), "qid", "qtext")
+      .join(idf, "term")
+      .select(bucketOf(col("term")).as("dim"),
+        (signOf(col("term")) * col("tf") * col("idf3")).as("c"))
+      .groupBy(col("dim")).agg(sum(col("c")).as("qval"))
+  }
+
+  /** DuckDB twin of [[queryVector]]: CTEs `rq`/`rqterms`/`rqvec`
+    * (dim, qval). Splice AFTER [[sparseSql]] — joins its `hidf`.
+    * `queryText` must be a SQL-literal-safe constant. */
+  def querySparseSql(queryText: String): String = {
+    require(!queryText.contains("'"), "queryText must be SQL-literal-safe")
+    s"""rq AS (
+       |  SELECT string_split_regex(trim(lower('$queryText')), '\\s+') AS w
+       |), rqterms AS (
+       |  SELECT term, count(*) AS tf FROM (
+       |    SELECT unnest(w) AS term FROM rq
+       |    UNION ALL
+       |    SELECT w[i] || ' ' || w[i+1] AS term
+       |    FROM rq, unnest(generate_series(1, len(w)-1)) AS g(i)
+       |    WHERE len(w) >= 2
+       |  ) GROUP BY term
+       |), rqvec AS (
+       |  SELECT ('0x' || substr(md5(t.term), 1, 4))::BIGINT % $dims AS dim,
+       |    CAST(SUM((CASE WHEN ('0x' || substr(md5(t.term), 5, 1))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END) * t.tf * i.idf3) AS BIGINT) AS qval
+       |  FROM rqterms t JOIN hidf i ON i.term = t.term
+       |  GROUP BY 1
+       |)""".stripMargin
   }
 
   /** Dense component rows: every (id, dim ∈ 0..dims−1) with 0 for empty

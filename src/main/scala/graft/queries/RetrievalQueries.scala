@@ -131,41 +131,39 @@ object RetrievalQueries {
       |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t""".stripMargin),
     "ref commercial_rfp_indexer.py:138-146 (search-service BM25 ranking, Spark-native)")
 
-  /** q_hybrid_rrf — hybrid retrieval: BM25 text ranking fused with exact
-    * cosine vector ranking by Reciprocal Rank Fusion, exactly the fusion
-    * Azure AI Search applies to hybrid queries: score = Σ 1/(60+rank) over
-    * the rankers that returned the document (missing ranker → 0). The
-    * vector query is vec_id 0's embedding (the query vector is external
-    * input in the reference; candidates exclude the query row itself), and
-    * doc_id = vec_id is the parent link q_chunk_index established. Each
-    * ranker contributes its top-50; the fused top-10 is returned. */
-  val qHybridRrf = Q("q_hybrid_rrf",
-    (s, dir) => {
-      val textTop = rankTop(
-        bm25Scored(Tables.documents(s, dir), "doc_id", "text", queryTerms),
-        "doc_id", 50, "text_rk").select("doc_id", "text_rk")
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Vectors.toDoubleArr(col("embedding")).as("v"))
-        .withColumn("dxx", Vectors.dotExact(col("v"), col("v")))
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("dxx").as("qxx"))
-      val vecScored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
-        .select(col("vec_id").as("doc_id"),
-          round(Vectors.cosineFromParts(
-            Vectors.dotExact(col("v"), col("qv")), col("dxx"), col("qxx")),
-            6).as("score"))
-      val vecTop = rankTop(vecScored, "doc_id", 50, "vec_rk")
-        .select("doc_id", "vec_rk")
-      val fused = textTop.join(vecTop, Seq("doc_id"), "full_outer")
-        .withColumn("rrf", round(
-          coalesce(lit(1.0) / (lit(60) + col("text_rk")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("vec_rk")), lit(0.0)), 6))
-      fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rrf").desc, col("doc_id"))))
-        .select("rk", "doc_id", "text_rk", "vec_rk", "rrf")
-    },
-    Some("WITH " + bm25Sql + """,
+  /** The fused hybrid shortlist both q_hybrid_rrf and q_rerank_model
+    * rank: BM25 top-50 full-outer-joined with exact-cosine top-50,
+    * RRF-scored (score = Σ 1/(60+rank) over the rankers that returned the
+    * document, missing ranker → 0 — exactly the fusion Azure AI Search
+    * applies to hybrid queries). The vector query is vec_id 0's embedding
+    * (the query vector is external input in the reference; candidates
+    * exclude the query row itself); doc_id = vec_id is the parent link
+    * q_chunk_index established. ≤100 rows by construction. */
+  private def fusedShortlist(s: SparkSession, dir: String): DataFrame = {
+    val textTop = rankTop(
+      bm25Scored(Tables.documents(s, dir), "doc_id", "text", queryTerms),
+      "doc_id", 50, "text_rk").select("doc_id", "text_rk")
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vectors.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("dxx", Vectors.dotExact(col("v"), col("v")))
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("dxx").as("qxx"))
+    val vecScored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(Vectors.cosineFromParts(
+          Vectors.dotExact(col("v"), col("qv")), col("dxx"), col("qxx")),
+          6).as("score"))
+    val vecTop = rankTop(vecScored, "doc_id", 50, "vec_rk")
+      .select("doc_id", "vec_rk")
+    textTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("text_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rk")), lit(0.0)), 6))
+  }
+
+  /** SQL twin of [[fusedShortlist]]: CTE chain through `fused(doc_id,
+    * text_rk, vec_rk, rrf)`. Prefix with WITH. */
+  private val fusedSql: String = bm25Sql + """,
       |text_top AS (
       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS text_rk
       |  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 50) t
@@ -184,11 +182,140 @@ object RetrievalQueries {
       |    round(COALESCE(1.0/(60 + t.text_rk), 0.0)
       |        + COALESCE(1.0/(60 + v.vec_rk), 0.0), 6) AS rrf
       |  FROM text_top t FULL OUTER JOIN vec_top v ON v.doc_id = t.doc_id
-      |)
+      |)""".stripMargin
+
+  /** q_hybrid_rrf — hybrid retrieval: the fused shortlist's top-10. */
+  val qHybridRrf = Q("q_hybrid_rrf",
+    (s, dir) => fusedShortlist(s, dir)
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select("rk", "doc_id", "text_rk", "vec_rk", "rrf"),
+    Some("WITH " + fusedSql + """
       |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk,
       |       doc_id, text_rk, vec_rk, rrf
       |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10) t""".stripMargin),
     "ref commercial_rfp_indexer.py:138-146 (hybrid text+vector retrieval, RRF fusion)")
+
+  /** q_rerank_model — the LEARNED rerank stage over the hybrid shortlist
+    * (the structural analog of the reference's semantic ranking,
+    * commercial_rfp_indexer.py:138-146: a model re-scores the fused
+    * candidates and reorders them; the hosted cross-encoder itself stays
+    * external by design, exactly as V2's hosted embedder does — this is
+    * the deterministic in-plan stand-in, the same move q_embed_hash made
+    * for V2 and q_quality_model made for the quality scorer).
+    *
+    * Dataflow: (1) the ≤100-row [[fusedShortlist]]; (2) query-document
+    * INTERACTION features — the element-wise product of the query
+    * string's hashed tf-idf vector ([[graft.ops.HashEmbed.queryVector]]
+    * over the corpus idf) and each shortlist document's hashed vector,
+    * per dimension, shifted down 20 bits; (3) pseudo-labels from the
+    * keyword ranker (label_kw = doc ∈ BM25 top-50) train the
+    * mean-difference discriminant IN-PLAN (the q_quality_model
+    * discipline): w_k = floor((Σ_pos f_k·n_neg − Σ_neg f_k·n_pos)/2¹⁰);
+    * (4) score_fp(d) = Σ_k w_k·f_k(d) reranks the WHOLE shortlist —
+    * keyword relevance distilled into the interaction-feature space and
+    * applied to vector-only candidates the keyword ranker never saw.
+    *
+    * Fixed-point bounds (int64-safe, floor via division by a power of
+    * two — exact in double below 2⁵³, engine-identical on negatives):
+    * |doc component| ≤ ~6·10⁶, |query component| ≤ ~1.4·10⁶ → raw
+    * product ≤ 8.4·10¹² < 2⁵³; f ≤ 8·10⁶; weight numerator ≤
+    * 100·8·10⁶·100 = 8·10¹⁰ < 2⁵³; |w| ≤ 8·10⁷; |score| ≤
+    * 64·8·10⁷·8·10⁶ ≈ 4·10¹⁶ < 2⁶³.
+    *
+    * Scale: only the SHORTLIST is featurized ([[graft.ops.HashEmbed
+    * .sparseWithIdf]] against corpus-wide idf — one idf pass over the
+    * corpus, or a precomputed broadcast dictionary in a serving path);
+    * the query vector, labels and 64-row weight frame all ride as
+    * broadcasts; training is one aggregation over ≤100·64 feature rows.
+    * Nothing beyond the idf pass scales with the corpus. */
+  /** The full scored shortlist behind q_rerank_model: (doc_id, base_rk,
+    * label_kw, score_fp) for every fused candidate. Exposed so RerankSpec
+    * can assert the discriminant identity over ALL candidates, not just
+    * the returned top-10. */
+  private[graft] def rerankScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val short = fusedShortlist(s, dir)
+      .withColumn("base_rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("doc_id"), col("base_rk"),
+        when(col("text_rk").isNotNull, 1L).otherwise(0L).as("label_kw"))
+    val idf = graft.ops.HashEmbed.idf3Frame(docs, "doc_id", "text")
+    val qvec = graft.ops.HashEmbed.queryVector(
+      s, idf, queryTerms.mkString(" "))
+    val feats = graft.ops.HashEmbed.sparseWithIdf(
+        docs.join(broadcast(short.select("doc_id")), "doc_id"),
+        "doc_id", "text", idf)
+      .join(broadcast(qvec), "dim")
+      .select(col("doc_id"), col("dim"),
+        floor((col("val") * col("qval")) / lit(1048576.0))
+          .cast("long").as("f"))
+    val n = short.agg(sum(col("label_kw")).as("np"),
+      sum(lit(1L) - col("label_kw")).as("nn"))
+    val w = feats.join(broadcast(short.select("doc_id", "label_kw")),
+        "doc_id")
+      .groupBy("dim")
+      .agg(sum(when(col("label_kw") === 1L, col("f")).otherwise(0L))
+          .as("sp"),
+        sum(when(col("label_kw") === 0L, col("f")).otherwise(0L))
+          .as("sn"))
+      .crossJoin(broadcast(n))
+      .select(col("dim"),
+        floor((col("sp") * col("nn") - col("sn") * col("np")) /
+          lit(1024.0)).cast("long").as("w"))
+    val score = feats.join(broadcast(w), "dim")
+      .groupBy("doc_id").agg(sum(col("f") * col("w")).as("sc"))
+    short.join(score, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("base_rk"), col("label_kw"),
+        coalesce(col("sc"), lit(0L)).as("score_fp"))
+  }
+
+  val qRerankModel = Q("q_rerank_model",
+    (s, dir) => rerankScored(s, dir)
+      .orderBy(col("score_fp").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_fp").desc, col("doc_id"))))
+      .select("rk", "doc_id", "base_rk", "label_kw", "score_fp"),
+    Some("WITH " + fusedSql + """,
+      |shortlist AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS base_rk,
+      |    CASE WHEN text_rk IS NOT NULL THEN 1 ELSE 0 END AS label_kw
+      |  FROM fused
+      |), """.stripMargin +
+      graft.ops.HashEmbed.sparseSql() + ",\n" +
+      graft.ops.HashEmbed.querySparseSql(queryTerms.mkString(" ")) + """,
+      |rfeat AS (
+      |  SELECT s.doc_id, s.dim,
+      |    CAST(floor(s.val * q.qval / 1048576.0) AS BIGINT) AS f
+      |  FROM hsparse s JOIN rqvec q USING (dim) JOIN shortlist USING (doc_id)
+      |), rn AS (
+      |  SELECT CAST(SUM(label_kw) AS BIGINT) AS np,
+      |         CAST(SUM(1 - label_kw) AS BIGINT) AS nn
+      |  FROM shortlist
+      |), rsums AS (
+      |  SELECT f.dim,
+      |    CAST(SUM(CASE WHEN l.label_kw = 1 THEN f.f ELSE 0 END) AS BIGINT) AS sp,
+      |    CAST(SUM(CASE WHEN l.label_kw = 0 THEN f.f ELSE 0 END) AS BIGINT) AS sn
+      |  FROM rfeat f JOIN shortlist l USING (doc_id) GROUP BY f.dim
+      |), rw AS (
+      |  SELECT dim,
+      |    CAST(floor((sp * rn.nn - sn * rn.np) / 1024.0) AS BIGINT) AS w
+      |  FROM rsums, rn
+      |), rscore AS (
+      |  SELECT f.doc_id, CAST(SUM(f.f * w.w) AS BIGINT) AS sc
+      |  FROM rfeat f JOIN rw w USING (dim) GROUP BY f.doc_id
+      |)
+      |SELECT row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rk,
+      |       doc_id, base_rk, label_kw, score_fp
+      |FROM (
+      |  SELECT s.doc_id, s.base_rk, CAST(s.label_kw AS BIGINT) AS label_kw,
+      |    COALESCE(r.sc, CAST(0 AS BIGINT)) AS score_fp
+      |  FROM shortlist s LEFT JOIN rscore r ON r.doc_id = s.doc_id
+      |  ORDER BY score_fp DESC, s.doc_id LIMIT 10) t""".stripMargin),
+    "ref commercial_rfp_indexer.py:138-146 (semantic-rank analog: learned " +
+      "interaction-feature reranker over the hybrid shortlist, in-plan)")
 
   /** q_retrieval_e2e — the reference's user-facing retrieval flow in one
     * plan, composing the engine pieces the way E3 + the indexer do
@@ -251,5 +378,5 @@ object RetrievalQueries {
       |FROM hits h JOIN snip s ON s.parent_id = h.nbr_id""".stripMargin),
     "ref retrieval flow E2E: query vector -> top-3 parents -> snippet + citation mapping")
 
-  def all: Seq[Q] = Seq(qBm25, qHybridRrf, qRetrievalE2e)
+  def all: Seq[Q] = Seq(qBm25, qHybridRrf, qRerankModel, qRetrievalE2e)
 }
