@@ -228,7 +228,7 @@ object Bench {
     "token_bpe" -> "tbpe", "top_terms" -> "topt", "topk_native" -> "tkn",
     "topk_per_group" -> "tkg", "triangles" -> "tri",
     "unigram_nll" -> "unll", "upsert" -> "ups", "util_scalars" -> "util",
-    "rerank_model" -> "rrm",
+    "budget_select" -> "bsel", "rerank_model" -> "rrm",
     "value_moments" -> "vmom", "vocab_encode" -> "venc", "winnow" -> "win",
     "xlsx_scan" -> "xls")
 

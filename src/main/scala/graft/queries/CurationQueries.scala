@@ -345,6 +345,51 @@ object CurationQueries {
       |  FROM qlab l LEFT JOIN qscore q ON q.doc_id = l.doc_id
       |)""".stripMargin
 
+  // ------------------------------------------- budget-bound selection ---
+
+  /** q_budget_select — token-budget data selection: documents taken in
+    * (quality DESC, doc_id ASC) priority order until the global token
+    * budget (total corpus tokens div 4) is exhausted; output is one row
+    * per quality tier with corpus size and selected count/tokens,
+    * encoding the boundary behavior exactly. The engine runs
+    * [[graft.ops.BudgetSelect]]'s HIERARCHICAL prefix-sum plan (no
+    * global-ordering window — see the op's scaladoc for the log-depth
+    * decomposition and boundary conventions); the oracle runs the naive
+    * single-window formulation — two algorithms, one answer. */
+  val qBudgetSelect = Q("q_budget_select",
+    (s, dir) => {
+      val scored = TextQueries.qualityScored(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality"),
+          coalesce(col("n_tokens").cast("long"), lit(0L)).as("toks"))
+      graft.ops.BudgetSelect.summary(scored,
+        graft.ops.BudgetSelect.quarterBudget(scored))
+    },
+    Some("WITH " + TextQueries.qualityScoredSql + """,
+      |bsrc AS (
+      |  SELECT doc_id, quality, COALESCE(n_tokens, 0) AS toks FROM scored
+      |), bt AS (
+      |  SELECT CAST(SUM(toks) AS BIGINT) // 4 AS b FROM bsrc
+      |), bord AS (
+      |  SELECT quality, toks,
+      |    SUM(toks) OVER (ORDER BY quality DESC, doc_id) AS cum
+      |  FROM bsrc
+      |), bsel AS (
+      |  SELECT quality, CAST(count(*) AS BIGINT) AS n_sel,
+      |    CAST(SUM(toks) AS BIGINT) AS toks_sel
+      |  FROM bord, bt WHERE cum <= b GROUP BY quality
+      |), bbkt AS (
+      |  SELECT quality, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS toks_all
+      |  FROM bsrc GROUP BY quality
+      |)
+      |SELECT k.quality, k.n_docs, k.toks_all,
+      |  COALESCE(s.n_sel, CAST(0 AS BIGINT)) AS n_sel,
+      |  COALESCE(s.toks_sel, CAST(0 AS BIGINT)) AS toks_sel
+      |FROM bbkt k LEFT JOIN bsel s USING (quality)""".stripMargin),
+    "north star: token-budget data selection (prefix-greedy by quality " +
+      "tier; hierarchical prefix-sum plan vs the oracle's naive global " +
+      "window - two algorithms, one answer)")
+
   /** q_quality_model — the learned quality gate as a registry query:
     * per-doc heuristic label, fixed-point model score, keep decision.
     * The oracle re-derives features, labels, weights and scores in one
@@ -358,5 +403,5 @@ object CurationQueries {
       "over hashed features, trained in-plan, fixed-point exact)")
 
   def all: Seq[Q] = Seq(qRedact, qPack, qSample, qSampleK, qUpsert,
-    qDeltaDedup, qCurateE2e, qQualityModel)
+    qDeltaDedup, qCurateE2e, qQualityModel, qBudgetSelect)
 }

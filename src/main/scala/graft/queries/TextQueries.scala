@@ -105,7 +105,7 @@ object TextQueries {
     * stage use THIS definition — one predicate, two consumers): adds the
     * feature columns and the 4-point `quality` score; pure projection,
     * no shuffle. */
-  private[queries] def qualityScored(docs: DataFrame): DataFrame = {
+  private[graft] def qualityScored(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val stopArr = typedLit(stopWords)
     docs
@@ -129,7 +129,7 @@ object TextQueries {
   /** The quality-gate SQL twin of [[qualityScored]] as a CTE pair
     * (`feats`, `scored` with the `quality` column), shared by the
     * q_quality and q_curate_e2e oracles. */
-  private[queries] def qualityScoredSql: String = {
+  private[graft] def qualityScoredSql: String = {
     val list = stopWords.map(w => s"'$w'").mkString(",")
     s"""feats AS (
        |  SELECT *, length(text) AS text_len,
