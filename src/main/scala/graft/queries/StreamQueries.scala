@@ -755,22 +755,37 @@ object StreamQueries {
     * the property that makes near-dup streamable): 3-word shingles via
     * a transform over the token array, the 8 minhashes as array_min of
     * md5 slices (identical to the batch [[SimilarityQueries]] banding:
-    * min over a multiset equals min over its distinct set), 4 banded
-    * signatures exploded to (bkey, doc_id, ts) rows. */
+    * min over a multiset equals min over its distinct set, and min of a
+    * substring slice distributes over per-shingle md5s), 4 banded
+    * signatures exploded to (bkey, doc_id, ts) rows.
+    *
+    * Hot-path discipline (the first 100× probe burned ~54 CPU-minutes
+    * here): each seed's md5 array is materialized ONCE (`m0`/`m1`) and
+    * the four 8-char minhash slices are cheap substring mins over it —
+    * the original formulation inlined md5 into every slice's transform,
+    * and codegen does not CSE across separate lambda bodies, so every
+    * shingle was hashed 8× instead of 2×. Callers are responsible for
+    * the micro-batch's partition width (see q_stream_neardup: a
+    * one-file slice is one task unless repartitioned before this
+    * projection). */
   private[graft] def neardupBandRows(src: DataFrame): DataFrame = {
     val w = split(trim(col("text")), "\\s+")
-    def mh(seed: Int, off: Int) = array_min(transform(col("sh"),
-      x => substring(md5(concat(lit(s"$seed:"), x)), off, 8)))
+    def mh(mcol: String, off: Int) = array_min(transform(col(mcol),
+      h => substring(h, off, 8)))
     src.withColumn("w", w)
       .withColumn("sh", expr("CASE WHEN size(w) >= 3 THEN " +
         "transform(sequence(0, size(w)-3), " +
         "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) ELSE array() END"))
       .filter(size(col("sh")) > 0)
+      .withColumn("m0", transform(col("sh"),
+        x => md5(concat(lit("0:"), x))))
+      .withColumn("m1", transform(col("sh"),
+        x => md5(concat(lit("1:"), x))))
       .withColumn("sig", explode(array(
-        struct(lit(0L).as("band"), concat(mh(0, 1), mh(0, 9)).as("s")),
-        struct(lit(1L).as("band"), concat(mh(0, 17), mh(0, 25)).as("s")),
-        struct(lit(2L).as("band"), concat(mh(1, 1), mh(1, 9)).as("s")),
-        struct(lit(3L).as("band"), concat(mh(1, 17), mh(1, 25)).as("s")))))
+        struct(lit(0L).as("band"), concat(mh("m0", 1), mh("m0", 9)).as("s")),
+        struct(lit(1L).as("band"), concat(mh("m0", 17), mh("m0", 25)).as("s")),
+        struct(lit(2L).as("band"), concat(mh("m1", 1), mh("m1", 9)).as("s")),
+        struct(lit(3L).as("band"), concat(mh("m1", 17), mh("m1", 25)).as("s")))))
       .select(concat_ws(":", col("sig.band"), col("sig.s")).as("bkey"),
         col("doc_id"), col("ts"))
   }
@@ -818,7 +833,10 @@ object StreamQueries {
       val schema = s.read.parquet(sliced).schema
       val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(sliced)
-      val rows = neardupBandRows(src)
+      // each slice is ONE parquet file -> one task; spread the micro-batch
+      // across the session's cores BEFORE the md5-heavy banding projection
+      // (the first 100x probe ran the whole batch's hashing on one core)
+      val rows = neardupBandRows(src.repartition(col("doc_id")))
         .withWatermark("ts", "0 seconds")
         .as[graft.streaming.Streams.BandArrival]
       val sink = s"graft_stream_neardup_${streamRunId.incrementAndGet()}"
