@@ -776,16 +776,23 @@ object StreamQueries {
       .withColumn("sh", expr("CASE WHEN size(w) >= 3 THEN " +
         "transform(sequence(0, size(w)-3), " +
         "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) ELSE array() END"))
-      .filter(size(col("sh")) > 0)
       .withColumn("m0", transform(col("sh"),
         x => md5(concat(lit("0:"), x))))
       .withColumn("m1", transform(col("sh"),
         x => md5(concat(lit("1:"), x))))
-      .withColumn("sig", explode(array(
+      // <3-word docs emit NOTHING: explode of a null array yields zero
+      // rows, so the when(...) IS the `size(sh) > 0` filter. It is
+      // deliberately not a Filter node: a deterministic filter above a
+      // repartition gets pushed below the exchange with the whole
+      // split+shingle chain substituted into its predicate, and the
+      // micro-batch's heaviest work lands back on the map side's one
+      // task per slice file (observed at 100x: a ShuffleMapTask whose
+      // Filter evaluated the full banding chain per row, serially).
+      .withColumn("sig", explode(when(size(col("sh")) > 0, array(
         struct(lit(0L).as("band"), concat(mh("m0", 1), mh("m0", 9)).as("s")),
         struct(lit(1L).as("band"), concat(mh("m0", 17), mh("m0", 25)).as("s")),
         struct(lit(2L).as("band"), concat(mh("m1", 1), mh("m1", 9)).as("s")),
-        struct(lit(3L).as("band"), concat(mh("m1", 17), mh("m1", 25)).as("s")))))
+        struct(lit(3L).as("band"), concat(mh("m1", 17), mh("m1", 25)).as("s"))))))
       .select(concat_ws(":", col("sig.band"), col("sig.s")).as("bkey"),
         col("doc_id"), col("ts"))
   }
@@ -835,8 +842,15 @@ object StreamQueries {
         .parquet(sliced)
       // each slice is ONE parquet file -> one task; spread the micro-batch
       // across the session's cores BEFORE the md5-heavy banding projection
-      // (the first 100x probe ran the whole batch's hashing on one core)
-      val rows = neardupBandRows(src.repartition(col("doc_id")))
+      // (the first 100x probe ran the whole batch's hashing on one core).
+      // The partition count is EXPLICIT: an un-numbered repartition(col)
+      // is fair game for AQE partition coalescing, and this stage's
+      // shuffle bytes are tiny (~50 MB of text) while its per-row CPU is
+      // huge (2 md5s per shingle) — AQE's byte heuristic re-serialized
+      // the whole micro-batch onto ~2 tasks at 100x (the FuzzyJoin.edJoin
+      // post-join-blowup lesson, in the post-shuffle-CPU domain).
+      val bandWidth = s.sessionState.conf.numShufflePartitions
+      val rows = neardupBandRows(src.repartition(bandWidth, col("doc_id")))
         .withWatermark("ts", "0 seconds")
         .as[graft.streaming.Streams.BandArrival]
       val sink = s"graft_stream_neardup_${streamRunId.incrementAndGet()}"

@@ -271,6 +271,29 @@ class PlanSpec extends SparkSpec {
       s"expected the built-in session_window expression:\n$p")
   }
 
+  test("neardup banding keeps the md5 chain above the repartition " +
+      "exchange (no pushed-down Filter re-serializes the micro-batch)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // mirror the stream path: a repartitioned (doc_id, text, ts) source
+    // through the shared banding projection
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        lit("2025-01-01 00:00:00").cast("timestamp").as("ts"))
+      .repartition(8, col("doc_id"))
+    val p = graft.queries.StreamQueries.neardupBandRows(src)
+      .queryExecution.executedPlan.toString
+    // the <3-word cut rides inside the explode's when(); a Filter node
+    // would be pushed below the exchange with the whole split+shingle
+    // chain inlined into its predicate (observed at 100x: the map
+    // side's one task per slice file ran the entire banding serially)
+    // match the FilterExec node rendering ("+- Filter (...)"), not the
+    // FileScan's "PushedFilters: []" metadata
+    assert(!p.contains("- Filter ("),
+      s"banding plans a Filter (pushdown below the exchange):\n$p")
+    assert(countOcc(p, "Exchange") === 1,
+      s"expected exactly the one repartition exchange:\n$p")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
