@@ -43,6 +43,30 @@ object BenchHistory {
     "q_sync_upload", "q_sync_delete", "q_sync_diff",
     "q_stream_moments", "q_stream_dedup")
 
+  /** The most recent `bench_history.jsonl` medians recorded at `sf`
+    * (e.g. "sf0.1"), as query → seconds; empty when the file is absent,
+    * no line matches, or parsing fails — [[Bench]]'s history stall guard
+    * must degrade to inert, never abort the report. The parser leans on
+    * the writer's fixed one-line format below (keys are registry names,
+    * all `q`-prefixed; values plain JSON numbers). */
+  def latestMedians(sf: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get("bench_history.jsonl")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val sfTag = s""""sf":"$sf""""
+        java.nio.file.Files.readAllLines(p).asScala
+          .filter(_.contains(sfTag)).lastOption match {
+          case None => Map.empty
+          case Some(line) =>
+            val kv = """"(q[A-Za-z0-9_]*)":([0-9][0-9.]*)""".r
+            kv.findAllMatchIn(line.substring(line.indexOf("\"medians\"")))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val round = args(0).toInt
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"

@@ -128,4 +128,25 @@ class BenchLineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("truncate"))
   }
+
+  test("latestMedians reads the newest matching-sf history line and " +
+      "degrades to empty on absence (the history stall guard's contract)") {
+    // the checked-in repo history: round-11 full-registry line at sf0.1
+    val m = BenchHistory.latestMedians("sf0.1")
+    assert(m.size > 100, s"expected the full-registry r11 line, got ${m.size}")
+    assert(m.contains("q_stream_join") && m("q_stream_join") > 0.5)
+    // every key is a registry name (the parser must not pick up "round"
+    // or "sf" fragments)
+    assert(m.keySet.subsetOf(Registry.all.map(_.name).toSet))
+    // unmatched sf and a bad working-dir file both yield the inert guard
+    assert(BenchHistory.latestMedians("sf_nonexistent").isEmpty)
+    // guard arithmetic: a reading above max(2x median, median+1s)
+    // retries; the cross-day ambient band (<=1.7x) and sub-second
+    // jitter (<= median+1s) never do
+    val med = 3.88
+    def trips(r: Double) = r > math.max(2 * med, med + 1.0)
+    assert(trips(8.43))      // the observed all-runs stall
+    assert(!trips(1.7 * med)) // ambient band stays un-retried
+    assert(!trips(0.9))       // sub-second jitter on a tiny median
+  }
 }
