@@ -196,7 +196,8 @@ object Bench {
     * asserted equal to this map by BenchLineSpec. */
   private[graft] val displayAbbrev = Map(
     "q1_agg" -> "q1", "q3_top" -> "q3", "q5_region" -> "q5",
-    "ann_ivf" -> "ivf", "ann_ivf_pq" -> "ivfp", "ann_ivf_sq" -> "ivfs",
+    "ann_graph" -> "agr", "ann_ivf" -> "ivf", "ann_ivf_pq" -> "ivfp",
+    "ann_ivf_sq" -> "ivfs",
     "ann_lsh" -> "lsh", "ann_mp" -> "mp", "ann_mt" -> "mt",
     "ann_pq" -> "pq", "ann_recall" -> "rec", "ann_recall_cl" -> "recc",
     "ann_sq" -> "asq", "anomaly" -> "anom", "anti_join" -> "antj",

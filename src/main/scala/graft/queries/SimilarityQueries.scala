@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.ops.{Chunk, KMeans, Sample, Shingles, Vectors}
+import graft.ops.{Checkpoints, Chunk, KMeans, Sample, Shingles, Vectors}
 
 /** North-star similarity family over `documents` / `embeddings`:
   * chunking (V1/V4), exact + approximate cosine retrieval (V3), and the
@@ -2114,9 +2114,284 @@ object SimilarityQueries {
       "train-on-a-sample / assign-everything 100 TB posture, " +
       "oracle-replicated sampling)")
 
+  // ---------------------------------------------------------- graph ANN ---
+
+  /** kNN-graph out-degree R: each node keeps its R best scored candidates
+    * as out-edges (then edges are symmetrized, so working degree ≤ ~2R). */
+  private val gDeg = 4
+  /** Beam width: the b best visited nodes per query are expanded each
+    * round — the efSearch analog of the graph-search family. */
+  private val gBeam = 8
+  /** Synchronous expansion rounds (the graph's diameter budget). */
+  private val gRounds = 3
+  /** IVF-seeded entry points per query. */
+  private val gEntries = 2
+  /** Per-node candidate cap for the graph BUILD: of a node's same-bucket
+    * candidates, only the [[gCandCap]] with the smallest md5(src:nbr) are
+    * scored — a deterministic uniform subsample that bounds build scoring
+    * at cap·n pairs no matter how skewed the buckets get (the
+    * capBuckets discipline, applied per node instead of per bucket). */
+  private val gCandCap = 32
+
+  /** Exact rounded cosine for (src_id, nbr_id) pairs, both ids resolved
+    * against `base` (vec_id, v, dxx) — the pair-scoring kernel of the
+    * graph build and the beam search. Two keyed equi-joins + one
+    * codegen'd [[Vectors.dotExact]] per pair; no broadcast of the corpus,
+    * no cartesian. */
+  private def gScore(pairs: DataFrame, base: DataFrame): DataFrame = {
+    val a = base.select(col("vec_id").as("src_id"), col("v").as("av"),
+      col("dxx").as("axx"))
+    val b = base.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
+      col("dxx").as("bxx"))
+    pairs.join(a, "src_id").join(b, "nbr_id")
+      .withColumn("score", round(Vectors.cosineFromParts(
+        Vectors.dotExact(col("av"), col("bv")), col("axx"), col("bxx")), 6))
+      .select("src_id", "nbr_id", "score")
+  }
+
+  /** Top-`k` neighbors per src by (score desc, nbr_id) — the shared
+    * deterministic ranking of the graph family. */
+  private def gTop(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("score").desc, col("nbr_id"))))
+      .filter(col("rk") <= k)
+
+  /** q_ann_graph's engine body — graph-based ANN, the Spark-native answer
+    * to the reference's HNSW index (commercial_rfp_indexer.py:96-111),
+    * in the shape the published distributed graph-ANN family uses
+    * (LSH-seeded kNN-graph construction à la NN-Descent [Dong et al.
+    * WWW'11], then best-first beam search à la HNSW/DiskANN):
+    *
+    * BUILD — (1) candidate edges from the 6-plane LSH buckets, capped at
+    * [[gCandCap]] md5-sampled candidates per node (bounded scoring under
+    * any bucket skew); (2) top-[[gDeg]] out-edges per node by exact
+    * cosine; (3) ONE NN-Descent refinement round: candidates =
+    * symmetrized edges ∪ neighbors-of-neighbors, rescore, keep
+    * top-[[gDeg]] again; (4) symmetrize. Every step is a keyed
+    * shuffle (bucket equi-join, two id equi-joins per scoring pass, one
+    * ranking window); the refined edge list is checkpointed once —
+    * it is joined every search round (the [[graft.ops.Components]]
+    * lineage discipline).
+    *
+    * SEARCH — entries: each query descends the trained IVF quantizer
+    * ([[graft.ops.KMeans]], the HNSW-upper-layer analog) and keeps the
+    * [[gEntries]] best members of its own cell; then [[gRounds]]
+    * synchronous beam rounds: expand the [[gBeam]] best visited nodes
+    * through the graph, anti-join already-visited, score only the new
+    * (query, node) pairs, accumulate. The visited frontier is
+    * checkpointed per round — each round references it three times
+    * (frontier ranking, anti-join, union), so an unchecked plan doubles
+    * per round. Scored work per query is ≤ gEntries + rounds·beam·2R
+    * pairs — independent of corpus size, the property that makes graph
+    * search THE memory-scale index family; at 100 TB the build's bucket
+    * join would run banded multi-table LSH ([[qNearDup]]'s discipline)
+    * and the search is already O(beam·deg·rounds) per query.
+    *
+    * Runs on the clustered fixture ([[clusteredEmb]]) — the data shape
+    * where neighbors exist by construction ([[ctrCount]]'s scaladoc).
+    * AnnSpec asserts recall@3 vs exact kNN ≥ 0.9 on it. */
+  private def annGraphFrom(emb: DataFrame): DataFrame = {
+    Checkpoints.ensureDir(emb.sparkSession.sparkContext)
+    val planes = Vectors.planeWeights(numPlanes, embDims)
+    val base = withNorm(emb).select("vec_id", "v", "dxx")
+
+    // ---- build: LSH candidates (md5-capped per node) → top-R out-edges.
+    // The src side probes its own bucket PLUS the Hamming-1 buckets
+    // (q_ann_mp's trick, applied at BUILD time): a cluster whose center
+    // sits near a hyperplane splits across two buckets, and without the
+    // probe the kNN graph splits into per-bucket islands the beam search
+    // cannot cross — measured recall@3 0.80 → 1.0 at sf0.001. A pair
+    // differs by exactly one mask, so no dedup is needed.
+    val probeMasks = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
+    val bucketed = emb.select(col("vec_id"), Vectors.lshBucket(
+      Vectors.toDoubleArr(col("embedding")), planes).as("bucket"))
+    val cand0 = bucketed.select(col("vec_id").as("src_id"),
+        explode(array(probeMasks.map(m =>
+          col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+      .join(bucketed.select(col("vec_id").as("nbr_id"), col("bucket")),
+        "bucket")
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(
+          md5(concat(col("src_id").cast("string"), lit(":"),
+            col("nbr_id").cast("string"))), col("nbr_id"))))
+      .filter(col("cr") <= gCandCap)
+      .select("src_id", "nbr_id")
+    val adj0 = gTop(gScore(cand0, base), gDeg).select("src_id", "nbr_id")
+    // symmetrize, then one NN-Descent round: neighbors-of-neighbors
+    val u = adj0.unionAll(adj0.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id"))).distinct()
+      .checkpoint(eager = true) // referenced 3×: union + both 2-hop sides
+    val twoHop = u.select(col("src_id"), col("nbr_id").as("mid"))
+      .join(u.select(col("src_id").as("mid"), col("nbr_id")), "mid")
+      .filter(col("src_id") =!= col("nbr_id"))
+      .select("src_id", "nbr_id")
+    val adj1 = gTop(gScore(u.unionAll(twoHop).distinct(), base), gDeg)
+      .select("src_id", "nbr_id")
+    val graph = adj1.unionAll(adj1.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id"))).distinct()
+      .checkpoint(eager = true) // joined every beam round
+
+    // ---- search: IVF-seeded entries, then synchronous beam expansion
+    val codebook = KMeans.train(base.select("vec_id", "v"), ivfCells,
+      ivfIters)
+    val assigned = base.select(col("vec_id"),
+      KMeans.assignCell(col("v"), codebook).as("cell"))
+    val qcells = assigned.filter(isQuery)
+      .select(col("vec_id").as("src_id"), col("cell"))
+    val entryCand = assigned.select(col("vec_id").as("nbr_id"), col("cell"))
+      .join(broadcast(qcells), "cell")
+      .filter(col("nbr_id") =!= col("src_id"))
+      .select("src_id", "nbr_id")
+    var visited = gTop(gScore(entryCand, base), gEntries)
+      .select("src_id", "nbr_id", "score").checkpoint(eager = true)
+    for (_ <- 1 to gRounds) {
+      val frontier = gTop(visited, gBeam)
+        .select(col("src_id"), col("nbr_id").as("mid"))
+      val fresh = frontier
+        .join(graph.select(col("src_id").as("mid"), col("nbr_id")), "mid")
+        .filter(col("src_id") =!= col("nbr_id"))
+        .select("src_id", "nbr_id").distinct()
+        .join(visited.select("src_id", "nbr_id"),
+          Seq("src_id", "nbr_id"), "left_anti")
+      visited = visited.unionAll(gScore(fresh, base))
+        .checkpoint(eager = true)
+    }
+    gTop(visited, 3).select(col("src_id").as("query_id"), col("rk"),
+      col("nbr_id"), col("score"))
+  }
+
+  /** One oracle beam round (r = 1..3): frontier → expand through `gg` →
+    * anti-join visited → score new pairs → accumulate. Mirrors the
+    * engine loop body in [[annGraphFrom]] CTE-for-operator. */
+  private def gRoundSql(r: Int, src: String): String = {
+    val prev = s"v${r - 1}"
+    s"""f$r AS (
+       |  SELECT src_id, nbr_id AS mid FROM (
+       |    SELECT src_id, nbr_id, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY score DESC, nbr_id) AS rk FROM $prev) t
+       |  WHERE rk <= $gBeam
+       |), x$r AS (
+       |  SELECT DISTINCT f.src_id, g.nbr_id
+       |  FROM f$r f JOIN gg g ON g.src_id = f.mid
+       |  WHERE g.nbr_id <> f.src_id
+       |), n$r AS (
+       |  SELECT x.src_id, x.nbr_id FROM x$r x
+       |  LEFT JOIN $prev v ON v.src_id = x.src_id AND v.nbr_id = x.nbr_id
+       |  WHERE v.nbr_id IS NULL
+       |), np$r AS (
+       |  SELECT n.src_id, n.nbr_id, ea.embedding AS av, eb.embedding AS bv
+       |  FROM n$r n JOIN $src ea ON ea.vec_id = n.src_id
+       |       JOIN $src eb ON eb.vec_id = n.nbr_id
+       |), """.stripMargin +
+      dotsSql(s"np$r", "av", "bv", "src_id, nbr_id", s"b$r") + s""",
+       |v$r AS MATERIALIZED (
+       |  SELECT * FROM $prev
+       |  UNION ALL
+       |  SELECT src_id, nbr_id, round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score
+       |  FROM b${r}dots
+       |)""".stripMargin
+  }
+
+  /** The full graph-ANN oracle body after the fixture CTE: LSH-bucketed
+    * capped candidates → top-R → symmetrize → one NN-Descent round →
+    * symmetrize → IVF-seeded entries → [[gRounds]] unrolled beam rounds
+    * ([[gRoundSql]]) → top-3 per query. */
+  private def annGraphSql(src: String): String =
+    bucketsSql(src) + s""",
+      |gc0 AS (
+      |  SELECT src_id, nbr_id FROM (
+      |    SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY md5(CAST(a.vec_id AS VARCHAR) || ':' ||
+      |                     CAST(b.vec_id AS VARCHAR)), b.vec_id) AS cr
+      |    FROM buckets a, (SELECT unnest([0,1,2,4,8,16,32]) AS mask) m,
+      |         buckets b
+      |    WHERE b.bucket = xor(a.bucket, m.mask) AND b.vec_id <> a.vec_id) t
+      |  WHERE cr <= $gCandCap
+      |), gp0 AS (
+      |  SELECT c.src_id, c.nbr_id, ea.embedding AS av, eb.embedding AS bv
+      |  FROM gc0 c JOIN $src ea ON ea.vec_id = c.src_id
+      |       JOIN $src eb ON eb.vec_id = c.nbr_id
+      |), """.stripMargin +
+      dotsSql("gp0", "av", "bv", "src_id, nbr_id", "g0") + s""",
+      |adj0 AS (
+      |  SELECT src_id, nbr_id FROM (
+      |    SELECT src_id, nbr_id, row_number() OVER (PARTITION BY src_id
+      |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |    FROM g0dots) t
+      |  WHERE rk <= $gDeg
+      |), u AS MATERIALIZED (
+      |  SELECT DISTINCT src_id, nbr_id FROM (
+      |    SELECT src_id, nbr_id FROM adj0
+      |    UNION ALL SELECT nbr_id, src_id FROM adj0) t
+      |), gc2 AS (
+      |  SELECT DISTINCT src_id, nbr_id FROM (
+      |    SELECT src_id, nbr_id FROM u
+      |    UNION ALL
+      |    SELECT a.src_id, b.nbr_id FROM u a JOIN u b ON b.src_id = a.nbr_id
+      |    WHERE b.nbr_id <> a.src_id) t
+      |), gp2 AS (
+      |  SELECT c.src_id, c.nbr_id, ea.embedding AS av, eb.embedding AS bv
+      |  FROM gc2 c JOIN $src ea ON ea.vec_id = c.src_id
+      |       JOIN $src eb ON eb.vec_id = c.nbr_id
+      |), """.stripMargin +
+      dotsSql("gp2", "av", "bv", "src_id, nbr_id", "g2") + s""",
+      |adj1 AS (
+      |  SELECT src_id, nbr_id FROM (
+      |    SELECT src_id, nbr_id, row_number() OVER (PARTITION BY src_id
+      |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |    FROM g2dots) t
+      |  WHERE rk <= $gDeg
+      |), gg AS MATERIALIZED (
+      |  SELECT DISTINCT src_id, nbr_id FROM (
+      |    SELECT src_id, nbr_id FROM adj1
+      |    UNION ALL SELECT nbr_id, src_id FROM adj1) t
+      |),
+      |""".stripMargin +
+      KMeans.trainSql(src, ivfCells, ivfIters) + s""",
+      |assignf AS (
+      |${ivfAssignSql(1, "")}
+      |), ec AS (
+      |  SELECT q.vec_id AS src_id, a.vec_id AS nbr_id
+      |  FROM assignf q JOIN assignf a
+      |    ON a.cell = q.cell AND a.vec_id <> q.vec_id
+      |  WHERE ${queryPredSql("q.")}
+      |), ep AS (
+      |  SELECT e.src_id, e.nbr_id, ea.embedding AS av, eb.embedding AS bv
+      |  FROM ec e JOIN $src ea ON ea.vec_id = e.src_id
+      |       JOIN $src eb ON eb.vec_id = e.nbr_id
+      |), """.stripMargin +
+      dotsSql("ep", "av", "bv", "src_id, nbr_id", "e") + s""",
+      |v0 AS MATERIALIZED (
+      |  SELECT src_id, nbr_id, score FROM (
+      |    SELECT src_id, nbr_id,
+      |      round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |      row_number() OVER (PARTITION BY src_id
+      |        ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
+      |    FROM edots) t
+      |  WHERE rk <= $gEntries
+      |),
+      |""".stripMargin +
+      (1 to gRounds).map(r => gRoundSql(r, src)).mkString(",\n") + s"""
+      |SELECT src_id AS query_id, rk, nbr_id, score FROM (
+      |  SELECT src_id, nbr_id, score,
+      |    row_number() OVER (PARTITION BY src_id
+      |      ORDER BY score DESC, nbr_id) AS rk
+      |  FROM v$gRounds) t
+      |WHERE rk <= 3""".stripMargin
+
+  val qAnnGraph = Q("q_ann_graph",
+    (s, dir) => annGraphFrom(clusteredEmb(s, dir)),
+    Some("WITH " + cembSql + ",\n" + annGraphSql("cemb")),
+    "north star: graph ANN (LSH-seeded kNN graph + NN-Descent round + " +
+      "IVF-seeded beam search — the HNSW/DiskANN family re-expressed as " +
+      "keyed shuffles; ref index bar commercial_rfp_indexer.py:96-111)")
+
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qNearDupRep, qJaccard, qContainment, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
     qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
-    qAnnPq, qAnnIvfPq, qSemDedup, qSemDedupSampled)
+    qAnnPq, qAnnIvfPq, qAnnGraph, qSemDedup, qSemDedupSampled)
 }

@@ -82,6 +82,21 @@ class AnnSpec extends SparkSpec {
     assert(maxErr < 0.01, s"SQ cosine error $maxErr exceeds 0.01")
   }
 
+  test("graph ANN: beam search over the kNN graph reaches >=0.9 recall@3") {
+    // q_ann_graph runs on the clustered fixture (like q_ann_pq — the data
+    // shape where "nearest" is meaningful); measured 1.0 at sf0.001 and
+    // 0.9 at sf0.1. Pin 0.9: the beam scores <= entries + rounds·beam·2R
+    // pairs per query regardless of corpus size, so recall must come from
+    // graph quality (Hamming-1 build probes + the NN-Descent round), not
+    // from scanning more.
+    val emb = graft.queries.SimilarityQueries.clusteredFrame(spark, dir)
+    val g = Registry.byName("q_ann_graph").fn(spark, dir)
+    assert(g.groupBy("query_id").count().filter(col("count") =!= 3).isEmpty,
+      "a query's beam terminated with fewer than 3 reachable nodes")
+    val recall = graft.queries.SimilarityQueries.recallVsExactOn(emb, g)
+    assert(recall >= 0.9, s"graph-ANN recall@3 $recall fell below 0.9")
+  }
+
   test("exact kNN dominates every ANN variant at rank 1") {
     val knn = Registry.byName("q_knn").fn(spark, dir)
       .filter(col("rk") === 1)
