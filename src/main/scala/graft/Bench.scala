@@ -208,6 +208,7 @@ object Bench {
     "chunk_index" -> "cidx", "chunk_ref" -> "cref", "clean" -> "cln",
     "cohort" -> "coh", "containment" -> "cont", "curate_e2e" -> "ce2",
     "decontam" -> "dec", "dedup_exact" -> "ddx", "delta_dedup" -> "deld",
+    "dsir_select" -> "dsir",
     "doc_dedup" -> "docd", "doc_render" -> "drnd", "dup_clusters" -> "dcl",
     "dup_clusters_star" -> "dcs", "dup_count" -> "dcnt",
     "dup_keep" -> "dkp", "dup_keys" -> "dky", "dup_stats" -> "dst",

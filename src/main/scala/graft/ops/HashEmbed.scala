@@ -45,8 +45,15 @@ object HashEmbed {
 
   /** md5-derived hash bucket (hex chars 1-4 mod dims) and ±1 sign (hex
     * char 5 parity) of a term — mirrored verbatim in [[sparseSql]]. */
-  def bucketOf(term: Column): Column =
-    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % dims
+  def bucketOf(term: Column): Column = bucketIn(term, dims)
+
+  /** [[bucketOf]] with a caller-chosen bucket count (≤ 65536, the hex
+    * width) — the DSIR selection stage wants a finer-grained bag model
+    * (thousands of buckets) than the 64-dim retrieval projection. */
+  def bucketIn(term: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= 65536, s"buckets out of range: $buckets")
+    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % buckets
+  }
   def signOf(term: Column): Column =
     when(conv(substring(md5(term), 5, 1), 16, 10).cast("long") % 2 === 0,
       lit(1L)).otherwise(lit(-1L))

@@ -402,6 +402,134 @@ object CurationQueries {
     "north star: model-based quality scorer (mean-difference discriminant " +
       "over hashed features, trained in-plan, fixed-point exact)")
 
+  // ------------------------------- importance-resampled selection (DSIR) ---
+
+  /** Gumbel-top-k draw size for [[qDsirSelect]]. */
+  private val dsirK = 100
+
+  /** Hashed-model bucket count for [[qDsirSelect]] (the paper uses 10k;
+    * 4096 keeps the llr table broadcast-tiny while separating scripts). */
+  private val dsirBuckets = 4096
+
+  /** q_dsir_select — data selection via importance resampling in the DSIR
+    * shape (Xie et al., NeurIPS 2023): fit hashed-n-gram bag models over
+    * a TARGET domain and over the RAW corpus, weight every raw document
+    * by its log-likelihood ratio under the two models, and draw
+    * [[dsirK]] documents WITHOUT replacement with the Gumbel-top-k trick
+    * — the principled "pick raw data that looks like the clean corpus"
+    * selection stage real pretraining pipelines run between dedup and
+    * tokenization.
+    *
+    * The target here is the strictest heuristic tier (quality = 4 AND
+    * lang = 'en' — the clean-corpus proxy, exactly how the paper seeds
+    * from Wikipedia+books); features are [[graft.ops.HashEmbed]]'s
+    * unigram+bigram term counts hashed into [[dsirBuckets]] = 4096
+    * buckets (the paper's hashed-n-gram generative model at the paper's
+    * granularity — the 64-dim retrieval projection washes the language
+    * signal out: measured llr range ±1.3 nats vs the Gumbel spread's
+    * ~±5, i.e. pure noise selection; at 4096 buckets distinct scripts
+    * occupy disjoint buckets and the signal dominates). Laplace-smoothed
+    * per-bucket log-likelihood ratio, in the fixed-point discipline:
+    * llr3(b) = round((ln(ct+1) + ln(dr+B) − ln(cr+1) − ln(dt+B))·1000),
+    * every ln argument an exact integer→double (the idf3 precedent: one
+    * fixed IEEE op chain, identical in both engines), and the document
+    * score Σ c_b·llr3(b) is then all-integer. The Gumbel key adds
+    * g3 = round(−ln(−ln(u))·1000) with u = (md5₁₆(doc_id)+1)/65537 — a
+    * deterministic md5-derived uniform, so "sampling ∝ importance
+    * weight" is reproducible bit-for-bit (the [[graft.ops.Sample]]
+    * determinism discipline applied to the Gumbel-max construction).
+    *
+    * Scale: two keyed term shuffles (per-doc buckets, per-bucket
+    * corpus/target counts), the ≤4096-row llr table broadcast (the
+    * hashed model is small BY CONSTRUCTION — that is the trick), and the
+    * global draw through the custom [[graft.ops.TopK]] operator's
+    * empty-grouping mode — map-side bounded heaps, k rows per partition
+    * to one final merge; no global-ordering window, no collect.
+    * DsirSpec pins the distributional pull (the selected set is
+    * en-heavier than the corpus base rate) and the without-replacement
+    * arithmetic. */
+  val qDsirSelect = Q("q_dsir_select",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = TextQueries.qualityScored(docs)
+        .filter(col("quality") === 4 && col("lang") === "en")
+        .select("doc_id")
+      val docBuckets = graft.ops.HashEmbed.termCounts(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          graft.ops.HashEmbed.bucketIn(col("term"), dsirBuckets).as("dim"),
+          col("tf"))
+        .groupBy("doc_id", "dim").agg(sum("tf").as("c"))
+      val rawCnt = docBuckets.groupBy("dim").agg(sum("c").as("cr"))
+      val tgtCnt = docBuckets.join(target, "doc_id")
+        .groupBy("dim").agg(sum("c").as("ct"))
+      val tot = rawCnt.agg(sum("cr").as("dr"))
+        .crossJoin(tgtCnt.agg(sum("ct").as("dt")))
+      val llr = rawCnt.join(tgtCnt, Seq("dim"), "left")
+        .select(col("dim"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+        .crossJoin(broadcast(tot))
+        .select(col("dim"),
+          round((log(col("ct") + lit(1)) + log(col("dr") + lit(dsirBuckets))
+            - log(col("cr") + lit(1)) - log(col("dt") + lit(dsirBuckets))) * 1000)
+            .cast("long").as("llr3"))
+      val keyed = docBuckets.join(broadcast(llr), "dim")
+        .groupBy("doc_id").agg(sum(col("c") * col("llr3")).as("score"))
+        .withColumn("g3", round(-log(-log(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") + lit(1)) / lit(65537.0))) * 1000).cast("long"))
+        .withColumn("key", col("score") + col("g3"))
+      graft.ops.TopK.perGroup(keyed, Seq.empty,
+          Seq(keyed("key") -> true, keyed("doc_id") -> false), dsirK)
+        .select(col("rk"), col("doc_id"), col("score"), col("g3"), col("key"))
+    },
+    Some("WITH " + TextQueries.qualityScoredSql + s""",
+      |dtgt AS (
+      |  SELECT doc_id FROM scored WHERE quality = 4 AND lang = 'en'
+      |), dwords AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      |  FROM documents
+      |), dterms AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(w) AS term FROM dwords
+      |    UNION ALL
+      |    SELECT doc_id, w[i] || ' ' || w[i+1] AS term
+      |    FROM dwords, unnest(generate_series(1, len(w)-1)) AS g(i)
+      |    WHERE len(w) >= 2
+      |  ) GROUP BY doc_id, term
+      |), dbk AS MATERIALIZED (
+      |  SELECT doc_id, ('0x' || substr(md5(term), 1, 4))::BIGINT % $dsirBuckets AS dim,
+      |    CAST(SUM(tf) AS BIGINT) AS c
+      |  FROM dterms GROUP BY 1, 2
+      |), rawc AS (
+      |  SELECT dim, CAST(SUM(c) AS BIGINT) AS cr FROM dbk GROUP BY dim
+      |), tgtc AS (
+      |  SELECT dim, CAST(SUM(c) AS BIGINT) AS ct
+      |  FROM dbk JOIN dtgt USING (doc_id) GROUP BY dim
+      |), tots AS (
+      |  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM rawc) AS dr,
+      |         (SELECT CAST(SUM(ct) AS BIGINT) FROM tgtc) AS dt
+      |), llr AS (
+      |  SELECT r.dim,
+      |    CAST(round((ln(COALESCE(t.ct, 0) + 1) + ln(dr + $dsirBuckets)
+      |      - ln(r.cr + 1) - ln(dt + $dsirBuckets)) * 1000) AS BIGINT) AS llr3
+      |  FROM rawc r LEFT JOIN tgtc t USING (dim), tots
+      |), dkeyed AS (
+      |  SELECT doc_id, score,
+      |    CAST(round(-ln(-ln(
+      |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1)
+      |        / 65537.0)) * 1000) AS BIGINT) AS g3
+      |  FROM (
+      |    SELECT d.doc_id, CAST(SUM(d.c * l.llr3) AS BIGINT) AS score
+      |    FROM dbk d JOIN llr l USING (dim) GROUP BY d.doc_id) t
+      |)
+      |SELECT rk, doc_id, score, g3, key FROM (
+      |  SELECT doc_id, score, g3, score + g3 AS key,
+      |    row_number() OVER (ORDER BY score + g3 DESC, doc_id) AS rk
+      |  FROM dkeyed) t
+      |WHERE rk <= $dsirK""".stripMargin),
+    "north star: DSIR importance-resampled data selection (hashed-n-gram " +
+      "LLR weights, deterministic Gumbel-top-k draw through the custom " +
+      "TopK operator's global mode)")
+
   def all: Seq[Q] = Seq(qRedact, qPack, qSample, qSampleK, qUpsert,
-    qDeltaDedup, qCurateE2e, qQualityModel, qBudgetSelect)
+    qDeltaDedup, qCurateE2e, qQualityModel, qBudgetSelect, qDsirSelect)
 }
