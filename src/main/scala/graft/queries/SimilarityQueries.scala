@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.ops.{Checkpoints, Chunk, KMeans, Sample, Shingles, Vectors}
+import graft.ops.{Chunk, KMeans, Sample, Shingles, Vectors}
 
 /** North-star similarity family over `documents` / `embeddings`:
   * chunking (V1/V4), exact + approximate cosine retrieval (V3), and the
@@ -2123,7 +2123,7 @@ object SimilarityQueries {
     * round — the efSearch analog of the graph-search family. */
   private val gBeam = 8
   /** Synchronous expansion rounds (the graph's diameter budget). */
-  private val gRounds = 3
+  private val gRounds = 4
   /** IVF-seeded entry points per query. */
   private val gEntries = 2
   /** Per-node candidate cap for the graph BUILD: of a node's same-bucket
@@ -2163,55 +2163,69 @@ object SimilarityQueries {
     * (LSH-seeded kNN-graph construction à la NN-Descent [Dong et al.
     * WWW'11], then best-first beam search à la HNSW/DiskANN):
     *
-    * BUILD — (1) candidate edges from the 6-plane LSH buckets, capped at
-    * [[gCandCap]] md5-sampled candidates per node (bounded scoring under
-    * any bucket skew); (2) top-[[gDeg]] out-edges per node by exact
-    * cosine; (3) ONE NN-Descent refinement round: candidates =
+    * BUILD — (1) candidate edges from [[lshTables]] independent 6-plane
+    * LSH tables (OR-amplified so one unlucky hash family cannot fragment
+    * a cluster into graph islands), capped at [[gCandCap]] md5-sampled
+    * candidates per node (bounded scoring under any bucket skew);
+    * (2) top-[[gDeg]] out-edges per node by exact cosine; (3) ONE NN-Descent refinement round: candidates =
     * symmetrized edges ∪ neighbors-of-neighbors, rescore, keep
     * top-[[gDeg]] again; (4) symmetrize. Every step is a keyed
     * shuffle (bucket equi-join, two id equi-joins per scoring pass, one
-    * ranking window); the refined edge list is checkpointed once —
+    * ranking window); the refined edge list is localCheckpoint'ed once —
     * it is joined every search round (the [[graft.ops.Components]]
-    * lineage discipline).
+    * lineage discipline; LOCAL checkpoints because the frames are
+    * k·n-row-tiny and the round count is fixed at 3 — an executor loss
+    * recomputes rather than resumes, the right trade for short
+    * iterations. The first cut used reliable checkpoints plus an IVF
+    * quantizer for entry seeding; replacing both — local checkpoints,
+    * seed-from-own-edges — took the sf0.1 median 7.7 → ~4.6 s).
     *
-    * SEARCH — entries: each query descends the trained IVF quantizer
-    * ([[graft.ops.KMeans]], the HNSW-upper-layer analog) and keeps the
-    * [[gEntries]] best members of its own cell; then [[gRounds]]
-    * synchronous beam rounds: expand the [[gBeam]] best visited nodes
-    * through the graph, anti-join already-visited, score only the new
-    * (query, node) pairs, accumulate. The visited frontier is
-    * checkpointed per round — each round references it three times
-    * (frontier ranking, anti-join, union), so an unchecked plan doubles
-    * per round. Scored work per query is ≤ gEntries + rounds·beam·2R
-    * pairs — independent of corpus size, the property that makes graph
-    * search THE memory-scale index family; at 100 TB the build's bucket
-    * join would run banded multi-table LSH ([[qNearDup]]'s discipline)
-    * and the search is already O(beam·deg·rounds) per query.
+    * SEARCH — entries: each query (a corpus member, the same contract as
+    * every other rung) seeds its beam with its own [[gEntries]] best
+    * REFINED-graph candidates — already scored during the build, so
+    * seeding costs zero extra work (an out-of-corpus query would seed
+    * through the same LSH probe the build uses: one hash, one bucket
+    * scan; an IVF-quantizer seeding variant was built first and measured
+    * ~2.5 s slower at sf0.1 — three trainer collects plus an assignment
+    * and an entry-scoring pass — for identical recall on the fixtures).
+    * Then [[gRounds]] synchronous beam rounds: expand the [[gBeam]] best
+    * visited nodes through the graph, anti-join already-visited, score
+    * only the new (query, node) pairs, accumulate. The visited frontier
+    * is localCheckpoint'ed per round — each round references it three
+    * times (frontier ranking, anti-join, union), so an unchecked plan
+    * doubles per round. Scored work per query is ≤ gEntries +
+    * rounds·beam·2R pairs — independent of corpus size, the property
+    * that makes graph search THE memory-scale index family; at 100 TB
+    * the build's bucket join would run banded multi-table LSH
+    * ([[qNearDup]]'s discipline) and the search is already
+    * O(beam·deg·rounds) per query.
     *
     * Runs on the clustered fixture ([[clusteredEmb]]) — the data shape
     * where neighbors exist by construction ([[ctrCount]]'s scaladoc).
     * AnnSpec asserts recall@3 vs exact kNN ≥ 0.9 on it. */
   private def annGraphFrom(emb: DataFrame): DataFrame = {
-    Checkpoints.ensureDir(emb.sparkSession.sparkContext)
-    val planes = Vectors.planeWeights(numPlanes, embDims)
+    val planes = Vectors.planeWeights(lshTables * numPlanes, embDims)
     val base = withNorm(emb).select("vec_id", "v", "dxx")
 
-    // ---- build: LSH candidates (md5-capped per node) → top-R out-edges.
-    // The src side probes its own bucket PLUS the Hamming-1 buckets
-    // (q_ann_mp's trick, applied at BUILD time): a cluster whose center
-    // sits near a hyperplane splits across two buckets, and without the
-    // probe the kNN graph splits into per-bucket islands the beam search
-    // cannot cross — measured recall@3 0.80 → 1.0 at sf0.001. A pair
-    // differs by exactly one mask, so no dedup is needed.
-    val probeMasks = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
-    val bucketed = emb.select(col("vec_id"), Vectors.lshBucket(
-      Vectors.toDoubleArr(col("embedding")), planes).as("bucket"))
-    val cand0 = bucketed.select(col("vec_id").as("src_id"),
-        explode(array(probeMasks.map(m =>
-          col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
-      .join(bucketed.select(col("vec_id").as("nbr_id"), col("bucket")),
-        "bucket")
+    // ---- build: multi-table LSH candidates (md5-capped per node) →
+    // top-R out-edges. Candidates meet in ANY of [[lshTables]]
+    // independent 6-plane tables (q_ann_mt's OR-amplification, applied
+    // at BUILD time): with a single table a cluster whose center sits
+    // near hyperplanes fragments across buckets and the kNN graph
+    // splits into islands the beam search cannot cross — Hamming-1
+    // probes bridge only 1-bit fragments (measured: recall@3 stuck at
+    // 0.77-0.80 at sf0.1 with every seed/cap/round knob), while the
+    // miss probability under L independent tables multiplies away.
+    // Pairs can meet through several tables → DISTINCT before the cap.
+    val sigs = emb.select(col("vec_id"), posexplode(Vectors.lshBandSigs(
+        Vectors.toDoubleArr(col("embedding")), planes, numPlanes)))
+      .toDF("vec_id", "tbl", "bucket")
+    val cand0 = sigs.select(col("vec_id").as("src_id"), col("tbl"),
+        col("bucket"))
+      .join(sigs.select(col("vec_id").as("nbr_id"), col("tbl"),
+        col("bucket")), Seq("tbl", "bucket"))
       .filter(col("src_id") =!= col("nbr_id"))
+      .select("src_id", "nbr_id").distinct()
       .withColumn("cr", row_number().over(
         Window.partitionBy(col("src_id")).orderBy(
           md5(concat(col("src_id").cast("string"), lit(":"),
@@ -2222,55 +2236,72 @@ object SimilarityQueries {
     // symmetrize, then one NN-Descent round: neighbors-of-neighbors
     val u = adj0.unionAll(adj0.select(col("nbr_id").as("src_id"),
         col("src_id").as("nbr_id"))).distinct()
-      .checkpoint(eager = true) // referenced 3×: union + both 2-hop sides
+      .localCheckpoint(eager = true) // referenced 3x: union + both 2-hop
+      // sides. Dropping this (and graph's) was MEASURED SLOWER at sf0.1
+      // (4.5 -> 5.5 s median): exchange reuse does not cover the window's
+      // recompute across the three consumers.
     val twoHop = u.select(col("src_id"), col("nbr_id").as("mid"))
       .join(u.select(col("src_id").as("mid"), col("nbr_id")), "mid")
       .filter(col("src_id") =!= col("nbr_id"))
       .select("src_id", "nbr_id")
-    val adj1 = gTop(gScore(u.unionAll(twoHop).distinct(), base), gDeg)
-      .select("src_id", "nbr_id")
+    // ONE ranking window feeds both consumers: the refined adjacency
+    // (rk ≤ gDeg) and each query's beam seed (its rk ≤ gEntries own
+    // candidates — already scored, so seeding is a free slice).
+    val ranked = gTop(gScore(u.unionAll(twoHop).distinct(), base), gDeg)
+      .localCheckpoint(eager = true) // referenced by graph AND entries
+    val adj1 = ranked.select("src_id", "nbr_id")
     val graph = adj1.unionAll(adj1.select(col("nbr_id").as("src_id"),
         col("src_id").as("nbr_id"))).distinct()
-      .checkpoint(eager = true) // joined every beam round
+      .localCheckpoint(eager = true) // joined every beam round
 
-    // ---- search: IVF-seeded entries, then synchronous beam expansion
-    val codebook = KMeans.train(base.select("vec_id", "v"), ivfCells,
-      ivfIters)
-    val assigned = base.select(col("vec_id"),
-      KMeans.assignCell(col("v"), codebook).as("cell"))
-    val qcells = assigned.filter(isQuery)
-      .select(col("vec_id").as("src_id"), col("cell"))
-    val entryCand = assigned.select(col("vec_id").as("nbr_id"), col("cell"))
-      .join(broadcast(qcells), "cell")
-      .filter(col("nbr_id") =!= col("src_id"))
-      .select("src_id", "nbr_id")
-    var visited = gTop(gScore(entryCand, base), gEntries)
-      .select("src_id", "nbr_id", "score").checkpoint(eager = true)
+    // ---- search: seed from the query's own edges, then beam expansion
+    // Each round expands the gBeam best UNEXPANDED visited nodes — the
+    // HNSW ef-candidate-list discipline. Expanding the best of ALL
+    // visited (the first cut) stalls: the top-8 stabilize after round 1,
+    // later rounds re-expand them, dedup discards everything and the
+    // walk stops one hop out (measured recall@3 0.82 at sf0.1, vs 1.0
+    // with an effectively-unbounded beam proving connectivity; the
+    // exclusion at beam 8 × 4 rounds reads 0.90 — and depth beats
+    // width: 12 × 3 measured 0.87). The expansion state rides WITH the
+    // checkpointed frame as an `exp` flag (the GroupState pattern) —
+    // no separate expanded-set lineage to recompute per round.
+    var visited = ranked
+      .filter(col("rk") <= gEntries && col("src_id") % 100 === 0 &&
+        col("src_id") < maxQueryId)
+      .select(col("src_id"), col("nbr_id"), col("score"),
+        lit(false).as("exp"))
     for (_ <- 1 to gRounds) {
-      val frontier = gTop(visited, gBeam)
-        .select(col("src_id"), col("nbr_id").as("mid"))
-      val fresh = frontier
+      val frontier = gTop(visited.filter(!col("exp")), gBeam)
+        .select("src_id", "nbr_id")
+      val fresh = frontier.withColumnRenamed("nbr_id", "mid")
         .join(graph.select(col("src_id").as("mid"), col("nbr_id")), "mid")
         .filter(col("src_id") =!= col("nbr_id"))
         .select("src_id", "nbr_id").distinct()
         .join(visited.select("src_id", "nbr_id"),
           Seq("src_id", "nbr_id"), "left_anti")
-      visited = visited.unionAll(gScore(fresh, base))
-        .checkpoint(eager = true)
+      visited = visited
+        .join(frontier.withColumn("f", lit(true)),
+          Seq("src_id", "nbr_id"), "left")
+        .select(col("src_id"), col("nbr_id"), col("score"),
+          (col("exp") || col("f").isNotNull).as("exp"))
+        .unionAll(gScore(fresh, base).withColumn("exp", lit(false)))
+        .localCheckpoint(eager = true)
     }
-    gTop(visited, 3).select(col("src_id").as("query_id"), col("rk"),
-      col("nbr_id"), col("score"))
+    gTop(visited.drop("exp"), 3).select(col("src_id").as("query_id"),
+      col("rk"), col("nbr_id"), col("score"))
   }
 
-  /** One oracle beam round (r = 1..3): frontier → expand through `gg` →
-    * anti-join visited → score new pairs → accumulate. Mirrors the
+  /** One oracle beam round (r = 1..gRounds): best-UNEXPANDED frontier
+    * (the `exp` flag rides inside the visited CTE, as in the engine) →
+    * expand through `gg` → anti-join visited → score new pairs →
+    * accumulate with the frontier rows flagged expanded. Mirrors the
     * engine loop body in [[annGraphFrom]] CTE-for-operator. */
   private def gRoundSql(r: Int, src: String): String = {
     val prev = s"v${r - 1}"
     s"""f$r AS (
        |  SELECT src_id, nbr_id AS mid FROM (
        |    SELECT src_id, nbr_id, row_number() OVER (PARTITION BY src_id
-       |      ORDER BY score DESC, nbr_id) AS rk FROM $prev) t
+       |      ORDER BY score DESC, nbr_id) AS rk FROM $prev WHERE NOT exp) t
        |  WHERE rk <= $gBeam
        |), x$r AS (
        |  SELECT DISTINCT f.src_id, g.nbr_id
@@ -2287,9 +2318,13 @@ object SimilarityQueries {
        |), """.stripMargin +
       dotsSql(s"np$r", "av", "bv", "src_id, nbr_id", s"b$r") + s""",
        |v$r AS MATERIALIZED (
-       |  SELECT * FROM $prev
+       |  SELECT v.src_id, v.nbr_id, v.score,
+       |    (v.exp OR f.mid IS NOT NULL) AS exp
+       |  FROM $prev v LEFT JOIN f$r f
+       |    ON f.src_id = v.src_id AND f.mid = v.nbr_id
        |  UNION ALL
-       |  SELECT src_id, nbr_id, round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score
+       |  SELECT src_id, nbr_id, round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+       |    FALSE AS exp
        |  FROM b${r}dots
        |)""".stripMargin
   }
@@ -2299,16 +2334,18 @@ object SimilarityQueries {
     * symmetrize → IVF-seeded entries → [[gRounds]] unrolled beam rounds
     * ([[gRoundSql]]) → top-3 per query. */
   private def annGraphSql(src: String): String =
-    bucketsSql(src) + s""",
+    mtbSql(src) + s""",
       |gc0 AS (
       |  SELECT src_id, nbr_id FROM (
-      |    SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
-      |      row_number() OVER (PARTITION BY a.vec_id
-      |        ORDER BY md5(CAST(a.vec_id AS VARCHAR) || ':' ||
-      |                     CAST(b.vec_id AS VARCHAR)), b.vec_id) AS cr
-      |    FROM buckets a, (SELECT unnest([0,1,2,4,8,16,32]) AS mask) m,
-      |         buckets b
-      |    WHERE b.bucket = xor(a.bucket, m.mask) AND b.vec_id <> a.vec_id) t
+      |    SELECT src_id, nbr_id,
+      |      row_number() OVER (PARTITION BY src_id
+      |        ORDER BY md5(CAST(src_id AS VARCHAR) || ':' ||
+      |                     CAST(nbr_id AS VARCHAR)), nbr_id) AS cr
+      |    FROM (
+      |      SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+      |      FROM mtb a JOIN mtb b
+      |        ON b.tbl = a.tbl AND b.bucket = a.bucket
+      |       AND b.vec_id <> a.vec_id) p) t
       |  WHERE cr <= $gCandCap
       |), gp0 AS (
       |  SELECT c.src_id, c.nbr_id, ea.embedding AS av, eb.embedding AS bv
@@ -2338,40 +2375,21 @@ object SimilarityQueries {
       |       JOIN $src eb ON eb.vec_id = c.nbr_id
       |), """.stripMargin +
       dotsSql("gp2", "av", "bv", "src_id, nbr_id", "g2") + s""",
-      |adj1 AS (
-      |  SELECT src_id, nbr_id FROM (
-      |    SELECT src_id, nbr_id, row_number() OVER (PARTITION BY src_id
+      |granked AS MATERIALIZED (
+      |  SELECT src_id, nbr_id,
+      |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |    row_number() OVER (PARTITION BY src_id
       |      ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
-      |    FROM g2dots) t
-      |  WHERE rk <= $gDeg
+      |  FROM g2dots
+      |), adj1 AS (
+      |  SELECT src_id, nbr_id FROM granked WHERE rk <= $gDeg
       |), gg AS MATERIALIZED (
       |  SELECT DISTINCT src_id, nbr_id FROM (
       |    SELECT src_id, nbr_id FROM adj1
       |    UNION ALL SELECT nbr_id, src_id FROM adj1) t
-      |),
-      |""".stripMargin +
-      KMeans.trainSql(src, ivfCells, ivfIters) + s""",
-      |assignf AS (
-      |${ivfAssignSql(1, "")}
-      |), ec AS (
-      |  SELECT q.vec_id AS src_id, a.vec_id AS nbr_id
-      |  FROM assignf q JOIN assignf a
-      |    ON a.cell = q.cell AND a.vec_id <> q.vec_id
-      |  WHERE ${queryPredSql("q.")}
-      |), ep AS (
-      |  SELECT e.src_id, e.nbr_id, ea.embedding AS av, eb.embedding AS bv
-      |  FROM ec e JOIN $src ea ON ea.vec_id = e.src_id
-      |       JOIN $src eb ON eb.vec_id = e.nbr_id
-      |), """.stripMargin +
-      dotsSql("ep", "av", "bv", "src_id, nbr_id", "e") + s""",
-      |v0 AS MATERIALIZED (
-      |  SELECT src_id, nbr_id, score FROM (
-      |    SELECT src_id, nbr_id,
-      |      round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
-      |      row_number() OVER (PARTITION BY src_id
-      |        ORDER BY round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) DESC, nbr_id) AS rk
-      |    FROM edots) t
-      |  WHERE rk <= $gEntries
+      |), v0 AS MATERIALIZED (
+      |  SELECT src_id, nbr_id, score, FALSE AS exp FROM granked
+      |  WHERE rk <= $gEntries AND src_id % 100 = 0 AND src_id < 3200
       |),
       |""".stripMargin +
       (1 to gRounds).map(r => gRoundSql(r, src)).mkString(",\n") + s"""
@@ -2386,8 +2404,8 @@ object SimilarityQueries {
     (s, dir) => annGraphFrom(clusteredEmb(s, dir)),
     Some("WITH " + cembSql + ",\n" + annGraphSql("cemb")),
     "north star: graph ANN (LSH-seeded kNN graph + NN-Descent round + " +
-      "IVF-seeded beam search — the HNSW/DiskANN family re-expressed as " +
-      "keyed shuffles; ref index bar commercial_rfp_indexer.py:96-111)")
+      "beam search seeded from the query's own edges — the HNSW/DiskANN " +
+      "family as keyed shuffles; ref bar commercial_rfp_indexer.py:96-111)")
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qNearDupRep, qJaccard, qContainment, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
