@@ -2132,6 +2132,26 @@ object SimilarityQueries {
     * at cap·n pairs no matter how skewed the buckets get (the
     * capBuckets discipline, applied per node instead of per bucket). */
   private val gCandCap = 32
+  /** Per-(table, bucket) candidate-TARGET cap: before pairing, each
+    * bucket keeps ~[[gBucketCap]] md5-threshold-sampled members as join
+    * targets (every node still pairs FROM its bucket — only the side it
+    * pairs AGAINST is thinned). Without this the candidate join
+    * materializes all within-bucket pairs BEFORE the per-node cap — at
+    * 100× (200k vectors, ~10k-member cluster buckets) that is ~6×10⁹
+    * window rows; with it, pre-window rows are ≤ n·tables·cap. The keep
+    * rule is [[graft.ops.Sample]]'s threshold form (keep iff
+    * md5₁₆(tbl:bucket:vec)·|bucket| < cap·2¹⁶ — no per-bucket sort, no
+    * window, buckets at-or-under the cap keep everything exactly). */
+  private val gBucketCap = 64
+  /** Per-node degree cap on the SYMMETRIZED edge list entering the
+    * NN-Descent two-hop join — the paper's reverse-neighbor sampling
+    * (ρ-sampling). The bucket-target cap concentrates in-edges on hub
+    * nodes; reversed, a hub gets a huge out-degree and the two-hop
+    * self-join explodes quadratically through it (one 10k-degree hub =
+    * 10⁸ pairs — observed as a wedged 100× build). Capping each node to
+    * its [[gRevCap]] md5-sampled edges bounds the join at n·cap² while
+    * the FULL symmetrized list still feeds the candidate union. */
+  private val gRevCap = 8
 
   /** Exact rounded cosine for (src_id, nbr_id) pairs, both ids resolved
     * against `base` (vec_id, v, dxx) — the pair-scoring kernel of the
@@ -2220,9 +2240,16 @@ object SimilarityQueries {
     val sigs = emb.select(col("vec_id"), posexplode(Vectors.lshBandSigs(
         Vectors.toDoubleArr(col("embedding")), planes, numPlanes)))
       .toDF("vec_id", "tbl", "bucket")
+    val bsz = sigs.groupBy("tbl", "bucket").agg(count(lit(1)).as("bn"))
+    val reps = sigs.join(bsz, Seq("tbl", "bucket"))
+      .filter(conv(substring(md5(concat(
+          col("tbl").cast("string"), lit(":"),
+          col("bucket").cast("string"), lit(":"),
+          col("vec_id").cast("string"))), 1, 4), 16, 10).cast("long")
+        * col("bn") < lit(gBucketCap * 65536L))
     val cand0 = sigs.select(col("vec_id").as("src_id"), col("tbl"),
         col("bucket"))
-      .join(sigs.select(col("vec_id").as("nbr_id"), col("tbl"),
+      .join(reps.select(col("vec_id").as("nbr_id"), col("tbl"),
         col("bucket")), Seq("tbl", "bucket"))
       .filter(col("src_id") =!= col("nbr_id"))
       .select("src_id", "nbr_id").distinct()
@@ -2240,8 +2267,13 @@ object SimilarityQueries {
       // sides. Dropping this (and graph's) was MEASURED SLOWER at sf0.1
       // (4.5 -> 5.5 s median): exchange reuse does not cover the window's
       // recompute across the three consumers.
-    val twoHop = u.select(col("src_id"), col("nbr_id").as("mid"))
-      .join(u.select(col("src_id").as("mid"), col("nbr_id")), "mid")
+    val uc = u.withColumn("ur", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(
+          md5(concat(col("src_id").cast("string"), lit(":"),
+            col("nbr_id").cast("string"))), col("nbr_id"))))
+      .filter(col("ur") <= gRevCap).select("src_id", "nbr_id")
+    val twoHop = uc.select(col("src_id"), col("nbr_id").as("mid"))
+      .join(uc.select(col("src_id").as("mid"), col("nbr_id")), "mid")
       .filter(col("src_id") =!= col("nbr_id"))
       .select("src_id", "nbr_id")
     // ONE ranking window feeds both consumers: the refined adjacency
@@ -2335,7 +2367,16 @@ object SimilarityQueries {
     * ([[gRoundSql]]) → top-3 per query. */
   private def annGraphSql(src: String): String =
     mtbSql(src) + s""",
-      |gc0 AS (
+      |gbsz AS (
+      |  SELECT tbl, bucket, count(*) AS bn FROM mtb GROUP BY 1, 2
+      |), greps AS (
+      |  SELECT m.vec_id, m.tbl, m.bucket
+      |  FROM mtb m JOIN gbsz USING (tbl, bucket)
+      |  WHERE ('0x' || substr(md5(CAST(m.tbl AS VARCHAR) || ':' ||
+      |           CAST(m.bucket AS VARCHAR) || ':' ||
+      |           CAST(m.vec_id AS VARCHAR)), 1, 4))::BIGINT * bn
+      |        < ${gBucketCap * 65536L}
+      |), gc0 AS (
       |  SELECT src_id, nbr_id FROM (
       |    SELECT src_id, nbr_id,
       |      row_number() OVER (PARTITION BY src_id
@@ -2343,7 +2384,7 @@ object SimilarityQueries {
       |                     CAST(nbr_id AS VARCHAR)), nbr_id) AS cr
       |    FROM (
       |      SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
-      |      FROM mtb a JOIN mtb b
+      |      FROM mtb a JOIN greps b
       |        ON b.tbl = a.tbl AND b.bucket = a.bucket
       |       AND b.vec_id <> a.vec_id) p) t
       |  WHERE cr <= $gCandCap
@@ -2363,11 +2404,18 @@ object SimilarityQueries {
       |  SELECT DISTINCT src_id, nbr_id FROM (
       |    SELECT src_id, nbr_id FROM adj0
       |    UNION ALL SELECT nbr_id, src_id FROM adj0) t
+      |), uc AS (
+      |  SELECT src_id, nbr_id FROM (
+      |    SELECT src_id, nbr_id, row_number() OVER (PARTITION BY src_id
+      |      ORDER BY md5(CAST(src_id AS VARCHAR) || ':' ||
+      |                   CAST(nbr_id AS VARCHAR)), nbr_id) AS ur
+      |    FROM u) t
+      |  WHERE ur <= $gRevCap
       |), gc2 AS (
       |  SELECT DISTINCT src_id, nbr_id FROM (
       |    SELECT src_id, nbr_id FROM u
       |    UNION ALL
-      |    SELECT a.src_id, b.nbr_id FROM u a JOIN u b ON b.src_id = a.nbr_id
+      |    SELECT a.src_id, b.nbr_id FROM uc a JOIN uc b ON b.src_id = a.nbr_id
       |    WHERE b.nbr_id <> a.src_id) t
       |), gp2 AS (
       |  SELECT c.src_id, c.nbr_id, ea.embedding AS av, eb.embedding AS bv
