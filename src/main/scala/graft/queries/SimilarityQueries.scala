@@ -2066,7 +2066,10 @@ object SimilarityQueries {
   /** [[qSemDedup]]'s oracle body after codebook training: assignment of
     * the FULL corpus under `kc<ivfIters>`, per-cell representative,
     * fixed-point cosine vs the rep, and the τ verdict. */
-  private val semDedupTailSql =
+  /** The SemDeDup audit as CTEs ending in `sdd(vec_id, cell, rep_id,
+    * score, is_dup)` — shared by the q_semdedup oracles (which SELECT it
+    * whole) and q_diverse_sample (which samples its keep-set). */
+  private val semDedupCoreSql =
     s""",
       |assignf AS (
       |${ivfAssignSql(1, "")}
@@ -2078,12 +2081,17 @@ object SimilarityQueries {
       |       JOIN cemb e ON e.vec_id = a.vec_id
       |       JOIN cemb re ON re.vec_id = r.rep_id
       |), """.stripMargin +
-      dotsSql("pair", "v", "rv", "vec_id, cell, rep_id") + s"""
-      |SELECT vec_id, cell, rep_id,
-      |  round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
-      |  (vec_id <> rep_id AND round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) >= $semDedupTau)
-      |    AS is_dup
-      |FROM dots""".stripMargin
+      dotsSql("pair", "v", "rv", "vec_id, cell, rep_id") + s""",
+      |sdd AS (
+      |  SELECT vec_id, cell, rep_id,
+      |    round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) AS score,
+      |    (vec_id <> rep_id AND round(dxy/(sqrt(dxx)*sqrt(dyy)), 6) >= $semDedupTau)
+      |      AS is_dup
+      |  FROM dots
+      |)""".stripMargin
+
+  private val semDedupTailSql = semDedupCoreSql + """
+      |SELECT vec_id, cell, rep_id, score, is_dup FROM sdd""".stripMargin
 
   val qSemDedup = Q("q_semdedup",
     (s, dir) => semDedup(s, dir, trainPermille = 1000),
@@ -2113,6 +2121,42 @@ object SimilarityQueries {
     "north star: SemDeDup with sampled codebook training (the " +
       "train-on-a-sample / assign-everything 100 TB posture, " +
       "oracle-replicated sampling)")
+
+  /** Per-cell draw size for [[qDiverseSample]]. */
+  private val diverseQuota = 32
+
+  /** q_diverse_sample — the D4 "diversify" stage (Tirumala et al. 2023:
+    * SemDeDup, then CLUSTER-BALANCED sampling): after the semantic-dedup
+    * prune, draw at most [[diverseQuota]] documents per k-means cell —
+    * equal per-cluster quotas rebalance the head clusters a raw sample
+    * would over-represent, the published recipe for diversifying a
+    * pretraining corpus. Composes [[qSemDedup]]'s audit verbatim: the
+    * candidate pool is its `!is_dup` keep-set, the cells are its cells.
+    * The draw is deterministic (smallest md5(vec_id) per cell — the
+    * [[graft.ops.Sample.sampleK]] discipline) and runs through the
+    * custom [[graft.ops.TopK]] operator: bounded per-cell heaps prune
+    * map-side, so only ≤ quota·cells rows shuffle no matter how large
+    * the keep-set grows. The oracle replays codebook training, the
+    * rep-verify audit AND the sampling window in one statement. */
+  val qDiverseSample = Q("q_diverse_sample",
+    (s, dir) => {
+      val kept = semDedup(s, dir, trainPermille = 1000)
+        .filter(!col("is_dup")).select(col("vec_id"), col("cell"))
+      val withH = kept.withColumn("h", md5(col("vec_id").cast("string")))
+      graft.ops.TopK.perGroup(withH, Seq(withH("cell")),
+          Seq(withH("h") -> false, withH("vec_id") -> false), diverseQuota)
+        .select("cell", "rk", "vec_id")
+    },
+    Some("WITH " + cembSql + ",\n" +
+      KMeans.trainSql("cemb", ivfCells, ivfIters) + semDedupCoreSql + s"""
+      |SELECT cell, rk, vec_id FROM (
+      |  SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |  FROM sdd WHERE NOT is_dup) t
+      |WHERE rk <= $diverseQuota""".stripMargin),
+    "north star: D4 cluster-balanced diversity sampling (SemDeDup " +
+      "keep-set + equal per-cell md5 quotas through the custom TopK " +
+      "operator)")
 
   // ---------------------------------------------------------- graph ANN ---
 
@@ -2459,5 +2503,6 @@ object SimilarityQueries {
     qNearDup, qNearDupRep, qJaccard, qContainment, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
     qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
-    qAnnPq, qAnnIvfPq, qAnnGraph, qSemDedup, qSemDedupSampled)
+    qAnnPq, qAnnIvfPq, qAnnGraph, qSemDedup, qSemDedupSampled,
+    qDiverseSample)
 }

@@ -15,6 +15,25 @@ class SemDedupSpec extends SparkSpec {
     .withColumn("rep_ctr", col("rep_id") % 20)
     .collect()
 
+  test("diversify (D4): per-cell quotas hold, nothing flagged is drawn") {
+    // q_diverse_sample composes q_semdedup: the draw pool is exactly the
+    // !is_dup keep-set, cells are the same k-means cells, and every cell
+    // yields min(quota, keepers) rows — the cluster-balancing property.
+    val audit = Registry.byName("q_semdedup").fn(spark, "/root/testdata/sf0.001")
+    val sel = Registry.byName("q_diverse_sample").fn(spark, "/root/testdata/sf0.001")
+    val dupIds = audit.filter(col("is_dup")).select("vec_id")
+    assert(sel.join(dupIds, "vec_id").isEmpty,
+      "a semantically-flagged duplicate was drawn")
+    val quota = 32
+    val expect = audit.filter(!col("is_dup")).groupBy("cell")
+      .agg(least(count(lit(1)), lit(quota.toLong)).as("want"))
+    val got = sel.groupBy("cell").agg(count(lit(1)).as("got"))
+    assert(expect.join(got, Seq("cell"), "full")
+      .filter(col("want").isNull || col("got").isNull ||
+        col("want") =!= col("got")).isEmpty,
+      "per-cell draw count != min(quota, keep-set size)")
+  }
+
   test("every flagged duplicate shares its representative's center") {
     val dups = rows.filter(_.getAs[Boolean]("is_dup"))
     assert(dups.nonEmpty, "fixture should produce semantic dups")
