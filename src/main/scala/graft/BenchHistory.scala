@@ -41,7 +41,10 @@ object BenchHistory {
     // the rest of the streaming/sync families they sat beside
     "q_ann_lsh", "q_asof_join", "q_asof_bcast", "q_ann_ivf_pq",
     "q_sync_upload", "q_sync_delete", "q_sync_diff",
-    "q_stream_moments", "q_stream_dedup")
+    "q_stream_moments", "q_stream_dedup",
+    // r11 second wave: the iterative graph build/search, the
+    // featurizer-bound selector, and the semdedup-composed sampler
+    "q_ann_graph", "q_dsir_select", "q_diverse_sample")
 
   /** The most recent `bench_history.jsonl` medians recorded at `sf`
     * (e.g. "sf0.1"), as query → seconds; empty when the file is absent,
