@@ -294,6 +294,33 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the one repartition exchange:\n$p")
   }
 
+  test("q_dsir_select: global Gumbel draw through TopK, llr broadcast, " +
+      "no global sort") {
+    import graft.queries.CurationQueries
+    val p = plan(CurationQueries.qDsirSelect)
+    // the without-replacement draw is the custom operator's
+    // empty-grouping mode: map-side bounded heaps, one AllTuples merge —
+    // never a single-partition ranking window or a global range sort
+    assert(p.contains("LocalTopK") && p.contains("FinalTopK"),
+      s"expected the two-phase TopK physical operator:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      "the draw must not plan a global range sort")
+    // the <=4096-row llr model joins broadcast; document counts and the
+    // target set stay keyed shuffles
+    assert(p.contains("BroadcastHashJoin"), "llr table not broadcast")
+  }
+
+  test("q_diverse_sample: per-cell quota through TopK, rep frame still " +
+      "broadcast") {
+    import graft.queries.SimilarityQueries
+    val p = plan(SimilarityQueries.qDiverseSample)
+    assert(p.contains("LocalTopK") && p.contains("FinalTopK"),
+      s"expected the two-phase TopK physical operator:\n$p")
+    // composing on q_semdedup must not lose its scale contract: the
+    // only broadcast is the |cells|-row rep frame (never the corpus)
+    assert(p.contains("BroadcastHashJoin"), "rep frame not broadcast")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
