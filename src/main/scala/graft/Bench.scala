@@ -238,7 +238,7 @@ object Bench {
     "semdedup" -> "smdd", "semdedup_s" -> "sdds", "semi_join" -> "semj",
     "session_window" -> "swin", "sessionize" -> "sess",
     "setops" -> "seto", "simhash" -> "simh", "simhash_dup" -> "sdup",
-    "skew_audit" -> "skew", "span_dedup" -> "spdd",
+    "skew_audit" -> "skew", "soft_dedup" -> "sftd", "span_dedup" -> "spdd",
     "split_leakfree" -> "leak", "stream_append" -> "sap",
     "stream_dedup" -> "sdd", "stream_hourly" -> "shr",
     "stream_join" -> "sjn", "stream_moments" -> "smo", "stream_neardup" -> "snd",

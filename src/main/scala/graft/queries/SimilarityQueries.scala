@@ -1050,6 +1050,58 @@ object SimilarityQueries {
       |FROM withlen""".stripMargin),
     "north star: duplicate-cluster retention decision (keep longest, drop rest)")
 
+  /** q_soft_dedup — duplicate DOWN-WEIGHTING instead of dropping (the
+    * soft-dedup alternative the hard ladder ends in q_dup_keep): every
+    * document stays in the corpus, but its training weight is
+    * 1/cluster-multiplicity, so each duplicate CLUSTER contributes one
+    * document-equivalent of gradient mass in expectation — the
+    * reweight-not-remove recipe (e.g. SoftDeDup, Xue et al. 2024) for
+    * corpora where near-dups still carry signal. Composes
+    * [[dupComponents]]' labeling exactly like [[qSplitLeakfree]]
+    * (left-join the corpus, singletons cluster as themselves); the
+    * weight is fixed-point (w6 = round(10⁶/size), one exact
+    * integer-ratio division in both engines). One CC labeling + one
+    * size aggregate + one keyed join — SoftDedupSpec pins that every
+    * cluster's weight mass telescopes to ~10⁶. */
+  val qSoftDedup = Q("q_soft_dedup",
+    (s, dir) => {
+      val comp = dupComponents(s, dir)
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val labeled = docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val sizes = labeled.groupBy("cluster_id")
+        .agg(count(lit(1)).as("csize"))
+      labeled.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("csize"),
+          round(lit(1000000.0) / col("csize")).cast("long").as("w6"))
+    },
+    Some("""WITH RECURSIVE edges0 AS (
+      |  SELECT doc_id AS a, doc_id + 2000000 AS b FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 20 < 3
+      |), sym AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+      |), comp AS (
+      |  SELECT n.node AS doc_id, least(n.node, min(r.b)) AS cluster_id
+      |  FROM (SELECT DISTINCT a AS node FROM sym) n
+      |  JOIN reach r ON r.a = n.node
+      |  GROUP BY n.node
+      |), labeled AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN comp c USING (doc_id)
+      |), sizes AS (
+      |  SELECT cluster_id, count(*) AS csize FROM labeled GROUP BY 1
+      |)
+      |SELECT l.doc_id, l.cluster_id, s.csize,
+      |  CAST(round(1000000.0 / s.csize) AS BIGINT) AS w6
+      |FROM labeled l JOIN sizes s USING (cluster_id)""".stripMargin),
+    "north star: soft dedup (reweight-not-remove: per-doc training " +
+      "weight = 1/duplicate-cluster multiplicity, fixed-point)")
+
   /** q_split_leakfree — dedup-aware train/eval split: every document is
     * assigned a side by the md5 bucket of its duplicate-cluster id
     * ([[dupComponents]]' labeling; singletons group as themselves), so a
@@ -2501,7 +2553,7 @@ object SimilarityQueries {
 
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qNearDupRep, qJaccard, qContainment, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
-    qDupClusters, qDupClustersStar, qDupKeep, qSplitLeakfree, qChunkIndex,
+    qDupClusters, qDupClustersStar, qDupKeep, qSoftDedup, qSplitLeakfree, qChunkIndex,
     qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
     qAnnPq, qAnnIvfPq, qAnnGraph, qSemDedup, qSemDedupSampled,
     qDiverseSample)
