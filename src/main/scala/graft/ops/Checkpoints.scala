@@ -15,7 +15,11 @@ import org.apache.spark.SparkContext
   * registered only for the directory THIS helper created.
   */
 object Checkpoints {
-  private var hooked: Option[java.io.File] = None
+  // EVERY auto-created dir is tracked (a second SparkContext in the same
+  // JVM — sequential test sessions — gets a fresh temp dir; hooking only
+  // the first would orphan the rest). One hook drains the whole set.
+  private val created = scala.collection.mutable.ListBuffer.empty[java.io.File]
+  private var hooked = false
 
   /** Ensure `sc` has a checkpoint dir, creating (and registering cleanup
     * for) a local temp dir if the session has none. */
@@ -23,9 +27,11 @@ object Checkpoints {
     if (sc.getCheckpointDir.isEmpty) {
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
       sc.setCheckpointDir(dir.getAbsolutePath)
-      if (hooked.isEmpty) {
-        hooked = Some(dir)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
+      created += dir
+      if (!hooked) {
+        hooked = true
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          Checkpoints.synchronized(created.toList).foreach(deleteRec)))
       }
     }
   }

@@ -73,11 +73,18 @@ object MediaCodec {
           var fmtOff = -1; var dataOff = -1; var dataLen = 0
           while (off + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
             val id = tag(b, off); val sz = le32(b, off + 4)
+            // A corrupt (negative or overlong) size would otherwise leave
+            // `off` unchanged — an executor task spinning forever — or walk
+            // past the buffer; malformed files must fail loudly instead.
+            require(sz >= 0 && off + 8 + sz <= b.length,
+              s"$name: chunk $id at $off has invalid size $sz (file ${b.length} bytes)")
             if (id == "fmt ") fmtOff = off + 8
             else if (id == "data") { dataOff = off + 8; dataLen = sz }
             off += 8 + sz + (sz & 1) // chunks are word-aligned
           }
           require(fmtOff >= 0 && dataOff >= 0, s"$name: missing fmt/data chunk")
+          require(dataOff + dataLen <= b.length,
+            s"$name: data chunk truncated ($dataOff+$dataLen > ${b.length})")
           require(le16(b, fmtOff) == 1, s"$name: not PCM")
           val ch = le16(b, fmtOff + 2)
           val sr = le32(b, fmtOff + 4)

@@ -78,7 +78,19 @@ object Xlsx {
       "UTF-8")
     val sst = siRe.findAllMatchIn(xml("xl/sharedStrings.xml"))
       .map(m => xmlUnescape(m.group(1))).toIndexedSeq
-    cellRe.findAllMatchIn(xml("xl/worksheets/sheet1.xml")).map { m =>
+    val sheet = xml("xl/worksheets/sheet1.xml")
+    val parsed = cellRe.findAllMatchIn(sheet).toSeq
+    // The cell grammar covers exactly the subset documented above; a
+    // workbook carrying cells outside it (style attributes, decimal <v>,
+    // formulas, empty cells) must fail loudly, not parse to a silently
+    // smaller sheet. Count every `<c ` open tag and demand the grammar
+    // matched all of them.
+    val cellTags = "<c [^>/]*(/?)>".r.findAllMatchIn(sheet).size
+    require(parsed.size == cellTags,
+      s"$name: sheet1 has $cellTags cells but only ${parsed.size} matched " +
+        "the supported grammar (A1 ref, optional t=\"s\"/\"inlineStr\", " +
+        "integer <v> or <is><t>) — refusing to drop cells silently")
+    parsed.map { m =>
       val rowId = m.group(2).toLong
       val value: Either[String, Long] = m.group(3) match {
         case "s" => Left(sst(m.group(4).toInt))

@@ -18,9 +18,10 @@ object EmbedQueries {
     * the documents id space — doc_id aligns 1:1 with vec_id in the
     * driver testdata, which is what makes [[qHashRecall]]'s agreement
     * join well-defined. */
-  private def isDocQuery: Column =
-    col("doc_id") % 100 === 0 && col("doc_id") < 3200
-  private val docQueryPredSql = "doc_id % 100 = 0 AND doc_id < 3200"
+  private def isDocQuery: Column = col("doc_id") % 100 === 0 &&
+    col("doc_id") < SimilarityQueries.maxQueryId
+  private val docQueryPredSql =
+    s"doc_id % 100 = 0 AND doc_id < ${SimilarityQueries.maxQueryId}"
 
   /** q_embed_hash — the featurizer itself: dense fixed-point component
     * rows (doc_id, dim, val) of the 64-d hashed TF-IDF projection,

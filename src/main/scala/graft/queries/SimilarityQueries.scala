@@ -143,11 +143,11 @@ object SimilarityQueries {
     * variants join bucket-equi instead, but share the cap so all four
     * queries rank the same workload. (At the test SFs max vec_id < 3200,
     * so the cap changes no result.) */
-  private val maxQueryId = 3200
+  private[queries] val maxQueryId = 3200
   private[queries] def isQuery: Column = col("vec_id") % 100 === 0 &&
     col("vec_id") < maxQueryId
   private[queries] def queryPredSql(a: String = ""): String =
-    s"${a}vec_id % 100 = 0 AND ${a}vec_id < 3200"
+    s"${a}vec_id % 100 = 0 AND ${a}vec_id < $maxQueryId"
   /** LSH bucket cap for q_near_dup (Shingles.capBuckets): far above any
     * honest bucket at test SFs — the guard exists for the degenerate
     * boilerplate bucket at corpus scale; mirrored in the oracle. */
@@ -2533,7 +2533,7 @@ object SimilarityQueries {
       |    UNION ALL SELECT nbr_id, src_id FROM adj1) t
       |), v0 AS MATERIALIZED (
       |  SELECT src_id, nbr_id, score, FALSE AS exp FROM granked
-      |  WHERE rk <= $gEntries AND src_id % 100 = 0 AND src_id < 3200
+      |  WHERE rk <= $gEntries AND src_id % 100 = 0 AND src_id < $maxQueryId
       |),
       |""".stripMargin +
       (1 to gRounds).map(r => gRoundSql(r, src)).mkString(",\n") + s"""

@@ -92,6 +92,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("malformed WAV chunks fail loudly (negative size, truncated data)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def decode(bytes: Array[Byte]) = graft.ops.MediaCodec.decodeWav(
+      spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row("mem/bad.wav", bytes)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType))))).collect()
+    // chunk size -8 leaves the walk cursor unchanged: without the guard
+    // the executor task spins forever (ADVICE r11)
+    val neg = graft.ops.MediaFixture.wavBytes(0)
+    val nb = ByteBuffer.wrap(neg).order(ByteOrder.LITTLE_ENDIAN)
+    nb.putInt(16, -8) // fmt chunk size field
+    val e1 = intercept[org.apache.spark.SparkException](decode(neg))
+    assert(e1.getMessage.contains("invalid size") ||
+      Option(e1.getCause).exists(_.getMessage.contains("invalid size")))
+    // a data chunk whose declared size runs past the file must error
+    // clearly, not ArrayIndexOutOfBounds
+    val trunc = graft.ops.MediaFixture.wavBytes(0)
+    val tb = ByteBuffer.wrap(trunc).order(ByteOrder.LITTLE_ENDIAN)
+    tb.putInt(40, le32(trunc, 40) + 64) // data size beyond the buffer
+    val e2 = intercept[org.apache.spark.SparkException](decode(trunc))
+    assert(e2.getMessage.contains("invalid size") ||
+      Option(e2.getCause).exists(_.getMessage.contains("invalid size")))
+  }
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
   test("decodeBmp flips bottom-up rows and skips row padding") {
     val dir = graft.ops.MediaFixture.ensure()
     val files = new java.io.File(dir).listFiles()

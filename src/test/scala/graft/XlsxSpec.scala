@@ -37,6 +37,27 @@ class XlsxSpec extends SparkSpec {
     }
   }
 
+  test("out-of-grammar cells fail loudly instead of being dropped") {
+    // A styled cell (s="0") and a decimal <v> are both outside the
+    // documented grammar; the reader must refuse the workbook, not parse
+    // a silently smaller sheet (ADVICE r11).
+    for (cell <- Seq(
+        """<c r="A1" s="0"><v>1</v></c>""",
+        """<c r="A1"><v>1.5</v></c>""",
+        """<c r="A1"/>""")) {
+      val bytes = Xlsx.zipBytes(Seq(
+        "xl/sharedStrings.xml" ->
+          """<?xml version="1.0"?><sst count="0" uniqueCount="0"></sst>""",
+        "xl/worksheets/sheet1.xml" ->
+          s"""<?xml version="1.0"?><worksheet><sheetData><row r="1">$cell</row></sheetData></worksheet>"""),
+        stored = true)
+      val e = intercept[IllegalArgumentException] {
+        Xlsx.parseCells("bad.xlsx", bytes)
+      }
+      assert(e.getMessage.contains("matched"), s"cell=$cell msg=${e.getMessage}")
+    }
+  }
+
   test("sink round-trip: arbitrary cells survive write -> parseCells " +
       "(specials, negatives, nulls, shared-string reuse)") {
     import graft.ops.XlsxSink
