@@ -209,7 +209,7 @@ object Bench {
     "cohort" -> "coh", "containment" -> "cont", "curate_e2e" -> "ce2",
     "decontam" -> "dec", "dedup_exact" -> "ddx", "delta_dedup" -> "deld",
     "dsir_select" -> "dsir",
-    "diverse_sample" -> "dvs",
+    "diverse_sample" -> "dvs", "docx_scan" -> "dxs",
     "doc_dedup" -> "docd", "doc_render" -> "drnd", "dup_clusters" -> "dcl",
     "dup_clusters_star" -> "dcs", "dup_count" -> "dcnt",
     "dup_keep" -> "dkp", "dup_keys" -> "dky", "dup_stats" -> "dst",

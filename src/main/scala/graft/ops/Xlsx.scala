@@ -47,12 +47,13 @@ object Xlsx {
   private[graft] def xmlEscape(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     .replace("\"", "&quot;").replace("'", "&apos;")
-  private def xmlUnescape(s: String): String = s
+  private[graft] def xmlUnescape(s: String): String = s
     .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
     .replace("&apos;", "'").replace("&amp;", "&")
 
-  /** Reads every ZIP entry into (name → bytes). */
-  private def entries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  /** Reads every ZIP entry into (name → bytes). Shared with [[Docx]] —
+    * both OOXML codecs walk the same container format. */
+  private[graft] def entries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
     var e = zin.getNextEntry
