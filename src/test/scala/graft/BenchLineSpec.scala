@@ -28,7 +28,11 @@ class BenchLineSpec extends AnyFunSuite {
     // still emits a valid 1-decimal line, but names should be shortened
     // before the degradation becomes routine.
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.97)
-    val line = Bench.renderLine(worst, Nil, 0.179, 0.171, "/root/testdata/sf0.1")
+    // adjudication fields at worst-case widths included — the window
+    // budget must hold on an episode-flagged line too (r12)
+    val line = Bench.renderLine(worst, Nil, 0.179, 0.171,
+      "/root/testdata/sf0.1", retried = 2, canary = Some(10.46),
+      cmed = Some(10.31), medsum = Some(1118.2), rerun = 1)
     assert(line.length <= Bench.maxLineChars,
       s"${line.length} chars for ${worst.size} queries — shorten names " +
         "or the next bench line gets truncated by the harness")
@@ -89,6 +93,25 @@ class BenchLineSpec extends AnyFunSuite {
       assert(keymap.contains(s""""$k": "$v""""),
         s"bench_keymap.json r11 section is missing $k -> $v")
     }
+  }
+
+  test("self-adjudication fields land on the line and vanish when absent") {
+    // VERDICT r11 #2: the record must adjudicate a UNIFORM ambient episode
+    // from its own fields — cn (fresh canary median), cm (the canary's
+    // checked-in history median), ms (checked-in median sum over this
+    // run's query set), rr (episode rerun fired). A reader computes the
+    // episode factor as cn/cm (probe) or value/ms (whole run).
+    val t = fakeTimings(3)
+    val flagged = Bench.renderLine(t, Nil, 0.1, 0.1, "sf0.1",
+      canary = Some(0.46), cmed = Some(0.31), medsum = Some(118.2),
+      rerun = 1)
+    assert(flagged.contains(""","cn":0.46,"cm":0.31,"ms":118.2,"rr":1,"""))
+    // absence = fields not emitted (no history for this sf / canary not
+    // runnable): no window bytes spent, and no reader sees a zero that
+    // looks like a measurement
+    val bare = Bench.renderLine(t, Nil, 0.1, 0.1, "sf0.1")
+    for (f <- Seq("\"cn\"", "\"cm\"", "\"ms\"", "\"rr\""))
+      assert(!bare.contains(f), s"unexpected $f on an unadjudicated line")
   }
 
   test("renderLine degrades precision instead of overflowing") {
