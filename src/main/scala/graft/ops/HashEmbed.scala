@@ -23,51 +23,70 @@ import org.apache.spark.sql.functions._
   * terms per bucket → |component| < 2³¹ (int-safe for [[Vectors.intDot]];
   * dot ≤ 64·(10⁶)² ≈ 6·10¹³ — long- and double-exact).
   *
-  * Scale: tf is one (doc, term) shuffle, df one (term) shuffle over the
-  * DISTINCT term frame, projection a keyed join back on term — no
+  * Scale: tf is one (doc, tkey) shuffle, df one (tkey) shuffle over the
+  * DISTINCT term frame, projection a keyed join back on tkey — no
   * broadcast of anything corpus-sized, no collect; the corpus-count
   * scalar rides as a broadcast single-row frame. At 100 TB the term
   * frames are the classic inverted-index build, the shape this must take.
+  * Since round 12 every one of those shuffles moves an 8-BYTE term key,
+  * not the term string (VERDICT r11 #3a): [[termKey]] hashes map-side, so
+  * shuffle bytes for the hot path (4 gate consumers, 219 s at 100×) drop
+  * by the mean term width (~12 bytes/term for unigrams, ~2× for bigrams).
   */
 object HashEmbed {
   val dims = 64
 
-  /** (id, term, tf): lowered whitespace unigrams + bigrams per doc. */
+  /** 60-bit term identity: the first 15 hex chars of md5(term) as a
+    * long, computed MAP-SIDE so every downstream shuffle and join moves
+    * an 8-byte key instead of the term string. Bucket and sign are bit
+    * slices of this key — hex chars 1-4 = tkey >> 44, hex char 5's low
+    * bit = bit 40 — so the hashed projection is IDENTICAL to hashing the
+    * string directly; what coarsens is term identity for tf/df grouping
+    * (string → 60 md5 bits, collision odds ~n²/2⁶¹ ≈ 10⁻⁸ even at 10¹²
+    * distinct terms). The oracle keys identically ([[sparseSql]]), so
+    * engine/oracle parity is by construction, not by collision luck. */
+  def termKey(term: Column): Column =
+    conv(substring(md5(term), 1, 15), 16, 10).cast("long")
+
+  /** (id, tkey, tf): lowered whitespace unigrams + bigrams per doc,
+    * keyed by [[termKey]] before the shuffle. */
   def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
     docs.select(col(idCol), w.as("w"))
       .select(col(idCol), explode(concat(col("w"), expr(
         "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2)," +
           " i -> concat(w[i], ' ', w[i+1])) ELSE array() END"))).as("term"))
-      .groupBy(col(idCol), col("term"))
+      .select(col(idCol), termKey(col("term")).as("tkey"))
+      .groupBy(col(idCol), col("tkey"))
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** md5-derived hash bucket (hex chars 1-4 mod dims) and ±1 sign (hex
-    * char 5 parity) of a term — mirrored verbatim in [[sparseSql]]. */
-  def bucketOf(term: Column): Column = bucketIn(term, dims)
+  /** Hash bucket of a [[termKey]] (md5 hex chars 1-4 mod dims — a pure
+    * bit-slice, see [[termKey]]) — mirrored verbatim in [[sparseSql]]. */
+  def bucketOf(tkey: Column): Column = bucketIn(tkey, dims)
 
   /** [[bucketOf]] with a caller-chosen bucket count (≤ 65536, the hex
     * width) — the DSIR selection stage wants a finer-grained bag model
     * (thousands of buckets) than the 64-dim retrieval projection. */
-  def bucketIn(term: Column, buckets: Int): Column = {
+  def bucketIn(tkey: Column, buckets: Int): Column = {
     require(buckets > 0 && buckets <= 65536, s"buckets out of range: $buckets")
-    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % buckets
+    shiftright(tkey, 44) % buckets
   }
-  def signOf(term: Column): Column =
-    when(conv(substring(md5(term), 5, 1), 16, 10).cast("long") % 2 === 0,
-      lit(1L)).otherwise(lit(-1L))
 
-  /** The corpus idf dictionary (term, idf3 = round(ln(N/df)·1000)) —
+  /** ±1 sign from the [[termKey]]: md5 hex char 5's parity = bit 40. */
+  def signOf(tkey: Column): Column =
+    when(shiftright(tkey, 40) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+
+  /** The corpus idf dictionary (tkey, idf3 = round(ln(N/df)·1000)) —
     * exposed since r11 so the reranker can featurize QUERY text against
     * the corpus statistics without re-deriving them (at 100 TB this is
     * the precomputed idf dictionary a serving path would broadcast). */
   def idf3Frame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.agg(count(lit(1)).as("nn"))
     termCounts(docs, idCol, textCol)
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("tkey").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
-      .select(col("term"),
+      .select(col("tkey"),
         round(log(col("nn").cast("double") / col("df")) * 1000)
           .cast("long").as("idf3"))
   }
@@ -78,9 +97,9 @@ object HashEmbed {
     * silently recompute df on the restriction). */
   def sparseWithIdf(docs: DataFrame, idCol: String, textCol: String,
                     idf: DataFrame): DataFrame =
-    termCounts(docs, idCol, textCol).join(idf, "term")
-      .select(col(idCol), bucketOf(col("term")).as("dim"),
-        (signOf(col("term")) * col("tf") * col("idf3")).as("c"))
+    termCounts(docs, idCol, textCol).join(idf, "tkey")
+      .select(col(idCol), bucketOf(col("tkey")).as("dim"),
+        (signOf(col("tkey")) * col("tf") * col("idf3")).as("c"))
       .groupBy(col(idCol), col("dim"))
       .agg(sum(col("c")).as("val"))
 
@@ -98,9 +117,9 @@ object HashEmbed {
                   queryText: String): DataFrame = {
     import spark.implicits._
     termCounts(Seq((0L, queryText)).toDF("qid", "qtext"), "qid", "qtext")
-      .join(idf, "term")
-      .select(bucketOf(col("term")).as("dim"),
-        (signOf(col("term")) * col("tf") * col("idf3")).as("c"))
+      .join(idf, "tkey")
+      .select(bucketOf(col("tkey")).as("dim"),
+        (signOf(col("tkey")) * col("tf") * col("idf3")).as("c"))
       .groupBy(col("dim")).agg(sum(col("c")).as("qval"))
   }
 
@@ -112,18 +131,20 @@ object HashEmbed {
     s"""rq AS (
        |  SELECT string_split_regex(trim(lower('$queryText')), '\\s+') AS w
        |), rqterms AS (
-       |  SELECT term, count(*) AS tf FROM (
-       |    SELECT unnest(w) AS term FROM rq
-       |    UNION ALL
-       |    SELECT w[i] || ' ' || w[i+1] AS term
-       |    FROM rq, unnest(generate_series(1, len(w)-1)) AS g(i)
-       |    WHERE len(w) >= 2
-       |  ) GROUP BY term
+       |  SELECT tkey, count(*) AS tf FROM (
+       |    SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS tkey FROM (
+       |      SELECT unnest(w) AS term FROM rq
+       |      UNION ALL
+       |      SELECT w[i] || ' ' || w[i+1] AS term
+       |      FROM rq, unnest(generate_series(1, len(w)-1)) AS g(i)
+       |      WHERE len(w) >= 2
+       |    )
+       |  ) GROUP BY tkey
        |), rqvec AS (
-       |  SELECT ('0x' || substr(md5(t.term), 1, 4))::BIGINT % $dims AS dim,
-       |    CAST(SUM((CASE WHEN ('0x' || substr(md5(t.term), 5, 1))::BIGINT % 2 = 0
+       |  SELECT (t.tkey >> 44) % $dims AS dim,
+       |    CAST(SUM((CASE WHEN (t.tkey >> 40) % 2 = 0
        |              THEN 1 ELSE -1 END) * t.tf * i.idf3) AS BIGINT) AS qval
-       |  FROM rqterms t JOIN hidf i ON i.term = t.term
+       |  FROM rqterms t JOIN hidf i ON i.tkey = t.tkey
        |  GROUP BY 1
        |)""".stripMargin
   }
@@ -149,32 +170,36 @@ object HashEmbed {
         s"transform(sequence(0, ${dims - 1}), d -> coalesce(m[d], 0))")
         .as("v"))
 
-  /** The DuckDB twin: CTEs `hterms` (doc_id, term, tf), `hidf`,
-    * `hsparse` (doc_id, dim, val) over `src` (needs doc_id, text).
-    * Prefix with WITH / splice after other CTEs. */
+  /** The DuckDB twin: CTEs `hterms` (doc_id, tkey, tf), `hidf`,
+    * `hsparse` (doc_id, dim, val) over `src` (needs doc_id, text) —
+    * keyed by the same 60-bit md5 prefix as [[termKey]], bucket/sign
+    * from the same bit slices. Prefix with WITH / splice after other
+    * CTEs. */
   def sparseSql(src: String = "documents"): String =
     s"""hwords AS MATERIALIZED (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
        |  FROM $src
        |), hterms AS MATERIALIZED (
-       |  SELECT doc_id, term, count(*) AS tf FROM (
-       |    SELECT doc_id, unnest(w) AS term FROM hwords
-       |    UNION ALL
-       |    SELECT doc_id, w[i] || ' ' || w[i+1] AS term
-       |    FROM hwords, unnest(generate_series(1, len(w)-1)) AS g(i)
-       |    WHERE len(w) >= 2
-       |  ) GROUP BY doc_id, term
+       |  SELECT doc_id, tkey, count(*) AS tf FROM (
+       |    SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS tkey FROM (
+       |      SELECT doc_id, unnest(w) AS term FROM hwords
+       |      UNION ALL
+       |      SELECT doc_id, w[i] || ' ' || w[i+1] AS term
+       |      FROM hwords, unnest(generate_series(1, len(w)-1)) AS g(i)
+       |      WHERE len(w) >= 2
+       |    )
+       |  ) GROUP BY doc_id, tkey
        |), hidf AS (
-       |  SELECT term,
+       |  SELECT tkey,
        |    CAST(round(ln(CAST((SELECT count(*) FROM $src) AS DOUBLE)
        |      / count(*)) * 1000) AS BIGINT) AS idf3
-       |  FROM hterms GROUP BY term
+       |  FROM hterms GROUP BY tkey
        |), hsparse AS MATERIALIZED (
        |  SELECT doc_id,
-       |    ('0x' || substr(md5(t.term), 1, 4))::BIGINT % $dims AS dim,
-       |    CAST(SUM((CASE WHEN ('0x' || substr(md5(t.term), 5, 1))::BIGINT % 2 = 0
+       |    (t.tkey >> 44) % $dims AS dim,
+       |    CAST(SUM((CASE WHEN (t.tkey >> 40) % 2 = 0
        |              THEN 1 ELSE -1 END) * t.tf * i.idf3) AS BIGINT) AS val
-       |  FROM hterms t JOIN hidf i ON i.term = t.term
+       |  FROM hterms t JOIN hidf i ON i.tkey = t.tkey
        |  GROUP BY 1, 2
        |)""".stripMargin
 }

@@ -456,7 +456,7 @@ object CurationQueries {
         .select("doc_id")
       val docBuckets = graft.ops.HashEmbed.termCounts(docs, "doc_id", "text")
         .select(col("doc_id"),
-          graft.ops.HashEmbed.bucketIn(col("term"), dsirBuckets).as("dim"),
+          graft.ops.HashEmbed.bucketIn(col("tkey"), dsirBuckets).as("dim"),
           col("tf"))
         .groupBy("doc_id", "dim").agg(sum("tf").as("c"))
       val rawCnt = docBuckets.groupBy("dim").agg(sum("c").as("cr"))
@@ -530,6 +530,119 @@ object CurationQueries {
       "LLR weights, deterministic Gumbel-top-k draw through the custom " +
       "TopK operator's global mode)")
 
+  private val domainCap = 8
+  private val domainBlocklist = Seq("hub.org", "site3.co.uk")
+
+  /** The synthetic web-URL column for the domain-curation stage: every
+    * byte a pure function of doc_id, mirrored in [[domainUrlSql]]. The
+    * shape deliberately exercises the extractor — subdomain depths 0–2,
+    * a multi-label public suffix (co.uk) in the rotation, a port on
+    * every 11th URL, an upper-cased scheme+host on every 13th — and the
+    * DISTRIBUTION deliberately exercises the cap: doc_id % 10 < 4 all
+    * land on the three `hub.*` domains (a crawl corpus's hot site, far
+    * above [[domainCap]]), while the `site<k>.*` long tail stays under
+    * it. */
+  private def domainUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val sub = when(id % 4 === 0, lit("www.")).when(id % 4 === 1, lit(""))
+      .when(id % 4 === 2, lit("cdn.")).otherwise(lit("a.b."))
+    val base = when(id % 10 < 4, lit("hub"))
+      .otherwise(concat(lit("site"), ((id * 7) % 89).cast("string")))
+    val sfx = when(id % 3 === 0, lit("com")).when(id % 3 === 1, lit("org"))
+      .otherwise(lit("co.uk"))
+    val host = concat(sub, base, lit("."), sfx)
+    concat(
+      when(id % 13 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(id % 13 === 0, upper(host)).otherwise(host),
+      when(id % 11 === 0, lit(":8443")).otherwise(lit("")),
+      lit("/p/"), id.cast("string"))
+  }
+
+  private def domainUrlSql: String =
+    """wurl AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 13 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN upper(h) ELSE h END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN ':8443' ELSE '' END) ||
+      |    '/p/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM (
+      |    SELECT doc_id,
+      |      (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN ''
+      |            WHEN 2 THEN 'cdn.' ELSE 'a.b.' END) ||
+      |      (CASE WHEN doc_id % 10 < 4 THEN 'hub'
+      |            ELSE 'site' || CAST((doc_id * 7) % 89 AS VARCHAR) END) ||
+      |      '.' ||
+      |      (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |            ELSE 'co.uk' END) AS h
+      |    FROM documents)
+      |)""".stripMargin
+
+  /** q_domain_cap — domain-level curation, the C4/RefinedWeb stage with
+    * no reference analog (VERDICT r11 #5): registrable-domain (eTLD+1)
+    * extraction composed from the K6 URL machinery
+    * ([[graft.ops.DomainCurate.registrableDomain]] — scheme/port/path
+    * stripping, multi-label public suffixes), a broadcast blocklist
+    * left_anti, and a per-domain cap of [[domainCap]] docs kept by
+    * deterministic smallest-md5 (the q_sample_k discipline) through the
+    * bounded-heap [[graft.ops.TopK]] operator — map-side pruning means
+    * only ≤ cap·|domains| rows shuffle however hot a domain is, which is
+    * exactly the skew shape of a crawl corpus. Output carries the
+    * pre-cap per-domain census (n_dom) so the cap's bite is visible in
+    * the gate record. */
+  val qDomainCap = Q("q_domain_cap",
+    (s, dir) => {
+      import s.implicits._
+      val withDom = Tables.documents(s, dir)
+        .select(col("doc_id"), domainUrl.as("url"))
+        .select(col("doc_id"),
+          graft.ops.DomainCurate.registrableDomain(col("url")).as("domain"))
+      val kept = graft.ops.DomainCurate.dropBlocked(withDom, "domain",
+        domainBlocklist.toDF("bdom"))
+      val counts = kept.groupBy("domain").agg(count(lit(1)).as("n_dom"))
+      graft.ops.DomainCurate.capPerDomain(kept, "domain", "doc_id", domainCap)
+        .join(counts, "domain")
+        .select(col("domain"), col("n_dom"), col("rk"), col("doc_id"))
+    },
+    Some("WITH " + domainUrlSql + s""",
+      |wdom AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(labels) >= 3 AND last2 IN (${
+        graft.ops.DomainCurate.defaultSuffixes2
+          .map(x => s"'$x'").mkString(", ")})
+      |           THEN labels[-3] || '.' || last2
+      |         WHEN len(labels) >= 2 THEN last2
+      |         ELSE host END AS domain
+      |  FROM (
+      |    SELECT doc_id, host, labels,
+      |      labels[-2] || '.' || labels[-1] AS last2
+      |    FROM (
+      |      SELECT doc_id, host, string_split(host, '.') AS labels
+      |      FROM (
+      |        SELECT doc_id,
+      |          regexp_replace(string_split(string_split(
+      |            regexp_replace(lower(trim(url)), '^[a-z][a-z0-9+.-]*://', ''),
+      |            '/')[1], ':')[1], '\\.$$', '') AS host
+      |        FROM wurl)))
+      |), wkept AS (
+      |  SELECT doc_id, domain FROM wdom
+      |  WHERE domain NOT IN (${domainBlocklist.map(x => s"'$x'").mkString(", ")})
+      |), wcnt AS (
+      |  SELECT domain, CAST(count(*) AS BIGINT) AS n_dom
+      |  FROM wkept GROUP BY domain
+      |), wcap AS (
+      |  SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM wkept
+      |)
+      |SELECT c.domain, n.n_dom, c.rk, c.doc_id
+      |FROM wcap c JOIN wcnt n USING (domain)
+      |WHERE c.rk <= $domainCap""".stripMargin),
+    "north star: domain-level curation (eTLD+1 extraction, blocklist " +
+      "anti-join, per-domain cap via bounded-heap TopK - the " +
+      "C4/RefinedWeb stage; K6 machinery composed, " +
+      "commercial_rfp_data_ingestion_utils.py:60-73)")
+
   def all: Seq[Q] = Seq(qRedact, qPack, qSample, qSampleK, qUpsert,
-    qDeltaDedup, qCurateE2e, qQualityModel, qBudgetSelect, qDsirSelect)
+    qDeltaDedup, qCurateE2e, qQualityModel, qBudgetSelect, qDsirSelect,
+    qDomainCap)
 }
