@@ -1864,10 +1864,16 @@ object SimilarityQueries {
     val qs = base.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("dxx").as("qxx"))
+    // The ground-truth frame is joined once per rung below; without a
+    // materialization barrier Spark re-executes the exact-kNN subplan
+    // (corpus scan + broadcast NLJ + per-query top-k) SIX times per run.
+    // localCheckpoint pins the <= 3*|queries| rows once — ground truth is
+    // by definition shared across the rungs it scores (VERDICT r11 #3b).
     val exactPairs = base.withColumnRenamed("vec_id", "nbr_id")
       .crossJoin(broadcast(qs))
       .filter(col("nbr_id") =!= col("query_id"))
     val exact = topK(exactPairs, 3, Seq("query_id", "nbr_id"))
+      .localCheckpoint()
     def recallOf(method: String, ann: DataFrame): DataFrame =
       exact.join(ann.select(col("query_id").as("aq"), col("nbr_id").as("an")),
           col("query_id") === col("aq") && col("nbr_id") === col("an"),
@@ -2551,10 +2557,144 @@ object SimilarityQueries {
       "beam search seeded from the query's own edges — the HNSW/DiskANN " +
       "family as keyed shuffles; ref bar commercial_rfp_indexer.py:96-111)")
 
+  /** The delta batch for incremental index maintenance: every 10th
+    * vector withheld from codebook training, then ingested into the
+    * frozen cells. % 10 = 3 intersects the query set (% 100 = 0) on
+    * nothing, so queries always rank a mix of old and delta postings. */
+  private val deltaPred = col("vec_id") % 10 === 3
+
+  /** Oracle assign/probe against a prefixed trainer's codebook over the
+    * FULL corpus elems (the unprefixed trainer's `kmelems`). */
+  private def dAssignSql(cbPrefix: String, probes: Int,
+                         where: String): String =
+    s"""  SELECT vec_id, cl AS cell FROM (
+       |    SELECT e.vec_id, c.cl,
+       |      SUM(CAST(round(c.c*c.c*1e15) AS BIGINT))
+       |        - 2*SUM(CAST(round(e.x*c.c*1e15) AS BIGINT)) AS d2
+       |    FROM kmelems e JOIN ${cbPrefix}kc$ivfIters c ON c.dim = e.dim$where
+       |    GROUP BY e.vec_id, c.cl)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) <= $probes""".stripMargin
+
+  /** q_ann_delta — INCREMENTAL index maintenance (VERDICT r11 #6). The
+    * reference's indexer story is full-refresh: delete every index file
+    * and rerun (commercial_rfp_delete_index_files_and_reset_indexer
+    * .py:27-41) — at 100 TB that is a full retrain + reassignment per
+    * delta batch. The scale-correct alternative this query executes:
+    * train the IVF codebook WITHOUT the delta batch ([[deltaPred]],
+    * 10% of the corpus), freeze it, assign the delta batch into the
+    * frozen cells (assignment is the same narrow argmin projection as
+    * ingest — no Lloyd pass touches the data again), merge with the
+    * existing postings as a plain union, and retrieve over the merged
+    * index. Scored as a recall@3 scorecard against exact kNN on the FULL
+    * corpus, next to the full-retrain variant in the same output —
+    * differential-vs-rebuild in one record (the q_delta_dedup pattern
+    * applied to the vector index). On the clustered fixture the frozen
+    * path must hold recall: cluster structure doesn't move when 10% of
+    * points arrive, which is exactly why frozen-cell ingest is sound
+    * (AnnSpec pins ≥ 0.9 AND parity with retrain). The oracle re-trains
+    * BOTH codebooks (prefixed trainers) and replays both retrievals plus
+    * the exact ground truth in one statement. */
+  val qAnnDelta = Q("q_ann_delta",
+    (s, dir) => {
+      val base = withNorm(clusteredEmb(s, dir))
+      val frozen = KMeans.train(
+        base.filter(!deltaPred).select("vec_id", "v"), ivfCells, ivfIters)
+      val retrained = KMeans.train(
+        base.select("vec_id", "v"), ivfCells, ivfIters)
+      val qs = base.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("dxx").as("qxx"))
+      // ground truth shared by both rungs (the annRecallFrom discipline)
+      val exact = topK(base.withColumnRenamed("vec_id", "nbr_id")
+          .crossJoin(broadcast(qs))
+          .filter(col("nbr_id") =!= col("query_id")), 3,
+          Seq("query_id", "nbr_id"))
+        .localCheckpoint()
+      def annOf(cb: Seq[(Int, Seq[Double])],
+                postings: DataFrame): DataFrame = {
+        val qsP = base.filter(isQuery)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("dxx").as("qxx"),
+            explode(KMeans.probeCells(col("v"), cb, ivfNprobe)).as("qcell"))
+        topK(postings.withColumnRenamed("vec_id", "nbr_id")
+            .join(broadcast(qsP), col("cell") === col("qcell") &&
+              col("nbr_id") =!= col("query_id")),
+          3, Seq("query_id", "nbr_id"))
+      }
+      def recallOf(method: String, ann: DataFrame): DataFrame =
+        exact.join(ann.select(col("query_id").as("aq"),
+            col("nbr_id").as("an")),
+            col("query_id") === col("aq") && col("nbr_id") === col("an"),
+            "left")
+          .agg(round(sum(when(col("an").isNotNull, 1).otherwise(0))
+              .cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
+          .select(lit(method).as("method"), col("recall"))
+      // the delta path, shaped as the maintenance op it is: standing
+      // postings + the delta batch assigned into the SAME frozen cells,
+      // merged by plain union (no data rewritten, no retrain)
+      val standing = base.filter(!deltaPred)
+        .withColumn("cell", KMeans.assignCell(col("v"), frozen))
+      val deltaIn = base.filter(deltaPred)
+        .withColumn("cell", KMeans.assignCell(col("v"), frozen))
+      val merged = standing.unionByName(deltaIn)
+      val rebuilt = base
+        .withColumn("cell", KMeans.assignCell(col("v"), retrained))
+      recallOf("ivf_frozen_delta", annOf(frozen, merged))
+        .unionAll(recallOf("ivf_retrain", annOf(retrained, rebuilt)))
+    },
+    Some("WITH " + cembSql + """,
+      |dbase AS (SELECT vec_id, embedding FROM cemb WHERE vec_id % 10 <> 3),
+      |""".stripMargin +
+      KMeans.trainSql("cemb", ivfCells, ivfIters) + ",\n" +
+      KMeans.trainSql("dbase", ivfCells, ivfIters, prefix = "fz") + s""",
+      |fzassign AS (
+      |${dAssignSql("fz", 1, "")}
+      |), fzprobe AS (
+      |${dAssignSql("fz", ivfNprobe, s"\n    WHERE ${queryPredSql("e.")}")}
+      |), rtassign AS (
+      |${dAssignSql("", 1, "")}
+      |), rtprobe AS (
+      |${dAssignSql("", ivfNprobe, s"\n    WHERE ${queryPredSql("e.")}")}
+      |), xpairs AS (
+      |  SELECT e.vec_id AS nbr_id, q.vec_id AS query_id,
+      |         e.embedding AS nv, q.embedding AS qv
+      |  FROM cemb e CROSS JOIN
+      |       (SELECT vec_id, embedding FROM cemb WHERE ${queryPredSql()}) q
+      |  WHERE e.vec_id <> q.vec_id
+      |), """.stripMargin +
+      dotsSql("xpairs", "nv", "qv", "query_id, nbr_id", "x") + ",\n" +
+      topSql("x", 3) + s""",
+      |fq AS (
+      |  SELECT p.vec_id AS query_id, p.cell, e.embedding AS qv
+      |  FROM fzprobe p JOIN cemb e ON e.vec_id = p.vec_id
+      |), fcand AS (
+      |  SELECT q.query_id, q.qv, a.vec_id AS nbr_id, e.embedding AS nv
+      |  FROM fq q JOIN fzassign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+      |       JOIN cemb e ON e.vec_id = a.vec_id
+      |), """.stripMargin +
+      dotsSql("fcand", "nv", "qv", "query_id, nbr_id", "f") + ",\n" +
+      topSql("f", 3) + s""",
+      |rq AS (
+      |  SELECT p.vec_id AS query_id, p.cell, e.embedding AS qv
+      |  FROM rtprobe p JOIN cemb e ON e.vec_id = p.vec_id
+      |), rcand AS (
+      |  SELECT q.query_id, q.qv, a.vec_id AS nbr_id, e.embedding AS nv
+      |  FROM rq q JOIN rtassign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+      |       JOIN cemb e ON e.vec_id = a.vec_id
+      |), """.stripMargin +
+      dotsSql("rcand", "nv", "qv", "query_id, nbr_id", "r") + ",\n" +
+      topSql("r", 3) + "\n" +
+      recallSelect("ivf_frozen_delta", "f") + "\nUNION ALL\n" +
+      recallSelect("ivf_retrain", "r")),
+    "north star: incremental ANN maintenance - delta batch assigned into " +
+      "FROZEN IVF cells, postings merged, recall vs full retrain in one " +
+      "scorecard (ref full-refresh: " +
+      "commercial_rfp_delete_index_files_and_reset_indexer.py:27-41)")
+
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qNearDupRep, qJaccard, qContainment, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSoftDedup, qSplitLeakfree, qChunkIndex,
     qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
-    qAnnPq, qAnnIvfPq, qAnnGraph, qSemDedup, qSemDedupSampled,
+    qAnnPq, qAnnIvfPq, qAnnGraph, qAnnDelta, qSemDedup, qSemDedupSampled,
     qDiverseSample)
 }

@@ -97,6 +97,21 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"graph-ANN recall@3 $recall fell below 0.9")
   }
 
+  test("frozen-cell delta ingest holds recall next to a full retrain") {
+    // q_ann_delta's contract (VERDICT r11 #6): assigning a 10% delta
+    // batch into cells trained WITHOUT it must not cost recall on the
+    // clustered fixture — cluster structure doesn't move when 10% of
+    // points arrive, which is what makes frozen-cell ingest sound.
+    val rows = Registry.byName("q_ann_delta").fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet === Set("ivf_frozen_delta", "ivf_retrain"))
+    assert(rows("ivf_frozen_delta") >= 0.9,
+      s"frozen-delta recall ${rows("ivf_frozen_delta")} < 0.9")
+    assert(rows("ivf_frozen_delta") >= rows("ivf_retrain") - 0.05,
+      s"frozen-delta recall ${rows("ivf_frozen_delta")} trails retrain " +
+        s"${rows("ivf_retrain")} by more than 0.05")
+  }
+
   test("exact kNN dominates every ANN variant at rank 1") {
     val knn = Registry.byName("q_knn").fn(spark, dir)
       .filter(col("rk") === 1)
