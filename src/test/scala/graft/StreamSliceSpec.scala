@@ -38,6 +38,33 @@ class StreamSliceSpec extends SparkSpec {
     }
   }
 
+  test("2-slice variants hold the same invariants (the r12 gate dirs)") {
+    // q_stream_sessionize/hourly stream the 2-part dir; sess_win/join/
+    // dedup the 2-on-time late dir — same multiset/disjoint/order
+    // contract as the 4-part fixtures
+    val ev = Tables.events(spark, dir)
+    val two = spark.read.parquet(
+      queries.StreamQueries.slicedEventsDir(spark, dir, parts = 2))
+    assert(two.count() === ev.count())
+    assert(ev.select("event_id").except(two.select("event_id")).isEmpty)
+    val lateDir = queries.StreamQueries
+      .lateSlicedEventsDir(spark, dir, onParts = 2)
+    val files = new java.io.File(lateDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+    assert(files.length === 3)
+    val all = spark.read.parquet(lateDir)
+    assert(all.count() === ev.count())
+    assert(ev.select("event_id").except(all.select("event_id")).isEmpty)
+    // the last slice is still exactly the late set
+    val t0 = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val expectedLate = ev.filter((col("event_id") % 10 === 7) &&
+      (unix_micros(col("ts")) < t0 + 86400000000L))
+    val last = spark.read.parquet(files.last.getAbsolutePath)
+    assert(last.count() === expectedLate.count() && last.count() > 0)
+    assert(expectedLate.select("event_id").except(last.select("event_id"))
+      .isEmpty)
+  }
+
   test("late fixture: last slice is exactly the day-one late set, " +
     "arriving after all on-time data") {
     val lateDir = queries.StreamQueries.lateSlicedEventsDir(spark, dir)
