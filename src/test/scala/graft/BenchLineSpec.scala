@@ -41,7 +41,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains('\n'))
     // display names are the registry names minus the `q_` prefix, and the
     // strip must never make two of them collide
-    assert(line.contains("\"docd\"") && !line.contains("\"q_doc_dedup\""))
+    assert(line.contains("\"dcd\"") && !line.contains("\"q_doc_dedup\""))
     assert(line.contains("\"bm25\""), "unmapped names pass through unchanged")
     assert(line.contains("\"q1\"") && !line.contains("\"q1_agg\""),
       "non-q_ names are abbreviatable too (wave 5)")
