@@ -289,7 +289,7 @@ object Bench {
     "scalar_subquery" -> "scs", "semdedup" -> "smd", "semdedup_s" -> "sds",
     "semi_join" -> "smj", "session_window" -> "swn", "sessionize" -> "ses",
     "setops" -> "seto", "simhash" -> "smh", "simhash_dup" -> "sdp",
-    "skew_audit" -> "skw", "soft_dedup" -> "sft", "span_dedup" -> "spd",
+    "skew_audit" -> "skw", "soft_dedup" -> "sft", "span_dedup" -> "spd", "span_dedup_cdc" -> "spc",
     "split_leakfree" -> "lek", "stream_append" -> "sap",
     "stream_dedup" -> "sdd", "stream_hourly" -> "shr",
     "stream_join" -> "sjn", "stream_moments" -> "smo",

@@ -529,7 +529,16 @@ object TextQueries {
   /** Non-overlapping span width (tokens) for corpus-level span dedup.
     * RefinedWeb dedups exact LINES and C4 three-sentence spans; this
     * corpus has neither newlines nor sentence marks, so fixed 8-token
-    * blocks are the analogous within-document unit. */
+    * blocks are the analogous within-document unit.
+    *
+    * MEASURED limitation (VERDICT r11 #7, SpanDedupSpec): fixed blocks
+    * detect a shared span only when both carriers cut it at the same
+    * internal alignment — a 40-token span duplicated at offsets 0 and 3
+    * removes ZERO blocks (the grids never agree on block text). The
+    * alignment-robust variant is [[spanDedupCdc]] (content-defined
+    * boundaries); this fixed-grid query stays as the RefinedWeb
+    * exact-line analog, where the unit is anchored by the content
+    * format itself. */
   private val spanLen = 8
 
   /** Corpus-wide repeated-span removal — the line-level dedup step of a
@@ -614,6 +623,114 @@ object TextQueries {
       |  coalesce(r.kept_text, '') AS kept_text
       |FROM nb LEFT JOIN r USING (doc_id)""".stripMargin),
     "north star: corpus-wide repeated-span (boilerplate) removal, RefinedWeb/C4-style")
+
+  /** Average content-defined chunk length (tokens): a boundary falls
+    * after any token whose md5 ≡ 0 (mod [[cdcModulus]]), so chunks are
+    * geometric with mean ≈ 8 tokens — the same granularity as
+    * [[spanLen]], but CONTENT-defined. */
+  private val cdcModulus = 8
+
+  /** Corpus-wide repeated-span removal with CONTENT-DEFINED chunk
+    * boundaries (VERDICT r11 #7) — the alignment-robust upgrade of
+    * [[spanDedup]]. Fixed blocks share a weakness with every
+    * position-gridded scheme: two documents detect a shared span only
+    * when they cut it at the SAME internal alignment, so a span
+    * duplicated at offset 0 in one doc and offset 3 in another produces
+    * entirely different block texts and is MISSED (SpanDedupSpec
+    * constructs the case and records the measured miss — fixed blocks
+    * remove 0 of a 24-token duplicated span, this query removes its
+    * interior). The literature standard (Lee et al. 2022) is
+    * suffix-array exact-substring dedup; its Spark-native analog is the
+    * CDC/winnowing trick the repo's q_winnow fingerprinter already uses:
+    * cut after every token whose hash ≡ 0 (mod [[cdcModulus]]), so chunk
+    * boundaries travel WITH the content and a shared span yields
+    * identical interior chunks in every carrier regardless of position.
+    * Chunks average [[cdcModulus]] tokens (geometric, min 1, unbounded
+    * tail — a no-boundary doc is one chunk, still exact).
+    *
+    * Scale shape: one posexplode (a row per token — the corpus-token
+    * volume every text op here already carries), ONE per-doc window (the
+    * running boundary count; same doc-keyed shuffle the reassembly
+    * needs anyway), chunk counting keyed on the chunk md5, one left
+    * join, one per-doc reassembly aggregation. No broadcast, no collect,
+    * no collect_set of carriers — the [[spanDedup]] bounds verbatim. */
+  def spanDedupCdc(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol),
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("w"))
+    val toks = base.select(col(idCol), posexplode(col("w")))
+      .withColumnRenamed("col", "tok")
+    val cut = when(
+      conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+        % cdcModulus === 0, 1L).otherwise(0L)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("cid", coalesce(sum(cut).over(w), lit(0L)))
+      .groupBy(col(idCol), col("cid"))
+      .agg(min(col("pos")).as("cpos"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("ctxt"))
+      .withColumn("ch", md5(col("ctxt")))
+    val dup = chunks.groupBy("ch", idCol).agg(count(lit(1)).as("c"))
+      .groupBy("ch").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("ch"), lit(true).as("is_dup"))
+    chunks.join(dup, Seq("ch"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("is_dup").isNull, struct(col("cpos"), col("ctxt"))))),
+          x => x.getField("ctxt")), " ").as("kept_text"))
+      .select(col(idCol), col("n_chunks"), col("n_removed"), col("kept_text"))
+  }
+
+  /** q_span_dedup_cdc — [[spanDedupCdc]] over `documents`. As with
+    * q_span_dedup, the oracle counts distinct-document carriers of the
+    * chunk TEXT (no hash), so an md5 collision on the engine side would
+    * surface as a mismatch. */
+  val qSpanDedupCdc = Q("q_span_dedup_cdc",
+    (s, dir) => spanDedupCdc(Tables.documents(s, dir), "doc_id", "text"),
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, i AS pos, w[i] AS tok
+      |  FROM t, unnest(generate_series(1, len(w))) AS g(i)
+      |), cidt AS (
+      |  SELECT doc_id, pos, tok,
+      |    COALESCE(SUM(CASE WHEN ('0x' || substr(md5(tok), 1, 4))::BIGINT
+      |        % $cdcModulus = 0 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS cid
+      |  FROM tok
+      |), ch AS (
+      |  SELECT doc_id, cid, min(pos) AS cpos,
+      |    string_agg(tok, ' ' ORDER BY pos) AS ctxt
+      |  FROM cidt GROUP BY doc_id, cid
+      |), f AS (
+      |  SELECT ctxt, count(DISTINCT doc_id) AS nd FROM ch GROUP BY ctxt
+      |), k AS (
+      |  SELECT ch.doc_id, ch.cpos, ch.ctxt
+      |  FROM ch JOIN f USING (ctxt) WHERE f.nd = 1
+      |), r AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(ctxt, ' ' ORDER BY cpos) AS kept_text
+      |  FROM k GROUP BY doc_id
+      |), nc AS (
+      |  SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id
+      |)
+      |SELECT nc.doc_id, nc.n_chunks,
+      |  nc.n_chunks - coalesce(r.n_kept, 0) AS n_removed,
+      |  coalesce(r.kept_text, '') AS kept_text
+      |FROM nc LEFT JOIN r USING (doc_id)""".stripMargin),
+    "north star: alignment-robust exact-span dedup via content-defined " +
+      "chunking (the Lee et al. 2022 exact-substring goal re-expressed " +
+      "as CDC - boundaries travel with content, not position)")
 
   /** q_bpe_merge — the BPE TRAINER's inner step at corpus scale: count
     * every adjacent token pair and rank the top merge candidates
@@ -1557,6 +1674,6 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
-    qSpanDedup, qBpeMerge, qBpeTrain, qBpeEncode, qBpeSubword, qUnigramNll, qBigramNll, qVocabEncode,
+    qSpanDedup, qSpanDedupCdc, qBpeMerge, qBpeTrain, qBpeEncode, qBpeSubword, qUnigramNll, qBigramNll, qVocabEncode,
     qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qEntityCanonPr, qTriangles, qPagerank, qMixTemp)
 }

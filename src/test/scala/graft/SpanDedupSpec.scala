@@ -62,6 +62,80 @@ class SpanDedupSpec extends SparkSpec {
       "a block repeated only inside one document must survive")
   }
 
+  // The engine's content-defined cut predicate, re-derived locally so the
+  // CDC tests can compute expected interior-chunk counts from first
+  // principles instead of hardcoding magic numbers.
+  private def isCut(tok: String): Boolean = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(4), 16) % 8 == 0
+  }
+  // chunks strictly interior to a duplicated span survive any alignment:
+  // between the first and last cut inside the span (exclusive of the
+  // head chunk, whose text absorbs whatever precedes the span, and the
+  // tail chunk, which absorbs whatever follows)
+  private def interiorChunks(tokens: Seq[String]): Int = {
+    val cuts = tokens.init.zipWithIndex.collect { case (t, i) if isCut(t) => i }
+    math.max(0, cuts.size - 1)
+  }
+
+  test("MEASURED: fixed blocks miss a misaligned duplicated span that " +
+      "content-defined chunks catch (VERDICT r11 #7)") {
+    // A 40-token span duplicated in two docs at different offsets
+    // (0 vs 3 tokens mod 8). Fixed 8-token grids cut it at different
+    // internal alignments, so NO block text matches across the docs —
+    // the miss is structural, not a tuning issue. Content-defined
+    // boundaries travel with the tokens, so the span's interior chunks
+    // are identical in both carriers and get removed.
+    val spanToks = (1 to 40).map(i => s"dup$i")
+    val nInterior = interiorChunks(spanToks)
+    assert(nInterior >= 2, s"fixture too weak: $nInterior interior chunks")
+    val span = spanToks.mkString(" ")
+    val pair = Seq(
+      (1L, s"$span ${u("p")}"),                      // span at offset 0
+      (2L, s"pre1 pre2 pre3 $span ${u("q")}"))       // span at offset 3
+      .toDF("doc_id", "text")
+    val block = TextQueries.spanDedup(pair, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the recorded negative result: block granularity removes NOTHING
+    assert(block === Map(1L -> 0L, 2L -> 0L),
+      s"fixed blocks unexpectedly caught the misaligned span: $block")
+    val cdc = TextQueries.spanDedupCdc(pair, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cdc.values.forall(_ >= nInterior),
+      s"CDC chunks must catch the span's $nInterior interior chunks in " +
+        s"both carriers: $cdc")
+    // and CDC keeps unique content: the per-doc fillers survive
+    val keptTexts = TextQueries.spanDedupCdc(pair, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(keptTexts(1L).contains("p1") && keptTexts(2L).contains("q1"))
+  }
+
+  test("CDC dedup detects a span's interior chunks at EVERY alignment " +
+      "of the other carrier") {
+    val spanToks = (1 to 32).map(i => s"sh$i")
+    val nInterior = interiorChunks(spanToks)
+    assert(nInterior >= 2, s"fixture too weak: $nInterior interior chunks")
+    val span = spanToks.mkString(" ")
+    def corpusWithOffset(off: Int) = Seq(
+      (1L, s"$span ${u("p")}"),
+      (2L, ((1 to off).map(i => s"x$i") :+ span).mkString(" ") +
+        s" ${u("q")}")).toDF("doc_id", "text")
+    val removedPerOffset = (0 to 7).map { off =>
+      TextQueries.spanDedupCdc(corpusWithOffset(off), "doc_id", "text")
+        .filter(col("doc_id") === 1L)
+        .collect().head.getLong(2)
+    }
+    // doc 1 never moves: its interior span chunks are removed whatever
+    // doc 2's alignment is. The HEAD chunk may additionally match when
+    // doc 2's prefix happens to end on a content-defined boundary — that
+    // is correct CDC behavior (the head chunk's text genuinely recurs),
+    // so the pin is interior ≤ removed ≤ interior + 1, with the lower
+    // bound the alignment-robustness claim itself.
+    assert(removedPerOffset.forall(r => r >= nInterior && r <= nInterior + 1),
+      s"expected $nInterior(+1) removed at every offset: $removedPerOffset")
+  }
+
   test("differential fuzz: engine output equals the in-memory model") {
     import org.scalacheck.{Gen, Prop}
     // documents are sequences of aligned 8-token blocks: a small shared
