@@ -321,6 +321,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "rep frame not broadcast")
   }
 
+  test("q_domain_cap: per-domain cap through TopK, blocklist broadcast, " +
+      "no global sort") {
+    import graft.queries.CurationQueries
+    val p = plan(CurationQueries.qDomainCap)
+    // the cap is the bounded-heap operator — map-side pruning is the
+    // whole scale story for a hot crawl domain (only cap·|domains| rows
+    // shuffle), never a per-domain ranking window over the raw rows
+    assert(p.contains("LocalTopK") && p.contains("FinalTopK"),
+      s"expected the two-phase TopK physical operator:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      "the cap must not plan a global range sort")
+    // the blocklist anti-join broadcasts the thousands-row dim side
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist must anti-join broadcast:\n$p")
+  }
+
   test("no registered query plans a cartesian product") {
     Registry.all.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"),
