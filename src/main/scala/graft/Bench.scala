@@ -277,7 +277,7 @@ object Bench {
     "latest_per_q" -> "lpq", "longest_resp" -> "lrs",
     "mad_outliers" -> "mad", "media_bmp" -> "bmp",
     "media_features" -> "mft", "media_frames" -> "mfr",
-    "media_meta" -> "mmt", "media_resize" -> "mrz", "media_wav" -> "wav",
+    "media_meta" -> "mmt", "media_png" -> "png", "media_resize" -> "mrz", "media_wav" -> "wav",
     "mix_temp" -> "mxt", "near_dup" -> "ndp", "near_dup_rep" -> "ndr",
     "pagerank" -> "pgr", "pipeline_e2e" -> "pe2", "pivot" -> "piv",
     "profile" -> "prof", "q1_agg" -> "q1", "q3_top" -> "q3",

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with a typed metadata struct, plus frame sampling and batch
   * feature extraction.
   *
-  * Decode posture, two tiers: for self-describing uncompressed formats
-  * the engine performs REAL decode — [[MediaCodec.decodeWav]] (RIFF/PCM16)
-  * and [[MediaCodec.decodeBmp]] (24bpp DIB) parse actual headers and
-  * samples/pixels, oracle-checked byte-for-byte. For COMPRESSED codecs
-  * (JPEG/MP3/H.264), absent from this sandbox, the paths below substitute
+  * Decode posture, two tiers: where the codec is implementable from the
+  * JDK alone the engine performs REAL decode — [[MediaCodec.decodeWav]]
+  * (RIFF/PCM16), [[MediaCodec.decodeBmp]] (24bpp DIB), and since r12
+  * [[MediaCodec.decodePng]] (a genuinely COMPRESSED format: zlib inflate
+  * via `java.util.zip.Inflater` + all five PNG filter types), each
+  * oracle-checked byte-for-byte. For the remaining compressed codecs
+  * (JPEG/MP3/H.264), whose entropy coders have no JDK implementation and
+  * whose libraries are absent from this sandbox, the paths below substitute
   * deterministic byte-level statistics in the decode slot — everything
   * around that substitution is the same real Spark plumbing both tiers
   * share: BinaryType content, nested StructType metadata, codegen'd

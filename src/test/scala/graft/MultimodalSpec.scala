@@ -124,6 +124,86 @@ class MultimodalSpec extends SparkSpec {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
+  test("decodePng inverts the JDK's own PNG encoder (real DEFLATE, " +
+      "real per-row filters)") {
+    // javax.imageio is an INDEPENDENT encoder: it picks its own filter
+    // types per row and compresses with real DEFLATE, so this round-trip
+    // exercises the inflate + all-filter unfilter path the stored-block
+    // gate fixture cannot (that fixture is filter-0 by construction).
+    import java.awt.image.BufferedImage
+    for (i <- 0 until 12) {
+      val w = 5 + i % 7; val h = 4 + i % 5
+      val alpha = i % 2 == 1
+      val img = new BufferedImage(w, h,
+        if (alpha) BufferedImage.TYPE_INT_ARGB else BufferedImage.TYPE_INT_RGB)
+      def px(x: Int, y: Int, c: Int) = (i * 29 + x * 3 + y * 11 + c * 17) % 256
+      for (x <- 0 until w; y <- 0 until h) {
+        val a = if (alpha) px(x, y, 3) else 255
+        img.setRGB(x, y, (a << 24) | (px(x, y, 0) << 16) |
+          (px(x, y, 1) << 8) | px(x, y, 2))
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      val out = java.nio.file.Files.createTempDirectory("graft_png_rt")
+      java.nio.file.Files.write(out.resolve("rt.png"), baos.toByteArray)
+      val got = graft.ops.MediaCodec.decodePng(
+          spark.read.format("binaryFile").load(out.toString + "/rt.png"))
+        .collect().map(r => r.channel -> r).toMap
+      val bpp = if (alpha) 4 else 3
+      assert(got.size === bpp)
+      for (c <- 0 until bpp) {
+        val vs = for (x <- 0 until w; y <- 0 until h)
+          yield (y, if (alpha || c < 3) px(x, y, c) else 255)
+        val r = got(c)
+        assert(r.width === w && r.height === h)
+        assert(r.color_type === (if (alpha) 6 else 2))
+        assert(r.n_px === w.toLong * h)
+        assert(r.sum_v === vs.map(_._2.toLong).sum,
+          s"i=$i c=$c sum mismatch")
+        assert(r.row_weighted === vs.map { case (y, v) =>
+          (y + 1).toLong * v }.sum, s"i=$i c=$c row_weighted mismatch")
+      }
+    }
+  }
+
+  test("decodePng: gate fixture parses to the generation formula and " +
+      "unsupported shapes fail loudly") {
+    import graft.ops.PngFixture
+    for (i <- Seq(0, 1, 7, 31)) {
+      val got = graft.ops.MediaCodec.decodePng(
+          spark.createDataFrame(java.util.List.of(
+            org.apache.spark.sql.Row(s"mem/img_$i.png", PngFixture.pngBytes(i))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.BinaryType))))).collect()
+      val bpp = if (PngFixture.colorTypeOf(i) == 2) 3 else 4
+      assert(got.length === bpp)
+      for (r <- got) {
+        val exp = (for (x <- 0 until r.width; y <- 0 until r.height)
+          yield PngFixture.pixel(i, x, y, r.channel).toLong).sum
+        assert(r.sum_v === exp, s"i=$i c=${r.channel}")
+      }
+    }
+    // interlaced flag flipped -> loud refusal (CRC is not checked; the
+    // header byte IS the decode contract)
+    val bad = PngFixture.pngBytes(0)
+    bad(28) = 1 // IHDR interlace byte (8 sig + 8 hdr + 12 offset)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.ops.MediaCodec.decodePng(
+        spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row("mem/bad.png", bad)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType))))).collect()
+    }
+    assert(e.getMessage.contains("interlaced") ||
+      Option(e.getCause).exists(_.getMessage.contains("interlaced")))
+  }
+
   test("decodeBmp flips bottom-up rows and skips row padding") {
     val dir = graft.ops.MediaFixture.ensure()
     val files = new java.io.File(dir).listFiles()
