@@ -248,7 +248,7 @@ object Bench {
     * (cn/cm/ms/rr ≈ 45 chars at worst-case widths) plus three new
     * registrations, keeping the 2-registration headroom guard green. */
   private[graft] val displayAbbrev = Map(    "ann_delta" -> "adl", "ann_graph" -> "agr", "ann_ivf" -> "ivf",
-    "ann_ivf_pq" -> "ivfp", "ann_ivf_sq" -> "ivfs", "ann_lsh" -> "lsh",
+    "ann_ivf_pq" -> "ifp", "ann_ivf_sq" -> "ifs", "ann_lsh" -> "lsh",
     "ann_mp" -> "mp", "ann_mt" -> "mt", "ann_pq" -> "pq",
     "ann_recall" -> "rec", "ann_recall_cl" -> "rcc", "ann_sq" -> "asq",
     "anomaly" -> "ano", "anti_join" -> "atj", "asof_bcast" -> "afb",
@@ -257,50 +257,52 @@ object Bench {
     "bpe_train" -> "btr", "budget_select" -> "bsel", "canon" -> "can",
     "cardinality" -> "crd", "centroids" -> "ctr", "chunk" -> "chk",
     "chunk_index" -> "cdx", "chunk_ref" -> "crf", "clean" -> "cln",
-    "cohort" -> "coh", "containment" -> "cont", "curate_e2e" -> "ce2",
+    "cohort" -> "coh", "containment" -> "cnt", "curate_e2e" -> "ce2",
     "decontam" -> "dec", "dedup_exact" -> "ddx", "delta_dedup" -> "deld",
     "diverse_sample" -> "dvs", "doc_dedup" -> "dcd", "doc_render" -> "drn",
-    "docx_scan" -> "dxs", "domain_cap" -> "dcp", "dsir_select" -> "dsir",
-    "dup_clusters" -> "dcl", "dup_clusters_star" -> "dcs",
-    "dup_count" -> "dct", "dup_keep" -> "dkp", "dup_keys" -> "dky",
-    "dup_stats" -> "dst", "embed_dup" -> "edp", "embed_hash" -> "ehsh",
-    "entity_canon" -> "eca", "entity_canon2" -> "ec2",
-    "entity_canon_pr" -> "ecpr", "events_hourly" -> "evh",
-    "events_json" -> "evj", "events_sliding" -> "evs",
-    "events_topk" -> "evt", "fingerprint" -> "fpr", "funnel" -> "fun",
-    "fuzzy_join" -> "fz", "fuzzy_join2" -> "fz2", "grouping_sets" -> "grp",
+    "docx_roundtrip" -> "dxr", "docx_scan" -> "dxs", "domain_cap" -> "dcp",
+    "dsir_select" -> "dsir", "dup_clusters" -> "dcl",
+    "dup_clusters_star" -> "dcs", "dup_count" -> "dct",
+    "dup_keep" -> "dkp", "dup_keys" -> "dky", "dup_stats" -> "dst",
+    "embed_dup" -> "edp", "embed_hash" -> "ehsh", "entity_canon" -> "eca",
+    "entity_canon2" -> "ec2", "entity_canon_pr" -> "ecpr",
+    "events_hourly" -> "evh", "events_json" -> "evj",
+    "events_sliding" -> "evs", "events_topk" -> "evt",
+    "fingerprint" -> "fpr", "funnel" -> "fun", "fuzzy_join" -> "fz",
+    "fuzzy_join2" -> "fz2", "grouping_sets" -> "grp",
     "hash_recall" -> "hrc", "having_join" -> "hvj",
     "heavy_hitters" -> "hh", "hist_quantile" -> "hq",
-    "hybrid_rrf" -> "rrf", "inline_scan" -> "inl", "jaccard" -> "jacc",
+    "hybrid_rrf" -> "rrf", "inline_scan" -> "inl", "jaccard" -> "jac",
     "keys_sha" -> "ksh", "knn_hash" -> "hkn", "lag_lead" -> "lag",
     "lang_id" -> "lid", "lastwins" -> "lw", "latest_file" -> "ltf",
     "latest_per_q" -> "lpq", "longest_resp" -> "lrs",
     "mad_outliers" -> "mad", "media_bmp" -> "bmp",
     "media_features" -> "mft", "media_frames" -> "mfr",
-    "media_meta" -> "mmt", "media_png" -> "png", "media_resize" -> "mrz", "media_wav" -> "wav",
-    "mix_temp" -> "mxt", "near_dup" -> "ndp", "near_dup_rep" -> "ndr",
-    "pagerank" -> "pgr", "pipeline_e2e" -> "pe2", "pivot" -> "piv",
-    "profile" -> "prof", "q1_agg" -> "q1", "q3_top" -> "q3",
-    "q5_region" -> "q5", "quality" -> "qual", "quality_model" -> "qmd",
-    "quantiles" -> "qnt", "range_join" -> "rngj", "redact" -> "red",
-    "rep_ngram" -> "rpn", "rerank_model" -> "rrm",
+    "media_meta" -> "mmt", "media_png" -> "png", "media_resize" -> "mrz",
+    "media_wav" -> "wav", "mix_temp" -> "mxt", "near_dup" -> "ndp",
+    "near_dup_rep" -> "ndr", "pagerank" -> "pgr", "pipeline_e2e" -> "pe2",
+    "pivot" -> "piv", "profile" -> "prf", "q1_agg" -> "q1",
+    "q3_top" -> "q3", "q5_region" -> "q5", "quality" -> "qal",
+    "quality_model" -> "qmd", "quantiles" -> "qnt", "range_join" -> "rng",
+    "redact" -> "red", "rep_ngram" -> "rpn", "rerank_model" -> "rrm",
     "retrieval_e2e" -> "re2", "rollup" -> "rol", "sample" -> "smp",
     "sample_k" -> "spk", "sample_quantile" -> "spq",
     "scalar_subquery" -> "scs", "semdedup" -> "smd", "semdedup_s" -> "sds",
     "semi_join" -> "smj", "session_window" -> "swn", "sessionize" -> "ses",
     "setops" -> "seto", "simhash" -> "smh", "simhash_dup" -> "sdp",
-    "skew_audit" -> "skw", "soft_dedup" -> "sft", "span_dedup" -> "spd", "span_dedup_cdc" -> "spc",
-    "split_leakfree" -> "lek", "stream_append" -> "sap",
-    "stream_dedup" -> "sdd", "stream_hourly" -> "shr",
-    "stream_join" -> "sjn", "stream_moments" -> "smo",
-    "stream_neardup" -> "snd", "stream_sess_win" -> "ssw",
-    "stream_sessionize" -> "sse", "sync_delete" -> "sdel",
-    "sync_diff" -> "sdif", "sync_upload" -> "syup", "text_stats" -> "txst",
-    "tfidf" -> "tfi", "token_bpe" -> "tbpe", "top_terms" -> "topt",
-    "topk_native" -> "tkn", "topk_per_group" -> "tkg",
-    "triangles" -> "tri", "unigram_nll" -> "unll", "upsert" -> "ups",
-    "util_scalars" -> "util", "value_moments" -> "vmom",
-    "vocab_encode" -> "venc", "winnow" -> "win", "xlsx_scan" -> "xls")
+    "skew_audit" -> "skw", "soft_dedup" -> "sft", "span_dedup" -> "spd",
+    "span_dedup_cdc" -> "spc", "split_leakfree" -> "lek",
+    "stream_append" -> "sap", "stream_dedup" -> "sdd",
+    "stream_hourly" -> "shr", "stream_join" -> "sjn",
+    "stream_moments" -> "smo", "stream_neardup" -> "snd",
+    "stream_sess_win" -> "ssw", "stream_sessionize" -> "sse",
+    "sync_delete" -> "sdel", "sync_diff" -> "sdif",
+    "sync_upload" -> "syup", "text_stats" -> "txst", "tfidf" -> "tfi",
+    "token_bpe" -> "tbpe", "top_terms" -> "topt", "topk_native" -> "tkn",
+    "topk_per_group" -> "tkg", "triangles" -> "tri",
+    "unigram_nll" -> "unll", "upsert" -> "ups", "util_scalars" -> "util",
+    "value_moments" -> "vmom", "vocab_encode" -> "venc", "winnow" -> "win",
+    "xlsx_scan" -> "xls")
 
   private[graft] def short(name: String): String = {
     val s = name.stripPrefix("q_")

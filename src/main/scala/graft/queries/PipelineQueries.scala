@@ -539,7 +539,52 @@ object PipelineQueries {
     "ref commercial_rfp_raw_data_ingestion_and_cleaning.py:286 (S1/S2): " +
       "real .xlsx bytes -> table, oracle re-parses the same bytes in SQL")
 
+  /** q_docx_roundtrip — the .docx SINK exercised in the gate on real
+    * pipeline data (q_docx_scan proves the codec on its fixture; this
+    * proves the production LOOP): the deduped doc-library frame
+    * ([[qPipelineE2e]]'s output — names unique by the dedup chain, the
+    * reference's per-row upload set) is written as REAL binary .docx
+    * files via [[graft.ops.Docx.writeDocx]] (STORED — the oracle-legible
+    * packing), read back through [[graft.ops.Docx.readDocs]], and
+    * emitted one row per paragraph. The oracle never sees the files: it
+    * re-derives (file_name, para_id, text) from the PARQUET through the
+    * full E2 SQL and a line split — so a sink that drops a paragraph,
+    * mis-escapes XML, mangles a name, or fails to overwrite stale output
+    * hash-mismatches. The write dir is truncated before each run (the
+    * reference's reset-then-upload overwrite, S11). Sink cost scales
+    * one-file-per-row exactly like the reference's upload loop;
+    * executor-parallel via foreachPartition. */
+  val qDocxRoundtrip = Q("q_docx_roundtrip",
+    (s, dir) => {
+      val lib = qPipelineE2e.fn(s, dir).select("file_name", "doc_text")
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_docx_rt_" + java.util.UUID.nameUUIDFromBytes(
+          dir.getBytes("UTF-8")).toString.take(8)).getAbsolutePath
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete(); ()
+      }
+      deleteRec(new java.io.File(out)) // S11 truncate-then-write semantics
+      graft.ops.Docx.writeDocx(lib, "file_name", "doc_text", out,
+        stored = true)
+      graft.ops.Docx.readDocs(
+          s.read.format("binaryFile").load(out + "/*.docx"))
+        .toDF().orderBy("file_name", "para_id")
+    },
+    Some("WITH lib AS (\n" + qPipelineE2e.oracle.get + """
+      |), parts AS (
+      |  SELECT file_name, string_split(doc_text, chr(10)) AS ls FROM lib
+      |)
+      |SELECT file_name, CAST(i AS BIGINT) AS para_id, ls[i] AS text
+      |FROM parts, unnest(generate_series(1, len(ls))) AS g(i)
+      |ORDER BY file_name, para_id""".stripMargin),
+    "ref S10 upload loop at full honesty " +
+      "(commercial_rfp_content_doc_library_creation.py:103-131): real " +
+      ".docx bytes written per row, read back, checked against the " +
+      "parquet-derived answer")
+
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
     qSyncDiff, qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan,
-    qXlsxScan, qDocxScan, qPipelineE2e)
+    qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip)
 }
