@@ -166,8 +166,8 @@ object MediaCodec {
     * chunk walk → IDAT concatenation → `java.util.zip.Inflater` (a full
     * zlib codec, adler-checked) → per-row unfilter (all five PNG filter
     * types incl. the Paeth predictor) → exact per-channel stats. Scope:
-    * 8-bit truecolor (color type 2) and truecolor+alpha (6),
-    * non-interlaced — the shapes a training-data image pipeline
+    * 8-bit grayscale (color type 0), truecolor (2) and truecolor+alpha
+    * (6), non-interlaced — the shapes a training-data image pipeline
     * normalizes to; everything else fails loudly. Chunk CRCs are not
     * verified (the zlib adler32 covers the payload; a CRC pass would
     * protect ancillary chunks this decoder ignores).
@@ -209,9 +209,9 @@ object MediaCodec {
                 require(w > 0 && h > 0, s"$name: bad dimensions ${w}x$h")
                 require((b(off + 16) & 0xff) == 8, s"$name: not 8-bit")
                 colorType = b(off + 17) & 0xff
-                require(colorType == 2 || colorType == 6,
+                require(colorType == 0 || colorType == 2 || colorType == 6,
                   s"$name: color type $colorType unsupported (8-bit " +
-                    "truecolor/truecolor+alpha only)")
+                    "gray/truecolor/truecolor+alpha only)")
                 require((b(off + 18) & 0xff) == 0 && (b(off + 19) & 0xff) == 0,
                   s"$name: nonstandard compression/filter method")
                 require((b(off + 20) & 0xff) == 0,
@@ -223,7 +223,7 @@ object MediaCodec {
             off += 12 + len
           }
           require(w > 0, s"$name: missing IHDR")
-          val bpp = if (colorType == 2) 3 else 4
+          val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
           val stride = w * bpp
           val raw = {
             val inf = new java.util.zip.Inflater()
@@ -406,17 +406,18 @@ object MediaFixture {
   * MultimodalSpec's differential.
   *
   * Pixel contract per file i: w = 4 + i mod 5, h = 3 + i mod 4,
-  * color type 2 (RGB) for even i / 6 (RGBA) for odd; channel value at
-  * (x, y, c) = (i·17 + x·5 + y·13 + c·7) mod 256. */
+  * color type by i mod 3 — 0 (grayscale), 2 (RGB), 6 (RGBA); channel
+  * value at (x, y, c) = (i·17 + x·5 + y·13 + c·7) mod 256. */
 object PngFixture {
   val count = 32
 
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_png_v1").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_png_v2").getAbsolutePath
 
   def widthOf(i: Int): Int = 4 + i % 5
   def heightOf(i: Int): Int = 3 + i % 4
-  def colorTypeOf(i: Int): Int = if (i % 2 == 0) 2 else 6
+  def colorTypeOf(i: Int): Int =
+    i % 3 match { case 0 => 0; case 1 => 2; case _ => 6 }
   def pixel(i: Int, x: Int, y: Int, c: Int): Int =
     (i * 17 + x * 5 + y * 13 + c * 7) % 256
 
@@ -449,7 +450,8 @@ object PngFixture {
 
   def pngBytes(i: Int): Array[Byte] = {
     val w = widthOf(i); val h = heightOf(i)
-    val ct = colorTypeOf(i); val bpp = if (ct == 2) 3 else 4
+    val ct = colorTypeOf(i)
+    val bpp = ct match { case 0 => 1; case 2 => 3; case _ => 4 }
     val raw = new Array[Byte](h * (1 + w * bpp))
     for (y <- 0 until h; x <- 0 until w; c <- 0 until bpp)
       raw(y * (1 + w * bpp) + 1 + x * bpp + c) = pixel(i, x, y, c).toByte

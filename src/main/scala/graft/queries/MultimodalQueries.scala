@@ -267,7 +267,7 @@ object MultimodalQueries {
       |    CAST(${hB("25")} AS INTEGER) AS color_type
       |  FROM raw
       |), dims AS (
-      |  SELECT *, CASE WHEN color_type = 2 THEN 3 ELSE 4 END AS bpp
+      |  SELECT *, CASE color_type WHEN 0 THEN 1 WHEN 2 THEN 3 ELSE 4 END AS bpp
       |  FROM hdr
       |), px AS (
       |  SELECT file_name, width, height, color_type,

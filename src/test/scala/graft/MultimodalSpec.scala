@@ -133,14 +133,20 @@ class MultimodalSpec extends SparkSpec {
     import java.awt.image.BufferedImage
     for (i <- 0 until 12) {
       val w = 5 + i % 7; val h = 4 + i % 5
-      val alpha = i % 2 == 1
-      val img = new BufferedImage(w, h,
-        if (alpha) BufferedImage.TYPE_INT_ARGB else BufferedImage.TYPE_INT_RGB)
+      val kind = i % 3 // 0 = RGB, 1 = ARGB, 2 = grayscale
+      val img = new BufferedImage(w, h, kind match {
+        case 0 => BufferedImage.TYPE_INT_RGB
+        case 1 => BufferedImage.TYPE_INT_ARGB
+        case _ => BufferedImage.TYPE_BYTE_GRAY
+      })
       def px(x: Int, y: Int, c: Int) = (i * 29 + x * 3 + y * 11 + c * 17) % 256
       for (x <- 0 until w; y <- 0 until h) {
-        val a = if (alpha) px(x, y, 3) else 255
-        img.setRGB(x, y, (a << 24) | (px(x, y, 0) << 16) |
-          (px(x, y, 1) << 8) | px(x, y, 2))
+        if (kind == 2) img.getRaster.setSample(x, y, 0, px(x, y, 0))
+        else {
+          val a = if (kind == 1) px(x, y, 3) else 255
+          img.setRGB(x, y, (a << 24) | (px(x, y, 0) << 16) |
+            (px(x, y, 1) << 8) | px(x, y, 2))
+        }
       }
       val baos = new java.io.ByteArrayOutputStream()
       assert(javax.imageio.ImageIO.write(img, "png", baos))
@@ -149,14 +155,14 @@ class MultimodalSpec extends SparkSpec {
       val got = graft.ops.MediaCodec.decodePng(
           spark.read.format("binaryFile").load(out.toString + "/rt.png"))
         .collect().map(r => r.channel -> r).toMap
-      val bpp = if (alpha) 4 else 3
+      val bpp = kind match { case 0 => 3; case 1 => 4; case _ => 1 }
       assert(got.size === bpp)
       for (c <- 0 until bpp) {
-        val vs = for (x <- 0 until w; y <- 0 until h)
-          yield (y, if (alpha || c < 3) px(x, y, c) else 255)
+        val vs = for (x <- 0 until w; y <- 0 until h) yield (y, px(x, y, c))
         val r = got(c)
         assert(r.width === w && r.height === h)
-        assert(r.color_type === (if (alpha) 6 else 2))
+        assert(r.color_type === (kind match {
+          case 0 => 2; case 1 => 6; case _ => 0 }))
         assert(r.n_px === w.toLong * h)
         assert(r.sum_v === vs.map(_._2.toLong).sum,
           s"i=$i c=$c sum mismatch")
@@ -178,7 +184,8 @@ class MultimodalSpec extends SparkSpec {
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("content",
               org.apache.spark.sql.types.BinaryType))))).collect()
-      val bpp = if (PngFixture.colorTypeOf(i) == 2) 3 else 4
+      val bpp = PngFixture.colorTypeOf(i) match {
+        case 0 => 1; case 2 => 3; case _ => 4 }
       assert(got.length === bpp)
       for (r <- got) {
         val exp = (for (x <- 0 until r.width; y <- 0 until r.height)
