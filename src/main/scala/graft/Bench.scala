@@ -254,22 +254,22 @@ object Bench {
     "anomaly" -> "ano", "anti_join" -> "atj", "asof_bcast" -> "afb",
     "asof_join" -> "afj", "bigram_nll" -> "bnl", "binary_scan" -> "bsc",
     "bpe_encode" -> "ben", "bpe_merge" -> "bpm", "bpe_subword" -> "bsu",
-    "bpe_train" -> "btr", "budget_select" -> "bsel", "canon" -> "can",
+    "bpe_train" -> "btr", "budget_select" -> "bsl", "canon" -> "can",
     "cardinality" -> "crd", "centroids" -> "ctr", "chunk" -> "chk",
     "chunk_index" -> "cdx", "chunk_ref" -> "crf", "clean" -> "cln",
     "cohort" -> "coh", "containment" -> "cnt", "curate_e2e" -> "ce2",
-    "decontam" -> "dec", "dedup_exact" -> "ddx", "delta_dedup" -> "deld",
+    "decontam" -> "dec", "dedup_exact" -> "ddx", "delta_dedup" -> "dld",
     "diverse_sample" -> "dvs", "doc_dedup" -> "dcd", "doc_render" -> "drn",
     "docx_roundtrip" -> "dxr", "docx_scan" -> "dxs", "domain_cap" -> "dcp",
-    "dsir_select" -> "dsir", "dup_clusters" -> "dcl",
-    "dup_clusters_star" -> "dcs", "dup_count" -> "dct",
-    "dup_keep" -> "dkp", "dup_keys" -> "dky", "dup_stats" -> "dst",
-    "embed_dup" -> "edp", "embed_hash" -> "ehsh", "entity_canon" -> "eca",
-    "entity_canon2" -> "ec2", "entity_canon_pr" -> "ecpr",
-    "events_hourly" -> "evh", "events_json" -> "evj",
-    "events_sliding" -> "evs", "events_topk" -> "evt",
-    "fingerprint" -> "fpr", "funnel" -> "fun", "fuzzy_join" -> "fz",
-    "fuzzy_join2" -> "fz2", "grouping_sets" -> "grp",
+    "domain_dedup" -> "ddm", "dsir_select" -> "dsir",
+    "dup_clusters" -> "dcl", "dup_clusters_star" -> "dcs",
+    "dup_count" -> "dct", "dup_keep" -> "dkp", "dup_keys" -> "dky",
+    "dup_stats" -> "dst", "embed_dup" -> "edp", "embed_hash" -> "ehs",
+    "entity_canon" -> "eca", "entity_canon2" -> "ec2",
+    "entity_canon_pr" -> "ecr", "events_hourly" -> "evh",
+    "events_json" -> "evj", "events_sliding" -> "evs",
+    "events_topk" -> "evt", "fingerprint" -> "fpr", "funnel" -> "fun",
+    "fuzzy_join" -> "fz", "fuzzy_join2" -> "fz2", "grouping_sets" -> "grp",
     "hash_recall" -> "hrc", "having_join" -> "hvj",
     "heavy_hitters" -> "hh", "hist_quantile" -> "hq",
     "hybrid_rrf" -> "rrf", "inline_scan" -> "inl", "jaccard" -> "jac",
@@ -289,19 +289,19 @@ object Bench {
     "sample_k" -> "spk", "sample_quantile" -> "spq",
     "scalar_subquery" -> "scs", "semdedup" -> "smd", "semdedup_s" -> "sds",
     "semi_join" -> "smj", "session_window" -> "swn", "sessionize" -> "ses",
-    "setops" -> "seto", "simhash" -> "smh", "simhash_dup" -> "sdp",
+    "setops" -> "set", "simhash" -> "smh", "simhash_dup" -> "sdp",
     "skew_audit" -> "skw", "soft_dedup" -> "sft", "span_dedup" -> "spd",
     "span_dedup_cdc" -> "spc", "split_leakfree" -> "lek",
     "stream_append" -> "sap", "stream_dedup" -> "sdd",
     "stream_hourly" -> "shr", "stream_join" -> "sjn",
     "stream_moments" -> "smo", "stream_neardup" -> "snd",
     "stream_sess_win" -> "ssw", "stream_sessionize" -> "sse",
-    "sync_delete" -> "sdel", "sync_diff" -> "sdif",
-    "sync_upload" -> "syup", "text_stats" -> "txst", "tfidf" -> "tfi",
-    "token_bpe" -> "tbpe", "top_terms" -> "topt", "topk_native" -> "tkn",
+    "sync_delete" -> "sdl", "sync_diff" -> "sdf", "sync_upload" -> "syu",
+    "text_stats" -> "txs", "tfidf" -> "tfi", "token_bpe" -> "tbp",
+    "top_terms" -> "top", "topk_native" -> "tkn",
     "topk_per_group" -> "tkg", "triangles" -> "tri",
-    "unigram_nll" -> "unll", "upsert" -> "ups", "util_scalars" -> "util",
-    "value_moments" -> "vmom", "vocab_encode" -> "venc", "winnow" -> "win",
+    "unigram_nll" -> "unl", "upsert" -> "ups", "util_scalars" -> "utl",
+    "value_moments" -> "vmo", "vocab_encode" -> "ven", "winnow" -> "win",
     "xlsx_scan" -> "xls")
 
   private[graft] def short(name: String): String = {

@@ -642,7 +642,89 @@ object CurationQueries {
       "C4/RefinedWeb stage; K6 machinery composed, " +
       "commercial_rfp_data_ingestion_utils.py:60-73)")
 
+  /** q_domain_dedup — PER-DOMAIN dedup keys, the third leg of the
+    * C4/RefinedWeb domain stage (VERDICT r11 #5 names all three: caps,
+    * blocklist, per-domain keys): exact dedup scoped to
+    * (registrable domain, content hash) instead of content alone, over
+    * the duplicate-bearing corpus the dedup family uses
+    * ([[SimilarityQueries.docCorpus]]: originals + near-dup variants
+    * + exact copies — the raw documents table is duplicate-free, so a
+    * census there would be vacuous). Domain synth models page hosting:
+    * the domain derives from the content FAMILY (fam = doc_id mod 10⁶ —
+    * copies of a page usually live where the page lives), except every
+    * other copy family ((fam div 10) odd), which lands on a mirror
+    * domain ("m" + host). So the
+    * census exercises both semantics at once: within-domain copies DROP
+    * (n_dropped = the even-family copies), while a text duplicated
+    * ACROSS domains survives once per domain (cross_domain_kept — e.g.
+    * a licence text legitimately hosted by many sites; global dedup
+    * q_doc_dedup would drop it). Near-dup variants differ in hash and
+    * are untouched, as exact-key dedup should leave them. Scale: two
+    * keyed shuffles — (domain, hash) then domain — plus one (hash)-keyed
+    * join for the cross-domain count; content moves as a 16-byte md5,
+    * never the text. */
+  val qDomainDedup = Q("q_domain_dedup",
+    (s, dir) => {
+      val fam = col("doc_id") % 1000000
+      val origin = expr("doc_id div 1000000")
+      val host = concat(
+        when(origin === 2 && expr("(doc_id % 1000000) div 10") % 2 === 1,
+          lit("m")).otherwise(lit("")),
+        when(fam % 10 < 4, lit("hub"))
+          .otherwise(concat(lit("site"), ((fam * 7) % 89).cast("string"))),
+        lit("."),
+        when(fam % 3 === 0, lit("com")).when(fam % 3 === 1, lit("org"))
+          .otherwise(lit("co.uk")))
+      val base = graft.queries.SimilarityQueries.docCorpus(s, dir)
+        .select(col("doc_id"),
+          concat(lit("https://"), host, lit("/p/"),
+            col("doc_id").cast("string")).as("url"),
+          md5(col("text")).as("th"))
+        .select(col("doc_id"),
+          graft.ops.DomainCurate.registrableDomain(col("url")).as("domain"),
+          col("th"))
+      val perKey = base.groupBy("domain", "th")
+        .agg(count(lit(1)).as("c"))
+      val crossDom = base.select("domain", "th").distinct()
+        .groupBy("th").agg(count(lit(1)).as("nd"))
+      perKey.join(crossDom, "th")
+        .groupBy("domain")
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_kept"),
+          (sum(col("c")) - count(lit(1))).as("n_dropped"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L))
+            .as("cross_domain_kept"))
+    },
+    Some("WITH " + graft.queries.SimilarityQueries.corpusSql + """,
+      |wdom2 AS (
+      |  SELECT doc_id, md5(text) AS th,
+      |    (CASE WHEN (doc_id // 1000000) = 2
+      |               AND ((doc_id % 1000000) // 10) % 2 = 1
+      |          THEN 'm' ELSE '' END) ||
+      |    (CASE WHEN (doc_id % 1000000) % 10 < 4 THEN 'hub'
+      |          ELSE 'site' || CAST(((doc_id % 1000000) * 7) % 89 AS VARCHAR)
+      |     END) || '.' ||
+      |    (CASE (doc_id % 1000000) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |          ELSE 'co.uk' END) AS domain
+      |  FROM corpus
+      |), pk AS (
+      |  SELECT domain, th, count(*) AS c FROM wdom2 GROUP BY domain, th
+      |), cd AS (
+      |  SELECT th, count(DISTINCT domain) AS nd FROM wdom2 GROUP BY th
+      |)
+      |SELECT domain,
+      |  CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS cross_domain_kept
+      |FROM pk JOIN cd USING (th)
+      |GROUP BY domain""".stripMargin),
+    "north star: per-domain dedup keys (C4/RefinedWeb scope - " +
+      "within-domain copies drop; a text duplicated across domains " +
+      "survives once per domain)")
+
   def all: Seq[Q] = Seq(qRedact, qPack, qSample, qSampleK, qUpsert,
     qDeltaDedup, qCurateE2e, qQualityModel, qBudgetSelect, qDsirSelect,
-    qDomainCap)
+    qDomainCap, qDomainDedup)
 }
