@@ -67,6 +67,47 @@ class DocxSpec extends SparkSpec {
     assert(e.getMessage.contains("matched the run grammar"))
   }
 
+  test("multi-byte UTF-8 survives the zip + XML round trip") {
+    val text = "日本語の段落\nEmoji: 😀🎉\n" +
+      "Ключ: значение\nมาตรา ๑๒"
+    val paras = Docx.parseDocx("u.docx", Docx.docxBytes(text))
+    assert(paras.map(_.text) === text.split("\n", -1).toSeq)
+    // and through DEFLATE too (the production packing)
+    val defl = Docx.parseDocx("u.docx", Docx.docxBytes(text, stored = false))
+    assert(defl.map(_.text) === text.split("\n", -1).toSeq)
+  }
+
+  test("property fuzz: any printable paragraph list round-trips exactly") {
+    import org.scalacheck.{Gen, Prop}
+    // XML 1.0 forbids raw control chars below 0x20 (except tab/LF/CR) —
+    // the generator draws from printable BMP text plus the specials the
+    // escaper must handle; '\n' is excluded per paragraph because it IS
+    // the paragraph separator in the writer's contract.
+    val ch: Gen[Char] = Gen.frequency(
+      8 -> Gen.choose(0x20.toChar, 0x7e.toChar),
+      2 -> Gen.oneOf('<', '>', '&', '"', '\'', '\t'),
+      1 -> Gen.choose(0xa0.toChar, 0x24f.toChar),
+      1 -> Gen.oneOf('一', 'ア', 'Ж'))
+    val para = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, ch).map(_.mkString))
+    val doc = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, para))
+    val prop = Prop.forAll(doc, Gen.oneOf(true, false)) {
+      (paras: List[String], stored: Boolean) =>
+        val joined = paras.mkString("\n")
+        // the writer's contract is text-level: an EMPTY text is a
+        // zero-paragraph document (so List("") and Nil both render
+        // empty), every other text splits on newline
+        val expect: Seq[String] =
+          if (joined.isEmpty) Nil else joined.split("\n", -1).toSeq
+        Docx.parseDocx("fz.docx",
+          Docx.docxBytes(joined, stored)).map(_.text) == expect
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),
+      prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("distributed sink writes one real .docx per row and the reader " +
       "closes the loop") {
     val out = java.nio.file.Files.createTempDirectory("graft_docx_sink")
