@@ -2300,7 +2300,9 @@ object SimilarityQueries {
     * recomputes rather than resumes, the right trade for short
     * iterations. The first cut used reliable checkpoints plus an IVF
     * quantizer for entry seeding; replacing both — local checkpoints,
-    * seed-from-own-edges — took the sf0.1 median 7.7 → ~4.6 s).
+    * seed-from-own-edges — took the sf0.1 median 7.7 → ~4.6 s at the
+    * r11 measurement; the r12 full-registry bench_history line carries
+    * it at 5.95 under a 1.13× canary — day-to-day ambient, same plan).
     *
     * SEARCH — entries: each query (a corpus member, the same contract as
     * every other rung) seeds its beam with its own [[gEntries]] best
