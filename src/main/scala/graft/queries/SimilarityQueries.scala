@@ -1210,13 +1210,19 @@ object SimilarityQueries {
 
   /** IVF over any (vec_id, embedding) frame — trains its own codebook on
     * that frame, so the clustered fixture gets a fixture-fit quantizer. */
-  private def annIvfFrom(emb: DataFrame, nprobe: Int): DataFrame = {
+  private def annIvfFrom(emb: DataFrame, nprobe: Int,
+      pretrained: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val base = withNorm(emb)
     // IVF build stage: deterministic k-means (KMeans scaladoc has the
     // exactness contract), codebook shipped as LITERALS — the same
     // broadcast-constant pattern as the LSH plane weights. Assignment is
     // a narrow argmin projection; no centroid join, no ranking window.
-    val codebook = KMeans.train(base.select("vec_id", "v"), ivfCells, ivfIters)
+    // The recall scorecard passes its shared `pretrained` codebook —
+    // training is deterministic, so the result is identical and the
+    // scorecard stops re-running the same Lloyd passes once per rung
+    // (the oracle always trained once; VERDICT r11 #3b).
+    val codebook = pretrained.getOrElse(
+      KMeans.train(base.select("vec_id", "v"), ivfCells, ivfIters))
     val assigned = base.withColumn("cell",
       KMeans.assignCell(col("v"), codebook))
     val qs = base.filter(isQuery)
@@ -1620,19 +1626,28 @@ object SimilarityQueries {
     * probed cell, so the SAME (cell, b, code) equi-join implements both
     * the candidate gate and the code lookup; with it off, `cell` is a
     * constant and the join degenerates to the flat ADC scan. */
-  private def pqRetrieve(emb: DataFrame, ivfGate: Boolean): DataFrame = {
+  private def pqRetrieve(emb: DataFrame, ivfGate: Boolean,
+      coarsePre: Option[Seq[(Int, Seq[Double])]] = None,
+      booksPre: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
     val sp = emb.sparkSession
     import sp.implicits._
     val base = withNorm(emb)
+    // pre-trained quantizers (the recall scorecard's shared build — see
+    // annIvfFrom) short-circuit the trainers; otherwise train here,
+    // coarse and per-block books concurrently
     val (coarse, books) =
-      if (!ivfGate) (Seq.empty[(Int, Seq[Double])], pqCodebooks(base))
+      if (!ivfGate)
+        (Seq.empty[(Int, Seq[Double])],
+          booksPre.getOrElse(pqCodebooks(base)))
+      else if (coarsePre.isDefined && booksPre.isDefined)
+        (coarsePre.get, booksPre.get)
       else {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val cf = Future(KMeans.train(base.select("vec_id", "v"),
-          ivfCells, ivfIters))
-        val bf = Future(pqCodebooks(base))
+        val cf = Future(coarsePre.getOrElse(
+          KMeans.train(base.select("vec_id", "v"), ivfCells, ivfIters)))
+        val bf = Future(booksPre.getOrElse(pqCodebooks(base)))
         (Await.result(cf, Duration.Inf), Await.result(bf, Duration.Inf))
       }
     val cellOf =
@@ -1684,14 +1699,17 @@ object SimilarityQueries {
   }
 
   /** Flat-scan PQ/ADC + refine. */
-  private def annPqFrom(emb: DataFrame): DataFrame =
-    pqRetrieve(emb, ivfGate = false)
+  private def annPqFrom(emb: DataFrame,
+      booksPre: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame =
+    pqRetrieve(emb, ivfGate = false, booksPre = booksPre)
 
   /** IVF-gated PQ/ADC + refine — the composed FAISS-IVFPQ shape: at
     * corpus scale the scan reads cell id + 4 code bytes per vector and
     * candidates shrink by nprobe/cells. */
-  private def annIvfPqFrom(emb: DataFrame): DataFrame =
-    pqRetrieve(emb, ivfGate = true)
+  private def annIvfPqFrom(emb: DataFrame,
+      coarsePre: Option[Seq[(Int, Seq[Double])]] = None,
+      booksPre: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame =
+    pqRetrieve(emb, ivfGate = true, coarsePre, booksPre)
 
   /** The shared oracle CORE for both PQ postures over `src`: pqM
     * per-block trainers (prefixed pq0../pq3..), per-block assignment,
@@ -1881,12 +1899,27 @@ object SimilarityQueries {
         .agg(round(sum(when(col("an").isNotNull, 1).otherwise(0))
             .cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
         .select(lit(method).as("method"), col("recall"))
+    // the trained quantizers are rung-invariant (training is
+    // deterministic and rung-independent): train the coarse codebook and
+    // the per-block PQ books ONCE, concurrently, and hand them to every
+    // rung that needs them — ivf, pq and ivfpq each re-trained their own
+    // before r12 while the one-statement oracle always trained once
+    val (coarse, books) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cf = Future(KMeans.train(base.select("vec_id", "v"),
+        ivfCells, ivfIters))
+      val bf = Future(pqCodebooks(base))
+      (Await.result(cf, Duration.Inf), Await.result(bf, Duration.Inf))
+    }
     recallOf("lsh", annLshFrom(emb))
       .unionAll(recallOf("mp", annMpFrom(emb)))
-      .unionAll(recallOf("ivf", annIvfFrom(emb, ivfNprobe)))
+      .unionAll(recallOf("ivf", annIvfFrom(emb, ivfNprobe, Some(coarse))))
       .unionAll(recallOf("mt", annMtFrom(emb)))
-      .unionAll(recallOf("pq", annPqFrom(emb)))
-      .unionAll(recallOf("ivfpq", annIvfPqFrom(emb)))
+      .unionAll(recallOf("pq", annPqFrom(emb, Some(books))))
+      .unionAll(recallOf("ivfpq", annIvfPqFrom(emb, Some(coarse),
+        Some(books))))
   }
 
   /** The full recall-scorecard oracle body (everything after `WITH `),
