@@ -182,11 +182,20 @@ object Bench {
       }
       canary = canary3().orElse(canary)
     }
-    val medsum = if (history.isEmpty) None
-      else Some(finalTimings.map(_._1).flatMap(history.get).sum)
+    // ADVICE r12: `ms` sums only the queries history COVERS, while
+    // `value` spans the whole run — on the first run after registrations
+    // the whole-run factor value/ms reads >1 with no episode. When
+    // coverage is partial, also emit `mv` = THIS run's sum over the
+    // covered queries, so mv/ms is like-for-like by construction; when
+    // coverage is full, mv ≡ value and is not emitted (window bytes).
+    val covered = finalTimings.filter { case (n, _) => history.contains(n) }
+    val medsum = if (covered.isEmpty) None
+      else Some(covered.map(_._1).flatMap(history.get).sum)
+    val covsum = if (covered.size == finalTimings.size || covered.isEmpty)
+      None else Some(covered.map(_._2).sum)
 
     println(renderLine(finalTimings, errors.toSeq, floorPlan, floorScan,
-      sfDir, retried, canary, cmed, medsum, rerun))
+      sfDir, retried, canary, cmed, medsum, rerun, covsum))
     spark.stop()
   }
 
@@ -247,24 +256,25 @@ object Bench {
     * 4-char tail went 3-char to pay for the adjudication fields
     * (cn/cm/ms/rr ≈ 45 chars at worst-case widths) plus three new
     * registrations, keeping the 2-registration headroom guard green. */
-  private[graft] val displayAbbrev = Map(    "ann_delta" -> "adl", "ann_graph" -> "agr", "ann_ivf" -> "ivf",
-    "ann_ivf_pq" -> "ifp", "ann_ivf_sq" -> "ifs", "ann_lsh" -> "lsh",
+  private[graft] val displayAbbrev = Map(
+    "ann_delta" -> "ad", "ann_graph" -> "ag", "ann_ivf" -> "iv",
+    "ann_ivf_pq" -> "ip", "ann_ivf_sq" -> "if", "ann_lsh" -> "ls",
     "ann_mp" -> "mp", "ann_mt" -> "mt", "ann_pq" -> "pq",
-    "ann_recall" -> "rec", "ann_recall_cl" -> "rcc", "ann_sq" -> "asq",
-    "anomaly" -> "ano", "anti_join" -> "atj", "asof_bcast" -> "afb",
-    "asof_join" -> "afj", "bigram_nll" -> "bnl", "binary_scan" -> "bsc",
-    "bpe_encode" -> "ben", "bpe_merge" -> "bpm", "bpe_subword" -> "bsu",
-    "bpe_train" -> "btr", "budget_select" -> "bsl", "canon" -> "can",
-    "cardinality" -> "crd", "centroids" -> "ctr", "chunk" -> "chk",
-    "chunk_index" -> "cdx", "chunk_ref" -> "crf", "clean" -> "cln",
-    "cohort" -> "coh", "containment" -> "cnt", "curate_e2e" -> "ce2",
-    "decontam" -> "dec", "dedup_exact" -> "ddx", "delta_dedup" -> "dld",
-    "diverse_sample" -> "dvs", "doc_dedup" -> "dcd", "doc_render" -> "drn",
+    "ann_recall" -> "rec", "ann_recall_cl" -> "rcc", "ann_sq" -> "aq",
+    "anomaly" -> "an", "anti_join" -> "aj", "asof_bcast" -> "ab",
+    "asof_join" -> "af", "bigram_nll" -> "bn", "binary_scan" -> "bc",
+    "bpe_encode" -> "be", "bpe_merge" -> "bp", "bpe_subword" -> "bu",
+    "bpe_train" -> "bt", "budget_select" -> "bl", "canon" -> "ca",
+    "cardinality" -> "cr", "centroids" -> "ctr", "chunk" -> "ck",
+    "chunk_index" -> "cx", "chunk_ref" -> "cf", "clean" -> "cl",
+    "cohort" -> "co", "containment" -> "cnt", "curate_e2e" -> "c2",
+    "decontam" -> "de", "dedup_exact" -> "dx", "delta_dedup" -> "dl",
+    "diverse_sample" -> "dv", "doc_dedup" -> "dcd", "doc_render" -> "dr",
     "docx_roundtrip" -> "dxr", "docx_scan" -> "dxs", "domain_cap" -> "dcp",
-    "domain_dedup" -> "ddm", "dsir_select" -> "dsir",
+    "domain_dedup" -> "ddm", "dsir_select" -> "ds",
     "dup_clusters" -> "dcl", "dup_clusters_star" -> "dcs",
     "dup_count" -> "dct", "dup_keep" -> "dkp", "dup_keys" -> "dky",
-    "dup_stats" -> "dst", "embed_dup" -> "edp", "embed_hash" -> "ehs",
+    "dup_stats" -> "dst", "embed_dup" -> "ed", "embed_hash" -> "eh",
     "entity_canon" -> "eca", "entity_canon2" -> "ec2",
     "entity_canon_pr" -> "ecr", "events_hourly" -> "evh",
     "events_json" -> "evj", "events_sliding" -> "evs",
@@ -273,18 +283,19 @@ object Bench {
     "hash_recall" -> "hrc", "having_join" -> "hvj",
     "heavy_hitters" -> "hh", "hist_quantile" -> "hq",
     "hybrid_rrf" -> "rrf", "inline_scan" -> "inl", "jaccard" -> "jac",
-    "keys_sha" -> "ksh", "knn_hash" -> "hkn", "lag_lead" -> "lag",
-    "lang_id" -> "lid", "lastwins" -> "lw", "latest_file" -> "ltf",
-    "latest_per_q" -> "lpq", "longest_resp" -> "lrs",
-    "mad_outliers" -> "mad", "media_bmp" -> "bmp",
+    "keys" -> "ky", "keys_sha" -> "ksh", "knn_hash" -> "hkn",
+    "lag_lead" -> "lag", "lang_id" -> "lid", "lastwins" -> "lw",
+    "latest_file" -> "ltf", "latest_per_q" -> "lpq",
+    "longest_resp" -> "lrs", "mad_outliers" -> "mad", "media_bmp" -> "bmp",
     "media_features" -> "mft", "media_frames" -> "mfr",
     "media_meta" -> "mmt", "media_png" -> "png", "media_resize" -> "mrz",
-    "media_wav" -> "wav", "mix_temp" -> "mxt", "near_dup" -> "ndp",
-    "near_dup_rep" -> "ndr", "pagerank" -> "pgr", "pipeline_e2e" -> "pe2",
-    "pivot" -> "piv", "profile" -> "prf", "q1_agg" -> "q1",
-    "q3_top" -> "q3", "q5_region" -> "q5", "quality" -> "qal",
-    "quality_model" -> "qmd", "quantiles" -> "qnt", "range_join" -> "rng",
-    "redact" -> "red", "rep_ngram" -> "rpn", "rerank_model" -> "rrm",
+    "media_wav" -> "wav", "mix" -> "mi", "mix_temp" -> "mxt",
+    "near_dup" -> "ndp", "near_dup_rep" -> "ndr", "pack" -> "pk",
+    "pagerank" -> "pgr", "pipeline_e2e" -> "pe2", "pivot" -> "piv",
+    "profile" -> "prf", "q1_agg" -> "q1", "q3_top" -> "q3",
+    "q5_region" -> "q5", "quality" -> "qal", "quality_model" -> "qmd",
+    "quantiles" -> "qnt", "range_join" -> "rng", "redact" -> "red",
+    "rep_ngram" -> "rpn", "rerank_model" -> "rrm",
     "retrieval_e2e" -> "re2", "rollup" -> "rol", "sample" -> "smp",
     "sample_k" -> "spk", "sample_quantile" -> "spq",
     "scalar_subquery" -> "scs", "semdedup" -> "smd", "semdedup_s" -> "sds",
@@ -313,7 +324,7 @@ object Bench {
       errors: Seq[(String, String)], floorPlan: Double, floorScan: Double,
       sfDir: String, retried: Int = 0, canary: Option[Double] = None,
       cmed: Option[Double] = None, medsum: Option[Double] = None,
-      rerun: Int = 0): String = {
+      rerun: Int = 0, covsum: Option[Double] = None): String = {
     def line(dp: Int, errVals: Boolean): String = {
       val qs = timings.map { case (k, v) =>
           s"${jstr(short(k))}:${fmtTrim(v, dp)}" }
@@ -339,8 +350,12 @@ object Bench {
       // end-of-run canary median, cm = its checked-in history median,
       // ms = checked-in median sum over this run's query set, rr = the
       // episode rerun fired
+      // mv precedes ms so the like-for-like pair reads adjacently; it is
+      // emitted only when history coverage is PARTIAL (new registrations
+      // this round) — on full coverage mv would just repeat `value`
       val adj = canary.map(c => s""","cn":${fmtTrim(c, 2)}""").getOrElse("") +
         cmed.map(m => s""","cm":${fmtTrim(m, 2)}""").getOrElse("") +
+        covsum.map(m => s""","mv":${fmtTrim(m, 1)}""").getOrElse("") +
         medsum.map(m => s""","ms":${fmtTrim(m, 1)}""").getOrElse("") +
         (if (rerun == 0) "" else s""","rr":$rerun""")
       s"""{"metric":"total","value":${fmtTrim(total, 3)},"unit":"sec","fp":${fmtTrim(floorPlan, 3)},"fs":${fmtTrim(floorScan, 3)}$rt$adj,"queries":$qs$errs,"sf":${jstr(sf)}}"""

@@ -39,7 +39,14 @@ object Docx {
   // One run per paragraph is what the writer emits (python-docx's
   // add_paragraph(text) shape); the reader accepts any number of <w:t>
   // runs per <w:p> and concatenates them, per the OOXML data model.
-  private val paraRe = "(?s)<w:p(?:>|\\s[^>]*>)(.*?)</w:p>".r
+  // Alternative 1 (tried first) is a SELF-CLOSING paragraph — exactly what
+  // python-docx emits for add_paragraph("") — which carries no runs and
+  // yields an empty-text row (group 1 null). ADVICE r12: before this, the
+  // census pattern "<w:p[ >]" and the open/close-only grammar both missed
+  // it, silently dropping the paragraph. [^>]*? cannot cross '>' so the
+  // self-closing branch can never steal an open tag's content.
+  private val paraRe =
+    "(?s)<w:p(?:\\s[^>]*?)?/>|<w:p(?:>|\\s[^>]*>)(.*?)</w:p>".r
   private val runRe =
     """<w:t(?: xml:space="preserve")?>([^<]*)</w:t>""".r
 
@@ -87,12 +94,16 @@ object Docx {
       parts.getOrElse("word/document.xml",
         throw new IllegalArgumentException(s"$name: missing word/document.xml")),
       "UTF-8")
-    val paras = paraRe.findAllMatchIn(doc).map(_.group(1)).toIndexedSeq
-    val pTags = "<w:p[ >]".r.findAllMatchIn(doc).size
+    // group(1) is null for a self-closing <w:p/> — an empty paragraph,
+    // kept as an empty-text row (document order preserved)
+    val paras = paraRe.findAllMatchIn(doc).map(m => Option(m.group(1)))
+      .toIndexedSeq
+    val pTags = "<w:p[/ >]".r.findAllMatchIn(doc).size
     require(paras.size == pTags,
       s"$name: $pTags <w:p> tags but ${paras.size} parsed paragraphs — " +
         "refusing to drop content silently")
-    paras.zipWithIndex.map { case (p, i) =>
+    paras.zipWithIndex.map { case (pOpt, i) =>
+      val p = pOpt.getOrElse("")
       val runs = runRe.findAllMatchIn(p).map(_.group(1)).toIndexedSeq
       val tTags = "<w:t[ >]".r.findAllMatchIn(p).size
       require(runs.size == tTags,

@@ -32,7 +32,8 @@ class BenchLineSpec extends AnyFunSuite {
     // budget must hold on an episode-flagged line too (r12)
     val line = Bench.renderLine(worst, Nil, 0.179, 0.171,
       "/root/testdata/sf0.1", retried = 2, canary = Some(10.46),
-      cmed = Some(10.31), medsum = Some(1118.2), rerun = 1)
+      cmed = Some(10.31), medsum = Some(1118.2), rerun = 1,
+      covsum = Some(1109.9))
     assert(line.length <= Bench.maxLineChars,
       s"${line.length} chars for ${worst.size} queries — shorten names " +
         "or the next bench line gets truncated by the harness")
@@ -87,12 +88,32 @@ class BenchLineSpec extends AnyFunSuite {
     assert(extract("README.md") == Bench.displayAbbrev,
       "README mapping table is out of sync with Bench.displayAbbrev — " +
         "regenerate the README block")
-    val keymap = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("bench_keymap.json")), "UTF-8")
-    Bench.displayAbbrev.foreach { case (k, v) =>
-      assert(keymap.contains(s""""$k": "$v""""),
-        s"bench_keymap.json r11 section is missing $k -> $v")
-    }
+    // ADVICE r12 (high): the keymap check was a substring scan, so the r12
+    // regen overwriting the r11 entry in place passed it while severing
+    // BENCH_r11.json's joinability. Now: the NEWEST round's entry must
+    // EQUAL the code map (both directions), and prior rounds' entries are
+    // immutable history — pinned here via r11's wave-5-era keys, which
+    // differ from the current wave-6 map.
+    import scala.jdk.CollectionConverters._
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Paths.get("bench_keymap.json").toFile)
+      .get("displayAbbrev")
+    val rounds = tree.fieldNames.asScala.toSeq
+    val newest = rounds.maxBy(_.drop(1).toInt)
+    val newestMap = tree.get(newest).properties.asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
+    assert(newestMap == Bench.displayAbbrev,
+      s"bench_keymap.json's $newest entry != Bench.displayAbbrev — run " +
+        s"tools/regen_display_maps.py $newest")
+    for (r <- Seq("r9", "r10", "r11", "r12"))
+      assert(rounds.contains(r), s"prior round $r's map entry is gone")
+    // wave-5 keys that wave 6 renamed: their presence proves r11 holds
+    // the map BENCH_r11.json was recorded under, not a later rewrite
+    val r11 = tree.get("r11")
+    for ((k, v) <- Seq("ann_ivf_pq" -> "ivfp", "anomaly" -> "anom",
+        "doc_dedup" -> "docd", "bigram_nll" -> "bnll"))
+      assert(r11.get(k).asText == v,
+        s"r11 keymap entry lost its wave-5 mapping $k -> $v")
   }
 
   test("self-adjudication fields land on the line and vanish when absent") {
@@ -106,11 +127,21 @@ class BenchLineSpec extends AnyFunSuite {
       canary = Some(0.46), cmed = Some(0.31), medsum = Some(118.2),
       rerun = 1)
     assert(flagged.contains(""","cn":0.46,"cm":0.31,"ms":118.2,"rr":1,"""))
+    // ADVICE r12: right after registrations, history covers only part of
+    // the run — `mv` (this run's sum over the covered queries) then lands
+    // next to `ms` so mv/ms is like-for-like; on full coverage mv ≡ value
+    // and is not emitted
+    val partial = Bench.renderLine(t, Nil, 0.1, 0.1, "sf0.1",
+      canary = Some(0.46), cmed = Some(0.31), medsum = Some(118.2),
+      rerun = 1, covsum = Some(117.4))
+    assert(partial.contains(""","cn":0.46,"cm":0.31,"mv":117.4,"ms":118.2,"rr":1,"""))
+    assert(!flagged.contains("\"mv\""),
+      "mv must not repeat value on a fully-covered line")
     // absence = fields not emitted (no history for this sf / canary not
     // runnable): no window bytes spent, and no reader sees a zero that
     // looks like a measurement
     val bare = Bench.renderLine(t, Nil, 0.1, 0.1, "sf0.1")
-    for (f <- Seq("\"cn\"", "\"cm\"", "\"ms\"", "\"rr\""))
+    for (f <- Seq("\"cn\"", "\"cm\"", "\"mv\"", "\"ms\"", "\"rr\""))
       assert(!bare.contains(f), s"unexpected $f on an unadjudicated line")
   }
 

@@ -53,6 +53,22 @@ class DocxSpec extends SparkSpec {
       Seq(1L -> "ab cd", 2L -> "e"))
   }
 
+  test("self-closing <w:p/> parses as an empty paragraph, not a drop") {
+    // ADVICE r12: python-docx (the reference's writer) emits <w:p/> for
+    // add_paragraph("") — it must yield an empty-text row in document
+    // order, with and without attributes, never be silently dropped
+    val doc = """<?xml version="1.0"?><w:document xmlns:w="x"><w:body>""" +
+      """<w:p><w:r><w:t>a</w:t></w:r></w:p>""" +
+      """<w:p/>""" +
+      """<w:p w:rsidR="00AB12CD"/>""" +
+      """<w:p><w:r><w:t>b</w:t></w:r></w:p>""" +
+      """</w:body></w:document>"""
+    val bytes = graft.ops.Xlsx.zipBytes(
+      Seq("word/document.xml" -> doc), stored = true)
+    assert(Docx.parseDocx("sc.docx", bytes).map(p => p.para_id -> p.text) ===
+      Seq(1L -> "a", 2L -> "", 3L -> "", 4L -> "b"))
+  }
+
   test("out-of-grammar content fails loudly instead of being dropped") {
     // a <w:t> carrying an unsupported attribute must refuse the document,
     // not silently drop the run (the xlsx cell-count discipline)

@@ -211,6 +211,41 @@ class MultimodalSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("interlaced")))
   }
 
+  test("decodePng: FDICT zlib stream refuses loudly instead of spinning") {
+    // ADVICE r12: Inflater.inflate returns 0 with needsInput=false and
+    // finished=false on a preset-dictionary stream — before the guard the
+    // inflate loop spun forever on the executor. A minimal 1x1 gray PNG
+    // whose IDAT is a legal zlib header with FDICT set (0x78 0x20 —
+    // (0x78*256+0x20) % 31 == 0) plus the 4-byte DICTID:
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      bb.putInt(body.length).put(typ.getBytes("US-ASCII")).put(body)
+      bb.putInt(0) // CRC unchecked by the decode contract
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(1).putInt(1).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array[Byte](137.toByte, 80, 78, 71, 13, 10, 26, 10) ++
+      chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4)) ++
+      chunk("IEND", Array.empty)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.ops.MediaCodec.decodePng(
+        spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row("mem/fdict.png", png)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType))))).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("FDICT"), msg(e).take(200))
+  }
+
   test("decodeBmp flips bottom-up rows and skips row padding") {
     val dir = graft.ops.MediaFixture.ensure()
     val files = new java.io.File(dir).listFiles()
