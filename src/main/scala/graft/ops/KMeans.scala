@@ -107,6 +107,60 @@ object KMeans {
     codebook
   }
 
+  /** Group-key stride packing (slice unit, cell) into one int so
+    * [[Centroids.perLabelVec]]'s typed aggregator is reused untouched by
+    * [[trainMany]]; bounds every supported k. */
+  private val unitKeyStride = 1024
+
+  /** Trains SEVERAL independent codebooks in lock-step over slices of the
+    * same (vec_id, v: array<double>) frame: `slices` are (0-based offset,
+    * length) windows of `v` — e.g. the IVF coarse quantizer (full width)
+    * plus the PQ per-block books. Returns one codebook per slice,
+    * BIT-IDENTICAL to running [[train]] once per slice:
+    *  - seeds: [[train]] seeds from the first k rows by md5(vec_id) of
+    *    its input — for a sliced input those are the same k ROWS, so
+    *    slicing the one collected seed set row-wise is the same seed;
+    *  - assignment: per-row argmin under a slice's codebook never reads
+    *    another slice;
+    *  - update: the fixed-point centroid sums ([[Centroids]]) are
+    *    order-independent, and the (slice, cell) groups partition
+    *    exactly as the per-slice runs' cell groups do.
+    * What fusing saves is DRIVER ROUND-TRIPS: 1 seed job + `iters`
+    * update jobs for the whole family instead of (1+iters)·|slices| —
+    * the recall scorecards' five trainers were 15 collect jobs of
+    * mostly scheduling latency (r13). At 100 TB the same holds with the
+    * trainer input swapped for a [[Sample]] of the corpus. */
+  def trainMany(df: DataFrame, slices: Seq[(Int, Int)], k: Int,
+                iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    require(k > 0 && k < unitKeyStride && iters >= 0 && slices.nonEmpty,
+      s"need 0<k<$unitKeyStride, iters>=0, slices; got k=$k iters=$iters")
+    val seedRows = df.orderBy(md5(col("vec_id").cast("string")))
+      .limit(k).select("v").collect().toIndexedSeq
+      .map(_.getSeq[Double](0))
+    require(seedRows.nonEmpty, "training frame is empty")
+    var books: Seq[Seq[(Int, Seq[Double])]] = slices.map { case (off, len) =>
+      seedRows.map(_.slice(off, off + len))
+        .zipWithIndex.map { case (c, i) => (i, c) }
+    }
+    for (_ <- 0 until iters) {
+      val unitCols = slices.zipWithIndex.map { case ((off, len), u) =>
+        val sv = slice(col("v"), off + 1, len)
+        struct((lit(u * unitKeyStride) + assignCell(sv, books(u)))
+          .as("label"), sv.as("embedding"))
+      }
+      val assigned = df.select(explode(array(unitCols: _*)).as("x"))
+        .select(col("x.label").as("label"), col("x.embedding").as("embedding"))
+      val rows = Centroids.perLabelVec(assigned).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      books = slices.indices.map { u =>
+        rows.filter(_._1 / unitKeyStride == u)
+          .map { case (lbl, c) => (lbl % unitKeyStride, c) }
+          .sortBy(_._1).toIndexedSeq
+      }
+    }
+    books
+  }
+
   /** The oracle's replica of [[train]] + final assignment as DuckDB CTEs:
     * emits `kmelems` (unnested corpus), `kc0..kc<iters>` (codebooks) and
     * expects the caller to assign/probe against `kc<iters>`.

@@ -287,10 +287,20 @@ object CurationQueries {
     * the sparse features — no collect, no iteration. */
   private[queries] def qualityModelScores(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Both frames are consumed TWICE (lab: training labels + the output
+    // join; feats: the weight aggregation + the scoring join) and Spark
+    // re-executes a subtree per consumer — before r13 every
+    // qualityModelScores run tokenized and md5-hashed the corpus twice.
+    // The pins replace the second pass with a narrow materialized frame
+    // ((doc_id, dim, val) longs — far narrower than re-reading the
+    // text), which is also the honest 100 TB posture: persist the
+    // feature frame once, train and score from it.
     val lab = TextQueries.qualityScored(docs)
       .select(col("doc_id"),
         when(col("quality") >= 3, 1L).otherwise(0L).as("pos"))
+      .localCheckpoint()
     val feats = graft.ops.HashEmbed.sparse(docs, "doc_id", "text")
+      .localCheckpoint()
     val n = lab.agg(sum(col("pos")).as("np"),
       sum(lit(1L) - col("pos")).as("nn"))
     val w = feats.join(lab, "doc_id")
@@ -459,6 +469,11 @@ object CurationQueries {
           graft.ops.HashEmbed.bucketIn(col("tkey"), dsirBuckets).as("dim"),
           col("tf"))
         .groupBy("doc_id", "dim").agg(sum("tf").as("c"))
+        // consumed THREE times (raw counts, target counts, doc scoring):
+        // un-pinned, each consumer re-tokenizes and re-hashes the corpus
+        // (r13). The pinned frame is (doc_id, dim ≤ 4096, c) longs —
+        // the persist-features-once posture, not a corpus-text cache.
+        .localCheckpoint()
       val rawCnt = docBuckets.groupBy("dim").agg(sum("c").as("cr"))
       val tgtCnt = docBuckets.join(target, "doc_id")
         .groupBy("dim").agg(sum("c").as("ct"))

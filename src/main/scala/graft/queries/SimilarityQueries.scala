@@ -1602,15 +1602,15 @@ object SimilarityQueries {
     * CONCURRENTLY (Spark schedules actions from separate threads in
     * parallel) — results are deterministic per block, only wall-clock
     * overlaps. */
-  private def pqCodebooks(base: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence((0 until pqM).map { b =>
-      Future(KMeans.train(base.select(col("vec_id"),
-        slice(col("v"), b * pqSub + 1, pqSub).as("v")), pqK, pqIters))
-    }), Duration.Inf)
-  }
+  /** The pqM (offset, len) sub-vector windows of the PQ blocks. */
+  private def pqSlices: Seq[(Int, Int)] =
+    (0 until pqM).map(b => (b * pqSub, pqSub))
+
+  private def pqCodebooks(base: DataFrame): Seq[Seq[(Int, Seq[Double])]] =
+    // lock-step fused training (KMeans.trainMany) — one seed + pqIters
+    // update jobs for all four blocks instead of 4×(1+pqIters) collect
+    // round-trips; results bit-identical to per-block KMeans.train
+    KMeans.trainMany(base.select("vec_id", "v"), pqSlices, pqK, pqIters)
 
   /** The SHARED PQ retrieval body ([[annPqFrom]] / [[annIvfPqFrom]] are
     * the two postures): train the per-block codebooks (plus, when
@@ -1633,8 +1633,11 @@ object SimilarityQueries {
     import sp.implicits._
     val base = withNorm(emb)
     // pre-trained quantizers (the recall scorecard's shared build — see
-    // annIvfFrom) short-circuit the trainers; otherwise train here,
-    // coarse and per-block books concurrently
+    // annIvfFrom) short-circuit the trainers; otherwise ONE lock-step
+    // trainMany call covers whichever family is missing (coarse = the
+    // full-width slice; ivfCells == pqK and ivfIters == pqIters keep the
+    // lock-step legal — guarded so a future knob change fails loudly
+    // instead of silently training the books at the coarse schedule)
     val (coarse, books) =
       if (!ivfGate)
         (Seq.empty[(Int, Seq[Double])],
@@ -1642,13 +1645,11 @@ object SimilarityQueries {
       else if (coarsePre.isDefined && booksPre.isDefined)
         (coarsePre.get, booksPre.get)
       else {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val cf = Future(coarsePre.getOrElse(
-          KMeans.train(base.select("vec_id", "v"), ivfCells, ivfIters)))
-        val bf = Future(booksPre.getOrElse(pqCodebooks(base)))
-        (Await.result(cf, Duration.Inf), Await.result(bf, Duration.Inf))
+        require(ivfCells == pqK && ivfIters == pqIters,
+          "lock-step coarse+PQ training needs matching k/iters knobs")
+        val all = KMeans.trainMany(base.select("vec_id", "v"),
+          (0, embDims) +: pqSlices, ivfCells, ivfIters)
+        (coarsePre.getOrElse(all.head), booksPre.getOrElse(all.tail))
       }
     val cellOf =
       if (ivfGate) KMeans.assignCell(col("v"), coarse) else lit(0)
@@ -1878,7 +1879,16 @@ object SimilarityQueries {
     * against it. Shared by [[qAnnRecall]] (shipped embeddings) and
     * [[qAnnRecallClustered]] (the fixture where LSH theory applies). */
   private def annRecallFrom(emb: DataFrame): DataFrame = {
-    val base = withNorm(emb)
+    // Pin the vector source ONCE (r13, VERDICT #1): six rungs × two plan
+    // sides plus ~15 trainer collects (coarse seed/iters, 4 PQ-block
+    // seeds/iters) each re-derived the source subtree per job — for the
+    // clustered fixture that re-ran the 64-wide center transform ~20×
+    // per scorecard run. The pin is fixture-sized (|vectors| rows), not
+    // a corpus-scale cache: at 100 TB the trainers train on a
+    // Sample.keep permille and each rung is its own query — the
+    // scorecard is the diagnostic that holds them side by side.
+    val pinned = emb.localCheckpoint()
+    val base = withNorm(pinned)
     val qs = base.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("dxx").as("qxx"))
@@ -1901,24 +1911,22 @@ object SimilarityQueries {
         .select(lit(method).as("method"), col("recall"))
     // the trained quantizers are rung-invariant (training is
     // deterministic and rung-independent): train the coarse codebook and
-    // the per-block PQ books ONCE, concurrently, and hand them to every
-    // rung that needs them — ivf, pq and ivfpq each re-trained their own
-    // before r12 while the one-statement oracle always trained once
-    val (coarse, books) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val cf = Future(KMeans.train(base.select("vec_id", "v"),
-        ivfCells, ivfIters))
-      val bf = Future(pqCodebooks(base))
-      (Await.result(cf, Duration.Inf), Await.result(bf, Duration.Inf))
-    }
-    recallOf("lsh", annLshFrom(emb))
-      .unionAll(recallOf("mp", annMpFrom(emb)))
-      .unionAll(recallOf("ivf", annIvfFrom(emb, ivfNprobe, Some(coarse))))
-      .unionAll(recallOf("mt", annMtFrom(emb)))
-      .unionAll(recallOf("pq", annPqFrom(emb, Some(books))))
-      .unionAll(recallOf("ivfpq", annIvfPqFrom(emb, Some(coarse),
+    // the per-block PQ books ONCE and hand them to every rung that needs
+    // them — ivf, pq and ivfpq each re-trained their own before r12
+    // while the one-statement oracle always trained once. r13: the five
+    // trainers run LOCK-STEP in one KMeans.trainMany family (3 collect
+    // jobs total instead of 15; bit-identical codebooks).
+    require(ivfCells == pqK && ivfIters == pqIters,
+      "lock-step coarse+PQ training needs matching k/iters knobs")
+    val trained = KMeans.trainMany(base.select("vec_id", "v"),
+      (0, embDims) +: pqSlices, ivfCells, ivfIters)
+    val (coarse, books) = (trained.head, trained.tail)
+    recallOf("lsh", annLshFrom(pinned))
+      .unionAll(recallOf("mp", annMpFrom(pinned)))
+      .unionAll(recallOf("ivf", annIvfFrom(pinned, ivfNprobe, Some(coarse))))
+      .unionAll(recallOf("mt", annMtFrom(pinned)))
+      .unionAll(recallOf("pq", annPqFrom(pinned, Some(books))))
+      .unionAll(recallOf("ivfpq", annIvfPqFrom(pinned, Some(coarse),
         Some(books))))
   }
 
@@ -2019,6 +2027,15 @@ object SimilarityQueries {
         (element_at(flat,
             (col("vec_id") % ctrCount).cast("int") * embDims + i + lit(1))
           + lit(ctrNoise) * x.cast("double")).cast("float")).as("embedding"))
+      // pinned (r13): every clustered-fixture consumer (pq, ivfpq, delta,
+      // graph, the clustered scorecard) re-derived this 64-wide
+      // element_at transform once per plan side and once per trainer
+      // collect — ~20 re-runs in the heaviest queries. The frame is
+      // fixture-sized (embeddings-table rows, not the analytic SF's
+      // corpus), so one materialization job replaces them all; the
+      // transform itself stays deterministic so oracle parity is
+      // unchanged.
+      .localCheckpoint()
   }
 
   private val cembSql =
@@ -2439,7 +2456,7 @@ object SimilarityQueries {
         col("src_id") < maxQueryId)
       .select(col("src_id"), col("nbr_id"), col("score"),
         lit(false).as("exp"))
-    for (_ <- 1 to gRounds) {
+    for (r <- 1 to gRounds) {
       val frontier = gTop(visited.filter(!col("exp")), gBeam)
         .select("src_id", "nbr_id")
       val fresh = frontier.withColumnRenamed("nbr_id", "mid")
@@ -2448,13 +2465,18 @@ object SimilarityQueries {
         .select("src_id", "nbr_id").distinct()
         .join(visited.select("src_id", "nbr_id"),
           Seq("src_id", "nbr_id"), "left_anti")
-      visited = visited
+      val next = visited
         .join(frontier.withColumn("f", lit(true)),
           Seq("src_id", "nbr_id"), "left")
         .select(col("src_id"), col("nbr_id"), col("score"),
           (col("exp") || col("f").isNotNull).as("exp"))
         .unionAll(gScore(fresh, base).withColumn("exp", lit(false)))
-        .localCheckpoint(eager = true)
+      // the checkpoint exists because round r+1 consumes `visited` three
+      // times (frontier, anti-join, flag-join) — after the LAST round the
+      // only consumer is the single final top-3 ranking, so the round-
+      // gRounds checkpoint job was a pure extra materialization (r13;
+      // recall measured identical — the computation is unchanged)
+      visited = if (r < gRounds) next.localCheckpoint(eager = true) else next
     }
     gTop(visited.drop("exp"), 3).select(col("src_id").as("query_id"),
       col("rk"), col("nbr_id"), col("score"))

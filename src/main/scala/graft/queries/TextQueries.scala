@@ -839,9 +839,15 @@ object TextQueries {
 
   /** Runs the iterative trainer: `rounds` × (count pairs → pick best →
     * replace corpus-wide → audit token count). Returns the merge table
-    * and the fully-merged corpus (doc_id, s). */
-  private[graft] def bpeTrain(corpus0: DataFrame,
-                                rounds: Int): (Seq[BpeMerge], DataFrame) = {
+    * and the fully-merged corpus (doc_id, s).
+    *
+    * `audit = false` skips the per-round toks_after corpus scan (the
+    * merge-table audit column) — for callers that consume only the
+    * MERGED CORPUS (q_bpe_encode), the audit was one full extra corpus
+    * pass per round for a column they drop (r13); the rule choice and
+    * the rewrite chain are identical either way. */
+  private[graft] def bpeTrain(corpus0: DataFrame, rounds: Int,
+                                audit: Boolean = true): (Seq[BpeMerge], DataFrame) = {
     var corpus = corpus0.persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     for (r <- 1 to rounds) {
@@ -861,8 +867,9 @@ object TextQueries {
       val next = corpus.withColumn("s", call_function("replace", col("s"),
         lit(bpeS1 + pa + bpeS2 + bpeS1 + pb + bpeS2),
         lit(bpeS1 + pa + bpeGl + pb + bpeS2))).persist()
-      val toksAfter = next.agg(sum(size(bpeToks(col("s")))).as("t"))
-        .head().getLong(0)
+      val toksAfter = if (!audit) 0L
+        else next.agg(sum(size(bpeToks(col("s")))).as("t"))
+          .head().getLong(0)
       corpus.unpersist()
       corpus = next
       merges += BpeMerge(r, pa, pb, cnt, toksAfter)
@@ -943,7 +950,8 @@ object TextQueries {
     * just counts. */
   val qBpeEncode = Q("q_bpe_encode",
     (s, dir) => {
-      val (_, corpus) = bpeTrain(bpeCorpus0(s, dir), bpeRounds)
+      val (_, corpus) = bpeTrain(bpeCorpus0(s, dir), bpeRounds,
+        audit = false)
       val out = corpus
         .select(col("doc_id"),
           size(bpeToks(col("s"))).cast("long").as("n_tok_bpe"),

@@ -251,8 +251,13 @@ class PlanSpec extends SparkSpec {
     // only touched by the shortlist rerank join
     assert(p.contains("BroadcastHashJoin"),
       s"expected the LUT broadcast join:\n$p")
-    assert(p.contains("LessThan(vec_id,3200)"),
-      "query-set cap not pushed to the broadcast-side scan")
+    // r13: the clustered fixture is localCheckpoint-pinned, so the cap is
+    // no longer a parquet PushedFilters entry ("LessThan(vec_id,3200)") —
+    // it must still appear as a Filter over the pinned frame BEFORE the
+    // broadcast (the query set stays O(1)-capped however the source is
+    // materialized)
+    assert(p.contains("vec_id#") && p.contains("< 3200"),
+      s"query-set cap not applied before the broadcast:\n$p")
   }
 
   test("q_sample_quantile takes its bottom-k through the custom TopK " +
