@@ -288,7 +288,8 @@ object Bench {
     "latest_file" -> "ltf", "latest_per_q" -> "lpq",
     "longest_resp" -> "lrs", "mad_outliers" -> "mad", "media_bmp" -> "bmp",
     "media_features" -> "mft", "media_frames" -> "mfr",
-    "media_meta" -> "mmt", "media_png" -> "png", "media_resize" -> "mrz",
+    "media_jpeg" -> "jpg", "media_meta" -> "mmt", "media_mp3" -> "mp3",
+    "media_png" -> "png", "media_resize" -> "mrz",
     "media_wav" -> "wav", "mix" -> "mi", "mix_temp" -> "mxt",
     "near_dup" -> "ndp", "near_dup_rep" -> "ndr", "pack" -> "pk",
     "pagerank" -> "pgr", "pipeline_e2e" -> "pe2", "pivot" -> "piv",

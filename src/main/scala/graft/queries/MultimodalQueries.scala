@@ -287,6 +287,149 @@ object MultimodalQueries {
     "north star: REAL PNG decode (zlib inflate + all 5 filters), " +
       "oracle-checked through the stored-block container")
 
+  /** q_media_jpeg — REAL JPEG header decode in the gate (VERDICT r12
+    * next-round #2): the engine walks the marker segments for real
+    * ([[graft.ops.Jpeg.parseMeta]] — multi-table DQT/DHT, 16-bit
+    * precision, loud refusal of progressive), and the oracle re-reads
+    * the same fields from the same bytes with a RECURSIVE hex segment
+    * walk — dimensions, per-component sampling factors, quant-table
+    * census and the luma table's 64-entry sum (the quality fingerprint)
+    * all live in UNCOMPRESSED segments, the WAV/BMP/PNG discipline. The
+    * fixture is `javax.imageio`'s own encoder output (real entropy-coded
+    * scans; one 8-bit table per DQT/DHT segment — the oracle's
+    * per-segment arithmetic leans on that actual layout exactly as the
+    * PNG oracle leans on its stored-block zlib, while the ENGINE parses
+    * the general format). The full Huffman+IDCT pixel decode is
+    * JpegSpec's differential against the JDK's independent libjpeg
+    * codec (gray ±1, RGB ±3 with mean ≲0.1). */
+  val qMediaJpeg = Q("q_media_jpeg",
+    (s, _) => {
+      val dir = graft.ops.JpegFixture.ensure()
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".jpg")).map(_.getAbsolutePath).sorted
+      graft.ops.Jpeg.scanJpeg(
+        s.read.format("binaryFile").load(files.toIndexedSeq: _*)).toDF()
+    },
+    Some(s"""WITH RECURSIVE jraw AS (
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+      |         hex(content) AS hx, octet_length(content) AS n
+      |  FROM read_blob('${graft.ops.JpegFixture.path}/*.jpg')
+      |), seg AS (
+      |  SELECT file_name, hx, n, 2 AS pos, ${hB("3")} AS mk,
+      |         256*${hB("4")} + ${hB("5")} AS len
+      |  FROM jraw
+      |  UNION ALL
+      |  SELECT file_name, hx, n, pos + 2 + len,
+      |         ${hB("pos + len + 3")},
+      |         256*${hB("pos + len + 4")} + ${hB("pos + len + 5")}
+      |  FROM seg WHERE mk <> 218 AND pos + len + 6 <= n
+      |), sof AS (
+      |  SELECT file_name, hx, pos,
+      |    256*${hB("pos + 5")} + ${hB("pos + 6")} AS height,
+      |    256*${hB("pos + 7")} + ${hB("pos + 8")} AS width,
+      |    ${hB("pos + 9")} AS nc
+      |  FROM seg WHERE mk = 192
+      |), sampc AS (
+      |  SELECT s.file_name,
+      |    string_agg(CAST(${hB("s.pos + 11 + 3*c").replace("hx", "s.hx")} // 16 AS VARCHAR) || 'x'
+      |      || CAST(${hB("s.pos + 11 + 3*c").replace("hx", "s.hx")} % 16 AS VARCHAR),
+      |      ',' ORDER BY c) AS samp
+      |  FROM sof s, unnest(generate_series(0, CAST(s.nc - 1 AS INTEGER))) AS g(c)
+      |  GROUP BY s.file_name
+      |), dqtn AS (
+      |  SELECT file_name, CAST(SUM((len - 2) // 65) AS INTEGER) AS n_dqt
+      |  FROM seg WHERE mk = 219 GROUP BY 1
+      |), luma AS (
+      |  SELECT file_name, hx, pos FROM (
+      |    SELECT file_name, hx, pos, row_number() OVER (
+      |      PARTITION BY file_name ORDER BY pos DESC) AS r
+      |    FROM seg WHERE mk = 219 AND ${hB("pos + 4")} = 0) t
+      |  WHERE r = 1
+      |), lsum AS (
+      |  SELECT l.file_name,
+      |    CAST(SUM(${hB("l.pos + 5 + i").replace("hx", "l.hx")}) AS BIGINT) AS dqt_luma_sum
+      |  FROM luma l, unnest(generate_series(0, 63)) AS g(i)
+      |  GROUP BY 1
+      |), dhtn AS (
+      |  SELECT file_name, CAST(count(*) AS INTEGER) AS n_dht
+      |  FROM seg WHERE mk = 196 GROUP BY 1
+      |), sos AS (
+      |  SELECT file_name, n - 2 - (pos + 2 + len) AS entropy_bytes
+      |  FROM seg WHERE mk = 218
+      |), nseg AS (
+      |  SELECT file_name, CAST(count(*) AS INTEGER) AS n_segments
+      |  FROM seg GROUP BY 1
+      |)
+      |SELECT f.file_name, CAST(f.width AS INTEGER) AS width,
+      |  CAST(f.height AS INTEGER) AS height,
+      |  CAST(f.nc AS INTEGER) AS n_components, sc.samp,
+      |  q.n_dqt, h.n_dht, l.dqt_luma_sum,
+      |  CAST(s.entropy_bytes AS BIGINT) AS entropy_bytes, g.n_segments
+      |FROM sof f
+      |JOIN sampc sc USING (file_name) JOIN dqtn q USING (file_name)
+      |JOIN lsum l USING (file_name)
+      |JOIN dhtn h USING (file_name) JOIN sos s USING (file_name)
+      |JOIN nseg g USING (file_name)""".stripMargin),
+    "north star: REAL JPEG header decode (recursive marker-segment walk, " +
+      "hex-domain oracle); pixel path is JpegSpec's JDK differential")
+
+  /** q_media_mp3 — REAL MPEG-1 Layer III frame census in the gate
+    * (VERDICT r12 next-round #3): the engine hops frame-length by
+    * frame-length through the published bitrate/samplerate tables
+    * ([[graft.ops.Mp3]] — sync word checked at every landing, exact EOF
+    * landing required, free-format/reserved indices refused), and the
+    * oracle replays the identical walk as a RECURSIVE hex expression over
+    * the same bytes. Audio-sample decode stays the documented stand-in:
+    * the JDK ships no MPEG-audio decoder to differential against (unlike
+    * PNG/JPEG), so the honest boundary is the header domain. */
+  val qMediaMp3 = Q("q_media_mp3", {
+      // inline LUT expansions shared by the recursive step and the
+      // per-frame projection (generated once, pasted where needed)
+      (s, _) => {
+        val dir = graft.ops.Mp3Fixture.ensure()
+        val files = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".mp3")).map(_.getAbsolutePath).sorted
+        graft.ops.Mp3.censusOf(
+          s.read.format("binaryFile").load(files.toIndexedSeq: _*)).toDF()
+      }
+    },
+    Some {
+      def kbps(pos: String) = "(CASE " + hB(s"($pos) + 2") + " // 16 " +
+        graft.ops.Mp3.kbpsTable.zipWithIndex.drop(1)
+          .map { case (k, i) => s"WHEN $i THEN $k" }.mkString(" ") + " END)"
+      def hz(pos: String) = "(CASE (" + hB(s"($pos) + 2") +
+        " // 4) % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"
+      def pad(pos: String) = "((" + hB(s"($pos) + 2") + " // 2) % 2)"
+      def flen(pos: String) =
+        s"(144000 * ${kbps(pos)} // ${hz(pos)} + ${pad(pos)})"
+      s"""WITH RECURSIVE mraw AS (
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+      |         hex(content) AS hx, octet_length(content) AS n
+      |  FROM read_blob('${graft.ops.Mp3Fixture.path}/*.mp3')
+      |), frame AS (
+      |  SELECT file_name, hx, n, 0 AS pos FROM mraw
+      |  UNION ALL
+      |  SELECT file_name, hx, n, pos + ${flen("pos")}
+      |  FROM frame WHERE pos + ${flen("pos")} < n
+      |), fr AS (
+      |  SELECT file_name, n, ${kbps("pos")} AS kbps, ${hz("pos")} AS hz,
+      |         ${pad("pos")} AS pad
+      |  FROM frame
+      |)
+      |SELECT file_name, CAST(max(hz) AS INTEGER) AS sample_rate,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN min(kbps) = max(kbps) THEN 1 ELSE 0 END AS INTEGER)
+      |    AS is_cbr,
+      |  CAST(min(kbps) AS INTEGER) AS kbps_min,
+      |  CAST(max(kbps) AS INTEGER) AS kbps_max,
+      |  CAST(SUM(pad) AS BIGINT) AS pad_frames,
+      |  CAST(max(n) AS BIGINT) AS total_bytes,
+      |  CAST(count(*) * 1152 * 1000000 // max(hz) AS BIGINT) AS duration_us
+      |FROM fr GROUP BY file_name""".stripMargin
+    },
+    "north star: REAL MP3 frame census (sync walk, bitrate/samplerate " +
+      "tables, padding-aware lengths; recursive hex oracle)")
+
   def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaFeatures,
-    qMediaResize, qMediaWav, qMediaBmp, qMediaPng)
+    qMediaResize, qMediaWav, qMediaBmp, qMediaPng, qMediaJpeg, qMediaMp3)
 }
