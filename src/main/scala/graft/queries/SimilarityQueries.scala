@@ -1878,7 +1878,8 @@ object SimilarityQueries {
     * that frame, then each ANN rung re-run on the same frame and scored
     * against it. Shared by [[qAnnRecall]] (shipped embeddings) and
     * [[qAnnRecallClustered]] (the fixture where LSH theory applies). */
-  private def annRecallFrom(emb: DataFrame): DataFrame = {
+  private def annRecallFrom(emb: DataFrame,
+                            sourcePinned: Boolean = false): DataFrame = {
     // Pin the vector source ONCE (r13, VERDICT #1): six rungs × two plan
     // sides plus ~15 trainer collects (coarse seed/iters, 4 PQ-block
     // seeds/iters) each re-derived the source subtree per job — for the
@@ -1887,7 +1888,9 @@ object SimilarityQueries {
     // a corpus-scale cache: at 100 TB the trainers train on a
     // Sample.keep permille and each rung is its own query — the
     // scorecard is the diagnostic that holds them side by side.
-    val pinned = emb.localCheckpoint()
+    // `sourcePinned = true` skips the (wasted) re-pin when the caller's
+    // frame is already a checkpoint (clusteredEmb pins internally).
+    val pinned = if (sourcePinned) emb else emb.localCheckpoint()
     val base = withNorm(pinned)
     val qs = base.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -2065,7 +2068,7 @@ object SimilarityQueries {
     clusteredEmb(s, dir)
 
   val qAnnRecallClustered = Q("q_ann_recall_cl",
-    (s, dir) => annRecallFrom(clusteredEmb(s, dir)),
+    (s, dir) => annRecallFrom(clusteredEmb(s, dir), sourcePinned = true),
     Some("WITH " + cembSql + ",\n" + annRecallSql("cemb")),
     "north star: ANN recall@3 on a clustered fixture (LSH band-survival ladder measurable; ref bar commercial_rfp_indexer.py:96-111)")
 
