@@ -110,6 +110,43 @@ class JpegSpec extends SparkSpec {
       e3.getMessage.contains("invalid length"))
   }
 
+  test("parseMeta handles the general format the JDK never emits: " +
+      "multi-table segments, 16-bit quant precision, last-wins replace") {
+    // hand-built marker stream (header census only — no entropy decode):
+    // SOI, DQT[16-bit tq=0], DQT[8-bit tq=1 + 8-bit tq=0 in ONE segment],
+    // SOF0, DHT[dc0 + ac0 in ONE segment], SOS, 1 entropy byte, EOI.
+    // The SECOND tq=0 table must win (T.81 replace rule), so
+    // dqt_luma_sum is the 8-bit table's sum, not the 16-bit one's.
+    val bo = new java.io.ByteArrayOutputStream()
+    def seg(mk: Int, payload: Array[Int]): Unit = {
+      bo.write(0xFF); bo.write(mk)
+      bo.write((payload.length + 2) >> 8); bo.write((payload.length + 2) & 0xff)
+      payload.foreach(bo.write)
+    }
+    bo.write(0xFF); bo.write(0xD8)
+    // 16-bit tq=0: value i at entry i as (0, i) big-endian -> sum 2016
+    seg(0xDB, Array(0x10) ++ (0 until 64).flatMap(i => Seq(0, i)))
+    // one segment, TWO 8-bit tables: tq=1 (all 7s), then tq=0 (all 2s)
+    seg(0xDB, (Array(0x01) ++ Array.fill(64)(7)) ++
+      (Array(0x00) ++ Array.fill(64)(2)))
+    // SOF0: 8-bit, 9x17, 1 component (id 1, 1x1, tq 0)
+    seg(0xC0, Array(8, 0, 9, 0, 17, 1, 1, 0x11, 0))
+    // one DHT segment, TWO trivial tables (dc0, ac0): one 1-bit code each
+    val oneCode = Array(1) ++ Array.fill(15)(0) ++ Array(5)
+    seg(0xC4, (Array(0x00) ++ oneCode) ++ (Array(0x10) ++ oneCode))
+    seg(0xDA, Array(1, 1, 0x00, 0, 63, 0))
+    bo.write(0xA5) // entropy byte (never decoded by parseMeta)
+    bo.write(0xFF); bo.write(0xD9)
+    val m = Jpeg.parseMeta("gen.jpg", bo.toByteArray)
+    assert(m.width === 17 && m.height === 9)
+    assert(m.n_components === 1 && m.samp === "1x1")
+    assert(m.n_dqt === 3, "16-bit table + two 8-bit tables in one segment")
+    assert(m.n_dht === 2, "two Huffman tables in one segment")
+    assert(m.dqt_luma_sum === 128L, "the LAST tq=0 table must win")
+    assert(m.entropy_bytes === 1L)
+    assert(m.n_segments === 5)
+  }
+
   test("scanJpeg decodes the on-disk fixture through binaryFile") {
     val dir = JpegFixture.ensure()
     val got = Jpeg.scanJpeg(
