@@ -282,6 +282,7 @@ object Bench {
     "fuzzy_join" -> "fz", "fuzzy_join2" -> "fz2", "grouping_sets" -> "grp",
     "hash_recall" -> "hrc", "having_join" -> "hvj",
     "heavy_hitters" -> "hh", "hist_quantile" -> "hq",
+    "html_extract" -> "ht",
     "hybrid_rrf" -> "rrf", "inline_scan" -> "inl", "jaccard" -> "jac",
     "keys" -> "ky", "keys_sha" -> "ksh", "knn_hash" -> "hkn",
     "lag_lead" -> "lag", "lang_id" -> "lid", "lastwins" -> "lw",

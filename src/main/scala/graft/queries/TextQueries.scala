@@ -1680,8 +1680,86 @@ object TextQueries {
     "north star: fixed-point PageRank centrality (bit-identical iterative " +
       "graph computation; canonical-record ranking signal)")
 
+  /** q_html_extract — the crawl-processing stage that FEEDS every text
+    * op in this family: HTML → clean text. The synthetic corpus has no
+    * markup, so (the q_redact dirty-text pattern) BOTH engines wrap each
+    * document in the identical deterministic HTML — head with a
+    * `<script>` whose body carries `<`, `>`, `&&` and a quoted string, a
+    * `<style>` whose body contains a tag-like `"</p>"` literal, a
+    * comment hiding a `<hidden>` pseudo-tag, entities (&amp; &lt; &gt;),
+    * a link, a self-closing `<br/>` — then extract independently:
+    * script/style blocks out first (non-greedy, dotall — the style's
+    * embedded "</p>" string must NOT terminate the strip early), then
+    * comments, then count + strip the remaining tags, decode entities
+    * (amp LAST, the standard order), collapse whitespace. `n_links`
+    * counts `<a href` on the raw HTML; `n_tags` counts what the tag
+    * strip removed. Scale: one codegen'd projection chain — no shuffle,
+    * no UDF; exactly how a crawl-extraction stage runs at 100 TB. */
+  val qHtmlExtract = Q("q_html_extract",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<script type=\"text/javascript\">if(x<3 && y>1){track(\""),
+        id, lit("\");}</script>"),
+        lit("<style>.c{content:\"</p>\"}</style></head><body>"),
+        lit("<!-- crawl id "), id, lit(" <hidden> -->"),
+        lit("<h1>Doc &amp; "), id, lit("</h1>"),
+        lit("<p class=\"b\">"), coalesce(col("text"), lit("")), lit("</p>"),
+        lit("<br/><a href=\"https://ex.org/"), id,
+        lit("\">more &lt;info&gt;</a></body></html>"))
+      val noScript = regexp_replace(html,
+        "(?s)<script[^>]*>.*?</script>", "")
+      val noStyle = regexp_replace(noScript,
+        "(?s)<style[^>]*>.*?</style>", "")
+      val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+      val unTagged = regexp_replace(noComment, "<[^>]+>", " ")
+      // entity decode, amp LAST so "&amp;lt;" can never double-decode
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&amp;" -> "&").foldLeft(unTagged) { case (c, (e, ch)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(e), ch) }
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_count(html, lit("<a [^>]*href")).cast("long")
+            .as("n_links"),
+          regexp_count(noComment, lit("<[^>]+>")).cast("long").as("n_tags"),
+          trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
+    },
+    Some("""WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || doc_id || '</title>' ||
+      |    '<script type="text/javascript">if(x<3 && y>1){track("' || doc_id || '");}</script>' ||
+      |    '<style>.c{content:"</p>"}</style></head><body>' ||
+      |    '<!-- crawl id ' || doc_id || ' <hidden> -->' ||
+      |    '<h1>Doc &amp; ' || doc_id || '</h1>' ||
+      |    '<p class="b">' || COALESCE(text, '') || '</p>' ||
+      |    '<br/><a href="https://ex.org/' || doc_id || '">more &lt;info&gt;</a></body></html>'
+      |    AS html
+      |  FROM documents
+      |), nc AS (
+      |  SELECT doc_id, html,
+      |    regexp_replace(regexp_replace(regexp_replace(html,
+      |      '<script[^>]*>.*?</script>', '', 'gs'),
+      |      '<style[^>]*>.*?</style>', '', 'gs'),
+      |      '<!--.*?-->', '', 'gs') AS noc
+      |  FROM h
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(html, '<a [^>]*href')) AS BIGINT) AS n_links,
+      |  CAST(len(regexp_extract_all(noc, '<[^>]+>')) AS BIGINT) AS n_tags,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(
+      |      regexp_replace(noc, '<[^>]+>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+      |    '\s+', ' ', 'g')) AS text_clean
+      |FROM nc""".stripMargin),
+    "north star: HTML->text extraction (script/style/comment-aware tag " +
+      "strip + entity decode, one codegen'd projection - the crawl " +
+      "stage that feeds every text op)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
     qSpanDedup, qSpanDedupCdc, qBpeMerge, qBpeTrain, qBpeEncode, qBpeSubword, qUnigramNll, qBigramNll, qVocabEncode,
-    qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qEntityCanonPr, qTriangles, qPagerank, qMixTemp)
+    qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qEntityCanonPr, qTriangles, qPagerank, qMixTemp,
+    qHtmlExtract)
 }
