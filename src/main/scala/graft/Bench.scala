@@ -281,6 +281,7 @@ object Bench {
     "events_topk" -> "evt", "fingerprint" -> "fpr", "funnel" -> "fun",
     "fuzzy_join" -> "fz", "fuzzy_join2" -> "fz2", "grouping_sets" -> "grp",
     "hash_recall" -> "hrc", "having_join" -> "hvj",
+    "boilerplate" -> "bo",
     "heavy_hitters" -> "hh", "hist_quantile" -> "hq",
     "html_extract" -> "ht",
     "hybrid_rrf" -> "rrf", "inline_scan" -> "inl", "jaccard" -> "jac",

@@ -739,7 +739,84 @@ object CurationQueries {
       "within-domain copies drop; a text duplicated across domains " +
       "survives once per domain)")
 
+  /** Paragraph-frequency threshold for [[qBoilerplate]]: a paragraph
+    * carried by ≥ this many DISTINCT documents is boilerplate. 20 sits
+    * above the corpus's exact-dup cluster sizes and far below the
+    * per-source header counts, so the two populations separate. */
+  private val bpThreshold = 20
+
+  /** q_boilerplate — CCNet-style paragraph-frequency boilerplate removal,
+    * the crawl-curation stage BETWEEN html-extraction and document
+    * dedup: count, across the corpus, how many distinct documents carry
+    * each (normalized) paragraph; drop paragraphs above [[bpThreshold]];
+    * reassemble each document from its surviving paragraphs in original
+    * order. The synthetic corpus has no paragraph structure, so (the
+    * q_redact construction pattern) BOTH engines build the identical
+    * 3-paragraph layout first — a per-SOURCE header ("from <source> all
+    * rights reserved", shared by ~|corpus|/|sources| documents: the
+    * same-domain boilerplate a real crawl carries), the document's own
+    * text as the body, and one global footer — then filter
+    * independently. A body paragraph duplicated across ≥ threshold
+    * documents drops too (both engines agree; that IS the semantics —
+    * CCNet removes any sufficiently corpus-frequent paragraph, not just
+    * declared chrome).
+    *
+    * Scale: one paragraph explode (3·|docs| rows), ONE distinct-doc
+    * count keyed on the paragraph's md5 (map-side combined), a keyed
+    * join back, and one per-doc order-preserving reassembly — no window
+    * over the corpus, no broadcast of anything corpus-sized; the
+    * frequency table is |distinct paragraphs| rows and stays a shuffle
+    * join (it is NOT broadcastable at 100 TB, unlike the domain
+    * blocklist). */
+  val qBoilerplate = Q("q_boilerplate",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val built = concat(
+        lit("from "), col("source"), lit(" all rights reserved\n"),
+        coalesce(col("text"), lit("")),
+        lit("\nsubscribe for updates terms of service apply"))
+      val paras = d.select(col("doc_id"),
+          posexplode(split(built, "\n")).as(Seq("pos", "para")))
+        .withColumn("ph", md5(trim(regexp_replace(col("para"), "\\s+", " "))))
+      val freq = paras.select(col("ph"), col("doc_id")).distinct()
+        .groupBy("ph").agg(count(lit(1)).as("ndocs"))
+      val kept = paras.join(freq, "ph")
+      kept.groupBy("doc_id")
+        .agg(
+          sum(when(col("ndocs") >= bpThreshold, 1L).otherwise(0L))
+            .as("n_dropped"),
+          array_join(transform(
+            array_sort(collect_list(when(col("ndocs") < bpThreshold,
+              struct(col("pos"), col("para"))))),
+            x => x.getField("para")), "\n").as("text_kept"))
+        .select(col("doc_id"), col("n_dropped"), col("text_kept"))
+    },
+    Some(s"""WITH built AS (
+      |  SELECT doc_id,
+      |    'from ' || source || ' all rights reserved' || chr(10) ||
+      |    COALESCE(text, '') || chr(10) ||
+      |    'subscribe for updates terms of service apply' AS t
+      |  FROM documents
+      |), paras AS (
+      |  SELECT doc_id, g.i AS pos, ps[g.i + 1] AS para,
+      |    md5(trim(regexp_replace(ps[g.i + 1], '\\s+', ' ', 'g'))) AS ph
+      |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM built),
+      |       unnest(generate_series(0, len(ps) - 1)) AS g(i)
+      |), freq AS (
+      |  SELECT ph, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+      |  FROM paras GROUP BY ph
+      |)
+      |SELECT p.doc_id,
+      |  CAST(SUM(CASE WHEN f.ndocs >= $bpThreshold THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN f.ndocs < $bpThreshold THEN p.para END,
+      |    chr(10) ORDER BY p.pos), '') AS text_kept
+      |FROM paras p JOIN freq f USING (ph)
+      |GROUP BY p.doc_id""".stripMargin),
+    "north star: paragraph-frequency boilerplate removal (CCNet stage: " +
+      "corpus-frequent paragraphs drop, documents reassemble in order)")
+
   def all: Seq[Q] = Seq(qRedact, qPack, qSample, qSampleK, qUpsert,
     qDeltaDedup, qCurateE2e, qQualityModel, qBudgetSelect, qDsirSelect,
-    qDomainCap, qDomainDedup)
+    qDomainCap, qDomainDedup, qBoilerplate)
 }

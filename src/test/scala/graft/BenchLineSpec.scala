@@ -187,7 +187,8 @@ class BenchLineSpec extends AnyFunSuite {
       "degrades to empty on absence (the history stall guard's contract)") {
     // the checked-in repo history: round-11 full-registry line at sf0.1
     val m = BenchHistory.latestMedians("sf0.1")
-    assert(m.size > 100, s"expected the full-registry r11 line, got ${m.size}")
+    assert(m.size > 100,
+      s"expected the latest full-registry line, got ${m.size}")
     assert(m.contains("q_stream_join") && m("q_stream_join") > 0.5)
     // every key is a registry name (the parser must not pick up "round"
     // or "sf" fragments)
