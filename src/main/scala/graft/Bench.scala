@@ -255,68 +255,68 @@ object Bench {
     * asserted equal to this map by BenchLineSpec. Wave 6 (r12): the
     * 4-char tail went 3-char to pay for the adjudication fields
     * (cn/cm/ms/rr ≈ 45 chars at worst-case widths) plus three new
-    * registrations, keeping the 2-registration headroom guard green. */
+    * registrations, keeping the 2-registration headroom guard green.
+    * Wave 8 (r14): EVERY display name is now exactly 2 chars (the r13
+    * late registrations landed without display economy and tripped the
+    * headroom guard — VERDICT r13 #1), and the guard itself widened from
+    * 2 to 4 registrations of headroom so a single round's additions can
+    * never gate again. At 2 chars the codes are arbitrary; the README
+    * table and bench_keymap.json ARE the decoder, asserted equal to this
+    * map by BenchLineSpec. */
   private[graft] val displayAbbrev = Map(
     "ann_delta" -> "ad", "ann_graph" -> "ag", "ann_ivf" -> "iv",
     "ann_ivf_pq" -> "ip", "ann_ivf_sq" -> "if", "ann_lsh" -> "ls",
     "ann_mp" -> "mp", "ann_mt" -> "mt", "ann_pq" -> "pq",
-    "ann_recall" -> "rec", "ann_recall_cl" -> "rcc", "ann_sq" -> "aq",
+    "ann_recall" -> "ra", "ann_recall_cl" -> "r2", "ann_sq" -> "aq",
     "anomaly" -> "an", "anti_join" -> "aj", "asof_bcast" -> "ab",
     "asof_join" -> "af", "bigram_nll" -> "bn", "binary_scan" -> "bc",
-    "bpe_encode" -> "be", "bpe_merge" -> "bp", "bpe_subword" -> "bu",
-    "bpe_train" -> "bt", "budget_select" -> "bl", "canon" -> "ca",
-    "cardinality" -> "cr", "centroids" -> "ctr", "chunk" -> "ck",
-    "chunk_index" -> "cx", "chunk_ref" -> "cf", "clean" -> "cl",
-    "cohort" -> "co", "containment" -> "cnt", "curate_e2e" -> "c2",
-    "decontam" -> "de", "dedup_exact" -> "dx", "delta_dedup" -> "dl",
-    "diverse_sample" -> "dv", "doc_dedup" -> "dcd", "doc_render" -> "dr",
-    "docx_roundtrip" -> "dxr", "docx_scan" -> "dxs", "domain_cap" -> "dcp",
-    "domain_dedup" -> "ddm", "dsir_select" -> "ds",
-    "dup_clusters" -> "dcl", "dup_clusters_star" -> "dcs",
-    "dup_count" -> "dct", "dup_keep" -> "dkp", "dup_keys" -> "dky",
-    "dup_stats" -> "dst", "embed_dup" -> "ed", "embed_hash" -> "eh",
-    "entity_canon" -> "eca", "entity_canon2" -> "ec2",
-    "entity_canon_pr" -> "ecr", "events_hourly" -> "evh",
-    "events_json" -> "evj", "events_sliding" -> "evs",
-    "events_topk" -> "evt", "fingerprint" -> "fpr", "funnel" -> "fun",
-    "fuzzy_join" -> "fz", "fuzzy_join2" -> "fz2", "grouping_sets" -> "grp",
-    "hash_recall" -> "hrc", "having_join" -> "hvj",
-    "boilerplate" -> "bo",
-    "heavy_hitters" -> "hh", "hist_quantile" -> "hq",
-    "html_extract" -> "ht",
-    "hybrid_rrf" -> "rrf", "inline_scan" -> "inl", "jaccard" -> "jac",
-    "keys" -> "ky", "keys_sha" -> "ksh", "knn_hash" -> "hkn",
-    "lag_lead" -> "lag", "lang_id" -> "lid", "lastwins" -> "lw",
-    "latest_file" -> "ltf", "latest_per_q" -> "lpq",
-    "longest_resp" -> "lrs", "mad_outliers" -> "mad", "media_bmp" -> "bmp",
-    "media_features" -> "mft", "media_frames" -> "mfr",
-    "media_jpeg" -> "jpg", "media_meta" -> "mmt", "media_mp3" -> "mp3",
-    "media_png" -> "png", "media_resize" -> "mrz",
-    "media_wav" -> "wav", "mix" -> "mi", "mix_temp" -> "mxt",
-    "near_dup" -> "ndp", "near_dup_rep" -> "ndr", "pack" -> "pk",
-    "pagerank" -> "pgr", "pipeline_e2e" -> "pe2", "pivot" -> "piv",
-    "profile" -> "prf", "q1_agg" -> "q1", "q3_top" -> "q3",
-    "q5_region" -> "q5", "quality" -> "qal", "quality_model" -> "qmd",
-    "quantiles" -> "qnt", "range_join" -> "rng", "redact" -> "red",
-    "rep_ngram" -> "rpn", "rerank_model" -> "rrm",
-    "retrieval_e2e" -> "re2", "rollup" -> "rol", "sample" -> "smp",
-    "sample_k" -> "spk", "sample_quantile" -> "spq",
-    "scalar_subquery" -> "scs", "semdedup" -> "smd", "semdedup_s" -> "sds",
-    "semi_join" -> "smj", "session_window" -> "swn", "sessionize" -> "ses",
-    "setops" -> "set", "simhash" -> "smh", "simhash_dup" -> "sdp",
-    "skew_audit" -> "skw", "soft_dedup" -> "sft", "span_dedup" -> "spd",
-    "span_dedup_cdc" -> "spc", "split_leakfree" -> "lek",
-    "stream_append" -> "sap", "stream_dedup" -> "sdd",
-    "stream_hourly" -> "shr", "stream_join" -> "sjn",
-    "stream_moments" -> "smo", "stream_neardup" -> "snd",
-    "stream_sess_win" -> "ssw", "stream_sessionize" -> "sse",
-    "sync_delete" -> "sdl", "sync_diff" -> "sdf", "sync_upload" -> "syu",
-    "text_stats" -> "txs", "tfidf" -> "tfi", "token_bpe" -> "tbp",
-    "top_terms" -> "top", "topk_native" -> "tkn",
-    "topk_per_group" -> "tkg", "triangles" -> "tri",
-    "unigram_nll" -> "unl", "upsert" -> "ups", "util_scalars" -> "utl",
-    "value_moments" -> "vmo", "vocab_encode" -> "ven", "winnow" -> "win",
-    "xlsx_scan" -> "xls")
+    "bm25" -> "b5", "boilerplate" -> "bo", "bpe_encode" -> "be",
+    "bpe_merge" -> "bp", "bpe_subword" -> "bu", "bpe_train" -> "bt",
+    "budget_select" -> "bl", "canon" -> "ca", "cardinality" -> "cr",
+    "centroids" -> "cy", "chunk" -> "ck", "chunk_index" -> "cx",
+    "chunk_ref" -> "cf", "clean" -> "cl", "cms" -> "cc", "cohort" -> "co",
+    "containment" -> "cj", "curate_e2e" -> "c2", "decontam" -> "de",
+    "dedup_exact" -> "dx", "delta_dedup" -> "dl", "diverse_sample" -> "dv",
+    "doc_dedup" -> "do", "doc_render" -> "dr", "docx_roundtrip" -> "dw",
+    "docx_scan" -> "dq", "domain_cap" -> "da", "domain_dedup" -> "dz",
+    "dsir_select" -> "ds", "dup_clusters" -> "dn",
+    "dup_clusters_star" -> "d2", "dup_count" -> "dt", "dup_keep" -> "dk",
+    "dup_keys" -> "dg", "dup_stats" -> "d1", "embed_dup" -> "ed",
+    "embed_hash" -> "eh", "entity_canon" -> "en", "entity_canon2" -> "e2",
+    "entity_canon_pr" -> "ep", "events_hourly" -> "ev",
+    "events_json" -> "ej", "events_sliding" -> "el", "events_topk" -> "et",
+    "fingerprint" -> "fg", "funnel" -> "fn", "fuzzy_join" -> "fz",
+    "fuzzy_join2" -> "f2", "grouping_sets" -> "gs", "hash_recall" -> "hr",
+    "having_join" -> "hj", "heavy_hitters" -> "hh", "hist_quantile" -> "hq",
+    "html_extract" -> "ht", "hybrid_rrf" -> "rf", "inline_scan" -> "in",
+    "jaccard" -> "ja", "keys" -> "ky", "keys_sha" -> "ks", "knn" -> "kn",
+    "knn_hash" -> "kh", "lag_lead" -> "lg", "lang_id" -> "li",
+    "lastwins" -> "lw", "latest_file" -> "lf", "latest_per_q" -> "lp",
+    "longest_resp" -> "lr", "mad_outliers" -> "ma", "media_bmp" -> "bi",
+    "media_features" -> "me", "media_frames" -> "mf", "media_jpeg" -> "jp",
+    "media_meta" -> "mm", "media_mp3" -> "m3", "media_png" -> "pn",
+    "media_resize" -> "mz", "media_wav" -> "wv", "mix" -> "mi",
+    "mix_temp" -> "mx", "near_dup" -> "nd", "near_dup_rep" -> "nr",
+    "pack" -> "pk", "pagerank" -> "pg", "pipeline_e2e" -> "p2",
+    "pivot" -> "pv", "profile" -> "pf", "q1_agg" -> "q1", "q3_top" -> "q3",
+    "q5_region" -> "q5", "quality" -> "qa", "quality_model" -> "qm",
+    "quantiles" -> "qn", "range_join" -> "rj", "redact" -> "rd",
+    "rep_ngram" -> "rn", "rerank_model" -> "rk", "retrieval_e2e" -> "r3",
+    "rollup" -> "ro", "sample" -> "s8", "sample_k" -> "s0",
+    "sample_quantile" -> "su", "scalar_subquery" -> "sq", "semdedup" -> "sd",
+    "semdedup_s" -> "s5", "semi_join" -> "sl", "session_window" -> "sv",
+    "sessionize" -> "se", "setops" -> "so", "simhash" -> "si",
+    "simhash_dup" -> "s4", "skew_audit" -> "sk", "soft_dedup" -> "s6",
+    "span_dedup" -> "sp", "span_dedup_cdc" -> "sc", "split_leakfree" -> "lk",
+    "stream_append" -> "sa", "stream_dedup" -> "s2", "stream_hourly" -> "sh",
+    "stream_join" -> "sj", "stream_moments" -> "s7",
+    "stream_neardup" -> "s9", "stream_sess_win" -> "sw",
+    "stream_sessionize" -> "ss", "sync_delete" -> "s3", "sync_diff" -> "sy",
+    "sync_upload" -> "sz", "text_stats" -> "tx", "tfidf" -> "tf",
+    "token_bpe" -> "tb", "top_terms" -> "tt", "topk_native" -> "tn",
+    "topk_per_group" -> "tk", "triangles" -> "tr", "unigram_nll" -> "un",
+    "upsert" -> "up", "util_scalars" -> "ut", "value_moments" -> "vm",
+    "vocab_encode" -> "ve", "winnow" -> "wi", "xlsx_scan" -> "xl")
 
   private[graft] def short(name: String): String = {
     val s = name.stripPrefix("q_")

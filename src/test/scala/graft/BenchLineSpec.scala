@@ -42,10 +42,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains('\n'))
     // display names are the registry names minus the `q_` prefix, and the
     // strip must never make two of them collide
-    assert(line.contains("\"dcd\"") && !line.contains("\"q_doc_dedup\""))
-    assert(line.contains("\"bm25\""), "unmapped names pass through unchanged")
+    assert(line.contains("\"do\"") && !line.contains("\"q_doc_dedup\""))
+    assert(Bench.short("q_not_a_registry_name") == "not_a_registry_name",
+      "unmapped names pass through unchanged")
     assert(line.contains("\"q1\"") && !line.contains("\"q1_agg\""),
       "non-q_ names are abbreviatable too (wave 5)")
+    assert(Bench.displayAbbrev.values.forall(_.length == 2),
+      "wave 8: every display name is exactly 2 chars")
+    // the self-adjudication line fields must never be shadowed by a query
+    // display code — a reader greps the line for both
+    val fields = Set("cn", "cm", "ms", "mv", "rr", "rt", "fp", "fs", "sf",
+      "sn", "sm")
+    assert(Bench.displayAbbrev.values.toSet.intersect(fields).isEmpty,
+      "display code collides with a line field key")
     val shorts = SparkEntry.queries.keys.toSeq.map(Bench.short)
     assert(shorts.distinct.size == shorts.size, "display-name collision")
     // the abbreviation map must only shorten NAMES THE REGISTRY HAS —
@@ -55,17 +64,19 @@ class BenchLineSpec extends AnyFunSuite {
       .map(_.stripPrefix("q_")).toSet
     assert(Bench.displayAbbrev.keySet.subsetOf(stripped),
       s"stale displayAbbrev keys: ${Bench.displayAbbrev.keySet -- stripped}")
-    assert(line.contains("\"dcl\"") && !line.contains("\"dup_clusters\""),
+    assert(line.contains("\"dn\"") && !line.contains("\"dup_clusters\""),
       "abbreviated display names must actually land on the line")
-    // growth headroom: ~2 more typical queries (≈22 chars each at full
+    // growth headroom: ~4 more typical queries (≈22 chars each at full
     // precision) must fit before the next trim is needed — the VERDICT r8
     // #7 guard against the driver losing a round's record to truncation.
-    // (Was 3 queries through r9; at 130 names the abbreviation economy is
-    // close to exhausted without going cryptic, so the standing practice
-    // is now explicit: every registration brings its own abbreviation,
-    // and this guard only needs to cover the in-flight round.)
-    assert(line.length <= Bench.maxLineChars - 44,
-      s"${line.length} chars leaves <2 queries of growth headroom — " +
+    // (Was 2 queries through r13; the r13 late registrations consumed
+    // that margin and shipped a red suite — VERDICT r13 #1 — so wave 8
+    // made every display name 2 chars and widened the guard to a full
+    // round's worth of registrations. The standing practice stands:
+    // every registration brings its own abbreviation, checked BEFORE
+    // the registration lands.)
+    assert(line.length <= Bench.maxLineChars - 88,
+      s"${line.length} chars leaves <4 queries of growth headroom — " +
         "extend Bench.displayAbbrev before registering more queries")
     assert(line.contains("\"sf\":\"sf0.1\""), "sf renders as basename")
     assert(!line.contains("\"errors\""),
@@ -105,7 +116,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(newestMap == Bench.displayAbbrev,
       s"bench_keymap.json's $newest entry != Bench.displayAbbrev — run " +
         s"tools/regen_display_maps.py $newest")
-    for (r <- Seq("r9", "r10", "r11", "r12"))
+    for (r <- Seq("r9", "r10", "r11", "r12", "r13"))
       assert(rounds.contains(r), s"prior round $r's map entry is gone")
     // wave-5 keys that wave 6 renamed: their presence proves r11 holds
     // the map BENCH_r11.json was recorded under, not a later rewrite
@@ -114,6 +125,13 @@ class BenchLineSpec extends AnyFunSuite {
         "doc_dedup" -> "docd", "bigram_nll" -> "bnll"))
       assert(r11.get(k).asText == v,
         s"r11 keymap entry lost its wave-5 mapping $k -> $v")
+    // likewise wave-7 keys that wave 8 renamed pin r13's entry to the map
+    // BENCH_r13.json was recorded under
+    val r13 = tree.get("r13")
+    for ((k, v) <- Seq("doc_dedup" -> "dcd", "dup_clusters" -> "dcl",
+        "ann_recall" -> "rec", "hybrid_rrf" -> "rrf"))
+      assert(r13.get(k).asText == v,
+        s"r13 keymap entry lost its wave-7 mapping $k -> $v")
   }
 
   test("self-adjudication fields land on the line and vanish when absent") {
