@@ -274,7 +274,11 @@ object Jpeg {
           if ((tcth >> 4) == 0) hdc(tcth & 15) = hh else hac(tcth & 15) = hh
           q += 17 + tot
         }
-      case 0xC0 =>
+      // SOF1 (extended sequential) decodes identically to SOF0 for 8-bit
+      // Huffman streams — the extension is 12-bit samples and extra table
+      // slots, both still guarded by the requires below (ADVICE r13: a
+      // SOF1 file used to fall through to a misleading "missing SOF/SOS")
+      case 0xC0 | 0xC1 =>
         require(u8(b, p) == 8, s"$name: ${u8(b, p)}-bit samples unsupported")
         H = be16(b, p + 1); W = be16(b, p + 3)
         val nc = u8(b, p + 5)
@@ -377,9 +381,12 @@ object Jpeg {
   private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
   /** libjpeg-convention h2v2 "fancy" (triangular) upsample: nearest input
-    * sample weighted 3 per axis → 9/3/3/1 blend with one +8 rounding,
-    * edges duplicated — the default the JDK decoder applies to 4:2:0
-    * chroma, reproduced so the round-trip spec can hold color to ±2. */
+    * sample weighted 3 per axis → 9/3/3/1 blend, edges duplicated — the
+    * default the JDK decoder applies to 4:2:0 chroma, reproduced so the
+    * round-trip spec can hold color to ±2. Rounding follows libjpeg's
+    * jdsample.c exactly: +8 on the even (near-neighbor) horizontal phase,
+    * +7 on the odd (far-neighbor) phase (ADVICE r13: +8 on both phases
+    * left the odd columns ±1 off the JDK decoder). */
   private[graft] def fancyH2V2(in: Array[Int], cw: Int, ch: Int,
                                w: Int, h: Int): Array[Int] = {
     val out = new Array[Int](w * h)
@@ -393,7 +400,8 @@ object Jpeg {
         val nx = if ((ox & 1) == 0) math.max(ix - 1, 0) else math.min(ix + 1, cw - 1)
         val thisCol = 3 * in(iy * cw + ix) + in(ny * cw + ix)
         val nextCol = 3 * in(iy * cw + nx) + in(ny * cw + nx)
-        out(oy * w + ox) = (3 * thisCol + nextCol + 8) >> 4
+        val rnd = if ((ox & 1) == 0) 8 else 7
+        out(oy * w + ox) = (3 * thisCol + nextCol + rnd) >> 4
         ox += 1
       }
       oy += 1
@@ -433,10 +441,17 @@ object Jpeg {
           }
           o
         } else {
-          require(ph2 == 1 && pv2 == 1 && (w + 1) / 2 <= pw && (h + 1) / 2 <= ph,
-            s"$name: unsupported chroma geometry ${pw}x$ph for ${w}x$h")
-          fancyH2V2(s.grouped(pw).take((h + 1) / 2).flatMap(_.take((w + 1) / 2))
-            .toArray, (w + 1) / 2, (h + 1) / 2, w, h)
+          // ONLY true 4:2:0 (1x1 chroma under a 2x2 luma grid) reaches the
+          // h2v2 upsample: a 4:2:2 plane (pw=(w+1)/2, ph=h) or 4:4:0
+          // (pw=w, ph=(h+1)/2) also carries 1x1 chroma but halves along
+          // one axis only — cropping those to the top-left quarter would
+          // silently discard half the chroma (ADVICE r13, medium), so
+          // anything that is not exactly the half-by-half plane refuses
+          // with the sampling string instead of mis-rendering.
+          require(ph2 == 1 && pv2 == 1 && pw == (w + 1) / 2 && ph == (h + 1) / 2,
+            s"$name: unsupported chroma geometry ${pw}x$ph " +
+              s"(sampling ${ph2}x$pv2) for ${w}x$h — only 4:2:0/4:4:4/gray")
+          fancyH2V2(s, pw, ph, w, h)
         }
       }
       val cb = full(planes(1)); val cr = full(planes(2))

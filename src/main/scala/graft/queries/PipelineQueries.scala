@@ -539,6 +539,33 @@ object PipelineQueries {
     "ref commercial_rfp_raw_data_ingestion_and_cleaning.py:286 (S1/S2): " +
       "real .xlsx bytes -> table, oracle re-parses the same bytes in SQL")
 
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  /** Dirs this JVM has registered an exit-time delete for (idempotent —
+    * the query body runs many times per session, the hook must not). */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Removes `own` at JVM exit and sweeps same-prefix sibling dirs older
+    * than one hour (crashed sessions whose hook never ran). */
+  private def sweepStaleAndRegisterCleanup(own: java.io.File): Unit = {
+    if (cleanupRegistered.add(own.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(own)))
+      val prefix = own.getName.split('_').init.mkString("_") + "_"
+      val cutoff = System.currentTimeMillis() - 3600 * 1000L
+      Option(own.getParentFile.listFiles()).getOrElse(Array.empty).foreach {
+        sib =>
+          if (sib.isDirectory && sib.getName.startsWith(prefix) &&
+              sib.getAbsolutePath != own.getAbsolutePath &&
+              sib.lastModified() < cutoff)
+            deleteRec(sib)
+      }
+    }
+  }
+
   /** q_docx_roundtrip — the .docx SINK exercised in the gate on real
     * pipeline data (q_docx_scan proves the codec on its fixture; this
     * proves the production LOOP): the deduped doc-library frame
@@ -570,10 +597,13 @@ object PipelineQueries {
         "graft_docx_rt_" + java.util.UUID.nameUUIDFromBytes(
           dir.getBytes("UTF-8")).toString.take(8) +
           "_" + s.sparkContext.applicationId).getAbsolutePath
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete(); ()
-      }
+      // ADVICE r13: the app-id suffix fixed the concurrent-run race but
+      // leaked one tree per session. Two-sided cleanup: (a) this session's
+      // dir is removed by a once-per-path JVM shutdown hook; (b) stale
+      // siblings from crashed sessions (no hook ran) are swept on entry —
+      // age-gated at one hour so a LIVE concurrent run's dir (written
+      // minutes ago at most) is never pulled out from under it.
+      sweepStaleAndRegisterCleanup(new java.io.File(out))
       deleteRec(new java.io.File(out)) // S11 truncate-then-write semantics
       graft.ops.Docx.writeDocx(lib, "file_name", "doc_text", out,
         stored = true)
