@@ -267,7 +267,7 @@ object Bench {
     "ann_delta" -> "ad", "ann_graph" -> "ag", "ann_ivf" -> "iv",
     "ann_ivf_pq" -> "ip", "ann_ivf_sq" -> "if", "ann_lsh" -> "ls",
     "ann_mp" -> "mp", "ann_mt" -> "mt", "ann_pq" -> "pq",
-    "ann_recall" -> "ra", "ann_recall_cl" -> "r2", "ann_sq" -> "aq",
+    "ann_recall" -> "ra", "ann_sq" -> "aq",
     "anomaly" -> "an", "anti_join" -> "aj", "asof_bcast" -> "ab",
     "asof_join" -> "af", "bigram_nll" -> "bn", "binary_scan" -> "bc",
     "bm25" -> "b5", "boilerplate" -> "bo", "bpe_encode" -> "be",

@@ -31,7 +31,7 @@ object BenchHistory {
     * victims and their alphabetical neighbors, the sync family). */
   private[graft] val heavyQueries: Set[String] = Set(
     "q_dup_clusters_star", "q_dup_clusters", "q_dup_keep",
-    "q_split_leakfree", "q_ann_recall_cl", "q_ann_recall", "q_pagerank",
+    "q_split_leakfree", "q_ann_recall", "q_pagerank",
     "q_stream_sessionize", "q_stream_hourly", "q_cms", "q_near_dup",
     "q_semdedup", "q_entity_canon", "q_ann_ivf_sq", "q_near_dup_rep",
     "q_rollup", "q_bpe_train", "q_bpe_encode", "q_stream_append",

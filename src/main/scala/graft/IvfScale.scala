@@ -20,7 +20,7 @@ import graft.queries.SimilarityQueries
   * nprobe~√(cells/8), sampled training) — build/query medians, recall@3
   * vs exact kNN, and the exact candidate-pair count (visible
   * sublinearity even where per-job floors mask wall-clock). Runs on the
-  * raw embeddings AND the clustered fixture (q_ann_recall_cl's frame):
+  * raw embeddings AND the clustered fixture (q_ann_recall's clustered fixture):
   * the raw shipped vectors are near-uniform on the sphere, where no
   * sublinear ANN holds recall (cosine concentration — the honest
   * negative control); the clustered frame is where IVF's adaptivity

@@ -1997,10 +1997,16 @@ object SimilarityQueries {
       recallSelect("pq", "p") + "\nUNION ALL\n" +
       recallSelect("ivfpq", "ip")
 
-  val qAnnRecall = Q("q_ann_recall",
-    (s, dir) => annRecallFrom(Tables.embeddings(s, dir)),
-    Some("WITH " + annRecallSql("embeddings")),
-    "north star: ANN recall@3 vs exact kNN (ref recall intent: efSearch=500, commercial_rfp_indexer.py:96-111)")
+  /** One scorecard side, exposed for PlanSpec's exchange-count pin:
+    * `clustered = false` scores the shipped embeddings, `true` the
+    * re-based fixture (see [[ctrCount]]'s scaladoc). */
+  private[graft] def annRecallFixture(s: SparkSession, dir: String,
+                                      clustered: Boolean): DataFrame =
+    if (clustered) annRecallFrom(clusteredEmb(s, dir), sourcePinned = true)
+    else annRecallFrom(Tables.embeddings(s, dir))
+
+  // (q_ann_recall itself is defined below, after [[cembSql]] — the fused
+  // oracle interpolates that val, so initialization order matters.)
 
   /** Clustered-vector fixture parameters: `ctrCount` md5-seeded centers
     * (an independent weight family from the LSH planes), each shipped
@@ -2058,19 +2064,43 @@ object SimilarityQueries {
        |  GROUP BY e.vec_id
        |)""".stripMargin
 
-  /** q_ann_recall_cl — the recall scorecard on the clustered
-    * fixture (see [[ctrCount]]'s scaladoc for why the shipped embeddings
-    * can't demonstrate the ladder). Same four rungs, same oracle machinery,
-    * different vector source. */
   /** The clustered fixture frame, exposed for [[graft.IvfScale]] — the
     * data shape where ANN theory applies (see [[ctrCount]]'s scaladoc). */
   def clusteredFrame(s: SparkSession, dir: String): DataFrame =
     clusteredEmb(s, dir)
 
-  val qAnnRecallClustered = Q("q_ann_recall_cl",
-    (s, dir) => annRecallFrom(clusteredEmb(s, dir), sourcePinned = true),
-    Some("WITH " + cembSql + ",\n" + annRecallSql("cemb")),
-    "north star: ANN recall@3 on a clustered fixture (LSH band-survival ladder measurable; ref bar commercial_rfp_indexer.py:96-111)")
+  /** q_ann_recall — BOTH fixtures in one registration (VERDICT r13 #3,
+    * closing r12 #1a): (fixture, method, recall) rows over
+    * {uniform, clustered} × the six rungs. The uniform side scores the
+    * shipped embeddings (where LSH honestly reads 0.00 — see
+    * [[ctrCount]]'s scaladoc); the clustered side is the fixture where
+    * the band-survival ladder is measurable. The two sides share no data
+    * (different vector sources) but they DO share the machine: each
+    * side's build runs its trainer collects and ground-truth checkpoint
+    * in its own thread (concurrent job submission — as two queries the
+    * builds were sequential driver-side barriers), and the union
+    * materializes all twelve recall branches as independent subtrees of
+    * ONE job instead of six-then-six. The oracle is the two scorecard
+    * statements unioned, each scoped in its own derived-table WITH. */
+  val qAnnRecall = Q("q_ann_recall",
+    (s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val sides = Seq(false, true).map(cl => Future {
+        annRecallFixture(s, dir, cl)
+          .select(lit(if (cl) "clustered" else "uniform").as("fixture"),
+            col("method"), col("recall"))
+      })
+      Await.result(Future.sequence(sides), Duration.Inf).reduce(_ unionAll _)
+    },
+    Some("SELECT 'uniform' AS fixture, u.* FROM (WITH " +
+      annRecallSql("embeddings") + ") u\nUNION ALL\n" +
+      "SELECT 'clustered' AS fixture, c.* FROM (WITH " + cembSql + ",\n" +
+      annRecallSql("cemb") + ") c"),
+    "north star: ANN recall@3 vs exact kNN on the shipped embeddings AND " +
+      "the clustered fixture (band-survival ladder measurable; ref recall " +
+      "intent: efSearch=500, commercial_rfp_indexer.py:96-111)")
 
   /** q_ann_pq — the PQ/ADC rung on the clustered fixture (the data
     * shape where ANN quality is measurable, [[ctrCount]]'s scaladoc);
@@ -2754,7 +2784,7 @@ object SimilarityQueries {
   def all: Seq[Q] = Seq(qChunk, qChunkRef, qKnn, qAnnLsh, qAnnMp, qAnnMt,
     qNearDup, qNearDupRep, qJaccard, qContainment, qDocDedup, qEmbedDup, qSimhash, qSimhashDup,
     qDupClusters, qDupClustersStar, qDupKeep, qSoftDedup, qSplitLeakfree, qChunkIndex,
-    qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall, qAnnRecallClustered,
+    qCentroids, qAnnIvf, qAnnSq, qAnnIvfSq, qAnnRecall,
     qAnnPq, qAnnIvfPq, qAnnGraph, qAnnDelta, qSemDedup, qSemDedupSampled,
     qDiverseSample)
 }

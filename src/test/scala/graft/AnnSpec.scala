@@ -55,8 +55,9 @@ class AnnSpec extends SparkSpec {
     // the clustered fixture exists so the band-survival ladder is
     // measurable — pin that it actually is (lsh > 0, and the or-amplified
     // / probe-expanded rungs never fall below the single-table rung)
-    val r = Registry.byName("q_ann_recall_cl").fn(spark, dir)
-      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    val r = Registry.byName("q_ann_recall").fn(spark, dir)
+      .filter(col("fixture") === "clustered")
+      .collect().map(row => row.getString(1) -> row.getDouble(2)).toMap
     assert(r("lsh") > 0.0,
       "clustered fixture failed to make single-table LSH demonstrate band survival")
     assert(r("mt") >= r("lsh"), "multi-table recall fell below single-table")

@@ -208,9 +208,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(m.size > 100,
       s"expected the latest full-registry line, got ${m.size}")
     assert(m.contains("q_stream_join") && m("q_stream_join") > 0.5)
-    // every key is a registry name (the parser must not pick up "round"
-    // or "sf" fragments)
-    assert(m.keySet.subsetOf(Registry.all.map(_.name).toSet))
+    // every key is registry-SHAPED (the parser must not pick up "round"
+    // or "sf" fragments) and the bulk of them are CURRENT registry names
+    // — keys for queries a later round removed or fused (q_ann_recall_cl
+    // → q_ann_recall, r14) stay in old lines because history records are
+    // immutable; Bench only ever looks up current names, so stale keys
+    // are inert
+    assert(m.keys.forall(_.matches("q[A-Za-z0-9_]*")))
+    assert(m.keySet.count(Registry.all.map(_.name).toSet) > 100,
+      "history line no longer covers the current registry")
     // unmatched sf and a bad working-dir file both yield the inert guard
     assert(BenchHistory.latestMedians("sf_nonexistent").isEmpty)
     // guard arithmetic: a reading above max(2x median, median+1s)

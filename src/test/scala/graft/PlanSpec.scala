@@ -147,10 +147,12 @@ class PlanSpec extends SparkSpec {
     // re-bases each vector in a transform — if a refactor ever turned
     // that into a center-table join, the clustered recall plan would
     // grow exchanges over the base recall plan
-    val base = countOcc(plan(SimilarityQueries.qAnnRecall),
-      "Exchange hashpartitioning")
-    val clus = countOcc(plan(SimilarityQueries.qAnnRecallClustered),
-      "Exchange hashpartitioning")
+    val base = countOcc(SimilarityQueries.annRecallFixture(spark, dir,
+        clustered = false)
+      .queryExecution.executedPlan.toString, "Exchange hashpartitioning")
+    val clus = countOcc(SimilarityQueries.annRecallFixture(spark, dir,
+        clustered = true)
+      .queryExecution.executedPlan.toString, "Exchange hashpartitioning")
     assert(clus === base,
       s"clustered recall has $clus hash exchanges vs base $base")
   }
