@@ -798,16 +798,19 @@ object TextQueries {
   // appear in the text column (trivially true of this corpus; a
   // production run picks delimiters outside its alphabet).
   //
-  // Scale shape per round: one narrow pair-count shuffle (map-side
-  // combined) + a TakeOrdered-1 (the chosen rule — one row to the
-  // driver, the same bounded-collect contract as KMeans' codebook) +
-  // one codegen'd projection applying the rule + one map-side-combined
-  // token-count agg that AUDITS the application (toks_after binds the
-  // oracle to the merged corpus itself, not just the chosen pairs).
-  // The corpus is persisted between rounds, so round r rescans the
-  // merged strings, not the lineage back to parquet. Oracle: the
-  // KMeans.trainSql / PageRank.scoresSql unrolled-CTE discipline —
-  // every round's count→argmin→replace replayed as plain CTEs.
+  // Scale shape per round: ONE job — a narrow pair-count shuffle
+  // (map-side combined) feeding both a TakeOrdered-1 (the chosen rule —
+  // one row to the driver, the same bounded-collect contract as KMeans'
+  // codebook) and the grand pair total (the two branches reuse the one
+  // exchange), plus one codegen'd projection applying the rule. The
+  // audit column (toks_after — binds the oracle to the merged corpus
+  // itself, not just the chosen pairs) rides the NEXT round's total via
+  // tokens = totalPairs + nDocs (see bpeTrain's scaladoc); only the
+  // last round pays a dedicated narrow token-count pass. The corpus is
+  // persisted between rounds, so round r rescans the merged strings,
+  // not the lineage back to parquet. Oracle: the KMeans.trainSql /
+  // PageRank.scoresSql unrolled-CTE discipline — every round's
+  // count→argmin→replace replayed as plain CTEs.
   // ------------------------------------------------------------------
 
   /** Number of merge rounds the trainer runs (≥5 per the depth bar;
@@ -838,41 +841,76 @@ object TextQueries {
                                              cnt: Long, toks_after: Long)
 
   /** Runs the iterative trainer: `rounds` × (count pairs → pick best →
-    * replace corpus-wide → audit token count). Returns the merge table
-    * and the fully-merged corpus (doc_id, s).
+    * replace corpus-wide). Returns the merge table and the fully-merged
+    * corpus (doc_id, s).
     *
-    * `audit = false` skips the per-round toks_after corpus scan (the
-    * merge-table audit column) — for callers that consume only the
-    * MERGED CORPUS (q_bpe_encode), the audit was one full extra corpus
-    * pass per round for a column they drop (r13); the rule choice and
-    * the rewrite chain are identical either way. */
+    * `audit = false` skips the toks_after audit column entirely — for
+    * callers that consume only the MERGED CORPUS (q_bpe_encode); the
+    * rule choice and the rewrite chain are identical either way.
+    *
+    * Audit WITHOUT extra corpus passes (r14, VERDICT #2): the audit used
+    * to be one full corpus scan per round for one BIGINT. But `replace`
+    * preserves rows and every document has ≥1 token, so
+    * tokens(corpus) = Σ_docs(pairs_d + 1) = totalPairs(corpus) + nDocs —
+    * and totalPairs(corpus_r) is just the SUM of the pair counts round
+    * r+1 already aggregates to choose its merge. So each round's job
+    * emits BOTH the argmax row and the grand total (a two-branch union
+    * over the same groupBy — the exchange is computed once and reused),
+    * round r+1's total closes round r's audit, and only the FINAL round
+    * pays one extra (narrow, shuffle-free) token-count pass. Rounds also
+    * now unpersist their predecessor AFTER the job that materializes the
+    * successor, so every count scans a warm cache instead of recomputing
+    * the replace chain. */
   private[graft] def bpeTrain(corpus0: DataFrame, rounds: Int,
                                 audit: Boolean = true): (Seq[BpeMerge], DataFrame) = {
     var corpus = corpus0.persist()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var prev: DataFrame = null // still-persisted predecessor of `corpus`
+    var nDocs = 0L
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // totals(j) = totalPairs(corpus_j), learned by round j+1's job
+    val totals = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (r <- 1 to rounds) {
-      val best = corpus.select(bpeToks(col("s")).as("w"))
+      val cnts = corpus.select(bpeToks(col("s")).as("w"))
         .where(size(col("w")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
           i => struct(element_at(col("w"), i).as("pa"),
             element_at(col("w"), i + 1).as("pb")))).as("p"))
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).collect()
+      val top1 = cnts.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
+        .select(lit("top").as("tag"), col("pa"), col("pb"), col("cnt"))
+      val rows = (if (!audit) top1 else top1.unionAll(
+        cnts.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
+          .select(lit("tot").as("tag"), lit(null).cast("string").as("pa"),
+            lit(null).cast("string").as("pb"), col("cnt")))).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      val best = rows.filter(_.getString(0) == "top")
       require(best.nonEmpty,
         s"BPE round $r: no adjacent pair left to merge — corpus exhausted " +
           "(every document is a single token); lower the round count")
-      val (pa, pb, cnt) = (best(0).getString(0), best(0).getString(1),
-        best(0).getLong(2))
-      val next = corpus.withColumn("s", call_function("replace", col("s"),
+      val (pa, pb, cnt) = (best(0).getString(1), best(0).getString(2),
+        best(0).getLong(3))
+      if (audit) {
+        totals += rows.filter(_.getString(0) == "tot").head.getLong(3)
+        if (r == 1) nDocs = corpus.count() // rows are replace-invariant
+      }
+      chosen += ((pa, pb, cnt))
+      prev = corpus
+      corpus = corpus.withColumn("s", call_function("replace", col("s"),
         lit(bpeS1 + pa + bpeS2 + bpeS1 + pb + bpeS2),
         lit(bpeS1 + pa + bpeGl + pb + bpeS2))).persist()
+    }
+    // the final round's audit has no successor job to ride: one narrow
+    // token-count pass over the final corpus (also materializes it)
+    val toksFinal = if (!audit) 0L
+      else corpus.agg(sum(size(bpeToks(col("s")))).as("t")).head().getLong(0)
+    if (prev != null) prev.unpersist()
+    val merges = chosen.zipWithIndex.map { case ((pa, pb, cnt), i) =>
+      val r = i + 1
       val toksAfter = if (!audit) 0L
-        else next.agg(sum(size(bpeToks(col("s")))).as("t"))
-          .head().getLong(0)
-      corpus.unpersist()
-      corpus = next
-      merges += BpeMerge(r, pa, pb, cnt, toksAfter)
+        else if (r < rounds) totals(r) + nDocs
+        else toksFinal
+      BpeMerge(r, pa, pb, cnt, toksAfter)
     }
     (merges.toSeq, corpus)
   }
@@ -1004,10 +1042,16 @@ object TextQueries {
         .withColumn("s", regexp_replace(col("word"), "(.)",
           bpeS1 + "$1" + bpeS2))
       var cur = dict.select(col("c"), col("s")).persist()
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, Long, Long)]
+      var prev: DataFrame = null
+      var totalC = 0L // Σ count(word) — merge-invariant corpus word total
+      val chosen = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      // wtotals(j) = Σ c·pairs over dict_j, learned by round j+1's job
+      // (units_after(r) = wtotals(r) + totalC — the bpeTrain identity,
+      // WEIGHTED: Σc·|u| = Σc·pairs + Σc since every word has ≥1 unit)
+      val wtotals = scala.collection.mutable.ArrayBuffer.empty[Long]
       for (r <- 1 to bpeSubRounds) {
-        val best = cur.select(col("c"), bpeToks(col("s")).as("u"))
+        val cnts = cur.select(col("c"), bpeToks(col("s")).as("u"))
           .where(size(col("u")) >= 2)
           .select(col("c"), explode(transform(
             sequence(lit(1), size(col("u")) - 1),
@@ -1015,23 +1059,39 @@ object TextQueries {
               element_at(col("u"), i + 1).as("pb")))).as("p"))
           .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
           .agg(sum(col("c")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).collect()
+        val rows = cnts.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
+          .select(lit("top").as("tag"), col("pa"), col("pb"), col("cnt"))
+          .unionAll(cnts.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
+            .select(lit("tot").as("tag"), lit(null).cast("string").as("pa"),
+              lit(null).cast("string").as("pb"), col("cnt")))
+          .collect()
+        if (prev != null) { prev.unpersist(); prev = null }
+        val best = rows.filter(_.getString(0) == "top")
         require(best.nonEmpty,
           s"subword BPE round $r: no adjacent unit pair left to merge — " +
             "every dictionary word is a single unit; lower the round count")
-        val (pa, pb, cnt) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        val next = cur.withColumn("s", call_function("replace", col("s"),
+        val (pa, pb, cnt) = (best(0).getString(1), best(0).getString(2),
+          best(0).getLong(3))
+        wtotals += rows.filter(_.getString(0) == "tot").head.getLong(3)
+        if (r == 1) totalC =
+          cur.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+        chosen += ((pa, pb, cnt))
+        prev = cur
+        cur = cur.withColumn("s", call_function("replace", col("s"),
           lit(bpeS1 + pa + bpeS2 + bpeS1 + pb + bpeS2),
           lit(bpeS1 + pa + bpeGl + pb + bpeS2))).persist()
-        val unitsAfter = next
-          .agg(sum(col("c") * size(bpeToks(col("s")))).as("t"))
-          .head().getLong(0)
-        cur.unpersist()
-        cur = next
-        merges += ((r, pa, pb, cnt, unitsAfter))
       }
+      val unitsFinal = cur
+        .agg(sum(col("c") * size(bpeToks(col("s")))).as("t"))
+        .head().getLong(0)
+      if (prev != null) prev.unpersist()
       cur.unpersist()
+      val merges = chosen.zipWithIndex.map { case ((pa, pb, cnt), i) =>
+        val r = i + 1
+        val unitsAfter =
+          if (r < bpeSubRounds) wtotals(r) + totalC else unitsFinal
+        (r, pa, pb, cnt, unitsAfter)
+      }
       merges.toSeq.toDF("rk", "pa", "pb", "cnt", "units_after")
     },
     Some {
