@@ -193,9 +193,21 @@ object Bench {
       else Some(covered.map(_._1).flatMap(history.get).sum)
     val covsum = if (covered.size == finalTimings.size || covered.isEmpty)
       None else Some(covered.map(_._2).sum)
+    // Stream-family adjudication (VERDICT r13 #4): the q_knn canary is
+    // floor-light — an episode that inflates micro-batch WALL latency
+    // (observed r13: 22–27 s stream walls at flat 2 s task CPU) leaves
+    // cn/cm quiet. `sn` = THIS run's summed q_stream_* timings over the
+    // history-covered subset, `sm` = the same subset's checked-in median
+    // sum — sn/sm is the stream episode factor, computable from the
+    // record alone exactly like cn/cm for batch. Costs no extra run.
+    val strCov = finalTimings.filter { case (n, _) =>
+      n.startsWith("q_stream_") && history.contains(n) }
+    val strsum = if (strCov.isEmpty) None else Some(strCov.map(_._2).sum)
+    val strmed = if (strCov.isEmpty) None
+      else Some(strCov.map(_._1).flatMap(history.get).sum)
 
     println(renderLine(finalTimings, errors.toSeq, floorPlan, floorScan,
-      sfDir, retried, canary, cmed, medsum, rerun, covsum))
+      sfDir, retried, canary, cmed, medsum, rerun, covsum, strsum, strmed))
     spark.stop()
   }
 
@@ -316,7 +328,8 @@ object Bench {
     "token_bpe" -> "tb", "top_terms" -> "tt", "topk_native" -> "tn",
     "topk_per_group" -> "tk", "triangles" -> "tr", "unigram_nll" -> "un",
     "upsert" -> "up", "util_scalars" -> "ut", "value_moments" -> "vm",
-    "vocab_encode" -> "ve", "winnow" -> "wi", "xlsx_scan" -> "xl")
+    "vocab_encode" -> "ve", "winnow" -> "wi", "xlsx_scan" -> "xl",
+    "zipf" -> "zf")
 
   private[graft] def short(name: String): String = {
     val s = name.stripPrefix("q_")
@@ -327,7 +340,8 @@ object Bench {
       errors: Seq[(String, String)], floorPlan: Double, floorScan: Double,
       sfDir: String, retried: Int = 0, canary: Option[Double] = None,
       cmed: Option[Double] = None, medsum: Option[Double] = None,
-      rerun: Int = 0, covsum: Option[Double] = None): String = {
+      rerun: Int = 0, covsum: Option[Double] = None,
+      strsum: Option[Double] = None, strmed: Option[Double] = None): String = {
     def line(dp: Int, errVals: Boolean): String = {
       val qs = timings.map { case (k, v) =>
           s"${jstr(short(k))}:${fmtTrim(v, dp)}" }
@@ -356,8 +370,14 @@ object Bench {
       // mv precedes ms so the like-for-like pair reads adjacently; it is
       // emitted only when history coverage is PARTIAL (new registrations
       // this round) — on full coverage mv would just repeat `value`
+      // sn/sm (stream-family sum vs its history-median sum) sit between
+      // the canary pair and the whole-run pair — the three episode reads
+      // (cn/cm probe, sn/sm streams, value-or-mv/ms whole run) are then
+      // adjacent and like-for-like by construction
       val adj = canary.map(c => s""","cn":${fmtTrim(c, 2)}""").getOrElse("") +
         cmed.map(m => s""","cm":${fmtTrim(m, 2)}""").getOrElse("") +
+        strsum.map(m => s""","sn":${fmtTrim(m, 1)}""").getOrElse("") +
+        strmed.map(m => s""","sm":${fmtTrim(m, 1)}""").getOrElse("") +
         covsum.map(m => s""","mv":${fmtTrim(m, 1)}""").getOrElse("") +
         medsum.map(m => s""","ms":${fmtTrim(m, 1)}""").getOrElse("") +
         (if (rerun == 0) "" else s""","rr":$rerun""")

@@ -201,6 +201,79 @@ object TextQueries {
       |FROM toks GROUP BY tok ORDER BY tf DESC, tok LIMIT 20""".stripMargin),
     "north star: term statistics (tf/df)")
 
+  /** q_zipf — corpus frequency-profile diagnostics (r14): the Zipf
+    * rank-frequency slope fitted over the top-100 terms plus the
+    * vocabulary/hapax statistics a curation run reads before choosing
+    * filters (a natural-language corpus fits slope ≈ −1; template spam
+    * and boilerplate flatten it, OCR noise inflates the hapax ratio).
+    * One row: vocab_size, total_tokens, hapax (count of once-seen
+    * terms), hapax_ratio, zipf_slope.
+    *
+    * Scale shape: ONE map-side-combined token-count shuffle builds the
+    * frequency table (vocabulary-sized, never collected); the top-100
+    * head rides a TakeOrdered (no global sort), the rank window touches
+    * 100 rows, and the regression is exact fixed-point arithmetic —
+    * ln(rank)/ln(freq) snapped to 1e6 ([[qUnigramNll]]'s cross-engine
+    * pattern; products ≤ ~1.4e16 at 100 TB frequencies, inside int64)
+    * summed as integers, with ONE final double division per statistic
+    * (IEEE-exact on identical inputs in both engines). The frequency
+    * frame feeds both the head and the global stats — identical
+    * subplans, so the one exchange is reused, not recomputed. */
+  val qZipf = Q("q_zipf",
+    (s, dir) => {
+      val freq = Shingles.tokens(Tables.documents(s, dir), "doc_id", "text",
+          lowered = true)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val top = freq.orderBy(col("c").desc, col("tok")).limit(100)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("tok"))))
+        .select(
+          round(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+          round(log(col("c").cast("double")) * 1e6).cast("long").as("y"))
+      val reg = top
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("zipf_slope"))
+      val stats = freq
+        .agg(count(lit(1)).as("vocab_size"), sum(col("c")).as("total_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("vocab_size"), col("total_tokens"), col("hapax"),
+          round(col("hapax").cast("double") /
+            col("vocab_size").cast("double"), 6).as("hapax_ratio"))
+      stats.crossJoin(reg)
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents
+      |), f AS (
+      |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      |), top AS (
+      |  SELECT CAST(round(ln(rk) * 1e6) AS BIGINT) AS x,
+      |         CAST(round(ln(c) * 1e6) AS BIGINT) AS y
+      |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+      |        FROM f ORDER BY c DESC, tok LIMIT 100) t
+      |), reg AS (
+      |  SELECT round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /
+      |               CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE),
+      |               6) AS zipf_slope
+      |  FROM top
+      |), g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+      |         CAST(sum(c) AS BIGINT) AS total_tokens,
+      |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      |  FROM f
+      |)
+      |SELECT vocab_size, total_tokens, hapax,
+      |  round(CAST(hapax AS DOUBLE) / CAST(vocab_size AS DOUBLE), 6) AS hapax_ratio,
+      |  zipf_slope
+      |FROM g, reg""".stripMargin),
+    "north star: corpus frequency profile (Zipf slope over the top-100, " +
+      "hapax/vocabulary diagnostics — the pre-filter corpus health read)")
+
   /** q_fingerprint — content fingerprints: md5 of the whitespace-normalized
     * lowered text plus a 60-bit integer fingerprint from its prefix. Pure
     * projection. */
@@ -1817,7 +1890,7 @@ object TextQueries {
       "strip + entity decode, one codegen'd projection - the crawl " +
       "stage that feeds every text op)")
 
-  def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms,
+  def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms, qZipf,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
     qSpanDedup, qSpanDedupCdc, qBpeMerge, qBpeTrain, qBpeEncode, qBpeSubword, qUnigramNll, qBigramNll, qVocabEncode,
     qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qEntityCanonPr, qTriangles, qPagerank, qMixTemp,

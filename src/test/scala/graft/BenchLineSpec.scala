@@ -33,7 +33,7 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(worst, Nil, 0.179, 0.171,
       "/root/testdata/sf0.1", retried = 2, canary = Some(10.46),
       cmed = Some(10.31), medsum = Some(1118.2), rerun = 1,
-      covsum = Some(1109.9))
+      covsum = Some(1109.9), strsum = Some(109.9), strmed = Some(111.2))
     assert(line.length <= Bench.maxLineChars,
       s"${line.length} chars for ${worst.size} queries — shorten names " +
         "or the next bench line gets truncated by the harness")
@@ -155,11 +155,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(partial.contains(""","cn":0.46,"cm":0.31,"mv":117.4,"ms":118.2,"rr":1,"""))
     assert(!flagged.contains("\"mv\""),
       "mv must not repeat value on a fully-covered line")
+    // sn/sm (VERDICT r13 #4): the stream-family sum vs its checked-in
+    // median sum — the streams episode factor, adjacent to and shaped
+    // like the cn/cm batch pair (observed need: 22–27 s stream walls at
+    // flat task CPU left cn/cm quiet in the r13 record)
+    val streams = Bench.renderLine(t, Nil, 0.1, 0.1, "sf0.1",
+      canary = Some(0.46), cmed = Some(0.31), medsum = Some(118.2),
+      strsum = Some(25.8), strmed = Some(15.0))
+    assert(streams.contains(""","cn":0.46,"cm":0.31,"sn":25.8,"sm":15,"ms":118.2,"""))
     // absence = fields not emitted (no history for this sf / canary not
     // runnable): no window bytes spent, and no reader sees a zero that
     // looks like a measurement
     val bare = Bench.renderLine(t, Nil, 0.1, 0.1, "sf0.1")
-    for (f <- Seq("\"cn\"", "\"cm\"", "\"mv\"", "\"ms\"", "\"rr\""))
+    for (f <- Seq("\"cn\"", "\"cm\"", "\"sn\"", "\"sm\"", "\"mv\"",
+        "\"ms\"", "\"rr\""))
       assert(!bare.contains(f), s"unexpected $f on an unadjudicated line")
   }
 
