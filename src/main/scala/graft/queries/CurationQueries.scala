@@ -780,7 +780,14 @@ object CurationQueries {
         .withColumn("ph", md5(trim(regexp_replace(col("para"), "\\s+", " "))))
       val freq = paras.select(col("ph"), col("doc_id")).distinct()
         .groupBy("ph").agg(count(lit(1)).as("ndocs"))
-      val kept = paras.join(freq, "ph")
+      // the scale contract is ENFORCED, not hoped for (r14; PlanSpec
+      // pins it): on the fixture the freq table is small enough that the
+      // size estimate would flip this join to a broadcast, which is the
+      // one plan shape that cannot exist at 100 TB — shuffle_hash keeps
+      // the hash-join speed (freq arrives already partitioned by ph from
+      // its own aggregation; no sort of the exploded corpus side) with a
+      // per-partition build side that stays bounded as partitions scale
+      val kept = paras.join(freq.hint("shuffle_hash"), "ph")
       kept.groupBy("doc_id")
         .agg(
           sum(when(col("ndocs") >= bpThreshold, 1L).otherwise(0L))

@@ -157,6 +157,20 @@ class PlanSpec extends SparkSpec {
       s"clustered recall has $clus hash exchanges vs base $base")
   }
 
+  test("q_boilerplate's paragraph-frequency table joins by shuffle, never broadcast") {
+    import graft.queries.CurationQueries
+    // the CCNet frequency table is |distinct paragraphs| rows — tiny on
+    // the fixture, corpus-sized at 100 TB. The scaladoc's scale contract
+    // (it is NOT broadcastable, unlike the domain blocklist) must hold in
+    // the PLAN, not just in prose: a size-estimate flip to broadcast
+    // would pass the oracle here and OOM the join at scale
+    val p = plan(CurationQueries.qBoilerplate)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"frequency table got broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffle join for the frequency table:\n$p")
+  }
+
   test("q_heavy_hitters' exact pass filters to candidates before its one shuffle") {
     import graft.queries.AnalyticsQueries
     // pass 1 (the sketch) runs eagerly inside the call; the returned
