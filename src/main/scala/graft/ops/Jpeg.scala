@@ -10,11 +10,20 @@ import org.apache.spark.sql.functions.{col, element_at, split}
   * `samp` is the per-component sampling factors luma-first ("2x2,1x1,1x1"
   * = 4:2:0); `dqt_luma_sum` sums the 64 8-bit entries of quant table 0
   * (the quality knob's fingerprint); `entropy_bytes` is the scan-data
-  * byte count between the SOS header and the EOI trailer. */
+  * byte count between the FIRST SOS header and the EOI trailer (for a
+  * progressive stream this spans the later scan headers too — the walk
+  * on both sides stops at the first SOS by the same rule).
+  * `progressive` marks SOF2 frames (r14 — the census now reads them;
+  * PIXEL decode still refuses progressive loudly, see [[Jpeg]]'s scope
+  * note); `n_scans` counts FF DA marker pairs — exactly the SOS count,
+  * since T.81 byte-stuffs every 0xFF inside entropy data (a table
+  * segment could in principle embed a literal FF DA, but no JDK/libjpeg
+  * output does, and the gate compares the same bytes on both sides). */
 final case class JpegMeta(file_name: String, width: Int, height: Int,
                           n_components: Int, samp: String, n_dqt: Int,
                           n_dht: Int, dqt_luma_sum: Long,
-                          entropy_bytes: Long, n_segments: Int)
+                          entropy_bytes: Long, n_segments: Int,
+                          progressive: Boolean, n_scans: Int)
 
 /** Baseline JPEG (ITU-T T.81) codec: a marker-segment walk feeding the
   * gate query (REAL header decode, hex-domain oracle) and a full
@@ -26,12 +35,16 @@ final case class JpegMeta(file_name: String, width: Int, height: Int,
   * Reference anchor: the multimodal-column north star (BASELINE.json) —
   * image payloads decoded in-engine, not shelled out.
   *
-  * Scope (loud-failure discipline, the BMP/PNG pattern): baseline DCT
-  * (SOF0) only — progressive (SOF2) and arithmetic coding refuse with
-  * the marker name; 8-bit samples; 1 or 3 components; sampling factors
-  * 1x1 or the 2x2,1x1,1x1 of 4:2:0 for the pixel path (anything else
-  * refuses rather than mis-renders). Restart intervals (DRI/RSTn) are
-  * handled — byte-aligned, predictors reset, marker sequence checked. */
+  * Scope (loud-failure discipline, the BMP/PNG pattern): the CENSUS
+  * reads baseline (SOF0), extended-sequential (SOF1) and progressive
+  * (SOF2) frame headers — the layouts are identical, and the fixture
+  * carries real JDK-encoded progressive files (r14, VERDICT r13 #7);
+  * PIXEL decode is baseline/extended-sequential Huffman only —
+  * progressive and arithmetic coding refuse with the marker name; 8-bit
+  * samples; 1 or 3 components; sampling factors 1x1 or the 2x2,1x1,1x1
+  * of 4:2:0 for the pixel path (anything else refuses rather than
+  * mis-renders). Restart intervals (DRI/RSTn) are handled —
+  * byte-aligned, predictors reset, marker sequence checked. */
 object Jpeg {
 
   /** Zigzag order: ZZ(k) = natural (row-major) index of zigzag position k. */
@@ -81,9 +94,14 @@ object Jpeg {
     val segs = segments(name, b)
     var w = 0; var h = 0; var samp = ""; var nComp = 0
     var nDqt = 0; var nDht = 0; var lumaSum = -1L
+    var progressive = false
     for ((mk, p, len) <- segs) mk match {
-      case 0xC0 | 0xC1 => // baseline / extended-sequential SOF
+      // baseline / extended-sequential / progressive SOF: the frame
+      // header LAYOUT is identical — the census reads all three, only
+      // the pixel path (decodePlanes) refuses SOF2
+      case 0xC0 | 0xC1 | 0xC2 =>
         require(u8(b, p) == 8, s"$name: ${u8(b, p)}-bit samples unsupported")
+        progressive = mk == 0xC2
         h = be16(b, p + 1); w = be16(b, p + 3); nComp = u8(b, p + 5)
         require(len == 6 + 3 * nComp, s"$name: SOF length $len for $nComp comps")
         samp = (0 until nComp).map { c =>
@@ -112,9 +130,9 @@ object Jpeg {
           q += 17 + tot
         }
         require(q == p + len, s"$name: DHT segment over/under-run")
-      case mk2 if mk2 >= 0xC2 && mk2 <= 0xCF && mk2 != 0xC4 && mk2 != 0xC8 =>
+      case mk2 if mk2 >= 0xC3 && mk2 <= 0xCF && mk2 != 0xC4 && mk2 != 0xC8 =>
         throw new IllegalArgumentException(
-          s"$name: non-baseline SOF${mk2 - 0xC0} (progressive/lossless) unsupported")
+          s"$name: SOF${mk2 - 0xC0} (lossless/arithmetic/hierarchical) unsupported")
       case _ => () // APPn/COM/DRI/SOS counted in n_segments only
     }
     require(w > 0 && h > 0, s"$name: missing SOF frame header")
@@ -124,8 +142,14 @@ object Jpeg {
     require(b.length >= sosP + sosLen + 2 &&
       u8(b, b.length - 2) == 0xFF && u8(b, b.length - 1) == 0xD9,
       s"$name: missing EOI trailer")
+    var nScans = 0
+    var i = 0
+    while (i < b.length - 1) {
+      if (u8(b, i) == 0xFF && u8(b, i + 1) == 0xDA) nScans += 1
+      i += 1
+    }
     JpegMeta(name, w, h, nComp, samp, nDqt, nDht, lumaSum,
-      (b.length - 2) - (sosP + sosLen), segs.size)
+      (b.length - 2) - (sosP + sosLen), segs.size, progressive, nScans)
   }
 
   /** Decode a binaryFile frame (path, content) of .jpg files into one
@@ -482,6 +506,10 @@ object Jpeg {
   * h = 12 + 3·(i mod 5) (several non-MCU-aligned), quality
   * 0.55 + 0.05·(i mod 8), RGB(x,y) = ((i·17+x·7+y·13) mod 256,
   * (i·5+x·11+y·3) mod 256, (i·23+x*5+y*17) mod 256), gray for i mod 3 = 2.
+  * Files with i mod 5 = 4 are PROGRESSIVE (v2, VERDICT r13 #7): the JDK
+  * encoder's `setProgressiveMode(MODE_DEFAULT)` emits a real SOF2
+  * multi-scan stream — real crawls carry progressive JPEGs, so the
+  * census must read them (pixel decode keeps refusing them loudly).
   * Deterministic-path contract: the fixture is content-keyed under ONE
   * JDK (this container's), and the oracle always reads the bytes that
   * are actually on disk, so a JDK swap regenerates consistently. */
@@ -489,11 +517,12 @@ object JpegFixture {
   val count = 24
 
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_jpeg_v1").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_jpeg_v2").getAbsolutePath
 
   def widthOf(i: Int): Int = 16 + 3 * (i % 7)
   def heightOf(i: Int): Int = 12 + 3 * (i % 5)
   def isGray(i: Int): Boolean = i % 3 == 2
+  def isProgressive(i: Int): Boolean = i % 5 == 4
   def qualityOf(i: Int): Float = 0.55f + 0.05f * (i % 8)
 
   def rgbOf(i: Int, x: Int, y: Int): Int = {
@@ -514,6 +543,8 @@ object JpegFixture {
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(qualityOf(i))
+    if (isProgressive(i))
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bo = new java.io.ByteArrayOutputStream()
     wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bo))
     wr.write(null, new javax.imageio.IIOImage(img, null, null), p)

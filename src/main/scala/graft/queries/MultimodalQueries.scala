@@ -290,7 +290,10 @@ object MultimodalQueries {
   /** q_media_jpeg — REAL JPEG header decode in the gate (VERDICT r12
     * next-round #2): the engine walks the marker segments for real
     * ([[graft.ops.Jpeg.parseMeta]] — multi-table DQT/DHT, 16-bit
-    * precision, loud refusal of progressive), and the oracle re-reads
+    * precision; r14 extends the census to PROGRESSIVE streams — the
+    * fixture now carries real JDK-encoded SOF2 files, flagged in the
+    * `progressive`/`n_scans` columns, while pixel decode keeps refusing
+    * them with the marker name), and the oracle re-reads
     * the same fields from the same bytes with a RECURSIVE hex segment
     * walk — dimensions, per-component sampling factors, quant-table
     * census and the luma table's 64-entry sum (the quality fingerprint)
@@ -327,8 +330,14 @@ object MultimodalQueries {
       |  SELECT file_name, hx, pos,
       |    256*${hB("pos + 5")} + ${hB("pos + 6")} AS height,
       |    256*${hB("pos + 7")} + ${hB("pos + 8")} AS width,
-      |    ${hB("pos + 9")} AS nc
-      |  FROM seg WHERE mk = 192
+      |    ${hB("pos + 9")} AS nc,
+      |    (mk = 194) AS progressive
+      |  FROM seg WHERE mk IN (192, 193, 194)
+      |), scans AS (
+      |  SELECT j.file_name, CAST(count(*) AS INTEGER) AS n_scans
+      |  FROM jraw j, unnest(generate_series(0, CAST(j.n - 2 AS INTEGER))) AS g(i)
+      |  WHERE ('0x' || substr(j.hx, 2*i + 1, 4))::BIGINT = 65498
+      |  GROUP BY 1
       |), sampc AS (
       |  SELECT s.file_name,
       |    string_agg(CAST(${hB("s.pos + 11 + 3*c").replace("hx", "s.hx")} // 16 AS VARCHAR) || 'x'
@@ -364,12 +373,13 @@ object MultimodalQueries {
       |  CAST(f.height AS INTEGER) AS height,
       |  CAST(f.nc AS INTEGER) AS n_components, sc.samp,
       |  q.n_dqt, h.n_dht, l.dqt_luma_sum,
-      |  CAST(s.entropy_bytes AS BIGINT) AS entropy_bytes, g.n_segments
+      |  CAST(s.entropy_bytes AS BIGINT) AS entropy_bytes, g.n_segments,
+      |  f.progressive, n.n_scans
       |FROM sof f
       |JOIN sampc sc USING (file_name) JOIN dqtn q USING (file_name)
       |JOIN lsum l USING (file_name)
       |JOIN dhtn h USING (file_name) JOIN sos s USING (file_name)
-      |JOIN nseg g USING (file_name)""".stripMargin),
+      |JOIN nseg g USING (file_name) JOIN scans n USING (file_name)""".stripMargin),
     "north star: REAL JPEG header decode (recursive marker-segment walk, " +
       "hex-domain oracle); pixel path is JpegSpec's JDK differential")
 

@@ -16,12 +16,22 @@ class JpegSpec extends SparkSpec {
       val m = Jpeg.parseMeta(f"img_$i%03d.jpg", JpegFixture.jpegBytes(i))
       assert(m.width === JpegFixture.widthOf(i))
       assert(m.height === JpegFixture.heightOf(i))
-      if (JpegFixture.isGray(i)) {
-        assert(m.n_components === 1 && m.samp === "1x1")
-        assert(m.n_dqt === 1 && m.n_dht === 2)
+      assert(m.progressive === JpegFixture.isProgressive(i))
+      if (JpegFixture.isProgressive(i)) {
+        // SOF2 streams: the census reads the frame header; the DQT/DHT
+        // walk still counts only the pre-first-SOS segments, and the
+        // multi-scan structure shows up as n_scans > 1
+        assert(m.n_components === (if (JpegFixture.isGray(i)) 1 else 3))
+        assert(m.n_scans > 1, s"file $i: progressive with one scan?")
       } else {
-        assert(m.n_components === 3 && m.samp === "2x2,1x1,1x1")
-        assert(m.n_dqt === 2 && m.n_dht === 4)
+        assert(m.n_scans === 1)
+        if (JpegFixture.isGray(i)) {
+          assert(m.n_components === 1 && m.samp === "1x1")
+          assert(m.n_dqt === 1 && m.n_dht === 2)
+        } else {
+          assert(m.n_components === 3 && m.samp === "2x2,1x1,1x1")
+          assert(m.n_dqt === 2 && m.n_dht === 4)
+        }
       }
       assert(m.entropy_bytes > 0 && m.dqt_luma_sum > 0)
     }
@@ -34,7 +44,8 @@ class JpegSpec extends SparkSpec {
   }
 
   test("gray pixel decode matches the JDK decoder within +-1 (IDCT rounding)") {
-    for (i <- 0 until JpegFixture.count if JpegFixture.isGray(i)) {
+    for (i <- 0 until JpegFixture.count
+         if JpegFixture.isGray(i) && !JpegFixture.isProgressive(i)) {
       val bytes = JpegFixture.jpegBytes(i)
       val (w, h, planes) = Jpeg.decodePlanes(s"g$i", bytes)
       assert(planes.size === 1)
@@ -55,7 +66,8 @@ class JpegSpec extends SparkSpec {
 
   test("color pixel decode (4:2:0 fancy upsample + fixed-point YCbCr) " +
       "matches the JDK decoder within +-2") {
-    for (i <- 0 until JpegFixture.count if !JpegFixture.isGray(i)) {
+    for (i <- 0 until JpegFixture.count
+         if !JpegFixture.isGray(i) && !JpegFixture.isProgressive(i)) {
       val bytes = JpegFixture.jpegBytes(i)
       val (w, h, rgb) = Jpeg.decodeRgb(s"c$i", bytes)
       val ref = javax.imageio.ImageIO.read(
@@ -79,9 +91,11 @@ class JpegSpec extends SparkSpec {
     }
   }
 
-  test("progressive JPEG refuses loudly (SOF2), truncation refuses loudly") {
-    // the JDK encoder CAN write progressive — the refusal is tested
-    // against a real SOF2 stream, not a hand-mangled header
+  test("progressive JPEG: census reads it, pixel decode refuses loudly") {
+    // the JDK encoder CAN write progressive — both halves of the r14
+    // contract are tested against a real SOF2 stream, not a hand-mangled
+    // header: parseMeta must CENSUS it (crawls carry progressive JPEGs),
+    // decodePlanes must refuse with the marker name
     import java.awt.image.BufferedImage
     val img = new BufferedImage(24, 16, BufferedImage.TYPE_3BYTE_BGR)
     for (x <- 0 until 24; y <- 0 until 16)
@@ -94,10 +108,9 @@ class JpegSpec extends SparkSpec {
     wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
     wr.dispose()
     val prog = bo.toByteArray
-    val e1 = intercept[IllegalArgumentException] {
-      Jpeg.parseMeta("prog.jpg", prog)
-    }
-    assert(e1.getMessage.contains("non-baseline"))
+    val m = Jpeg.parseMeta("prog.jpg", prog)
+    assert(m.progressive && m.width === 24 && m.height === 16)
+    assert(m.n_scans > 1, "a JDK progressive stream has multiple scans")
     val e2 = intercept[IllegalArgumentException] {
       Jpeg.decodePlanes("prog.jpg", prog)
     }
@@ -145,6 +158,7 @@ class JpegSpec extends SparkSpec {
     assert(m.dqt_luma_sum === 128L, "the LAST tq=0 table must win")
     assert(m.entropy_bytes === 1L)
     assert(m.n_segments === 5)
+    assert(!m.progressive && m.n_scans === 1)
   }
 
   test("scanJpeg decodes the on-disk fixture through binaryFile") {
