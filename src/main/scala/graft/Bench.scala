@@ -328,8 +328,8 @@ object Bench {
     "token_bpe" -> "tb", "top_terms" -> "tt", "topk_native" -> "tn",
     "topk_per_group" -> "tk", "triangles" -> "tr", "unigram_nll" -> "un",
     "upsert" -> "up", "util_scalars" -> "ut", "value_moments" -> "vm",
-    "vocab_encode" -> "ve", "winnow" -> "wi", "xlsx_scan" -> "xl",
-    "zipf" -> "zf")
+    "vocab_encode" -> "ve", "warc_scan" -> "wa", "winnow" -> "wi",
+    "xlsx_scan" -> "xl", "zipf" -> "zf")
 
   private[graft] def short(name: String): String = {
     val s = name.stripPrefix("q_")

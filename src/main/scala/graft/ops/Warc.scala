@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, element_at, split}
+
+/** One WARC record's scan row: the fields a crawl-ingest stage projects
+  * before any content processing — record framing (type, URI, declared
+  * length) plus, for `response` records, the HTTP envelope (status,
+  * Content-Type) and the payload body's exact length and md5. The body
+  * md5 is the column every downstream exact-dedup pass keys on, so the
+  * scan emits it once at ingest (the reference's content pipeline hashes
+  * document content the same way at entry —
+  * commercial_rfp_content_doc_library_creation.py:31-40 md5-keys each
+  * content row before library writes). */
+final case class WarcRow(file_name: String, rec_idx: Int, warc_type: String,
+                         target_uri: Option[String], content_length: Long,
+                         http_status: Option[Int], mime: Option[String],
+                         body_len: Option[Long], body_md5: Option[String])
+
+/** ISO 28500 (WARC/1.0) container codec — the on-disk format a 100 TB
+  * web-crawl corpus actually arrives in (Common Crawl ships ~90k .warc.gz
+  * segments per snapshot). The engine side walks records for real: a
+  * version line, named header fields, `Content-Length` octets of payload,
+  * a CRLF CRLF record trailer, repeated to exact EOF — and transparently
+  * handles the per-record-gzip framing real crawlers write (RFC 1952
+  * members concatenated back-to-back; `GZIPInputStream` consumes member
+  * boundaries natively, and the WARC walk re-frames records from the
+  * decompressed stream identically — WarcSpec proves plain ≡ gzip).
+  *
+  * Oracle discipline: WARC is an OCTET format with ASCII framing, so the
+  * gate fixture (ASCII payloads, uncompressed — both legal) lets DuckDB
+  * re-walk the SAME BYTES as text via `read_blob` + a recursive
+  * Content-Length hop — the string-domain sibling of the MP3/JPEG
+  * recursive hex walks — while the engine parses the general format.
+  *
+  * Loud-failure discipline (the [[Mp3]] census contract): a record that
+  * doesn't open with `WARC/1.0`, an unterminated header block, a missing
+  * Content-Length, a truncated payload, a missing record trailer, or a
+  * walk that doesn't land exactly on EOF refuses with the offset — a
+  * crawl reader that resyncs silently has no exactness contract. */
+object Warc {
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  /** Index of the first CRLF CRLF at/after `from`, or -1. */
+  private[graft] def sepAt(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+        b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decompress a (possibly multi-member) RFC 1952 gzip stream fully —
+    * the .warc.gz framing: one member per record, concatenated. */
+  private[graft] def gunzipAll(raw: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  private def headerFields(name: String, hdr: String, pos: Int)
+      : Map[String, String] = {
+    val lines = hdr.split("\r\n", -1)
+    require(lines.head == "WARC/1.0",
+      s"$name: no WARC/1.0 version line at $pos")
+    lines.tail.map { ln =>
+      val c = ln.indexOf(": ")
+      require(c > 0, s"$name: malformed WARC header line at $pos: '$ln'")
+      ln.substring(0, c) -> ln.substring(c + 2)
+    }.toMap
+  }
+
+  private def md5Hex(b: Array[Byte], off: Int, len: Int): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(b, off, len)
+    d.digest().map(x => f"$x%02x").mkString
+  }
+
+  /** Parse one WARC file (plain or .gz-framed) into its scan rows. */
+  private[graft] def parse(name: String, raw: Array[Byte]): Seq[WarcRow] = {
+    val b = if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+      (raw(1) & 0xff) == 0x8b) gunzipAll(raw) else raw
+    val out = Seq.newBuilder[WarcRow]
+    var pos = 0
+    var idx = 0
+    while (pos < b.length) {
+      val hEnd = sepAt(b, pos)
+      require(hEnd >= 0, s"$name: unterminated WARC header at $pos")
+      val fields = headerFields(name, new String(b, pos, hEnd - pos, Ascii),
+        pos)
+      val typ = fields.getOrElse("WARC-Type",
+        sys.error(s"$name: record at $pos has no WARC-Type"))
+      val cl = fields.getOrElse("Content-Length",
+        sys.error(s"$name: record at $pos has no Content-Length")).toLong
+      require(cl >= 0 && cl <= Int.MaxValue - 8,
+        s"$name: unreasonable Content-Length $cl at $pos")
+      val pStart = hEnd + 4
+      val pEnd = pStart + cl.toInt
+      require(pEnd + 4 <= b.length, s"$name: truncated record at $pos " +
+        s"(payload $cl octets past ${b.length - pStart} available)")
+      require(sepAt(b, pEnd) == pEnd,
+        s"$name: missing CRLF CRLF record trailer at $pEnd")
+      val (status, mime, bodyLen, bodyMd5) =
+        if (typ != "response") (None, None, None, None)
+        else {
+          val hs = sepAt(b, pStart)
+          require(hs >= pStart && hs < pEnd,
+            s"$name: response at $pos has no HTTP header terminator")
+          val http = new String(b, pStart, hs - pStart, Ascii)
+          val st = http.split("\r\n", 2).head
+          require(st.startsWith("HTTP/1."),
+            s"$name: response at $pos has no HTTP status line")
+          val code = st.split(" ")(1).toInt
+          val ct = http.split("\r\n").drop(1).collectFirst {
+            case l if l.startsWith("Content-Type: ") =>
+              l.substring("Content-Type: ".length)
+          }
+          val bOff = hs + 4
+          (Some(code), ct, Some((pEnd - bOff).toLong),
+            Some(md5Hex(b, bOff, pEnd - bOff)))
+        }
+      out += WarcRow(name, idx, typ, fields.get("WARC-Target-URI"), cl,
+        status, mime, bodyLen, bodyMd5)
+      pos = pEnd + 4
+      idx += 1
+    }
+    require(pos == b.length,
+      s"$name: record walk overran EOF by ${pos - b.length}")
+    require(idx > 0, s"$name: empty file")
+    out.result()
+  }
+
+  /** Scan a binaryFile frame (path, content) of .warc/.warc.gz files into
+    * one row per record — typed mapPartitions for the imperative walk
+    * (the MediaCodec slot: variable-length framing codegen can't
+    * express), columnar everything downstream. Scale shape: a linear
+    * per-file pass, no shuffle — exactly how crawl ingest partitions at
+    * 100 TB (one task per WARC segment; Common Crawl segments are ~1 GiB
+    * precisely so this layer parallelizes by file). */
+  def scanWarc(df: DataFrame): Dataset[WarcRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(element_at(split(col("path"), "/"), -1).as("f"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, bytes) => parse(name, bytes) })
+  }
+}
+
+/** Deterministic on-disk WARC corpus: [[count]] uncompressed .warc files
+  * (ASCII payloads — both choices legal WARC/1.0, chosen so the DuckDB
+  * oracle can re-walk the same bytes in the string domain; WarcSpec
+  * proves the reader gzip-complete by re-framing these records
+  * per-record-gzip and asserting the identical parse). File i carries a
+  * `warcinfo` record then (request, response) pairs for pages
+  * r &lt; 3 + (i mod 5); page (i, r) is a 404 when (i + r) mod 7 = 0, an
+  * empty 200 body when (i + r) mod 11 = 0, else a 200 HTML page whose
+  * paragraph count and filler words are fixed functions of (i, r). */
+object WarcFixture {
+  val count = 12
+
+  def path: String = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_warc_v1").getAbsolutePath
+
+  def pagesOf(i: Int): Int = 3 + (i % 5)
+
+  private val words = Array("crawl", "corpus", "segment", "tokens",
+    "quality", "dedup", "filter", "sample", "shard", "spark")
+
+  /** The deterministic HTML body for page (i, r); "" for the empty-body
+    * case, a short not-found page for 404s. */
+  def bodyOf(i: Int, r: Int): String =
+    if ((i + r) % 11 == 0) ""
+    else if ((i + r) % 7 == 0)
+      s"<html><body>Not Found $i-$r</body></html>"
+    else {
+      val ps = (0 until (2 + (i + r) % 3)).map { p =>
+        val ws = (0 until (5 + (i * 3 + r * 5 + p) % 9))
+          .map(w => words((i + r * 7 + p * 11 + w * 13) % words.length))
+        s"<p>${ws.mkString(" ")}</p>"
+      }
+      s"<html><head><title>Page $i-$r</title></head>" +
+        s"<body><h1>Site $i</h1>${ps.mkString}</body></html>"
+    }
+
+  def statusOf(i: Int, r: Int): Int = if ((i + r) % 7 == 0) 404 else 200
+
+  private def record(typ: String, uri: Option[String], ctype: String,
+                     id: String, payload: String): String = {
+    val hdr = Seq(
+      "WARC/1.0",
+      s"WARC-Type: $typ",
+      s"WARC-Record-ID: <urn:uuid:$id>",
+      "WARC-Date: 2026-01-01T00:00:00Z") ++
+      uri.map(u => s"WARC-Target-URI: $u") ++ Seq(
+      s"Content-Type: $ctype",
+      s"Content-Length: ${payload.length}")
+    hdr.mkString("\r\n") + "\r\n\r\n" + payload + "\r\n\r\n"
+  }
+
+  /** File i's records as (already-framed) strings — shared by the plain
+    * writer and WarcSpec's per-record-gzip re-framing. */
+  def recordsOf(i: Int): Seq[String] = {
+    val info = record("warcinfo", None, "application/warc-fields",
+      f"00000000-0000-0000-0000-$i%012d",
+      "software: graftbot/1.0\r\nformat: WARC file version 1.0\r\n")
+    val pages = (0 until pagesOf(i)).flatMap { r =>
+      val uri = s"http://site$i.example/page/$r"
+      val req = record("request", Some(uri), "application/http;msgtype=request",
+        f"00000000-0000-0000-1111-${i * 1000 + r}%012d",
+        s"GET /page/$r HTTP/1.1\r\nHost: site$i.example\r\n" +
+          "User-Agent: graftbot/1.0\r\n\r\n")
+      val body = bodyOf(i, r)
+      val http = s"HTTP/1.1 ${statusOf(i, r)} " +
+        (if (statusOf(i, r) == 404) "Not Found" else "OK") + "\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n" + body
+      val resp = record("response", Some(uri),
+        "application/http;msgtype=response",
+        f"00000000-0000-0000-2222-${i * 1000 + r}%012d", http)
+      Seq(req, resp)
+    }
+    info +: pages
+  }
+
+  def warcBytes(i: Int): Array[Byte] =
+    recordsOf(i).mkString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Build the fixture if missing; returns [[path]]. Same benign-race
+    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). */
+  def ensure(): String = this.synchronized {
+    val out = new java.io.File(path)
+    if (!out.exists()) {
+      val tmp = new java.io.File(out.getParent, out.getName + ".tmp")
+      deleteRec(tmp)
+      tmp.mkdirs()
+      (0 until count).foreach { i =>
+        java.nio.file.Files.write(
+          new java.io.File(tmp, f"seg_$i%03d.warc").toPath, warcBytes(i))
+      }
+      if (!tmp.renameTo(out)) deleteRec(tmp)
+    }
+    path
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+    ()
+  }
+}

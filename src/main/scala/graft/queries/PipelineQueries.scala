@@ -623,7 +623,80 @@ object PipelineQueries {
       ".docx bytes written per row, read back, checked against the " +
       "parquet-derived answer")
 
+  /** q_warc_scan — WARC/1.0 crawl-container ingestion ([[graft.ops.Warc]]
+    * — scale analysis and the gzip framing there): the format a 100 TB
+    * web corpus arrives in, walked record-by-record with the loud-failure
+    * census discipline, emitting the framing fields plus the HTTP
+    * envelope and body md5 for `response` records — the key the exact-dup
+    * census downstream groups on. The reference's analog is its blob
+    * container ingestion + md5 content keying
+    * (commercial_rfp_content_doc_library_creation.py:31-40); WARC is the
+    * same ingest stage at crawl scale. The oracle re-walks the SAME BYTES
+    * with a recursive Content-Length hop in the string domain (ASCII
+    * fixture, uncompressed — the xlsx STORED-entry discipline; gzip
+    * codec-completeness is WarcSpec's re-framing proof). SF-invariant
+    * like the other container scans. */
+  val qWarcScan = Q("q_warc_scan",
+    (s, _) => {
+      val dir = graft.ops.WarcFixture.ensure()
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc")).map(_.getAbsolutePath).sorted
+      graft.ops.Warc.scanWarc(
+          s.read.format("binaryFile").load(files.toIndexedSeq: _*))
+        .toDF().orderBy("file_name", "rec_idx")
+    },
+    Some {
+      val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
+      def hk(pos: String) = s"strpos(substr(s, $pos), $sep4)"
+      def hdr(pos: String) = s"substr(s, $pos, ${hk(pos)} - 1)"
+      def cl(pos: String) =
+        s"CAST(regexp_extract(${hdr(pos)}, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+      def nextPos(pos: String) =
+        s"($pos + ${hk(pos)} + 3 + ${cl(pos)} + 4)"
+      s"""WITH RECURSIVE wraw AS (
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+      |         decode(content) AS s
+      |  FROM read_blob('${graft.ops.WarcFixture.path}/*.warc')
+      |), rec AS (
+      |  SELECT file_name, s, CAST(1 AS BIGINT) AS pos,
+      |         CAST(0 AS INTEGER) AS rec_idx
+      |  FROM wraw
+      |  UNION ALL
+      |  SELECT file_name, s, ${nextPos("pos")}, rec_idx + 1
+      |  FROM rec WHERE ${nextPos("pos")} <= len(s)
+      |), fld AS (
+      |  SELECT file_name, rec_idx, s, ${hdr("pos")} AS hdr,
+      |         pos + ${hk("pos")} + 3 AS pstart, ${cl("pos")} AS cl
+      |  FROM rec
+      |), r2 AS (
+      |  SELECT file_name, rec_idx,
+      |    regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
+      |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
+      |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
+      |    END AS target_uri,
+      |    cl AS content_length, substr(s, pstart, cl) AS payload
+      |  FROM fld
+      |)
+      |SELECT file_name, rec_idx, warc_type, target_uri, content_length,
+      |  CASE WHEN warc_type = 'response' THEN
+      |    CAST(regexp_extract(payload, '^HTTP/1\\.[01] ([0-9]{3})', 1)
+      |      AS INTEGER) END AS http_status,
+      |  CASE WHEN warc_type = 'response' THEN
+      |    regexp_extract(payload, 'Content-Type: ([^\\r]+)', 1)
+      |  END AS mime,
+      |  CASE WHEN warc_type = 'response' THEN
+      |    CAST(len(substr(payload, strpos(payload, $sep4) + 4)) AS BIGINT)
+      |  END AS body_len,
+      |  CASE WHEN warc_type = 'response' THEN
+      |    md5(substr(payload, strpos(payload, $sep4) + 4))
+      |  END AS body_md5
+      |FROM r2 ORDER BY file_name, rec_idx""".stripMargin
+    },
+    "north star: REAL WARC/1.0 crawl-container ingestion (record walk + " +
+      "HTTP envelope + body md5; recursive string-domain oracle, gzip " +
+      "framing proven in WarcSpec)")
+
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
     qSyncDiff, qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan,
-    qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip)
+    qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip, qWarcScan)
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{Warc, WarcFixture, WarcRow}
+
+class WarcSpec extends SparkSpec {
+
+  private def gzMember(s: String): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    gz.close()
+    bo.toByteArray
+  }
+
+  test("record walk matches the fixture formulas (all files, all records)") {
+    for (i <- 0 until WarcFixture.count) {
+      val rows = Warc.parse(f"seg_$i%03d.warc", WarcFixture.warcBytes(i))
+      assert(rows.length === 1 + 2 * WarcFixture.pagesOf(i))
+      assert(rows.head.warc_type === "warcinfo")
+      assert(rows.head.target_uri === None)
+      assert(rows.head.http_status === None)
+      for (r <- 0 until WarcFixture.pagesOf(i)) {
+        val req = rows(1 + 2 * r); val resp = rows(2 + 2 * r)
+        assert(req.warc_type === "request")
+        assert(req.target_uri === Some(s"http://site$i.example/page/$r"))
+        assert(req.body_md5 === None)
+        assert(resp.warc_type === "response")
+        assert(resp.rec_idx === 2 + 2 * r)
+        assert(resp.http_status === Some(WarcFixture.statusOf(i, r)))
+        assert(resp.mime === Some("text/html; charset=UTF-8"))
+        val body = WarcFixture.bodyOf(i, r)
+        assert(resp.body_len === Some(body.length.toLong))
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(body.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .map(x => f"$x%02x").mkString
+        assert(resp.body_md5 === Some(md))
+      }
+    }
+  }
+
+  test("per-record-gzip framing (.warc.gz) parses identically to plain") {
+    for (i <- 0 until WarcFixture.count) {
+      val gz = WarcFixture.recordsOf(i).map(gzMember)
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      assert((gz(0) & 0xff) === 0x1f && (gz(1) & 0xff) === 0x8b)
+      val plain = Warc.parse(f"seg_$i%03d.warc", WarcFixture.warcBytes(i))
+      assert(Warc.parse(f"seg_$i%03d.warc", gz) === plain)
+    }
+  }
+
+  test("malformed containers refuse loudly instead of resyncing") {
+    val good = WarcFixture.warcBytes(0)
+    // truncated mid-payload: the walk overruns what's available
+    val e1 = intercept[IllegalArgumentException] {
+      Warc.parse("t.warc", good.take(good.length - 6))
+    }
+    assert(e1.getMessage.contains("truncated") ||
+      e1.getMessage.contains("trailer") || e1.getMessage.contains("overran"))
+    // a record that doesn't open with the version line
+    val e2 = intercept[IllegalArgumentException] {
+      Warc.parse("v.warc", "GARBAGE/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    assert(e2.getMessage.contains("version line"))
+    // a clobbered record trailer: corrupt the first CR after record 0's
+    // declared payload span
+    val hEnd = Warc.sepAt(good, 0)
+    val hdr = new String(good, 0, hEnd,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val cl = "Content-Length: ([0-9]+)".r
+      .findFirstMatchIn(hdr).get.group(1).toInt
+    val bad = good.clone()
+    bad(hEnd + 4 + cl) = 'X'
+    val e3 = intercept[IllegalArgumentException] {
+      Warc.parse("b.warc", bad)
+    }
+    assert(e3.getMessage.contains("trailer") ||
+      e3.getMessage.contains("unterminated"))
+  }
+
+  test("scanWarc reads the on-disk fixture through binaryFile") {
+    val dir = WarcFixture.ensure()
+    val got = Warc.scanWarc(
+        spark.read.format("binaryFile").load(dir + "/*.warc"))
+      .collect().groupBy(_.file_name)
+    assert(got.size === WarcFixture.count)
+    for (i <- 0 until WarcFixture.count) {
+      val rows = got(f"seg_$i%03d.warc").sortBy(_.rec_idx)
+      assert(rows.length === 1 + 2 * WarcFixture.pagesOf(i))
+      assert(rows.map(_.rec_idx).toSeq === rows.indices.toSeq)
+    }
+  }
+
+  test("empty-body and 404 responses carry exact envelope fields") {
+    // (i, r) = (0, 0): both 7 | 0 and 11 | 0 → 404 with an EMPTY body
+    val rows = Warc.parse("seg_000.warc", WarcFixture.warcBytes(0))
+    val r00 = rows(2)
+    assert(r00.http_status === Some(404))
+    assert(r00.body_len === Some(0L))
+    assert(r00.body_md5 === Some("d41d8cd98f00b204e9800998ecf8427e"))
+  }
+}
