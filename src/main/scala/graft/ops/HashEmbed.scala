@@ -104,9 +104,33 @@ object HashEmbed {
       .agg(sum(col("c")).as("val"))
 
   /** Sparse hashed TF-IDF components: (id, dim, val), val = Σ over the
-    * bucket's terms of sign·tf·idf3 (a fixed-point long). */
-  def sparse(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    sparseWithIdf(docs, idCol, textCol, idf3Frame(docs, idCol, textCol))
+    * bucket's terms of sign·tf·idf3 (a fixed-point long).
+    *
+    * The term frame is localCheckpoint-pinned once (r14): the tf branch
+    * and the df/idf branch both consume [[termCounts]], and Catalyst's
+    * ReuseExchange cannot dedupe them — the join downstream pushes an
+    * `IsNotNull(id)` filter into only ONE branch's scan, so the subtrees
+    * are no longer identical and the tokenize + per-term md5 (the
+    * featurizer's dominant CPU) ran twice per evaluation. The pin stores
+    * (8-byte key, tf) rows, never term strings — at 100 TB this is the
+    * materialized inverted-index build every indexing pipeline runs once
+    * and reads twice, not a new scale risk. Measured (sf0.1, wall/cpu
+    * 3-run medians): q_embed_hash 2.6/4.0 → with the pin the corpus is
+    * tokenized once; see README round-14 notes for the A/B. */
+  def sparse(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = termCounts(docs, idCol, textCol).localCheckpoint()
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val idf = tc.groupBy("tkey").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("tkey"),
+        round(log(col("nn").cast("double") / col("df")) * 1000)
+          .cast("long").as("idf3"))
+    tc.join(idf, "tkey")
+      .select(col(idCol), bucketOf(col("tkey")).as("dim"),
+        (signOf(col("tkey")) * col("tf") * col("idf3")).as("c"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("c")).as("val"))
+  }
 
   /** Hashed feature vector of one QUERY string against the corpus idf:
     * (dim, qval) — the same unigram+bigram grammar, tf from the query

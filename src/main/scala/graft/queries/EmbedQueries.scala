@@ -42,9 +42,16 @@ object EmbedQueries {
     * codegen'd [[Vectors.intDot]] as the scoring kernel — the q_knn plan
     * shape on in-plan-derived vectors. */
   private[queries] def hashKnn(s: SparkSession, dir: String, k: Int): DataFrame = {
+    // localCheckpoint pin (r14): the featurized frame is consumed by BOTH
+    // join sides (query set + corpus) and the isDocQuery filter pushed
+    // into the query side's scan makes the subtrees non-identical, so
+    // without the pin the whole featurizer ran twice more per query.
+    // |corpus| rows × 64 ints — the vector frame an ANN build would
+    // materialize anyway.
     val base = HashEmbed.vectors(Tables.documents(s, dir), "doc_id", "text")
       .withColumn("nxx", Vectors.intDot(col("v"), col("v")))
       .filter(col("nxx") > 0)
+      .localCheckpoint()
     val qs = base.filter(isDocQuery)
       .select(col("doc_id").as("query_id"), col("v").as("qv"),
         col("nxx").as("qxx"))
