@@ -309,7 +309,8 @@ object Bench {
     "media_meta" -> "mm", "media_mp3" -> "m3", "media_png" -> "pn",
     "media_resize" -> "mz", "media_wav" -> "wv", "mix" -> "mi",
     "mix_temp" -> "mx", "near_dup" -> "nd", "near_dup_rep" -> "nr",
-    "pack" -> "pk", "pagerank" -> "pg", "pipeline_e2e" -> "p2",
+    "pack" -> "pk", "pagerank" -> "pg", "pdf_scan" -> "pd",
+    "pipeline_e2e" -> "p2",
     "pivot" -> "pv", "profile" -> "pf", "q1_agg" -> "q1", "q3_top" -> "q3",
     "q5_region" -> "q5", "quality" -> "qa", "quality_model" -> "qm",
     "quantiles" -> "qn", "range_join" -> "rj", "redact" -> "rd",

@@ -1,0 +1,315 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, element_at, split}
+
+/** One extracted PDF page: the page's text (every string literal shown
+  * by a `Tj`/`TJ` text op, escape-decoded, in stream order), the literal
+  * count, and the content stream's declared length — the projection a
+  * document-ingest stage feeds into the text family. */
+final case class PdfPage(file_name: String, page: Int, text: String,
+                         n_lits: Int, stream_bytes: Long)
+
+/** Minimal-but-REAL PDF text extraction (ISO 32000 subset): the
+  * document format enterprise corpora arrive in next to .docx/.xlsx
+  * (the reference's RFP library is exactly such a corpus). The walk is
+  * the real file structure, not a grep: `startxref` → the cross-reference
+  * table → objects located AT THEIR XREF OFFSETS (each validated against
+  * the `N 0 obj` header it points at) → trailer `/Root` → Catalog →
+  * `/Pages` → `/Kids` in page order → each page's `/Contents` stream by
+  * declared `/Length` (mismatch refuses) → a token-level content-stream
+  * scan that collects string literals bound to `Tj` and `[...] TJ` text
+  * operators, decoding the string-escape grammar (\\ \( \) \n \r \t \b
+  * \f, octal \ddd, line continuations). `/Filter /FlateDecode` content
+  * streams inflate through `java.util.zip` (the xlsx codec's machinery;
+  * PdfSpec proves plain ≡ deflate on identical pages).
+  *
+  * Oracle discipline: the gate fixture is written UNCOMPRESSED with
+  * ASCII literals (both legal), so DuckDB re-walks the same bytes in the
+  * string domain — object bodies by regex, kids order, per-page literal
+  * extraction — while the engine parses the general structure (offsets,
+  * lengths, filters). Loud-failure contract as everywhere: bad xref
+  * offset, missing endstream, /Length mismatch, or an unterminated
+  * literal refuses with the offset. */
+object Pdf {
+
+  private val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** Parse one PDF into its page rows. `raw` is indexed through an
+    * ISO-8859-1 string so char positions ARE byte positions. */
+  private[graft] def parse(name: String, raw: Array[Byte]): Seq[PdfPage] = {
+    val s = new String(raw, L1)
+    require(s.startsWith("%PDF-"), s"$name: no %PDF- header")
+    // startxref: the LAST occurrence (incremental updates append)
+    val sx = s.lastIndexOf("startxref")
+    require(sx >= 0, s"$name: no startxref")
+    val xrefPos = s.substring(sx + 9).trim.takeWhile(_.isDigit).toInt
+    require(s.startsWith("xref", xrefPos),
+      s"$name: startxref $xrefPos does not point at an xref table")
+    // one subsection "start count", 20-byte entries
+    val hdrEnd = s.indexOf('\n', xrefPos + 5)
+    val Array(first, count) =
+      s.substring(xrefPos + 5, hdrEnd).trim.split(" ").map(_.toInt)
+    val offsets: Map[Int, Int] = (0 until count).map { k =>
+      val e = s.substring(hdrEnd + 1 + 20 * k, hdrEnd + 1 + 20 * (k + 1))
+      (first + k) -> (if (e(17) == 'n') e.substring(0, 10).toInt else -1)
+    }.toMap
+    val trailer = {
+      val t = s.indexOf("trailer", hdrEnd)
+      require(t >= 0, s"$name: no trailer")
+      s.substring(t, sx)
+    }
+    def ref(dict: String, key: String): Int = {
+      val m = (java.util.regex.Pattern.quote(key) + "\\s+(\\d+)\\s+0\\s+R").r
+        .findFirstMatchIn(dict)
+      require(m.isDefined, s"$name: no $key reference")
+      m.get.group(1).toInt
+    }
+    /** Object n's body (between its header and `endobj`), offset-located
+      * and header-validated — the real xref contract. */
+    def body(n: Int): String = {
+      val off = offsets.getOrElse(n, -1)
+      require(off >= 0, s"$name: object $n not in xref")
+      require(s.startsWith(s"$n 0 obj", off),
+        s"$name: xref offset $off does not hold object $n")
+      val end = s.indexOf("endobj", off)
+      require(end > off, s"$name: object $n has no endobj")
+      s.substring(off, end)
+    }
+    val catalog = body(ref(trailer, "/Root"))
+    val pagesObj = body(ref(catalog, "/Pages"))
+    val kids = "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(pagesObj)
+    require(kids.isDefined, s"$name: page tree has no /Kids")
+    val pageNums = "(\\d+)\\s+0\\s+R".r.findAllMatchIn(kids.get.group(1))
+      .map(_.group(1).toInt).toSeq
+    require(pageNums.nonEmpty, s"$name: empty /Kids")
+    pageNums.zipWithIndex.map { case (pn, idx) =>
+      val page = body(pn)
+      val cObjNum = ref(page, "/Contents")
+      val cOff = offsets(cObjNum)
+      require(cOff >= 0 && s.startsWith(s"$cObjNum 0 obj", cOff),
+        s"$name: bad /Contents object $cObjNum")
+      val cDictEnd = s.indexOf("stream", cOff)
+      require(cDictEnd > cOff, s"$name: content object $cObjNum has no stream")
+      val cDict = s.substring(cOff, cDictEnd)
+      val lenM = "/Length\\s+(\\d+)".r.findFirstMatchIn(cDict)
+      require(lenM.isDefined, s"$name: content object $cObjNum has no /Length")
+      val len = lenM.get.group(1).toInt
+      var dStart = cDictEnd + 6
+      if (s.charAt(dStart) == '\r') dStart += 1
+      require(s.charAt(dStart) == '\n',
+        s"$name: no EOL after stream keyword at $dStart")
+      dStart += 1
+      require(dStart + len <= raw.length,
+        s"$name: /Length $len overruns the file")
+      val tail = s.substring(dStart + len)
+      require(tail.startsWith("\nendstream") || tail.startsWith("\r\nendstream")
+        || tail.startsWith("endstream"),
+        s"$name: declared /Length $len does not land on endstream " +
+          s"(object $cObjNum)")
+      val streamBytes = java.util.Arrays.copyOfRange(raw, dStart, dStart + len)
+      val content =
+        if (cDict.contains("/FlateDecode")) inflate(name, streamBytes)
+        else streamBytes
+      val (text, nLits) = extractText(name, new String(content, L1))
+      PdfPage(name, idx + 1, text, nLits, len.toLong)
+    }
+  }
+
+  private def inflate(name: String, b: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(b)
+    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || !inf.needsInput(),
+        s"$name: truncated FlateDecode stream")
+      require(!inf.needsDictionary(), s"$name: FDICT zlib stream unsupported")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Content-stream text interpreter: collects string literals bound to
+    * `Tj`, and every literal inside a `[...]` array closed by `TJ`.
+    * Returns (concatenated text, literal count). */
+  private[graft] def extractText(name: String, cs: String): (String, Int) = {
+    val out = new StringBuilder
+    var n = 0
+    var i = 0
+    var inArray = false
+    val arrayLits = Seq.newBuilder[String]
+    def parseLiteral(from: Int): (String, Int) = {
+      val sb = new StringBuilder
+      var j = from
+      var depth = 1
+      while (depth > 0) {
+        require(j < cs.length, s"$name: unterminated string literal")
+        cs.charAt(j) match {
+          case '\\' =>
+            require(j + 1 < cs.length, s"$name: dangling escape")
+            cs.charAt(j + 1) match {
+              case 'n' => sb.append('\n'); j += 2
+              case 'r' => sb.append('\r'); j += 2
+              case 't' => sb.append('\t'); j += 2
+              case 'b' => sb.append('\b'); j += 2
+              case 'f' => sb.append('\f'); j += 2
+              case '\n' => j += 2 // line continuation
+              case d if d >= '0' && d <= '7' =>
+                val oct = cs.substring(j + 1,
+                  math.min(j + 4, cs.length)).takeWhile(c => c >= '0' && c <= '7')
+                sb.append(Integer.parseInt(oct, 8).toChar); j += 1 + oct.length
+              case c => sb.append(c); j += 2 // incl. \( \) \\
+            }
+          case '(' => depth += 1; sb.append('('); j += 1
+          case ')' =>
+            depth -= 1; if (depth > 0) sb.append(')'); j += 1
+          case c => sb.append(c); j += 1
+        }
+      }
+      (sb.toString, j)
+    }
+    def nextTokenIs(from: Int, tok: String): Boolean = {
+      var j = from
+      while (j < cs.length && cs.charAt(j).isWhitespace) j += 1
+      cs.startsWith(tok, j) &&
+        (j + tok.length == cs.length ||
+          !cs.charAt(j + tok.length).isLetter)
+    }
+    while (i < cs.length) {
+      cs.charAt(i) match {
+        case '(' =>
+          val (lit, after) = parseLiteral(i + 1)
+          if (inArray) arrayLits += lit
+          else if (nextTokenIs(after, "Tj")) { out.append(lit); n += 1 }
+          // a literal bound to any other operator is not page text
+          i = after
+        case '[' => inArray = true; arrayLits.clear(); i += 1
+        case ']' =>
+          inArray = false
+          if (nextTokenIs(i + 1, "TJ")) {
+            val ls = arrayLits.result()
+            ls.foreach(out.append(_)); n += ls.length
+          }
+          arrayLits.clear()
+          i += 1
+        case _ => i += 1
+      }
+    }
+    (out.toString, n)
+  }
+
+  /** Scan a binaryFile frame (path, content) of .pdf files into one row
+    * per page — the mapPartitions codec slot; linear per-file, no
+    * shuffle, parallel by file exactly like the WARC/xlsx scans. */
+  def scanPdf(df: DataFrame): Dataset[PdfPage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(element_at(split(col("path"), "/"), -1).as("f"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, bytes) => parse(name, bytes) })
+  }
+}
+
+/** Deterministic on-disk PDF corpus: [[count]] uncompressed single-font
+  * PDFs with REAL file structure — correct xref byte offsets, page tree,
+  * per-page content streams with exact /Length — and ASCII literals so
+  * the DuckDB oracle can re-extract the same text in the string domain
+  * (PdfSpec proves FlateDecode completeness by re-packing these streams
+  * compressed and asserting the identical parse). File i has
+  * 1 + (i mod 4) pages; page p shows one escaped `Tj` literal and one
+  * kerned two-literal `TJ` array, all fixed functions of (i, p). */
+object PdfFixture {
+  val count = 10
+
+  def path: String = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_pdf_v1").getAbsolutePath
+
+  def pagesOf(i: Int): Int = 1 + (i % 4)
+
+  private val words = Array("annual", "report", "revenue", "segment",
+    "outlook", "risk", "margin", "growth", "capital", "audit")
+
+  /** The THREE text literals page (i, p) shows, pre-escape (what the
+    * extractor must return). Literal 0 exercises the escape grammar. */
+  def litsOf(i: Int, p: Int): Seq[String] = Seq(
+    s"Doc $i (rev\\$p) page $p: ",
+    (0 until (3 + (i + p) % 4)).map(w =>
+      words((i * 5 + p * 3 + w * 7) % words.length)).mkString(" "),
+    s" [end $i-$p]")
+
+  def textOf(i: Int, p: Int): String = litsOf(i, p).mkString
+
+  /** PDF-escape a literal for the content stream. */
+  private def esc(lit: String): String =
+    lit.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+
+  /** Page (i, p)'s content stream (what /Length measures). */
+  def contentOf(i: Int, p: Int): String = {
+    val ls = litsOf(i, p)
+    s"BT /F1 12 Tf 72 720 Td (${esc(ls(0))}) Tj 0 -14 Td " +
+      s"[(${esc(ls(1))}) -250 (${esc(ls(2))})] TJ ET"
+  }
+
+  def pdfBytes(i: Int): Array[Byte] = {
+    val np = pagesOf(i)
+    val fontObj = 3 + 2 * np
+    val kids = (0 until np).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    val bodies = Seq(
+      1 -> s"<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count $np >>") ++
+      (0 until np).flatMap { p =>
+        val cs = contentOf(i, p)
+        Seq(
+          (3 + 2 * p) -> (s"<< /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [0 0 612 792] /Contents ${4 + 2 * p} 0 R " +
+            s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>"),
+          (4 + 2 * p) -> (s"<< /Length ${cs.length} >>\nstream\n$cs" +
+            "\nendstream"))
+      } ++ Seq(
+      fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = new Array[Int](fontObj + 1)
+    bodies.foreach { case (n, b) =>
+      offsets(n) = sb.length
+      sb.append(s"$n 0 obj\n").append(b).append("\nendobj\n")
+    }
+    val xrefPos = sb.length
+    sb.append(s"xref\n0 ${fontObj + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    (1 to fontObj).foreach(n => sb.append(f"${offsets(n)}%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${fontObj + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefPos\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Build the fixture if missing; returns [[path]]. Same benign-race
+    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). */
+  def ensure(): String = this.synchronized {
+    val out = new java.io.File(path)
+    if (!out.exists()) {
+      val tmp = new java.io.File(out.getParent, out.getName + ".tmp")
+      deleteRec(tmp)
+      tmp.mkdirs()
+      (0 until count).foreach { i =>
+        java.nio.file.Files.write(
+          new java.io.File(tmp, f"doc_$i%03d.pdf").toPath, pdfBytes(i))
+      }
+      if (!tmp.renameTo(out)) deleteRec(tmp)
+    }
+    path
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+    ()
+  }
+}

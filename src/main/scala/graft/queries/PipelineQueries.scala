@@ -696,7 +696,79 @@ object PipelineQueries {
       "HTTP envelope + body md5; recursive string-domain oracle, gzip " +
       "framing proven in WarcSpec)")
 
+  /** q_pdf_scan — REAL PDF text extraction ([[graft.ops.Pdf]] — xref
+    * walk, page tree, /Length-measured content streams, a token-level
+    * Tj/TJ text interpreter with the string-escape grammar): the
+    * document format an enterprise corpus like the reference's RFP
+    * library carries next to .docx/.xlsx, and a first-class ingest
+    * format for any 100 TB document pipeline. The oracle re-extracts
+    * the same pages in the string domain (object bodies by regex, kids
+    * order, literal extraction + escape decode) over the uncompressed
+    * ASCII fixture; FlateDecode completeness is PdfSpec's re-packing
+    * proof (the xlsx STORED/DEFLATE discipline). SF-invariant like the
+    * other container scans. */
+  val qPdfScan = Q("q_pdf_scan",
+    (s, _) => {
+      val dir = graft.ops.PdfFixture.ensure()
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".pdf")).map(_.getAbsolutePath).sorted
+      graft.ops.Pdf.scanPdf(
+          s.read.format("binaryFile").load(files.toIndexedSeq: _*))
+        .toDF().orderBy("file_name", "page")
+    },
+    Some(s"""WITH praw AS (
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+      |         decode(content) AS s
+      |  FROM read_blob('${graft.ops.PdfFixture.path}/*.pdf')
+      |), om AS (
+      |  SELECT file_name,
+      |    regexp_extract_all(s, '(?s)\\n([0-9]+) 0 obj\\n(.*?)\\nendobj', 1)
+      |      AS onums,
+      |    regexp_extract_all(s, '(?s)\\n([0-9]+) 0 obj\\n(.*?)\\nendobj', 2)
+      |      AS obodies
+      |  FROM praw
+      |), objs AS (
+      |  SELECT file_name, CAST(onums[i] AS BIGINT) AS objnum,
+      |         obodies[i] AS body
+      |  FROM om, unnest(generate_series(1, len(onums))) AS g(i)
+      |), kids AS (
+      |  SELECT file_name,
+      |    regexp_extract_all(
+      |      regexp_extract(body, '/Kids \\[([^\\]]*)\\]', 1),
+      |      '([0-9]+) 0 R', 1) AS refs
+      |  FROM objs WHERE body LIKE '%/Kids%'
+      |), pages AS (
+      |  SELECT file_name, CAST(i AS INTEGER) AS page,
+      |         CAST(refs[i] AS BIGINT) AS pobj
+      |  FROM kids, unnest(generate_series(1, len(refs))) AS g(i)
+      |), pago AS (
+      |  SELECT p.file_name, p.page,
+      |    CAST(regexp_extract(o.body, '/Contents ([0-9]+) 0 R', 1) AS BIGINT)
+      |      AS cobj
+      |  FROM pages p
+      |  JOIN objs o ON o.file_name = p.file_name AND o.objnum = p.pobj
+      |), cont AS (
+      |  SELECT g.file_name, g.page,
+      |    CAST(regexp_extract(o.body, '/Length ([0-9]+)', 1) AS BIGINT)
+      |      AS stream_bytes,
+      |    regexp_extract(o.body, '(?s)stream\\n(.*?)\\nendstream', 1) AS cs
+      |  FROM pago g
+      |  JOIN objs o ON o.file_name = g.file_name AND o.objnum = g.cobj
+      |), lits AS (
+      |  SELECT file_name, page, stream_bytes,
+      |    regexp_extract_all(cs, '\\(((?:[^()\\\\]|\\\\.)*)\\)', 1) AS ls
+      |  FROM cont
+      |)
+      |SELECT file_name, page,
+      |  regexp_replace(array_to_string(ls, ''), '\\\\(.)', '\\1', 'g')
+      |    AS text,
+      |  CAST(len(ls) AS INTEGER) AS n_lits, stream_bytes
+      |FROM lits ORDER BY file_name, page""".stripMargin),
+    "north star: REAL PDF text extraction (xref walk, page tree, Tj/TJ " +
+      "interpreter + escape grammar; string-domain oracle, FlateDecode " +
+      "proven in PdfSpec)")
+
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
     qSyncDiff, qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan,
-    qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip, qWarcScan)
+    qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip, qWarcScan, qPdfScan)
 }
