@@ -325,7 +325,8 @@ object Bench {
     "stream_join" -> "sj", "stream_moments" -> "s7",
     "stream_neardup" -> "s9", "stream_sess_win" -> "sw",
     "stream_sessionize" -> "ss", "sync_delete" -> "s3", "sync_diff" -> "sy",
-    "sync_upload" -> "sz", "text_stats" -> "tx", "tfidf" -> "tf",
+    "sync_upload" -> "sz", "tar_scan" -> "ta", "text_stats" -> "tx",
+    "tfidf" -> "tf",
     "token_bpe" -> "tb", "top_terms" -> "tt", "topk_native" -> "tn",
     "topk_per_group" -> "tk", "triangles" -> "tr", "unigram_nll" -> "un",
     "upsert" -> "up", "util_scalars" -> "ut", "value_moments" -> "vm",

@@ -1,0 +1,13 @@
+package graft
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(args(0))(spark, args(1))
+    val s = df.queryExecution.executedPlan.toString
+    val counts = Seq("ReusedExchange", "Exchange", "HashAggregate", "Generate",
+      "FileScan", "BroadcastExchange").map(k => k -> ("(?m)^\\s*[+:\\-\\*\\s]*" + k).r.findAllIn(s).length)
+    println(counts.map{case(k,v)=>s"$k=$v"}.mkString(" "))
+    println(s.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan parquet") || l.contains("Generate")).take(40).mkString("\n"))
+  }
+}

@@ -116,9 +116,22 @@ object HashEmbed {
     * materialized inverted-index build every indexing pipeline runs once
     * and reads twice, not a new scale risk. Measured (sf0.1, wall/cpu
     * 3-run medians): q_embed_hash 2.6/4.0 → with the pin the corpus is
-    * tokenized once; see README round-14 notes for the A/B. */
-  def sparse(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tc = termCounts(docs, idCol, textCol).localCheckpoint()
+    * tokenized once; see README round-14 notes for the A/B.
+    *
+    * `pinTerms = false` exists because this frame is CORPUS-SIZED
+    * (|docs| × mean terms/doc): a consumer that ALSO pins its own
+    * derived frame (qualityModelScores pins the feats output, the r13
+    * design) stacks two heap-resident pins and blew the 8 GB driver
+    * heap at 100× — measured, not theoretical. Such consumers opt out
+    * and keep their own narrower pin; single-pin consumers keep the
+    * default. (A DataFrame `persist` would dodge the heap via
+    * DISK_ONLY, but CacheManager persists columnar-serialize+compress —
+    * measured 2-5× the CPU of localCheckpoint's raw UnsafeRow storage
+    * at sf0.1, lazy OR eager — so localCheckpoint it stays.) */
+  def sparse(docs: DataFrame, idCol: String, textCol: String,
+             pinTerms: Boolean = true): DataFrame = {
+    val tc0 = termCounts(docs, idCol, textCol)
+    val tc = if (pinTerms) tc0.localCheckpoint() else tc0
     val n = docs.agg(count(lit(1)).as("nn"))
     val idf = tc.groupBy("tkey").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))

@@ -299,7 +299,11 @@ object CurationQueries {
       .select(col("doc_id"),
         when(col("quality") >= 3, 1L).otherwise(0L).as("pos"))
       .localCheckpoint()
-    val feats = graft.ops.HashEmbed.sparse(docs, "doc_id", "text")
+    // pinTerms = false: this body pins the NARROW feats output below, and
+    // stacking that with sparse's corpus-sized term pin OOM'd the 8 GB
+    // heap at 100× (see HashEmbed.sparse) — one pin per frame family
+    val feats = graft.ops.HashEmbed.sparse(docs, "doc_id", "text",
+        pinTerms = false)
       .localCheckpoint()
     val n = lab.agg(sum(col("pos")).as("np"),
       sum(lit(1L) - col("pos")).as("nn"))

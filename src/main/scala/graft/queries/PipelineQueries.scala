@@ -768,7 +768,69 @@ object PipelineQueries {
       "interpreter + escape grammar; string-domain oracle, FlateDecode " +
       "proven in PdfSpec)")
 
+  /** q_tar_scan — ustar TAR (WebDataset shard) ingestion
+    * ([[graft.ops.Tar]] — block walk, octal size fields, per-member
+    * checksum verification, two-zero-block terminator): the container
+    * format sharded training data actually ships in. The oracle replays
+    * the walk as a recursive hex hop whose size field is an 11-term
+    * octal expansion (the MP3/JPEG recursive-walk discipline); the
+    * checksum verification stays engine-side rigor. SF-invariant like
+    * the other container scans. */
+  val qTarScan = Q("q_tar_scan",
+    (s, _) => {
+      val dir = graft.ops.TarFixture.ensure()
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".tar")).map(_.getAbsolutePath).sorted
+      graft.ops.Tar.scanTar(
+          s.read.format("binaryFile").load(files.toIndexedSeq: _*))
+        .toDF().orderBy("file_name", "entry_idx")
+    },
+    Some {
+      def b(p: String) = s"(('0x' || substr(hx, 2*($p) + 1, 2))::BIGINT)"
+      def oct(pos: String) = "(" + (0 to 10).map { i =>
+        val coef = math.pow(8, 10 - i).toLong
+        s"(${b(s"($pos) + 124 + $i")} - 48) * $coef"
+      }.mkString(" + ") + ")"
+      def next(pos: String) =
+        s"(($pos) + 512 + ((${oct(pos)} + 511) // 512) * 512)"
+      def unhex(c: String) =
+        s"(SELECT COALESCE(string_agg(chr(('0x' || substr($c, 2*i - 1, 2))::INT), " +
+          s"'' ORDER BY i), '') FROM unnest(generate_series(1, length($c)//2)) AS g(i))"
+      s"""WITH RECURSIVE traw AS (
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+      |         hex(content) AS hx, octet_length(content) AS n
+      |  FROM read_blob('${graft.ops.TarFixture.path}/*.tar')
+      |), ent AS (
+      |  SELECT file_name, hx, n, CAST(0 AS BIGINT) AS pos,
+      |         CAST(0 AS INTEGER) AS entry_idx
+      |  FROM traw
+      |  UNION ALL
+      |  SELECT file_name, hx, n, ${next("pos")}, entry_idx + 1
+      |  FROM ent
+      |  WHERE ${next("pos")} + 1024 < n
+      |    AND ${b(next("pos"))} <> 0
+      |), fld AS (
+      |  SELECT file_name, entry_idx, hx,
+      |    regexp_replace(substr(hx, 2*pos + 1, 200), '(00)+$$', '')
+      |      AS name_hex,
+      |    ${oct("pos")} AS size, pos
+      |  FROM ent
+      |)
+      |SELECT file_name, entry_idx,
+      |  ${unhex("name_hex")} AS entry_name, size,
+      |  chr(CAST(${b("pos + 156")} AS INT)) AS type_flag,
+      |  (SELECT COALESCE(string_agg(
+      |     chr(('0x' || substr(hx, 2*(pos + 512) + 2*i - 1, 2))::INT),
+      |     '' ORDER BY i), '')
+      |   FROM unnest(generate_series(1, CAST(size AS INTEGER))) AS g(i))
+      |    AS text
+      |FROM fld ORDER BY file_name, entry_idx""".stripMargin
+    },
+    "north star: REAL ustar/WebDataset shard ingestion (block walk, " +
+      "octal fields, checksum verify engine-side; recursive hex oracle)")
+
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
     qSyncDiff, qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan,
-    qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip, qWarcScan, qPdfScan)
+    qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip, qWarcScan, qPdfScan,
+    qTarScan)
 }

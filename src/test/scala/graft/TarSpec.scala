@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Tar, TarFixture}
+
+class TarSpec extends SparkSpec {
+
+  test("block walk + checksum verify matches the fixture formulas") {
+    for (i <- 0 until TarFixture.count) {
+      val rows = Tar.parse(f"shard_$i%03d.tar", TarFixture.tarBytes(i))
+      assert(rows.length === 2 * TarFixture.samplesOf(i))
+      for (k <- 0 until TarFixture.samplesOf(i)) {
+        val txt = rows(2 * k); val cls = rows(2 * k + 1)
+        assert(txt.entry_name === s"sample_${i}_$k.txt")
+        assert(txt.entry_idx === 2 * k)
+        assert(txt.type_flag === "0")
+        assert(txt.text === TarFixture.textOf(i, k))
+        assert(txt.size === TarFixture.textOf(i, k).length.toLong)
+        assert(cls.entry_name === s"sample_${i}_$k.cls")
+        assert(cls.text === TarFixture.clsOf(i, k))
+      }
+    }
+  }
+
+  test("WebDataset sample reassembly: pairing members by name stem") {
+    val rows = Tar.parse("shard_003.tar", TarFixture.tarBytes(3))
+    val samples = rows.groupBy(_.entry_name.split('.').head)
+    assert(samples.size === TarFixture.samplesOf(3))
+    samples.foreach { case (_, ms) =>
+      assert(ms.map(_.entry_name.split('.').last).toSet === Set("txt", "cls"))
+    }
+  }
+
+  test("malformed archives refuse loudly") {
+    val good = TarFixture.tarBytes(0)
+    // corrupted header byte -> checksum mismatch
+    val bad = good.clone()
+    bad(0) = 'X'
+    val e1 = intercept[IllegalArgumentException] { Tar.parse("c.tar", bad) }
+    assert(e1.getMessage.contains("checksum"))
+    // bad magic
+    val bad2 = good.clone()
+    bad2(257) = 'X'
+    val e2 = intercept[IllegalArgumentException] { Tar.parse("m.tar", bad2) }
+    assert(e2.getMessage.contains("magic"))
+    // truncated: terminator gone
+    val e3 = intercept[IllegalArgumentException] {
+      Tar.parse("t.tar", good.take(good.length - 1024))
+    }
+    assert(e3.getMessage.contains("terminator") ||
+      e3.getMessage.contains("overruns"))
+    // non-block-aligned
+    val e4 = intercept[IllegalArgumentException] {
+      Tar.parse("a.tar", good.take(good.length - 7))
+    }
+    assert(e4.getMessage.contains("block-aligned"))
+    // trailing garbage after the terminator
+    val e5 = intercept[IllegalArgumentException] {
+      Tar.parse("g.tar", good ++ new Array[Byte](512))
+    }
+    assert(e5.getMessage.contains("trailing"))
+  }
+
+  test("scanTar reads the on-disk fixture through binaryFile") {
+    val dir = TarFixture.ensure()
+    val got = Tar.scanTar(
+        spark.read.format("binaryFile").load(dir + "/*.tar"))
+      .collect().groupBy(_.file_name)
+    assert(got.size === TarFixture.count)
+    for (i <- 0 until TarFixture.count)
+      assert(got(f"shard_$i%03d.tar").length === 2 * TarFixture.samplesOf(i))
+  }
+}
