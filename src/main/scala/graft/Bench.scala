@@ -274,59 +274,63 @@ object Bench {
     * 2 to 4 registrations of headroom so a single round's additions can
     * never gate again. At 2 chars the codes are arbitrary; the README
     * table and bench_keymap.json ARE the decoder, asserted equal to this
-    * map by BenchLineSpec. */
+    * map by BenchLineSpec. Wave 9 (r14, five registrations later): the
+    * 36 alphabetically-first names take the [0-9a-z] 1-char code space
+    * (36 bytes back — single-char codes cannot collide with the 2-char
+    * adjudication fields), restoring the 4-registration headroom after
+    * warc/pdf/tar/crawl/zipf landed. */
   private[graft] val displayAbbrev = Map(
-    "ann_delta" -> "ad", "ann_graph" -> "ag", "ann_ivf" -> "iv",
-    "ann_ivf_pq" -> "ip", "ann_ivf_sq" -> "if", "ann_lsh" -> "ls",
-    "ann_mp" -> "mp", "ann_mt" -> "mt", "ann_pq" -> "pq",
-    "ann_recall" -> "ra", "ann_sq" -> "aq",
-    "anomaly" -> "an", "anti_join" -> "aj", "asof_bcast" -> "ab",
-    "asof_join" -> "af", "bigram_nll" -> "bn", "binary_scan" -> "bc",
-    "bm25" -> "b5", "boilerplate" -> "bo", "bpe_encode" -> "be",
-    "bpe_merge" -> "bp", "bpe_subword" -> "bu", "bpe_train" -> "bt",
-    "budget_select" -> "bl", "canon" -> "ca", "cardinality" -> "cr",
-    "centroids" -> "cy", "chunk" -> "ck", "chunk_index" -> "cx",
-    "chunk_ref" -> "cf", "clean" -> "cl", "cms" -> "cc", "cohort" -> "co",
-    "containment" -> "cj", "curate_e2e" -> "c2", "decontam" -> "de",
-    "dedup_exact" -> "dx", "delta_dedup" -> "dl", "diverse_sample" -> "dv",
-    "doc_dedup" -> "do", "doc_render" -> "dr", "docx_roundtrip" -> "dw",
-    "docx_scan" -> "dq", "domain_cap" -> "da", "domain_dedup" -> "dz",
-    "dsir_select" -> "ds", "dup_clusters" -> "dn",
-    "dup_clusters_star" -> "d2", "dup_count" -> "dt", "dup_keep" -> "dk",
-    "dup_keys" -> "dg", "dup_stats" -> "d1", "embed_dup" -> "ed",
-    "embed_hash" -> "eh", "entity_canon" -> "en", "entity_canon2" -> "e2",
+    "ann_delta" -> "0", "ann_graph" -> "1", "ann_ivf" -> "2",
+    "ann_ivf_pq" -> "3", "ann_ivf_sq" -> "4", "ann_lsh" -> "5",
+    "ann_mp" -> "6", "ann_mt" -> "7", "ann_pq" -> "8", "ann_recall" -> "9",
+    "ann_sq" -> "a", "anomaly" -> "b", "anti_join" -> "c",
+    "asof_bcast" -> "d", "asof_join" -> "e", "bigram_nll" -> "f",
+    "binary_scan" -> "g", "bm25" -> "h", "boilerplate" -> "i",
+    "bpe_encode" -> "j", "bpe_merge" -> "k", "bpe_subword" -> "l",
+    "bpe_train" -> "m", "budget_select" -> "n", "canon" -> "o",
+    "cardinality" -> "p", "centroids" -> "q", "chunk" -> "r",
+    "chunk_index" -> "s", "chunk_ref" -> "t", "clean" -> "u", "cms" -> "v",
+    "cohort" -> "w", "containment" -> "x", "crawl_e2e" -> "y",
+    "curate_e2e" -> "z", "decontam" -> "de", "dedup_exact" -> "dx",
+    "delta_dedup" -> "dl", "diverse_sample" -> "dv", "doc_dedup" -> "do",
+    "doc_render" -> "dr", "docx_roundtrip" -> "dw", "docx_scan" -> "dq",
+    "domain_cap" -> "da", "domain_dedup" -> "dz", "dsir_select" -> "ds",
+    "dup_clusters" -> "dn", "dup_clusters_star" -> "d2",
+    "dup_count" -> "dt", "dup_keep" -> "dk", "dup_keys" -> "dg",
+    "dup_stats" -> "d1", "embed_dup" -> "ed", "embed_hash" -> "eh",
+    "entity_canon" -> "en", "entity_canon2" -> "e2",
     "entity_canon_pr" -> "ep", "events_hourly" -> "ev",
     "events_json" -> "ej", "events_sliding" -> "el", "events_topk" -> "et",
     "fingerprint" -> "fg", "funnel" -> "fn", "fuzzy_join" -> "fz",
     "fuzzy_join2" -> "f2", "grouping_sets" -> "gs", "hash_recall" -> "hr",
-    "having_join" -> "hj", "heavy_hitters" -> "hh", "hist_quantile" -> "hq",
-    "html_extract" -> "ht", "hybrid_rrf" -> "rf", "inline_scan" -> "in",
-    "jaccard" -> "ja", "keys" -> "ky", "keys_sha" -> "ks", "knn" -> "kn",
-    "knn_hash" -> "kh", "lag_lead" -> "lg", "lang_id" -> "li",
-    "lastwins" -> "lw", "latest_file" -> "lf", "latest_per_q" -> "lp",
-    "longest_resp" -> "lr", "mad_outliers" -> "ma", "media_bmp" -> "bi",
-    "media_features" -> "me", "media_frames" -> "mf", "media_jpeg" -> "jp",
-    "media_meta" -> "mm", "media_mp3" -> "m3", "media_png" -> "pn",
-    "media_resize" -> "mz", "media_wav" -> "wv", "mix" -> "mi",
-    "mix_temp" -> "mx", "near_dup" -> "nd", "near_dup_rep" -> "nr",
-    "pack" -> "pk", "pagerank" -> "pg", "pdf_scan" -> "pd",
-    "pipeline_e2e" -> "p2",
+    "having_join" -> "hj", "heavy_hitters" -> "hh",
+    "hist_quantile" -> "hq", "html_extract" -> "ht", "hybrid_rrf" -> "rf",
+    "inline_scan" -> "in", "jaccard" -> "ja", "keys" -> "ky",
+    "keys_sha" -> "ks", "knn" -> "kn", "knn_hash" -> "kh",
+    "lag_lead" -> "lg", "lang_id" -> "li", "lastwins" -> "lw",
+    "latest_file" -> "lf", "latest_per_q" -> "lp", "longest_resp" -> "lr",
+    "mad_outliers" -> "ma", "media_bmp" -> "bi", "media_features" -> "me",
+    "media_frames" -> "mf", "media_jpeg" -> "jp", "media_meta" -> "mm",
+    "media_mp3" -> "m3", "media_png" -> "pn", "media_resize" -> "mz",
+    "media_wav" -> "wv", "mix" -> "mi", "mix_temp" -> "mx",
+    "near_dup" -> "nd", "near_dup_rep" -> "nr", "pack" -> "pk",
+    "pagerank" -> "pg", "pdf_scan" -> "pd", "pipeline_e2e" -> "p2",
     "pivot" -> "pv", "profile" -> "pf", "q1_agg" -> "q1", "q3_top" -> "q3",
     "q5_region" -> "q5", "quality" -> "qa", "quality_model" -> "qm",
     "quantiles" -> "qn", "range_join" -> "rj", "redact" -> "rd",
     "rep_ngram" -> "rn", "rerank_model" -> "rk", "retrieval_e2e" -> "r3",
     "rollup" -> "ro", "sample" -> "s8", "sample_k" -> "s0",
-    "sample_quantile" -> "su", "scalar_subquery" -> "sq", "semdedup" -> "sd",
-    "semdedup_s" -> "s5", "semi_join" -> "sl", "session_window" -> "sv",
-    "sessionize" -> "se", "setops" -> "so", "simhash" -> "si",
-    "simhash_dup" -> "s4", "skew_audit" -> "sk", "soft_dedup" -> "s6",
-    "span_dedup" -> "sp", "span_dedup_cdc" -> "sc", "split_leakfree" -> "lk",
-    "stream_append" -> "sa", "stream_dedup" -> "s2", "stream_hourly" -> "sh",
-    "stream_join" -> "sj", "stream_moments" -> "s7",
-    "stream_neardup" -> "s9", "stream_sess_win" -> "sw",
-    "stream_sessionize" -> "ss", "sync_delete" -> "s3", "sync_diff" -> "sy",
-    "sync_upload" -> "sz", "tar_scan" -> "ta", "text_stats" -> "tx",
-    "tfidf" -> "tf",
+    "sample_quantile" -> "su", "scalar_subquery" -> "sq",
+    "semdedup" -> "sd", "semdedup_s" -> "s5", "semi_join" -> "sl",
+    "session_window" -> "sv", "sessionize" -> "se", "setops" -> "so",
+    "simhash" -> "si", "simhash_dup" -> "s4", "skew_audit" -> "sk",
+    "soft_dedup" -> "s6", "span_dedup" -> "sp", "span_dedup_cdc" -> "sc",
+    "split_leakfree" -> "lk", "stream_append" -> "sa",
+    "stream_dedup" -> "s2", "stream_hourly" -> "sh", "stream_join" -> "sj",
+    "stream_moments" -> "s7", "stream_neardup" -> "s9",
+    "stream_sess_win" -> "sw", "stream_sessionize" -> "ss",
+    "sync_delete" -> "s3", "sync_diff" -> "sy", "sync_upload" -> "sz",
+    "tar_scan" -> "ta", "text_stats" -> "tx", "tfidf" -> "tf",
     "token_bpe" -> "tb", "top_terms" -> "tt", "topk_native" -> "tn",
     "topk_per_group" -> "tk", "triangles" -> "tr", "unigram_nll" -> "un",
     "upsert" -> "up", "util_scalars" -> "ut", "value_moments" -> "vm",

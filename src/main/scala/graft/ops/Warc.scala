@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions.{col, element_at, split}
 final case class WarcRow(file_name: String, rec_idx: Int, warc_type: String,
                          target_uri: Option[String], content_length: Long,
                          http_status: Option[Int], mime: Option[String],
-                         body_len: Option[Long], body_md5: Option[String])
+                         body_len: Option[Long], body_md5: Option[String],
+                         body: Option[String])
 
 /** ISO 28500 (WARC/1.0) container codec — the on-disk format a 100 TB
   * web-crawl corpus actually arrives in (Common Crawl ships ~90k .warc.gz
@@ -108,8 +109,8 @@ object Warc {
         s"(payload $cl octets past ${b.length - pStart} available)")
       require(sepAt(b, pEnd) == pEnd,
         s"$name: missing CRLF CRLF record trailer at $pEnd")
-      val (status, mime, bodyLen, bodyMd5) =
-        if (typ != "response") (None, None, None, None)
+      val (status, mime, bodyLen, bodyMd5, bodyTxt) =
+        if (typ != "response") (None, None, None, None, None)
         else {
           val hs = sepAt(b, pStart)
           require(hs >= pStart && hs < pEnd,
@@ -125,10 +126,14 @@ object Warc {
           }
           val bOff = hs + 4
           (Some(code), ct, Some((pEnd - bOff).toLong),
-            Some(md5Hex(b, bOff, pEnd - bOff)))
+            Some(md5Hex(b, bOff, pEnd - bOff)),
+            // HTML payloads are UTF-8 text by contract of this scan's
+            // consumers (the mime column says what the bytes are)
+            Some(new String(b, bOff, pEnd - bOff,
+              java.nio.charset.StandardCharsets.UTF_8)))
         }
       out += WarcRow(name, idx, typ, fields.get("WARC-Target-URI"), cl,
-        status, mime, bodyLen, bodyMd5)
+        status, mime, bodyLen, bodyMd5, bodyTxt)
       pos = pEnd + 4
       idx += 1
     }

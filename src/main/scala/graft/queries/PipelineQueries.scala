@@ -636,6 +636,62 @@ object PipelineQueries {
     * fixture, uncompressed — the xlsx STORED-entry discipline; gzip
     * codec-completeness is WarcSpec's re-framing proof). SF-invariant
     * like the other container scans. */
+  /** The WARC-walk oracle CTEs, ending in relation `wrec(file_name,
+    * rec_idx, warc_type, target_uri, content_length, http_status, mime,
+    * body_len, body_md5, body)` — spliced by q_warc_scan and by the
+    * crawl-composition queries (TextQueries.qCrawlE2e). */
+  private[queries] def warcWalkSql: String = {
+    val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
+    def hk(pos: String) = s"strpos(substr(s, $pos), $sep4)"
+    def hdr(pos: String) = s"substr(s, $pos, ${hk(pos)} - 1)"
+    def cl(pos: String) =
+      s"CAST(regexp_extract(${hdr(pos)}, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+    def nextPos(pos: String) =
+      s"($pos + ${hk(pos)} + 3 + ${cl(pos)} + 4)"
+    s"""wraw AS (
+    |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+    |         decode(content) AS s
+    |  FROM read_blob('${graft.ops.WarcFixture.path}/*.warc')
+    |), rec AS (
+    |  SELECT file_name, s, CAST(1 AS BIGINT) AS pos,
+    |         CAST(0 AS INTEGER) AS rec_idx
+    |  FROM wraw
+    |  UNION ALL
+    |  SELECT file_name, s, ${nextPos("pos")}, rec_idx + 1
+    |  FROM rec WHERE ${nextPos("pos")} <= len(s)
+    |), wfld AS (
+    |  SELECT file_name, rec_idx, s, ${hdr("pos")} AS hdr,
+    |         pos + ${hk("pos")} + 3 AS pstart, ${cl("pos")} AS cl
+    |  FROM rec
+    |), wr2 AS (
+    |  SELECT file_name, rec_idx,
+    |    regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
+    |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
+    |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
+    |    END AS target_uri,
+    |    cl AS content_length, substr(s, pstart, cl) AS payload
+    |  FROM wfld
+    |), wrec AS (
+    |  SELECT file_name, rec_idx, warc_type, target_uri, content_length,
+    |    CASE WHEN warc_type = 'response' THEN
+    |      CAST(regexp_extract(payload, '^HTTP/1\\.[01] ([0-9]{3})', 1)
+    |        AS INTEGER) END AS http_status,
+    |    CASE WHEN warc_type = 'response' THEN
+    |      regexp_extract(payload, 'Content-Type: ([^\\r]+)', 1)
+    |    END AS mime,
+    |    CASE WHEN warc_type = 'response' THEN
+    |      CAST(len(substr(payload, strpos(payload, $sep4) + 4)) AS BIGINT)
+    |    END AS body_len,
+    |    CASE WHEN warc_type = 'response' THEN
+    |      md5(substr(payload, strpos(payload, $sep4) + 4))
+    |    END AS body_md5,
+    |    CASE WHEN warc_type = 'response' THEN
+    |      substr(payload, strpos(payload, $sep4) + 4)
+    |    END AS body
+    |  FROM wr2
+    |)""".stripMargin
+  }
+
   val qWarcScan = Q("q_warc_scan",
     (s, _) => {
       val dir = graft.ops.WarcFixture.ensure()
@@ -645,56 +701,11 @@ object PipelineQueries {
           s.read.format("binaryFile").load(files.toIndexedSeq: _*))
         .toDF().orderBy("file_name", "rec_idx")
     },
-    Some {
-      val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
-      def hk(pos: String) = s"strpos(substr(s, $pos), $sep4)"
-      def hdr(pos: String) = s"substr(s, $pos, ${hk(pos)} - 1)"
-      def cl(pos: String) =
-        s"CAST(regexp_extract(${hdr(pos)}, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
-      def nextPos(pos: String) =
-        s"($pos + ${hk(pos)} + 3 + ${cl(pos)} + 4)"
-      s"""WITH RECURSIVE wraw AS (
-      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
-      |         decode(content) AS s
-      |  FROM read_blob('${graft.ops.WarcFixture.path}/*.warc')
-      |), rec AS (
-      |  SELECT file_name, s, CAST(1 AS BIGINT) AS pos,
-      |         CAST(0 AS INTEGER) AS rec_idx
-      |  FROM wraw
-      |  UNION ALL
-      |  SELECT file_name, s, ${nextPos("pos")}, rec_idx + 1
-      |  FROM rec WHERE ${nextPos("pos")} <= len(s)
-      |), fld AS (
-      |  SELECT file_name, rec_idx, s, ${hdr("pos")} AS hdr,
-      |         pos + ${hk("pos")} + 3 AS pstart, ${cl("pos")} AS cl
-      |  FROM rec
-      |), r2 AS (
-      |  SELECT file_name, rec_idx,
-      |    regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
-      |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
-      |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
-      |    END AS target_uri,
-      |    cl AS content_length, substr(s, pstart, cl) AS payload
-      |  FROM fld
-      |)
-      |SELECT file_name, rec_idx, warc_type, target_uri, content_length,
-      |  CASE WHEN warc_type = 'response' THEN
-      |    CAST(regexp_extract(payload, '^HTTP/1\\.[01] ([0-9]{3})', 1)
-      |      AS INTEGER) END AS http_status,
-      |  CASE WHEN warc_type = 'response' THEN
-      |    regexp_extract(payload, 'Content-Type: ([^\\r]+)', 1)
-      |  END AS mime,
-      |  CASE WHEN warc_type = 'response' THEN
-      |    CAST(len(substr(payload, strpos(payload, $sep4) + 4)) AS BIGINT)
-      |  END AS body_len,
-      |  CASE WHEN warc_type = 'response' THEN
-      |    md5(substr(payload, strpos(payload, $sep4) + 4))
-      |  END AS body_md5
-      |FROM r2 ORDER BY file_name, rec_idx""".stripMargin
-    },
+    Some("WITH RECURSIVE " + warcWalkSql + """
+      |SELECT * FROM wrec ORDER BY file_name, rec_idx""".stripMargin),
     "north star: REAL WARC/1.0 crawl-container ingestion (record walk + " +
-      "HTTP envelope + body md5; recursive string-domain oracle, gzip " +
-      "framing proven in WarcSpec)")
+      "HTTP envelope + body md5/text; recursive string-domain oracle, " +
+      "gzip framing proven in WarcSpec)")
 
   /** q_pdf_scan — REAL PDF text extraction ([[graft.ops.Pdf]] — xref
     * walk, page tree, /Length-measured content streams, a token-level

@@ -1828,6 +1828,57 @@ object TextQueries {
     * counts `<a href` on the raw HTML; `n_tags` counts what the tag
     * strip removed. Scale: one codegen'd projection chain — no shuffle,
     * no UDF; exactly how a crawl-extraction stage runs at 100 TB. */
+  /** The HTML→text strip chain as Columns over any `html` column —
+    * (text_clean, n_tags, n_links) — shared by [[qHtmlExtract]] (over
+    * the deterministic wrap) and [[qCrawlE2e]] (over REAL WARC response
+    * bodies). Script/style blocks out first (non-greedy, dotall — an
+    * embedded "</p>" string literal must not terminate the strip), then
+    * comments, then tags; entity decode amp-LAST; whitespace collapse.
+    * Pure codegen'd projection — zero shuffle at any scale. */
+  private[queries] def htmlStripCols(html: Column)
+      : (Column, Column, Column) = {
+    val noScript = regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val unTagged = regexp_replace(noComment, "<[^>]+>", " ")
+    // entity decode, amp LAST so "&amp;lt;" can never double-decode
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&amp;" -> "&").foldLeft(unTagged) { case (c, (e, ch)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e), ch) }
+    (trim(regexp_replace(decoded, "\\s+", " ")),
+      regexp_count(noComment, lit("<[^>]+>")).cast("long"),
+      regexp_count(html, lit("<a [^>]*href")).cast("long"))
+  }
+
+  /** The SQL twin of [[htmlStripCols]]: CTEs `nc` + `stripped` with
+    * (keyCols, n_links, n_tags, text_clean) over `relation`, which must
+    * provide keyCols and `html`. Plain-string built (no interpolator)
+    * so the regex backslashes stay literal. */
+  private[queries] def htmlStripSql(relation: String, keyCols: String)
+      : String =
+    "nc AS (\n" +
+      "  SELECT " + keyCols + ", html,\n" +
+      """    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script[^>]*>.*?</script>', '', 'gs'),
+        |      '<style[^>]*>.*?</style>', '', 'gs'),
+        |      '<!--.*?-->', '', 'gs') AS noc
+        |""".stripMargin +
+      "  FROM " + relation + "\n), stripped AS (\n" +
+      "  SELECT " + keyCols + ",\n" +
+      """    CAST(len(regexp_extract_all(html, '<a [^>]*href')) AS BIGINT)
+        |      AS n_links,
+        |    CAST(len(regexp_extract_all(noc, '<[^>]+>')) AS BIGINT)
+        |      AS n_tags,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(noc, '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text_clean
+        |  FROM nc
+        |)""".stripMargin
+
   val qHtmlExtract = Q("q_html_extract",
     (s, dir) => {
       val id = col("doc_id").cast("string")
@@ -1841,22 +1892,10 @@ object TextQueries {
         lit("<p class=\"b\">"), coalesce(col("text"), lit("")), lit("</p>"),
         lit("<br/><a href=\"https://ex.org/"), id,
         lit("\">more &lt;info&gt;</a></body></html>"))
-      val noScript = regexp_replace(html,
-        "(?s)<script[^>]*>.*?</script>", "")
-      val noStyle = regexp_replace(noScript,
-        "(?s)<style[^>]*>.*?</style>", "")
-      val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
-      val unTagged = regexp_replace(noComment, "<[^>]+>", " ")
-      // entity decode, amp LAST so "&amp;lt;" can never double-decode
-      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&amp;" -> "&").foldLeft(unTagged) { case (c, (e, ch)) =>
-        regexp_replace(c, java.util.regex.Pattern.quote(e), ch) }
+      val (clean, nTags, nLinks) = htmlStripCols(html)
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          regexp_count(html, lit("<a [^>]*href")).cast("long")
-            .as("n_links"),
-          regexp_count(noComment, lit("<[^>]+>")).cast("long").as("n_tags"),
-          trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
+        .select(col("doc_id"), nLinks.as("n_links"), nTags.as("n_tags"),
+          clean.as("text_clean"))
     },
     Some("""WITH h AS (
       |  SELECT doc_id,
@@ -1869,30 +1908,68 @@ object TextQueries {
       |    '<br/><a href="https://ex.org/' || doc_id || '">more &lt;info&gt;</a></body></html>'
       |    AS html
       |  FROM documents
-      |), nc AS (
-      |  SELECT doc_id, html,
-      |    regexp_replace(regexp_replace(regexp_replace(html,
-      |      '<script[^>]*>.*?</script>', '', 'gs'),
-      |      '<style[^>]*>.*?</style>', '', 'gs'),
-      |      '<!--.*?-->', '', 'gs') AS noc
-      |  FROM h
-      |)
-      |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(html, '<a [^>]*href')) AS BIGINT) AS n_links,
-      |  CAST(len(regexp_extract_all(noc, '<[^>]+>')) AS BIGINT) AS n_tags,
-      |  trim(regexp_replace(
-      |    replace(replace(replace(replace(
-      |      regexp_replace(noc, '<[^>]+>', ' ', 'g'),
-      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
-      |    '\s+', ' ', 'g')) AS text_clean
-      |FROM nc""".stripMargin),
+      |), """.stripMargin + htmlStripSql("h", "doc_id") + """
+      |SELECT doc_id, n_links, n_tags, text_clean FROM stripped""".stripMargin),
     "north star: HTML->text extraction (script/style/comment-aware tag " +
       "strip + entity decode, one codegen'd projection - the crawl " +
       "stage that feeds every text op)")
+
+  /** q_crawl_e2e — the crawl front door composed END-TO-END over REAL
+    * container bytes: WARC ingestion ([[graft.ops.Warc]] — the same walk
+    * q_warc_scan gate-checks) → keep only 200-status non-empty HTML
+    * responses → the [[htmlStripCols]] extraction chain → word count →
+    * a minimum-length keep gate (n_words ≥ 20, the Gopher-style floor).
+    * This is the q_curate_e2e/q_pipeline_e2e discipline applied to the
+    * crawl family: each stage is independently oracle-checked elsewhere
+    * (q_warc_scan, q_html_extract); the composition is one Catalyst plan
+    * whose oracle chains the SAME walk and strip SQL. Scale: a linear
+    * binaryFile scan + a codegen'd projection chain — no shuffle at all;
+    * exactly the map-only ingest→extract→gate pass a 100 TB crawl
+    * actually runs, partitioned by WARC segment. */
+  val qCrawlE2e = Q("q_crawl_e2e",
+    (s, _) => {
+      val dir = graft.ops.WarcFixture.ensure()
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc")).map(_.getAbsolutePath).sorted
+      val resp = graft.ops.Warc.scanWarc(
+          s.read.format("binaryFile").load(files.toIndexedSeq: _*))
+        .toDF()
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200 && col("body_len") > 0)
+      val (clean, nTags, nLinks) = htmlStripCols(col("body"))
+      resp.select(col("file_name"), col("rec_idx"), col("target_uri"),
+          nLinks.as("n_links"), nTags.as("n_tags"), clean.as("text_clean"))
+        .withColumn("n_words", when(col("text_clean") === "", 0L)
+          .otherwise(size(split(col("text_clean"), " ")).cast("long")))
+        .withColumn("keep",
+          when(col("n_words") >= 20, 1L).otherwise(0L))
+        .orderBy("file_name", "rec_idx")
+    },
+    Some("WITH RECURSIVE " + PipelineQueries.warcWalkSql + """,
+      |h AS (
+      |  SELECT file_name, rec_idx, target_uri, body AS html
+      |  FROM wrec
+      |  WHERE warc_type = 'response' AND http_status = 200
+      |    AND body_len > 0
+      |), """.stripMargin +
+      htmlStripSql("h", "file_name, rec_idx, target_uri") + """,
+      |scored AS (
+      |  SELECT file_name, rec_idx, target_uri, n_links, n_tags, text_clean,
+      |    CASE WHEN text_clean = '' THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(len(string_split(text_clean, ' ')) AS BIGINT)
+      |    END AS n_words
+      |  FROM stripped
+      |)
+      |SELECT *, CASE WHEN n_words >= 20 THEN CAST(1 AS BIGINT)
+      |             ELSE CAST(0 AS BIGINT) END AS keep
+      |FROM scored ORDER BY file_name, rec_idx""".stripMargin),
+    "north star: crawl front door composed e2e (WARC walk -> HTTP gate " +
+      "-> HTML strip -> length gate) over real container bytes, one " +
+      "shuffle-free plan, chained oracle")
 
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms, qZipf,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
     qSpanDedup, qSpanDedupCdc, qBpeMerge, qBpeTrain, qBpeEncode, qBpeSubword, qUnigramNll, qBigramNll, qVocabEncode,
     qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qEntityCanonPr, qTriangles, qPagerank, qMixTemp,
-    qHtmlExtract)
+    qHtmlExtract, qCrawlE2e)
 }

@@ -47,8 +47,11 @@ class BenchLineSpec extends AnyFunSuite {
       "unmapped names pass through unchanged")
     assert(line.contains("\"q1\"") && !line.contains("\"q1_agg\""),
       "non-q_ names are abbreviatable too (wave 5)")
-    assert(Bench.displayAbbrev.values.forall(_.length == 2),
-      "wave 8: every display name is exactly 2 chars")
+    assert(Bench.displayAbbrev.values.forall(_.length <= 2),
+      "wave 8/9: every display name is at most 2 chars (wave 9 gives the " +
+        "36 alphabetically-first names 1-char codes from [0-9a-z])")
+    assert(Bench.displayAbbrev.values.count(_.length == 1) == 36,
+      "wave 9: exactly the [0-9a-z] code space is spent on 1-char names")
     // the self-adjudication line fields must never be shadowed by a query
     // display code — a reader greps the line for both
     val fields = Set("cn", "cm", "ms", "mv", "rr", "rt", "fp", "fs", "sf",

@@ -39,6 +39,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan(SimilarityQueries.qChunk).contains("Exchange"))
   }
 
+  test("q_crawl_e2e is a shuffle-free single pass over the WARC bytes") {
+    // the crawl front door's scale contract: ingest → HTTP gate → HTML
+    // strip → length gate compose into ONE map-only plan (a shuffle here
+    // would re-partition the whole crawl at 100 TB); the final orderBy is
+    // display-determinism for the oracle compare, so tolerate exactly the
+    // range-partition exchange it plans and nothing else
+    val p = plan(graft.queries.TextQueries.qCrawlE2e)
+    assert(countOcc(p, "Exchange hashpartitioning") === 0,
+      "crawl e2e must not hash-shuffle")
+  }
+
   test("q_knn broadcasts the query set (no shuffle before ranking)") {
     val p = plan(SimilarityQueries.qKnn)
     assert(p.contains("BroadcastNestedLoopJoin"))
