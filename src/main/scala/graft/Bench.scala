@@ -330,7 +330,8 @@ object Bench {
     "stream_moments" -> "s7", "stream_neardup" -> "s9",
     "stream_sess_win" -> "sw", "stream_sessionize" -> "ss",
     "sync_delete" -> "s3", "sync_diff" -> "sy", "sync_upload" -> "sz",
-    "tar_scan" -> "ta", "text_stats" -> "tx", "tfidf" -> "tf",
+    "tar_roundtrip" -> "t2", "tar_scan" -> "ta",
+    "text_stats" -> "tx", "tfidf" -> "tf",
     "token_bpe" -> "tb", "top_terms" -> "tt", "topk_native" -> "tn",
     "topk_per_group" -> "tk", "triangles" -> "tr", "unigram_nll" -> "un",
     "upsert" -> "up", "util_scalars" -> "ut", "value_moments" -> "vm",

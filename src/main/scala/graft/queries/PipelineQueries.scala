@@ -840,8 +840,63 @@ object PipelineQueries {
     "north star: REAL ustar/WebDataset shard ingestion (block walk, " +
       "octal fields, checksum verify engine-side; recursive hex oracle)")
 
+  /** q_tar_roundtrip — the WebDataset shard SINK exercised in the gate
+    * on real pipeline data (q_tar_scan proves the codec on its fixture;
+    * this proves the EXPORT loop a training run consumes): every
+    * document becomes a (doc_<id>.txt, doc_<id>.cls) member pair,
+    * repartitioned by doc_id so each sample's pair lands INTACT in one
+    * shard (the WebDataset locality contract), written as real .tar
+    * shards one per partition via [[graft.ops.Tar.writeShards]], read
+    * back through the verified scanner, and compared — like
+    * q_docx_roundtrip — against an oracle that NEVER SEES THE FILES: it
+    * derives (entry_name, size, text) from the parquet directly, so a
+    * sink that drops a member, mis-sizes a header, or breaks a checksum
+    * (the scanner verifies every one) hash-mismatches. Member order
+    * inside a shard is partition order, so the comparison sorts by
+    * entry_name; sizes are UTF-8 octet lengths on both sides. Sink cost
+    * is one task per shard — the export shape at 100 TB. */
+  val qTarRoundtrip = Q("q_tar_roundtrip",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val members = docs.select(
+          concat(lit("doc_"), col("doc_id"), lit(".txt")).as("m_name"),
+          col("text").as("m_text"), col("doc_id"))
+        .unionByName(docs.select(
+          concat(lit("doc_"), col("doc_id"), lit(".cls")).as("m_name"),
+          (col("doc_id") % 10).cast("string").as("m_text"), col("doc_id")))
+        .repartition(8, col("doc_id"))
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_tar_rt_" + java.util.UUID.nameUUIDFromBytes(
+          dir.getBytes("UTF-8")).toString.take(8) +
+          "_" + s.sparkContext.applicationId).getAbsolutePath
+      sweepStaleAndRegisterCleanup(new java.io.File(out))
+      deleteRec(new java.io.File(out)) // S11 truncate-then-write semantics
+      graft.ops.Tar.writeShards(members, "m_name", "m_text", out)
+      graft.ops.Tar.scanTar(
+          s.read.format("binaryFile").load(out + "/*.tar"))
+        .toDF().select(col("entry_name"), col("size"), col("text"))
+        .orderBy("entry_name")
+    },
+    Some("""WITH m AS (
+      |  SELECT 'doc_' || doc_id || '.txt' AS entry_name,
+      |         CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+      |           AS size,
+      |         COALESCE(text, '') AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'doc_' || doc_id || '.cls', CAST(1 AS BIGINT),
+      |         CAST(doc_id % 10 AS VARCHAR)
+      |  FROM documents
+      |)
+      |SELECT entry_name, size, text FROM m ORDER BY entry_name""".stripMargin),
+    "north star: WebDataset shard EXPORT loop (repartition-by-sample -> " +
+      "one real .tar per partition -> checksum-verified read-back; " +
+      "oracle derives the answer from parquet, never the files)")
+
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
     qSyncDiff, qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan,
     qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip, qWarcScan, qPdfScan,
-    qTarScan)
+    qTarScan, qTarRoundtrip)
 }

@@ -60,6 +60,33 @@ class TarSpec extends SparkSpec {
     assert(e5.getMessage.contains("trailing"))
   }
 
+  test("writeShards round-trips real pipeline rows, UTF-8 included") {
+    import spark.implicits._
+    val rows = Seq(
+      ("doc_0.txt", "plain ascii text"),
+      ("doc_0.cls", "7"),
+      ("doc_1.txt", "accented café — naïve résumé 日本語"),
+      ("doc_1.cls", "3"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tar_rt_spec").toFile
+    try {
+      Tar.writeShards(rows.toDF("m_name", "m_text").repartition(2),
+        "m_name", "m_text", dir.getAbsolutePath)
+      val got = Tar.scanTar(spark.read.format("binaryFile")
+          .load(dir.getAbsolutePath + "/*.tar"))
+        .collect().map(e => e.entry_name -> e).toMap
+      assert(got.size === 4)
+      rows.foreach { case (n, t) =>
+        assert(got(n).text === t)
+        assert(got(n).size === t.getBytes("UTF-8").length.toLong,
+          "header size must be the UTF-8 octet count")
+      }
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete()
+    }
+  }
+
   test("scanTar reads the on-disk fixture through binaryFile") {
     val dir = TarFixture.ensure()
     val got = Tar.scanTar(

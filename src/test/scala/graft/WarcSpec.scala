@@ -29,6 +29,8 @@ class WarcSpec extends SparkSpec {
         assert(resp.http_status === Some(WarcFixture.statusOf(i, r)))
         assert(resp.mime === Some("text/html; charset=UTF-8"))
         val body = WarcFixture.bodyOf(i, r)
+        assert(resp.body === Some(body))
+        assert(req.body === None)
         assert(resp.body_len === Some(body.length.toLong))
         val md = java.security.MessageDigest.getInstance("MD5")
           .digest(body.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
