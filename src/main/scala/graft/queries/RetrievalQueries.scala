@@ -241,6 +241,12 @@ object RetrievalQueries {
         Window.orderBy(col("rrf").desc, col("doc_id"))))
       .select(col("doc_id"), col("base_rk"),
         when(col("text_rk").isNotNull, 1L).otherwise(0L).as("label_kw"))
+    // NO pin on the idf dictionary, measured twice now (r13 pinned the
+    // shortlist, r14 re-tried on idf itself: wall 3.9 → 5.3 s, cpu flat
+    // 4.77 → 4.75): this query's duplicate consumers evaluate as
+    // PARALLEL subtrees of one job, so the re-derivation is wall-free on
+    // 32 cores and an eager pin only serializes the build. The pin
+    // discipline (HashEmbed.sparse) pays where consumers are sequential.
     val idf = graft.ops.HashEmbed.idf3Frame(docs, "doc_id", "text")
     val qvec = graft.ops.HashEmbed.queryVector(
       s, idf, queryTerms.mkString(" "))
