@@ -309,7 +309,8 @@ object Bench {
     "keys_sha" -> "ks", "knn" -> "kn", "knn_hash" -> "kh",
     "lag_lead" -> "lg", "lang_id" -> "li", "lastwins" -> "lw",
     "latest_file" -> "lf", "latest_per_q" -> "lp", "longest_resp" -> "lr",
-    "mad_outliers" -> "ma", "media_bmp" -> "bi", "media_features" -> "me",
+    "mad_outliers" -> "ma", "maxsim" -> "m2", "media_bmp" -> "bi",
+    "media_features" -> "me",
     "media_frames" -> "mf", "media_jpeg" -> "jp", "media_meta" -> "mm",
     "media_mp3" -> "m3", "media_png" -> "pn", "media_resize" -> "mz",
     "media_wav" -> "wv", "mix" -> "mi", "mix_temp" -> "mx",

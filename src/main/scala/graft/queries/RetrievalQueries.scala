@@ -384,5 +384,124 @@ object RetrievalQueries {
       |FROM hits h JOIN snip s ON s.parent_id = h.nbr_id""".stripMargin),
     "ref retrieval flow E2E: query vector -> top-3 parents -> snippet + citation mapping")
 
-  def all: Seq[Q] = Seq(qBm25, qHybridRrf, qRerankModel, qRetrievalE2e)
+  /** q_maxsim — LATE-INTERACTION retrieval (the ColBERT scoring rule,
+    * Khattab & Zaharia SIGIR'20): score(q, d) = Σ_{t∈q} max_{u∈d}
+    * sim(t, u) over PER-TOKEN vectors, here deterministic 16-dim hashed
+    * char-trigram embeddings (md5 bucket + sign over the `^term$`
+    * trigrams — so near-spelled tokens score high and the rule
+    * generalizes exact term match). This adds the third modern ranking
+    * paradigm next to BM25 (lexical) and dense kNN (single-vector):
+    * token-level soft matching with per-query-token max pooling.
+    *
+    * Scale shape — the late-interaction trick: token sims live in VOCAB
+    * space, not corpus space. Candidates are term-filtered first (the
+    * BM25 first-stage discipline); token vectors are built once per
+    * DISTINCT candidate term; the (term × query-token) sim table is
+    * vocab-sized and joins the doc-token frame BY KEY (never broadcast,
+    * never all-pairs); max/sum pooling is two keyed aggregations; top-10
+    * rides TakeOrdered. Determinism: dot/norms are exact integers, one
+    * double division snapped to a 1e-6 fixed-point long per (term,
+    * qtoken) — max and sum are then integer-exact in any order. Pairs
+    * with zero hash-dim overlap drop out of the inner joins on BOTH
+    * engines (a negative best-match still counts; absent overlap
+    * contributes nothing). */
+  val qMaxsim = Q("q_maxsim",
+    (s, dir) => {
+      import s.implicits._
+      def tokenVecs(terms: DataFrame, keyCol: String): DataFrame =
+        terms.select(col(keyCol),
+            concat(lit("^"), col(keyCol), lit("$")).as("t"))
+          .select(col(keyCol), explode(expr(
+            "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+            .as("g"))
+          .select(col(keyCol),
+            (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % 16)
+              .as("dim"),
+            when(conv(substring(md5(col("g")), 5, 1), 16, 10)
+              .cast("long") % 2 === 0, 1L).otherwise(-1L).as("sg"))
+          .groupBy(col(keyCol), col("dim")).agg(sum(col("sg")).as("v"))
+      val dtok = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "").distinct()
+      val cand = dtok.filter(col("term").isin(queryTerms: _*))
+        .select("doc_id").distinct()
+      val dterms = dtok.join(broadcast(cand), "doc_id")
+      val tv = tokenVecs(dterms.select("term").distinct(), "term")
+      val tn = tv.groupBy("term").agg(sum(col("v") * col("v")).as("n2"))
+      val qv0 = tokenVecs(queryTerms.toDF("qterm"), "qterm")
+        .withColumnRenamed("v", "qval")
+      val qn = qv0.groupBy("qterm")
+        .agg(sum(col("qval") * col("qval")).as("qn2"))
+      val dots = tv.join(broadcast(qv0), "dim")
+        .groupBy("term", "qterm").agg(sum(col("v") * col("qval")).as("dot"))
+      val sims = dots.join(tn, "term").join(broadcast(qn), "qterm")
+        .select(col("term"), col("qterm"),
+          round(col("dot").cast("double") * 1000000.0 /
+            (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long").as("sim"))
+      val perq = dterms.join(sims, "term")
+        .groupBy("doc_id", "qterm").agg(max(col("sim")).as("msim"))
+      val scored = perq.groupBy("doc_id").agg(sum(col("msim")).as("score"))
+      rankTop(scored, "doc_id", 10, "rk").select("rk", "doc_id", "score")
+    },
+    Some(s"""WITH dtok AS (
+      |  SELECT DISTINCT doc_id, tok AS term FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> ''
+      |), cand AS (
+      |  SELECT DISTINCT doc_id FROM dtok WHERE term IN ($queryTermsSql)
+      |), dterms AS (
+      |  SELECT d.doc_id, d.term FROM dtok d JOIN cand USING (doc_id)
+      |), vocab AS (SELECT DISTINCT term FROM dterms
+      |), tvg AS (
+      |  SELECT term, substr('^' || term || '$$', i, 3) AS g
+      |  FROM vocab,
+      |    unnest(generate_series(1, len('^' || term || '$$') - 2)) AS s(i)
+      |), tv AS (
+      |  SELECT term, ('0x' || substr(md5(g), 1, 4))::BIGINT % 16 AS dim,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5(g), 5, 1))::BIGINT % 2 = 0
+      |             THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM tvg GROUP BY term, dim
+      |), tn AS (
+      |  SELECT term, CAST(SUM(v * v) AS BIGINT) AS n2 FROM tv GROUP BY term
+      |), qt AS (SELECT unnest([$queryTermsSql]) AS qterm
+      |), qvg AS (
+      |  SELECT qterm, substr('^' || qterm || '$$', i, 3) AS g
+      |  FROM qt,
+      |    unnest(generate_series(1, len('^' || qterm || '$$') - 2)) AS s(i)
+      |), qv AS (
+      |  SELECT qterm, ('0x' || substr(md5(g), 1, 4))::BIGINT % 16 AS dim,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5(g), 5, 1))::BIGINT % 2 = 0
+      |             THEN 1 ELSE -1 END) AS BIGINT) AS qval
+      |  FROM qvg GROUP BY qterm, dim
+      |), qn AS (
+      |  SELECT qterm, CAST(SUM(qval * qval) AS BIGINT) AS qn2
+      |  FROM qv GROUP BY qterm
+      |), dots AS (
+      |  SELECT t.term, q.qterm, CAST(SUM(t.v * q.qval) AS BIGINT) AS dot
+      |  FROM tv t JOIN qv q USING (dim) GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT d.term, d.qterm,
+      |    CAST(round(d.dot * 1000000.0 / (sqrt(n.n2) * sqrt(q.qn2)))
+      |      AS BIGINT) AS sim
+      |  FROM dots d JOIN tn n USING (term) JOIN qn q USING (qterm)
+      |), perq AS (
+      |  SELECT dt.doc_id, s.qterm, MAX(s.sim) AS msim
+      |  FROM dterms dt JOIN sims s USING (term)
+      |  GROUP BY 1, 2
+      |), mscored AS (
+      |  SELECT doc_id, CAST(SUM(msim) AS BIGINT) AS score
+      |  FROM perq GROUP BY doc_id
+      |)
+      |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+      |       doc_id, score
+      |FROM (SELECT * FROM mscored ORDER BY score DESC, doc_id LIMIT 10) t""".stripMargin),
+    "north star: ColBERT-style late-interaction ranking (per-token " +
+      "char-trigram vectors, max-pool per query token, vocab-space sims " +
+      "— the third ranking paradigm next to BM25 and dense kNN)")
+
+  def all: Seq[Q] = Seq(qBm25, qHybridRrf, qRerankModel, qRetrievalE2e,
+    qMaxsim)
 }
