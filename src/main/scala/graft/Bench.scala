@@ -290,7 +290,8 @@ object Bench {
     "bpe_train" -> "m", "budget_select" -> "n", "canon" -> "o",
     "cardinality" -> "p", "centroids" -> "q", "chunk" -> "r",
     "chunk_index" -> "s", "chunk_ref" -> "t", "clean" -> "u", "cms" -> "v",
-    "cohort" -> "w", "containment" -> "x", "crawl_e2e" -> "y",
+    "cohort" -> "w", "containment" -> "x", "crawl_dedup" -> "c3",
+    "crawl_e2e" -> "y",
     "curate_e2e" -> "z", "decontam" -> "de", "dedup_exact" -> "dx",
     "delta_dedup" -> "dl", "diverse_sample" -> "dv", "doc_dedup" -> "do",
     "doc_render" -> "dr", "docx_roundtrip" -> "dw", "docx_scan" -> "dq",

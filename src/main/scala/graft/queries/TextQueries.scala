@@ -1967,9 +1967,56 @@ object TextQueries {
       "-> HTML strip -> length gate) over real container bytes, one " +
       "shuffle-free plan, chained oracle")
 
+  /** q_crawl_dedup — digest dedup at the INGEST layer (what Common
+    * Crawl's per-record `WARC-Payload-Digest` exists for): response
+    * records grouped by the body md5 the scan emits, each duplicate
+    * family keeping its FIRST capture (min (file, rec) — crawl order),
+    * with the capture count on the row. This is the reason
+    * [[graft.queries.PipelineQueries.qWarcScan]] computes body_md5 at
+    * ingest: exact content dedup keys on it BEFORE any text processing
+    * spends CPU on copies. The fixture's empty-200 pages form a genuine
+    * multi-capture family across segment files; HTML pages are
+    * singletons. Scale: one keyed aggregation on the digest (map-side
+    * combined, min-of-struct argmin — no window, no all-pairs) — the
+    * dedup family's q_doc_dedup shape applied to crawl bytes. */
+  val qCrawlDedup = Q("q_crawl_dedup",
+    (s, _) => {
+      val dir = graft.ops.WarcFixture.ensure()
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc")).map(_.getAbsolutePath).sorted
+      graft.ops.Warc.scanWarc(
+          s.read.format("binaryFile").load(files.toIndexedSeq: _*))
+        .toDF()
+        .filter(col("warc_type") === "response")
+        .groupBy(col("body_md5"))
+        .agg(min(struct(col("file_name"), col("rec_idx"), col("target_uri")))
+          .as("first"),
+          count(lit(1L)).as("n_captures"))
+        .select(col("body_md5"), col("first.file_name").as("file_name"),
+          col("first.rec_idx").as("rec_idx"),
+          col("first.target_uri").as("target_uri"), col("n_captures"))
+        .orderBy("body_md5")
+    },
+    Some("WITH RECURSIVE " + PipelineQueries.warcWalkSql + """,
+      |wresp AS (
+      |  SELECT *, file_name || '#' ||
+      |    lpad(CAST(rec_idx AS VARCHAR), 6, '0') AS cap_key
+      |  FROM wrec WHERE warc_type = 'response'
+      |)
+      |SELECT body_md5,
+      |  arg_min(file_name, cap_key) AS file_name,
+      |  arg_min(rec_idx, cap_key) AS rec_idx,
+      |  arg_min(target_uri, cap_key) AS target_uri,
+      |  count(*) AS n_captures
+      |FROM wresp
+      |GROUP BY body_md5 ORDER BY body_md5""".stripMargin),
+    "north star: ingest-layer digest dedup (first-capture-wins on the " +
+      "scan's body md5, one keyed argmin aggregation - the " +
+      "WARC-Payload-Digest stage)")
+
   def all: Seq[Q] = Seq(qTextStats, qLangId, qQuality, qTopTerms, qZipf,
     qFingerprint, qTfidf, qTokenBpe, qWinnow, qDecontam, qMix, qRepNgram,
     qSpanDedup, qSpanDedupCdc, qBpeMerge, qBpeTrain, qBpeEncode, qBpeSubword, qUnigramNll, qBigramNll, qVocabEncode,
     qFuzzyJoin, qFuzzyJoin2, qEntityCanon, qEntityCanon2, qEntityCanonPr, qTriangles, qPagerank, qMixTemp,
-    qHtmlExtract, qCrawlE2e)
+    qHtmlExtract, qCrawlE2e, qCrawlDedup)
 }

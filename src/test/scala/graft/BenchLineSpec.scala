@@ -48,8 +48,10 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"q1\"") && !line.contains("\"q1_agg\""),
       "non-q_ names are abbreviatable too (wave 5)")
     assert(Bench.displayAbbrev.values.forall(_.length <= 2),
-      "wave 8/9: every display name is at most 2 chars (wave 9 gives the " +
-        "36 alphabetically-first names 1-char codes from [0-9a-z])")
+      "wave 8/9: every display name is at most 2 chars (wave 9 spent the " +
+        "[0-9a-z] 1-char code space on the then-alphabetically-first 36; " +
+        "the assignment is STABLE thereafter — keymap immutability — so " +
+        "later registrations take 2-char codes regardless of sort order)")
     assert(Bench.displayAbbrev.values.count(_.length == 1) == 36,
       "wave 9: exactly the [0-9a-z] code space is spent on 1-char names")
     // the self-adjudication line fields must never be shadowed by a query
