@@ -157,6 +157,11 @@ object Pdf {
               case 'b' => sb.append('\b'); j += 2
               case 'f' => sb.append('\f'); j += 2
               case '\n' => j += 2 // line continuation
+              case '\r' => // \<CR> and \<CR><LF> are continuations too
+                // (ISO 32000 §7.3.4.2; ADVICE r14 — the default case
+                // would have injected a spurious CR into page text)
+                j += (if (j + 2 < cs.length && cs.charAt(j + 2) == '\n') 3
+                      else 2)
               case d if d >= '0' && d <= '7' =>
                 val oct = cs.substring(j + 1,
                   math.min(j + 4, cs.length)).takeWhile(c => c >= '0' && c <= '7')

@@ -77,7 +77,14 @@ object Tar {
       val stored = octal(name, b, pos + 148, 8, "chksum")
       require(sum == stored,
         s"$name: header checksum $sum != stored $stored at $pos")
-      val entryName = str(b, pos, 100)
+      // POSIX ustar splits long member names: `prefix` (offset 345,
+      // 155 bytes) + '/' + `name`. Ignoring the field would parse such
+      // archives "successfully" with silently truncated names — the
+      // checksum still verifies — so it is honored here (ADVICE r14).
+      val prefix = str(b, pos + 345, 155)
+      val entryName =
+        if (prefix.isEmpty) str(b, pos, 100)
+        else prefix + "/" + str(b, pos, 100)
       val size = octal(name, b, pos + 124, 12, "size")
       val tf = (b(pos + 156) & 0xff).toChar.toString
       val pStart = pos + 512

@@ -55,15 +55,69 @@ object Warc {
   }
 
   /** Decompress a (possibly multi-member) RFC 1952 gzip stream fully —
-    * the .warc.gz framing: one member per record, concatenated. */
+    * the .warc.gz framing: one member per record, concatenated. An
+    * explicit member walk (header fields, raw-deflate inflate, CRC32 +
+    * ISIZE trailer, repeated to exact EOF) rather than
+    * `GZIPInputStream`, whose silent-EOF contract would let trailing
+    * garbage or a corrupt later member truncate the stream cleanly at
+    * the prior member boundary — records would vanish without tripping
+    * [[parse]]'s exact-EOF landing (ADVICE r14). Every input byte is
+    * accounted for or the walk refuses with the offset. */
   private[graft] def gunzipAll(raw: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(raw))
     val out = new java.io.ByteArrayOutputStream(raw.length * 4)
     val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
+    var pos = 0
+    var m = 0
+    def le32(o: Int): Long =
+      (raw(o) & 0xffL) | ((raw(o + 1) & 0xffL) << 8) |
+        ((raw(o + 2) & 0xffL) << 16) | ((raw(o + 3) & 0xffL) << 24)
+    while (pos < raw.length) {
+      require(pos + 10 <= raw.length,
+        s"gzip member $m: truncated header at $pos")
+      require((raw(pos) & 0xff) == 0x1f && (raw(pos + 1) & 0xff) == 0x8b,
+        s"gzip member $m: bad magic at $pos (trailing garbage?)")
+      require((raw(pos + 2) & 0xff) == 8,
+        s"gzip member $m: compression method ${raw(pos + 2) & 0xff} " +
+          s"at $pos is not deflate")
+      val flg = raw(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        require(p + 2 <= raw.length, s"gzip member $m: truncated FEXTRA")
+        p += 2 + ((raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME
+        while (p < raw.length && raw(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (p < raw.length && raw(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      require(p <= raw.length, s"gzip member $m: truncated header fields")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(raw, p, raw.length - p)
+      val crc = new java.util.zip.CRC32
+      var isize = 0L
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        require(n > 0 || inf.finished(),
+          s"gzip member $m: truncated deflate stream at $p")
+        crc.update(buf, 0, n)
+        out.write(buf, 0, n)
+        isize += n
+      }
+      val used = inf.getBytesRead.toInt
+      inf.end()
+      require(p + used + 8 <= raw.length,
+        s"gzip member $m: truncated trailer at ${p + used}")
+      require(le32(p + used) == crc.getValue,
+        s"gzip member $m: CRC32 mismatch at ${p + used}")
+      require(le32(p + used + 4) == (isize & 0xffffffffL),
+        s"gzip member $m: ISIZE mismatch at ${p + used + 4}")
+      pos = p + used + 8
+      m += 1
+    }
     out.toByteArray
   }
 
@@ -117,9 +171,17 @@ object Warc {
             s"$name: response at $pos has no HTTP header terminator")
           val http = new String(b, pStart, hs - pStart, Ascii)
           val st = http.split("\r\n", 2).head
-          require(st.startsWith("HTTP/1."),
-            s"$name: response at $pos has no HTTP status line")
-          val code = st.split(" ")(1).toInt
+          // guarded parse (ADVICE r14): a status line like "HTTP/1.1"
+          // with no code, or a non-numeric code, refuses with the
+          // file/offset context every other refusal carries instead of
+          // an uncontextualized ArrayIndexOutOfBounds/NumberFormat
+          val stm = "HTTP/1\\.[01] (\\d{3})(?: .*)?".r
+          val code = st match {
+            case stm(c) => c.toInt
+            case _ => sys.error(
+              s"$name: response at $pos has a malformed HTTP status " +
+                s"line '$st'")
+          }
           val ct = http.split("\r\n").drop(1).collectFirst {
             case l if l.startsWith("Content-Type: ") =>
               l.substring("Content-Type: ".length)

@@ -67,6 +67,12 @@ class PdfSpec extends SparkSpec {
     assert(t2 === "nested (parens) ok" && n2 === 1)
     val (t3, n3) = Pdf.extractText("e", "BT (split\\\nline) Tj ET")
     assert(t3 === "splitline" && n3 === 1)
+    // \<CR> and \<CR><LF> are continuations too (ISO 32000 §7.3.4.2) —
+    // neither may inject a CR into the text (ADVICE r14)
+    val (t3b, _) = Pdf.extractText("e", "BT (split\\\rline) Tj ET")
+    assert(t3b === "splitline")
+    val (t3c, _) = Pdf.extractText("e", "BT (split\\\r\nline) Tj ET")
+    assert(t3c === "splitline")
     // a literal NOT bound to a text operator contributes nothing
     val (t4, n4) = Pdf.extractText("e",
       "BT (shown) Tj (ignored) Tw [(a) -1 (b)] TJ ET")

@@ -30,6 +30,27 @@ class TarSpec extends SparkSpec {
     }
   }
 
+  test("ustar prefix field reassembles long member names") {
+    // legal ustar long name: prefix (offset 345) + '/' + name; ignoring
+    // the field would silently truncate the name while the checksum
+    // still verifies (ADVICE r14)
+    val tar = Tar.tarBytes(Seq(("name.txt",
+      "hello".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    val pfx = "deep/dir/tree"
+    System.arraycopy(
+      pfx.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0,
+      tar, 345, pfx.length)
+    // re-checksum header 0 with the chksum field as spaces
+    for (i <- 148 until 156) tar(i) = ' '
+    val sum = (0 until 512).map(i => tar(i) & 0xff).sum
+    System.arraycopy(f"$sum%06o"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0,
+      tar, 148, 6)
+    val rows = Tar.parse("p.tar", tar)
+    assert(rows.head.entry_name === "deep/dir/tree/name.txt")
+    assert(rows.head.text === "hello")
+  }
+
   test("malformed archives refuse loudly") {
     val good = TarFixture.tarBytes(0)
     // corrupted header byte -> checksum mismatch

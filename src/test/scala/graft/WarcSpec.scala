@@ -80,6 +80,49 @@ class WarcSpec extends SparkSpec {
       e3.getMessage.contains("unterminated"))
   }
 
+  test("gzip member walk refuses trailing garbage / corruption loudly") {
+    val gz = WarcFixture.recordsOf(0).map(gzMember)
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    // trailing garbage after the last member: GZIPInputStream would
+    // stop cleanly at the member boundary; the explicit walk refuses
+    val e1 = intercept[IllegalArgumentException] {
+      Warc.parse("g.warc", gz ++ "NOT A GZIP MEMBER"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    assert(e1.getMessage.contains("bad magic"))
+    // truncated final trailer
+    val e2 = intercept[IllegalArgumentException] {
+      Warc.parse("t.warc", gz.take(gz.length - 4))
+    }
+    assert(e2.getMessage.contains("truncated trailer"))
+    // corrupted CRC byte in the final member's trailer
+    val bad = gz.clone()
+    bad(gz.length - 8) = (bad(gz.length - 8) ^ 0x5a).toByte
+    val e3 = intercept[IllegalArgumentException] {
+      Warc.parse("c.warc", bad)
+    }
+    assert(e3.getMessage.contains("CRC32 mismatch"))
+  }
+
+  test("malformed HTTP status lines refuse with file/offset context") {
+    def rec(status: String): Array[Byte] = {
+      val payload = s"$status\r\nContent-Type: text/html\r\n\r\nok"
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    for (badLine <- Seq("HTTP/1.1", "HTTP/1.1 OK", "HTTP/1.1 20")) {
+      val e = intercept[RuntimeException] {
+        Warc.parse("s.warc", rec(badLine))
+      }
+      assert(e.getMessage.contains("malformed HTTP status"),
+        s"for '$badLine': ${e.getMessage}")
+      assert(e.getMessage.contains("s.warc"))
+    }
+    val ok = Warc.parse("s.warc", rec("HTTP/1.1 200 OK"))
+    assert(ok.head.http_status === Some(200))
+  }
+
   test("scanWarc reads the on-disk fixture through binaryFile") {
     val dir = WarcFixture.ensure()
     val got = Warc.scanWarc(
