@@ -188,19 +188,30 @@ object HashEmbed {
 
   /** Dense component rows: every (id, dim ∈ 0..dims−1) with 0 for empty
     * buckets — the deterministic-shape output q_embed_hash checks. */
-  def dense(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sp = docs.sparkSession
+  def dense(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    denseFrom(docs, idCol, sparse(docs, idCol, textCol))
+
+  /** [[dense]] against a caller-supplied sparse frame — lets the
+    * hash-embed query family derive the grid from ONE shared featurizer
+    * materialization instead of re-tokenizing the corpus per
+    * registration (VERDICT r14 #1a). */
+  def denseFrom(docs: DataFrame, idCol: String, sp: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
     val grid = docs.select(col(idCol))
-      .crossJoin(broadcast(sp.range(dims).toDF("dim")))
-    grid.join(sparse(docs, idCol, textCol), Seq(idCol, "dim"), "left")
+      .crossJoin(broadcast(ss.range(dims).toDF("dim")))
+    grid.join(sp, Seq(idCol, "dim"), "left")
       .select(col(idCol), col("dim"),
         coalesce(col("val"), lit(0L)).as("val"))
   }
 
   /** Dense int vectors (id, v: array<int>) for the retrieval kernels. */
   def vectors(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    sparse(docs, idCol, textCol)
-      .groupBy(col(idCol))
+    vectorsFrom(sparse(docs, idCol, textCol), idCol)
+
+  /** [[vectors]] against a caller-supplied sparse frame (the shared-
+    * featurizer sibling of [[denseFrom]]). */
+  def vectorsFrom(sp: DataFrame, idCol: String): DataFrame =
+    sp.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(
         struct(col("dim").cast("int"), col("val").cast("int")))).as("m"))
       .select(col(idCol), expr(
