@@ -257,11 +257,19 @@ object SimilarityQueries {
 
   /** Single-table LSH over any (vec_id, embedding) frame — the body of
     * [[qAnnLsh]], reused by the clustered-fixture recall query. */
-  private def annLshFrom(emb: DataFrame): DataFrame = {
+  /** The single-table bucketed+normed corpus frame — the shared input of
+    * the lsh and mp rungs (identical planes, identical projection); the
+    * recall scorecard materializes it once per side and passes it to
+    * both ([[annRecallFrom]]). */
+  private def bucketedNorm(emb: DataFrame): DataFrame = {
     val planes = Vectors.planeWeights(numPlanes, embDims)
-    val base = withNorm(emb
-      .withColumn("bucket", Vectors.lshBucket(
-        Vectors.toDoubleArr(col("embedding")), planes)))
+    withNorm(emb.withColumn("bucket", Vectors.lshBucket(
+      Vectors.toDoubleArr(col("embedding")), planes)))
+  }
+
+  private def annLshFrom(emb: DataFrame,
+      preBucketed: Option[DataFrame] = None): DataFrame = {
+    val base = preBucketed.getOrElse(bucketedNorm(emb))
     val qs = base.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("dxx").as("qxx"), col("bucket").as("qbucket"))
@@ -304,11 +312,9 @@ object SimilarityQueries {
     * side: the big side still sees a plain equi-join. */
   /** Multi-probe LSH over any (vec_id, embedding) frame — the body of
     * [[qAnnMp]]. */
-  private def annMpFrom(emb: DataFrame): DataFrame = {
-    val planes = Vectors.planeWeights(numPlanes, embDims)
-    val base = withNorm(emb
-      .withColumn("bucket", Vectors.lshBucket(
-        Vectors.toDoubleArr(col("embedding")), planes)))
+  private def annMpFrom(emb: DataFrame,
+      preBucketed: Option[DataFrame] = None): DataFrame = {
+    val base = preBucketed.getOrElse(bucketedNorm(emb))
     val probeMasks = lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))
     val qs = base.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -1924,8 +1930,18 @@ object SimilarityQueries {
     val trained = KMeans.trainMany(base.select("vec_id", "v"),
       (0, embDims) +: pqSlices, ivfCells, ivfIters)
     val (coarse, books) = (trained.head, trained.tail)
-    recallOf("lsh", annLshFrom(pinned))
-      .unionAll(recallOf("mp", annMpFrom(pinned)))
+    // NOT pinned (r15 A/B): the lsh and mp rungs do consume the
+    // identical bucketed+normed frame, but a localCheckpoint on it
+    // measured 5.7-6.2 s / 7.8 cpu-s vs 4.6-5.5 / 7.5 un-pinned at
+    // sf0.1 — the barrier serializes each side's otherwise-parallel
+    // rung subtrees (the q_rerank_model trap) and the projection it
+    // saves is a narrow codegen pass over an already-checkpointed
+    // source. The rungs share the SHARED-side frames that matter (the
+    // pinned source, the exact ground truth, the lock-step-trained
+    // codebooks); their candidate frames genuinely differ per method.
+    val bucketed = bucketedNorm(pinned)
+    recallOf("lsh", annLshFrom(pinned, Some(bucketed)))
+      .unionAll(recallOf("mp", annMpFrom(pinned, Some(bucketed))))
       .unionAll(recallOf("ivf", annIvfFrom(pinned, ivfNprobe, Some(coarse))))
       .unionAll(recallOf("mt", annMtFrom(pinned)))
       .unionAll(recallOf("pq", annPqFrom(pinned, Some(books))))
