@@ -34,12 +34,10 @@ object EmbedQueries {
     * keys a fresh entry (the key carries the session's identity).
     * Determinism is what makes the share sound: every consumer would
     * have derived bit-identical frames, so oracle parity is unchanged. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val memo = new SessionMemo[DataFrame]
   private def shared(s: SparkSession, dir: String, tag: String)
                     (make: => DataFrame): DataFrame =
-    memo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir:$tag",
-      _ => make.localCheckpoint())
+    memo(s, s"$dir:$tag")(make.localCheckpoint())
 
   /** The featurized corpus: sparse (doc_id, dim, val) hashed TF-IDF
     * components, materialized once per session+fixture. Scale shape:

@@ -1035,12 +1035,27 @@ object TextQueries {
     * divergence in the greedy replace on EITHER side breaks every
     * subsequent round's counts, so six agreeing rounds pin the whole
     * rewrite chain, not just the argmax). */
+  /** The trained BPE artifact, shared across the trainer/encoder pair
+    * ([[SessionMemo]]): q_bpe_encode used to re-run the whole six-round
+    * trainer q_bpe_train had just run (audit off — ~3 s at sf0.1 for a
+    * bit-identical rewrite chain). One audited run per session+fixture;
+    * the merged corpus rides a localCheckpoint (|docs| rows of merged
+    * token strings — the tokenized-corpus materialization a real
+    * tokenizer-training job writes once and every consumer reads). */
+  private val bpeMemo = new SessionMemo[(Seq[BpeMerge], DataFrame)]
+  private def bpeShared(s: SparkSession, dir: String)
+      : (Seq[BpeMerge], DataFrame) =
+    bpeMemo(s, dir) {
+      val (merges, corpus) = bpeTrain(bpeCorpus0(s, dir), bpeRounds)
+      val pinned = corpus.localCheckpoint()
+      corpus.unpersist()
+      (merges, pinned)
+    }
+
   val qBpeTrain = Q("q_bpe_train",
     (s, dir) => {
       import s.implicits._
-      val (merges, corpus) = bpeTrain(bpeCorpus0(s, dir), bpeRounds)
-      corpus.unpersist()
-      merges.toDF()
+      bpeShared(s, dir)._1.toDF()
     },
     Some("WITH " + bpeTrainSql(bpeRounds) + "\n" +
       (1 to bpeRounds).map(r =>
@@ -1061,14 +1076,10 @@ object TextQueries {
     * just counts. */
   val qBpeEncode = Q("q_bpe_encode",
     (s, dir) => {
-      val (_, corpus) = bpeTrain(bpeCorpus0(s, dir), bpeRounds,
-        audit = false)
-      val out = corpus
-        .select(col("doc_id"),
-          size(bpeToks(col("s"))).cast("long").as("n_tok_bpe"),
-          array_join(bpeToks(col("s")), " ").as("text_bpe"))
-      corpus.unpersist()
-      out
+      val (_, corpus) = bpeShared(s, dir)
+      corpus.select(col("doc_id"),
+        size(bpeToks(col("s"))).cast("long").as("n_tok_bpe"),
+        array_join(bpeToks(col("s")), " ").as("text_bpe"))
     },
     Some("WITH " + bpeTrainSql(bpeRounds) + s"""
       |SELECT doc_id,
