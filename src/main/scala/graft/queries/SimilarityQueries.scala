@@ -1885,7 +1885,8 @@ object SimilarityQueries {
     * against it. Shared by [[qAnnRecall]] (shipped embeddings) and
     * [[qAnnRecallClustered]] (the fixture where LSH theory applies). */
   private def annRecallFrom(emb: DataFrame,
-                            sourcePinned: Boolean = false): DataFrame = {
+      sourcePinned: Boolean = false,
+      pretrained: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
     // Pin the vector source ONCE (r13, VERDICT #1): six rungs × two plan
     // sides plus ~15 trainer collects (coarse seed/iters, 4 PQ-block
     // seeds/iters) each re-derived the source subtree per job — for the
@@ -1927,8 +1928,11 @@ object SimilarityQueries {
     // jobs total instead of 15; bit-identical codebooks).
     require(ivfCells == pqK && ivfIters == pqIters,
       "lock-step coarse+PQ training needs matching k/iters knobs")
-    val trained = KMeans.trainMany(base.select("vec_id", "v"),
-      (0, embDims) +: pqSlices, ivfCells, ivfIters)
+    // r15: the clustered side receives the session-shared codebooks
+    // ([[cembTrained]]) instead of re-training the identical family
+    val trained = pretrained.getOrElse(
+      KMeans.trainMany(base.select("vec_id", "v"),
+        (0, embDims) +: pqSlices, ivfCells, ivfIters))
     val (coarse, books) = (trained.head, trained.tail)
     // NOT pinned (r15 A/B): the lsh and mp rungs do consume the
     // identical bucketed+normed frame, but a localCheckpoint on it
@@ -2018,7 +2022,8 @@ object SimilarityQueries {
     * re-based fixture (see [[ctrCount]]'s scaladoc). */
   private[graft] def annRecallFixture(s: SparkSession, dir: String,
                                       clustered: Boolean): DataFrame =
-    if (clustered) annRecallFrom(clusteredEmb(s, dir), sourcePinned = true)
+    if (clustered) annRecallFrom(clusteredEmb(s, dir), sourcePinned = true,
+      pretrained = Some(cembTrained(s, dir)))
     else annRecallFrom(Tables.embeddings(s, dir))
 
   // (q_ann_recall itself is defined below, after [[cembSql]] — the fused
@@ -2044,24 +2049,48 @@ object SimilarityQueries {
     * The arithmetic (md5-derived center weight + 0.15 · float-exact
     * element, cast back to float) is IEEE-identical in both engines —
     * the same determinism contract as [[vecCorpus]]'s perturbation. */
-  private def clusteredEmb(s: SparkSession, dir: String): DataFrame = {
-    val centers = Vectors.planeWeights(ctrCount, embDims, seedPrefix = "ctr")
-    val flat = typedLit(centers.flatten.toSeq)
-    Tables.embeddings(s, dir).select(col("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        (element_at(flat,
-            (col("vec_id") % ctrCount).cast("int") * embDims + i + lit(1))
-          + lit(ctrNoise) * x.cast("double")).cast("float")).as("embedding"))
-      // pinned (r13): every clustered-fixture consumer (pq, ivfpq, delta,
-      // graph, the clustered scorecard) re-derived this 64-wide
-      // element_at transform once per plan side and once per trainer
-      // collect — ~20 re-runs in the heaviest queries. The frame is
-      // fixture-sized (embeddings-table rows, not the analytic SF's
-      // corpus), so one materialization job replaces them all; the
-      // transform itself stays deterministic so oracle parity is
-      // unchanged.
-      .localCheckpoint()
-  }
+  private val cembMemo = new SessionMemo[DataFrame]
+
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame =
+    // pinned (r13) AND session-shared (r15): every clustered-fixture
+    // consumer (pq, ivfpq, delta, graph, semdedup ×2, the clustered
+    // scorecard) re-derived the 64-wide element_at transform once per
+    // plan side and once per trainer collect — ~20 re-runs per query
+    // before the r13 pin, and one checkpoint JOB per registration after
+    // it. The frame is fixture-sized (embeddings-table rows, not the
+    // analytic SF's corpus), so ONE materialization now serves all
+    // seven registrations; the transform stays deterministic so oracle
+    // parity is unchanged.
+    cembMemo(s, s"cemb:$dir") {
+      val centers = Vectors.planeWeights(ctrCount, embDims,
+        seedPrefix = "ctr")
+      val flat = typedLit(centers.flatten.toSeq)
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (element_at(flat,
+              (col("vec_id") % ctrCount).cast("int") * embDims + i + lit(1))
+            + lit(ctrNoise) * x.cast("double")).cast("float"))
+          .as("embedding"))
+        .localCheckpoint()
+    }
+
+  /** The lock-step-trained quantizer family over the CLUSTERED fixture
+    * — coarse codebook (head) + pqM per-block PQ books (tail) — shared
+    * across every registration that retrieves over [[clusteredEmb]]
+    * (q_ann_pq, q_ann_ivf_pq, q_ann_recall's clustered side). Training
+    * is deterministic and the result is a driver-side literal, so the
+    * share is bit-exact; the memo replaces one trainer collect chain
+    * per registration. */
+  private val cembTrainMemo = new SessionMemo[Seq[Seq[(Int, Seq[Double])]]]
+  private def cembTrained(s: SparkSession, dir: String)
+      : Seq[Seq[(Int, Seq[Double])]] =
+    cembTrainMemo(s, s"cembtrain:$dir") {
+      require(ivfCells == pqK && ivfIters == pqIters,
+        "lock-step coarse+PQ training needs matching k/iters knobs")
+      KMeans.trainMany(
+        withNorm(clusteredEmb(s, dir)).select("vec_id", "v"),
+        (0, embDims) +: pqSlices, ivfCells, ivfIters)
+    }
 
   private val cembSql =
     s"""ctrw AS (
@@ -2123,7 +2152,8 @@ object SimilarityQueries {
     * the oracle re-derives all four per-block codebooks in SQL and
     * replays encode → LUT → integer block sums → cosine. */
   val qAnnPq = Q("q_ann_pq",
-    (s, dir) => annPqFrom(clusteredEmb(s, dir)),
+    (s, dir) => annPqFrom(clusteredEmb(s, dir),
+      booksPre = Some(cembTrained(s, dir).tail)),
     Some("WITH " + cembSql + ",\n" + pqSql("cemb") + """
       |SELECT query_id, rk, nbr_id, score FROM (
       |  SELECT query_id, nbr_id,
@@ -2142,7 +2172,10 @@ object SimilarityQueries {
     * codebooks (prefixed trainers) — then replays gate → LUT → integer
     * block sums → shortlist → exact rerank. */
   val qAnnIvfPq = Q("q_ann_ivf_pq",
-    (s, dir) => annIvfPqFrom(clusteredEmb(s, dir)),
+    (s, dir) => {
+      val t = cembTrained(s, dir)
+      annIvfPqFrom(clusteredEmb(s, dir), Some(t.head), Some(t.tail))
+    },
     Some("WITH " + cembSql + ",\n" +
       KMeans.trainSql("cemb", ivfCells, ivfIters) + s""",
       |assignf AS (
