@@ -278,7 +278,13 @@ object Bench {
     * 36 alphabetically-first names take the [0-9a-z] 1-char code space
     * (36 bytes back — single-char codes cannot collide with the 2-char
     * adjudication fields), restoring the 4-registration headroom after
-    * warc/pdf/tar/crawl/zipf landed. */
+    * warc/pdf/tar/crawl/zipf landed. Wave 10 (r15): the NEXT 26
+    * alphabetically-first names (decontam..events_topk) take the
+    * uppercase [A-Z] 1-char space (JSON keys are case-sensitive; still
+    * collision-free with the 2-char fields), restoring the headroom
+    * after crawl_curate_e2e landed at 166 registrations. Both 1-char
+    * assignments are STABLE (keymap immutability): later registrations
+    * take 2-char codes regardless of sort order. */
   private[graft] val displayAbbrev = Map(
     "ann_delta" -> "0", "ann_graph" -> "1", "ann_ivf" -> "2",
     "ann_ivf_pq" -> "3", "ann_ivf_sq" -> "4", "ann_lsh" -> "5",
@@ -291,17 +297,17 @@ object Bench {
     "cardinality" -> "p", "centroids" -> "q", "chunk" -> "r",
     "chunk_index" -> "s", "chunk_ref" -> "t", "clean" -> "u", "cms" -> "v",
     "cohort" -> "w", "containment" -> "x", "crawl_dedup" -> "c3",
-    "crawl_e2e" -> "y",
-    "curate_e2e" -> "z", "decontam" -> "de", "dedup_exact" -> "dx",
-    "delta_dedup" -> "dl", "diverse_sample" -> "dv", "doc_dedup" -> "do",
-    "doc_render" -> "dr", "docx_roundtrip" -> "dw", "docx_scan" -> "dq",
-    "domain_cap" -> "da", "domain_dedup" -> "dz", "dsir_select" -> "ds",
-    "dup_clusters" -> "dn", "dup_clusters_star" -> "d2",
-    "dup_count" -> "dt", "dup_keep" -> "dk", "dup_keys" -> "dg",
-    "dup_stats" -> "d1", "embed_dup" -> "ed", "embed_hash" -> "eh",
-    "entity_canon" -> "en", "entity_canon2" -> "e2",
-    "entity_canon_pr" -> "ep", "events_hourly" -> "ev",
-    "events_json" -> "ej", "events_sliding" -> "el", "events_topk" -> "et",
+    "crawl_e2e" -> "y", "crawl_curate_e2e" -> "c4",
+    "curate_e2e" -> "z", "decontam" -> "A", "dedup_exact" -> "B",
+    "delta_dedup" -> "C", "diverse_sample" -> "D", "doc_dedup" -> "E",
+    "doc_render" -> "F", "docx_roundtrip" -> "G", "docx_scan" -> "H",
+    "domain_cap" -> "I", "domain_dedup" -> "J", "dsir_select" -> "K",
+    "dup_clusters" -> "L", "dup_clusters_star" -> "M",
+    "dup_count" -> "N", "dup_keep" -> "O", "dup_keys" -> "P",
+    "dup_stats" -> "Q", "embed_dup" -> "R", "embed_hash" -> "S",
+    "entity_canon" -> "T", "entity_canon2" -> "U",
+    "entity_canon_pr" -> "V", "events_hourly" -> "W",
+    "events_json" -> "X", "events_sliding" -> "Y", "events_topk" -> "Z",
     "fingerprint" -> "fg", "funnel" -> "fn", "fuzzy_join" -> "fz",
     "fuzzy_join2" -> "f2", "grouping_sets" -> "gs", "hash_recall" -> "hr",
     "having_join" -> "hj", "heavy_hitters" -> "hh",

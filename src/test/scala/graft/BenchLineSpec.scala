@@ -42,7 +42,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains('\n'))
     // display names are the registry names minus the `q_` prefix, and the
     // strip must never make two of them collide
-    assert(line.contains("\"do\"") && !line.contains("\"q_doc_dedup\""))
+    assert(line.contains("\"E\"") && !line.contains("\"q_doc_dedup\""))
     assert(Bench.short("q_not_a_registry_name") == "not_a_registry_name",
       "unmapped names pass through unchanged")
     assert(line.contains("\"q1\"") && !line.contains("\"q1_agg\""),
@@ -50,10 +50,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.displayAbbrev.values.forall(_.length <= 2),
       "wave 8/9: every display name is at most 2 chars (wave 9 spent the " +
         "[0-9a-z] 1-char code space on the then-alphabetically-first 36; " +
-        "the assignment is STABLE thereafter — keymap immutability — so " +
-        "later registrations take 2-char codes regardless of sort order)")
-    assert(Bench.displayAbbrev.values.count(_.length == 1) == 36,
-      "wave 9: exactly the [0-9a-z] code space is spent on 1-char names")
+        "wave 10 spent [A-Z] on the next 26; the assignments are STABLE " +
+        "thereafter — keymap immutability — so later registrations take " +
+        "2-char codes regardless of sort order)")
+    assert(Bench.displayAbbrev.values.count(_.length == 1) == 62,
+      "wave 9+10: exactly the [0-9a-zA-Z] code space is spent on " +
+        "1-char names")
     // the self-adjudication line fields must never be shadowed by a query
     // display code — a reader greps the line for both
     val fields = Set("cn", "cm", "ms", "mv", "rr", "rt", "fp", "fs", "sf",
@@ -69,7 +71,7 @@ class BenchLineSpec extends AnyFunSuite {
       .map(_.stripPrefix("q_")).toSet
     assert(Bench.displayAbbrev.keySet.subsetOf(stripped),
       s"stale displayAbbrev keys: ${Bench.displayAbbrev.keySet -- stripped}")
-    assert(line.contains("\"dn\"") && !line.contains("\"dup_clusters\""),
+    assert(line.contains("\"L\"") && !line.contains("\"dup_clusters\""),
       "abbreviated display names must actually land on the line")
     // growth headroom: ~4 more typical queries (≈22 chars each at full
     // precision) must fit before the next trim is needed — the VERDICT r8
@@ -96,7 +98,7 @@ class BenchLineSpec extends AnyFunSuite {
     // extraction below is exact, and the table is now asserted equal to
     // the code map (both directions). bench_keymap.json's r11 entry is
     // the machine-readable twin for round-over-round tooling.
-    val pat = "`([a-z0-9_]+)`→`([a-z0-9_]+)`".r
+    val pat = "`([a-z0-9_]+)`→`([a-zA-Z0-9_]+)`".r
     def extract(path: String): Map[String, String] =
       pat.findAllMatchIn(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8"))
