@@ -14,7 +14,10 @@ final case class PdfPage(file_name: String, page: Int, text: String,
   * document format enterprise corpora arrive in next to .docx/.xlsx
   * (the reference's RFP library is exactly such a corpus). The walk is
   * the real file structure, not a grep: `startxref` → the cross-reference
-  * table → objects located AT THEIR XREF OFFSETS (each validated against
+  * section — a classic `xref` TABLE (PDF 1.0–1.4) or a cross-reference
+  * STREAM with /ObjStm member extraction (PDF 1.5+, ISO 32000 §7.5.7-8;
+  * /Prev chains and predictors refuse loudly) — → objects located AT
+  * THEIR XREF OFFSETS (each validated against
   * the `N 0 obj` header it points at) → trailer `/Root` → Catalog →
   * `/Pages` → `/Kids` in page order → each page's `/Contents` stream by
   * declared `/Length` (mismatch refuses) → a token-level content-stream
@@ -44,37 +47,87 @@ object Pdf {
     val sx = s.lastIndexOf("startxref")
     require(sx >= 0, s"$name: no startxref")
     val xrefPos = s.substring(sx + 9).trim.takeWhile(_.isDigit).toInt
-    require(s.startsWith("xref", xrefPos),
-      s"$name: startxref $xrefPos does not point at an xref table")
-    // one subsection "start count", 20-byte entries
-    val hdrEnd = s.indexOf('\n', xrefPos + 5)
-    val Array(first, count) =
-      s.substring(xrefPos + 5, hdrEnd).trim.split(" ").map(_.toInt)
-    val offsets: Map[Int, Int] = (0 until count).map { k =>
-      val e = s.substring(hdrEnd + 1 + 20 * k, hdrEnd + 1 + 20 * (k + 1))
-      (first + k) -> (if (e(17) == 'n') e.substring(0, 10).toInt else -1)
-    }.toMap
-    val trailer = {
-      val t = s.indexOf("trailer", hdrEnd)
-      require(t >= 0, s"$name: no trailer")
-      s.substring(t, sx)
-    }
+    // PDF 1.0–1.4: a classic `xref` TABLE. PDF 1.5+: a cross-reference
+    // STREAM (`N 0 obj` whose dict is /Type /XRef — VERDICT r15 #4).
+    // Both resolve to the same three facts: type-1 byte offsets, type-2
+    // (object stream, index) locations, and the trailer dict carrying
+    // /Root (classic files keep a `trailer` keyword; xref streams carry
+    // the trailer keys in their own dict).
+    val (offsets: Map[Int, Int], inStm: Map[Int, (Int, Int)],
+         trailer: String) =
+      if (s.startsWith("xref", xrefPos)) {
+        // one subsection "start count", 20-byte entries
+        val hdrEnd = s.indexOf('\n', xrefPos + 5)
+        val Array(first, count) =
+          s.substring(xrefPos + 5, hdrEnd).trim.split(" ").map(_.toInt)
+        val off = (0 until count).map { k =>
+          val e = s.substring(hdrEnd + 1 + 20 * k, hdrEnd + 1 + 20 * (k + 1))
+          (first + k) -> (if (e(17) == 'n') e.substring(0, 10).toInt else -1)
+        }.toMap
+        val t = s.indexOf("trailer", hdrEnd)
+        require(t >= 0, s"$name: no trailer")
+        (off, Map.empty[Int, (Int, Int)], s.substring(t, sx))
+      } else parseXrefStream(name, s, raw, xrefPos)
     def ref(dict: String, key: String): Int = {
       val m = (java.util.regex.Pattern.quote(key) + "\\s+(\\d+)\\s+0\\s+R").r
         .findFirstMatchIn(dict)
       require(m.isDefined, s"$name: no $key reference")
       m.get.group(1).toInt
     }
-    /** Object n's body (between its header and `endobj`), offset-located
-      * and header-validated — the real xref contract. */
+    // decoded /ObjStm payloads, one inflate per stream per file
+    val stmCache =
+      scala.collection.mutable.Map.empty[Int, (Seq[(Int, Int)], Int, String)]
+    /** Object n's body: offset-located and header-validated (the real
+      * xref contract) for type-1 entries; extracted from its /ObjStm
+      * member slot (header pair validated) for type-2 entries. */
     def body(n: Int): String = {
       val off = offsets.getOrElse(n, -1)
-      require(off >= 0, s"$name: object $n not in xref")
-      require(s.startsWith(s"$n 0 obj", off),
-        s"$name: xref offset $off does not hold object $n")
-      val end = s.indexOf("endobj", off)
-      require(end > off, s"$name: object $n has no endobj")
-      s.substring(off, end)
+      if (off >= 0) {
+        require(s.startsWith(s"$n 0 obj", off),
+          s"$name: xref offset $off does not hold object $n")
+        val end = s.indexOf("endobj", off)
+        require(end > off, s"$name: object $n has no endobj")
+        s.substring(off, end)
+      } else inStm.get(n) match {
+        case Some((stm, idx)) =>
+          val (pairs, first, data) = stmCache.getOrElseUpdate(stm, {
+            val so = offsets.getOrElse(stm, -1)
+            require(so >= 0 && s.startsWith(s"$stm 0 obj", so),
+              s"$name: object stream $stm is not offset-located")
+            val dictEnd = s.indexOf("stream", so)
+            require(dictEnd > so, s"$name: object stream $stm has no stream")
+            val dict = s.substring(so, dictEnd)
+            require("/Type\\s*/ObjStm".r.findFirstIn(dict).isDefined,
+              s"$name: object $stm is not /Type /ObjStm")
+            val nM = "/N\\s+(\\d+)".r.findFirstMatchIn(dict)
+            val fM = "/First\\s+(\\d+)".r.findFirstMatchIn(dict)
+            require(nM.isDefined && fM.isDefined,
+              s"$name: object stream $stm missing /N or /First")
+            val payload = new String(streamData(name, s, raw, so), L1)
+            val firstOff = fM.get.group(1).toInt
+            require(firstOff <= payload.length,
+              s"$name: object stream $stm /First $firstOff overruns payload")
+            val nums = "\\d+".r.findAllIn(payload.substring(0, firstOff))
+              .map(_.toInt).toSeq
+            require(nums.length == 2 * nM.get.group(1).toInt,
+              s"$name: object stream $stm header has ${nums.length} ints, " +
+                s"expected ${2 * nM.get.group(1).toInt}")
+            (nums.grouped(2).map(p => (p(0), p(1))).toSeq, firstOff, payload)
+          })
+          require(idx < pairs.length,
+            s"$name: object $n slot $idx out of range in object stream $stm")
+          require(pairs(idx)._1 == n,
+            s"$name: object stream $stm slot $idx holds object " +
+              s"${pairs(idx)._1}, not $n")
+          val bStart = first + pairs(idx)._2
+          val bEnd = if (idx + 1 < pairs.length) first + pairs(idx + 1)._2
+            else data.length
+          require(bStart <= bEnd && bEnd <= data.length,
+            s"$name: object stream $stm member $idx spans [$bStart,$bEnd) " +
+              s"outside payload of ${data.length}")
+          data.substring(bStart, bEnd)
+        case None => sys.error(s"$name: object $n not in xref")
+      }
     }
     val catalog = body(ref(trailer, "/Root"))
     val pagesObj = body(ref(catalog, "/Pages"))
@@ -86,9 +139,12 @@ object Pdf {
     pageNums.zipWithIndex.map { case (pn, idx) =>
       val page = body(pn)
       val cObjNum = ref(page, "/Contents")
-      val cOff = offsets(cObjNum)
+      // streams may not live inside an /ObjStm (ISO 32000 §7.5.7), so a
+      // /Contents target must be offset-located — refuse otherwise
+      val cOff = offsets.getOrElse(cObjNum, -1)
       require(cOff >= 0 && s.startsWith(s"$cObjNum 0 obj", cOff),
-        s"$name: bad /Contents object $cObjNum")
+        s"$name: bad /Contents object $cObjNum (content streams must be " +
+          "top-level offset-located objects)")
       val cDictEnd = s.indexOf("stream", cOff)
       require(cDictEnd > cOff, s"$name: content object $cObjNum has no stream")
       val cDict = s.substring(cOff, cDictEnd)
@@ -114,6 +170,104 @@ object Pdf {
       val (text, nLits) = extractText(name, new String(content, L1))
       PdfPage(name, idx + 1, text, nLits, len.toLong)
     }
+  }
+
+  /** PDF 1.5 cross-reference STREAM (ISO 32000 §7.5.8): startxref lands
+    * on `N 0 obj` whose dict is /Type /XRef; entries are fixed-width
+    * binary rows (/W field widths, big-endian), subsection layout from
+    * /Index (default [0 /Size]), trailer keys (/Root, /Size) in the
+    * SAME dict. Row types: 0 = free, 1 = (offset, gen), 2 = (object
+    * stream number, index within it). Out of scope, refused LOUDLY:
+    * /Prev incremental-update chains, /DecodeParms predictors, entry
+    * types > 2 — the classic refuse-rather-than-misparse contract. */
+  private def parseXrefStream(name: String, s: String, raw: Array[Byte],
+      pos: Int): (Map[Int, Int], Map[Int, (Int, Int)], String) = {
+    require("^\\d+ 0 obj".r.findFirstIn(
+      s.substring(pos, math.min(pos + 32, s.length))).isDefined,
+      s"$name: startxref $pos points at neither an xref table nor an object")
+    val dictEnd = s.indexOf("stream", pos)
+    require(dictEnd > pos, s"$name: xref object at $pos has no stream")
+    val dict = s.substring(pos, dictEnd)
+    require("/Type\\s*/XRef".r.findFirstIn(dict).isDefined,
+      s"$name: object at startxref $pos is not /Type /XRef")
+    require(!dict.contains("/Prev"),
+      s"$name: incremental-update xref chains (/Prev) not supported — " +
+        "single-section files only")
+    require(!dict.contains("/DecodeParms"),
+      s"$name: xref stream /DecodeParms (predictors) not supported")
+    val data = streamData(name, s, raw, pos)
+    val wm = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
+      .findFirstMatchIn(dict)
+    require(wm.isDefined, s"$name: xref stream has no /W")
+    val (w1, w2, w3) = (wm.get.group(1).toInt, wm.get.group(2).toInt,
+      wm.get.group(3).toInt)
+    require(w1 <= 4 && w2 <= 4 && w3 <= 4,
+      s"$name: xref /W fields [$w1 $w2 $w3] too wide")
+    val sizeM = "/Size\\s+(\\d+)".r.findFirstMatchIn(dict)
+    require(sizeM.isDefined, s"$name: xref stream has no /Size")
+    val index: Seq[(Int, Int)] =
+      "/Index\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict) match {
+        case Some(m) =>
+          val ns = "\\d+".r.findAllIn(m.group(1)).map(_.toInt).toSeq
+          require(ns.length % 2 == 0, s"$name: odd-length /Index")
+          ns.grouped(2).map(p => (p(0), p(1))).toSeq
+        case None => Seq((0, sizeM.get.group(1).toInt))
+      }
+    val rw = w1 + w2 + w3
+    require(rw > 0 && data.length == index.map(_._2).sum * rw,
+      s"$name: xref stream data is ${data.length} bytes, expected " +
+        s"${index.map(_._2).sum} rows of $rw")
+    def field(row: Int, off: Int, len: Int, dflt: Long): Long =
+      if (len == 0) dflt
+      else (0 until len).foldLeft(0L)((a, k) =>
+        (a << 8) | (data(row * rw + off + k) & 0xffL))
+    val offB = scala.collection.mutable.Map.empty[Int, Int]
+    val stmB = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var row = 0
+    for ((start, n) <- index; k <- 0 until n) {
+      val obj = start + k
+      // a zero-width type field defaults to 1 (ISO 32000 table 17)
+      field(row, 0, w1, 1L) match {
+        case 0L => // free entry
+        case 1L => offB(obj) = field(row, w1, w2, 0L).toInt
+        case 2L => stmB(obj) = (field(row, w1, w2, 0L).toInt,
+          field(row, w1 + w2, w3, 0L).toInt)
+        case t => sys.error(
+          s"$name: xref entry type $t for object $obj unsupported")
+      }
+      row += 1
+    }
+    (offB.toMap, stmB.toMap, dict)
+  }
+
+  /** The decoded bytes of the stream belonging to the object whose
+    * header starts at `objOff`: /Length octets after the `stream` EOL,
+    * landing exactly on `endstream`, FlateDecode'd when the dict says
+    * so — the walk the xref-stream and /ObjStm paths share. */
+  private def streamData(name: String, s: String, raw: Array[Byte],
+      objOff: Int): Array[Byte] = {
+    val dictEnd = s.indexOf("stream", objOff)
+    require(dictEnd > objOff, s"$name: object at $objOff has no stream")
+    val dict = s.substring(objOff, dictEnd)
+    val lenM = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict)
+    require(lenM.isDefined,
+      s"$name: stream object at $objOff has no direct /Length")
+    val len = lenM.get.group(1).toInt
+    var dStart = dictEnd + 6
+    if (s.charAt(dStart) == '\r') dStart += 1
+    require(s.charAt(dStart) == '\n',
+      s"$name: no EOL after stream keyword at $dStart")
+    dStart += 1
+    require(dStart + len <= raw.length,
+      s"$name: /Length $len overruns the file")
+    val tail = s.substring(dStart + len,
+      math.min(dStart + len + 12, s.length))
+    require(tail.startsWith("\nendstream") || tail.startsWith("\r\nendstream")
+      || tail.startsWith("endstream"),
+      s"$name: declared /Length $len does not land on endstream " +
+        s"(object at $objOff)")
+    val bytes = java.util.Arrays.copyOfRange(raw, dStart, dStart + len)
+    if (dict.contains("/FlateDecode")) inflate(name, bytes) else bytes
   }
 
   private def inflate(name: String, b: Array[Byte]): Array[Byte] = {

@@ -79,6 +79,44 @@ class PdfSpec extends SparkSpec {
     assert(t4 === "shownab" && n4 === 3)
   }
 
+  test("PDF 1.5 xref streams + object streams parse identically to classic") {
+    for (i <- 0 until PdfFixture.count) {
+      val name = f"doc_$i%03d.pdf"
+      assert(Pdf.parse(name, xrefStreamVariant(i)) ===
+        Pdf.parse(name, PdfFixture.pdfBytes(i)))
+    }
+  }
+
+  test("xref-stream out-of-scope shapes refuse loudly") {
+    val v = new String(xrefStreamVariant(0),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    def bytes(s: String) =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // /Prev chains (incremental updates): refused before any decode.
+    // The insertion sits AFTER the xref object's start, so the literal
+    // startxref offset still lands on it.
+    val withPrev = v.replace("/Type /XRef", "/Type /XRef /Prev 9")
+    val e1 = intercept[IllegalArgumentException] {
+      Pdf.parse("p.pdf", bytes(withPrev))
+    }
+    assert(e1.getMessage.contains("/Prev"))
+    // row-count mismatch: /Size inflated by one
+    val sizeM = "/Size (\\d+)".r.findFirstMatchIn(v).get
+    val withBadSize = v.replace(s"/Size ${sizeM.group(1)}",
+      s"/Size ${sizeM.group(1).toInt + 1}")
+    val e2 = intercept[IllegalArgumentException] {
+      Pdf.parse("s.pdf", bytes(withBadSize))
+    }
+    assert(e2.getMessage.contains("rows of"))
+    // predictors: refused by name
+    val withParms = v.replace("/Type /XRef",
+      "/Type /XRef /DecodeParms << /Predictor 12 >>")
+    val e3 = intercept[IllegalArgumentException] {
+      Pdf.parse("d.pdf", bytes(withParms))
+    }
+    assert(e3.getMessage.contains("DecodeParms"))
+  }
+
   test("scanPdf reads the on-disk fixture through binaryFile") {
     val dir = PdfFixture.ensure()
     val got = Pdf.scanPdf(
@@ -138,6 +176,85 @@ class PdfSpec extends SparkSpec {
       out.write(f"${offsets(n)}%010d 00000 n \n".getBytes("ISO-8859-1")))
     out.write((s"trailer\n<< /Size ${fontObj + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefPos\n%%EOF\n").getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  private def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b)
+    d.finish()
+    val buf = new Array[Byte](b.length * 2 + 64)
+    val n = d.deflate(buf)
+    d.end()
+    buf.take(n)
+  }
+
+  /** File i re-authored the PDF 1.5 way (VERDICT r15 #4): every
+    * dict-only object (catalog, pages, page dicts, font) packed into
+    * one FlateDecode /ObjStm, content streams top-level (streams may
+    * not live in an ObjStm), and a FlateDecode cross-reference STREAM
+    * (/W [1 4 2], type-0/1/2 entries, trailer keys in its own dict) in
+    * place of the classic table. Same logical document — parse must
+    * return identical rows. */
+  private def xrefStreamVariant(i: Int): Array[Byte] = {
+    val np = PdfFixture.pagesOf(i)
+    val fontObj = 3 + np
+    def contentObj(p: Int) = 4 + np + p
+    val objStmObj = 4 + 2 * np
+    val xrefObj = 5 + 2 * np
+    val kids = (0 until np).map(p => s"${3 + p} 0 R").mkString(" ")
+    val members: Seq[(Int, String)] = (Seq(
+      1 -> s"<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count $np >>") ++
+      (0 until np).map { p =>
+        (3 + p) -> (s"<< /Type /Page /Parent 2 0 R " +
+          s"/MediaBox [0 0 612 792] /Contents ${contentObj(p)} 0 R " +
+          s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+      }) :+
+      (fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val memberOffs = members.map(_._2.length + 1).scanLeft(0)(_ + _).init
+    val hdr = members.zip(memberOffs)
+      .map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = hdr + members.map(_._2).mkString("\n")
+    val pz = deflateBytes(payload.getBytes("ISO-8859-1"))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    val offs = scala.collection.mutable.Map.empty[Int, Int]
+    offs(objStmObj) = out.size()
+    w(s"$objStmObj 0 obj\n<< /Type /ObjStm /N ${members.length} " +
+      s"/First ${hdr.length} /Filter /FlateDecode /Length ${pz.length} " +
+      ">>\nstream\n")
+    out.write(pz)
+    w("\nendstream\nendobj\n")
+    (0 until np).foreach { p =>
+      val cs = PdfFixture.contentOf(i, p)
+      offs(contentObj(p)) = out.size()
+      w(s"${contentObj(p)} 0 obj\n<< /Length ${cs.length} >>\n" +
+        s"stream\n$cs\nendstream\nendobj\n")
+    }
+    val xrefOff = out.size()
+    offs(xrefObj) = xrefOff
+    val size = xrefObj + 1
+    val slot = (Map(1 -> 0, 2 -> 1) ++
+      (0 until np).map(p => (3 + p) -> (2 + p))) + (fontObj -> (np + 2))
+    val data = new java.io.ByteArrayOutputStream()
+    (0 until size).foreach { n =>
+      val (t, f2, f3) =
+        if (n == 0) (0, 0, 65535)
+        else if (slot.contains(n)) (2, objStmObj, slot(n))
+        else (1, offs(n), 0)
+      data.write(t)
+      data.write((f2 >> 24) & 0xff); data.write((f2 >> 16) & 0xff)
+      data.write((f2 >> 8) & 0xff); data.write(f2 & 0xff)
+      data.write((f3 >> 8) & 0xff); data.write(f3 & 0xff)
+    }
+    val dz = deflateBytes(data.toByteArray)
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+      s"/Root 1 0 R /Filter /FlateDecode /Length ${dz.length} >>\nstream\n")
+    out.write(dz)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 }
