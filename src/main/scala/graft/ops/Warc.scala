@@ -234,7 +234,7 @@ object WarcFixture {
   val count = 12
 
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_warc_v1").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_warc_v2").getAbsolutePath
 
   def pagesOf(i: Int): Int = 3 + (i % 5)
 
@@ -300,8 +300,48 @@ object WarcFixture {
   def warcBytes(i: Int): Array[Byte] =
     recordsOf(i).mkString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
+  /** One RFC 1952 gzip member holding `payload` as a SINGLE STORED
+    * deflate block (BTYPE=00) — legal gzip whose payload bytes sit at a
+    * COMPUTABLE offset (member+15, length from the LE16 block header at
+    * member+11), which is what lets the DuckDB oracle hex-walk a
+    * .warc.gz gate fixture the way it hex-walks PNG STORED blocks
+    * (VERDICT r15 #6). Header: MTIME=0, XFL=0, OS=255 — fully
+    * deterministic bytes. */
+  private[graft] def gzMemberStored(payload: Array[Byte]): Array[Byte] = {
+    require(payload.length <= 0xffff,
+      s"stored gzip member caps at 65535 bytes, got ${payload.length}")
+    val out = new java.io.ByteArrayOutputStream(payload.length + 23)
+    out.write(Array(0x1f, 0x8b, 8, 0, 0, 0, 0, 0, 0, 255)
+      .map(_.toByte), 0, 10)
+    out.write(0x01) // BFINAL=1, BTYPE=00 (stored)
+    out.write(payload.length & 0xff)
+    out.write((payload.length >> 8) & 0xff)
+    val nlen = payload.length ^ 0xffff
+    out.write(nlen & 0xff)
+    out.write((nlen >> 8) & 0xff)
+    out.write(payload, 0, payload.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    val c = crc.getValue
+    Seq(c, c >> 8, c >> 16, c >> 24).foreach(v => out.write((v & 0xff).toInt))
+    val n = payload.length.toLong
+    Seq(n, n >> 8, n >> 16, n >> 24).foreach(v => out.write((v & 0xff).toInt))
+    out.toByteArray
+  }
+
+  /** File i re-framed as .warc.gz: one stored-deflate gzip member per
+    * record, concatenated — the per-record framing real crawlers write
+    * (Common Crawl's "each record compressed individually"). */
+  def warcGzBytes(i: Int): Array[Byte] =
+    recordsOf(i).map(r => gzMemberStored(
+      r.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+
   /** Build the fixture if missing; returns [[path]]. Same benign-race
-    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). */
+    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v2:
+    * every segment ships in BOTH framings (seg_NNN.warc and the
+    * per-record-gzip seg_NNN.warc.gz) so the GATE covers the compressed
+    * path, not just WarcSpec. */
   def ensure(): String = this.synchronized {
     val out = new java.io.File(path)
     if (!out.exists()) {
@@ -311,6 +351,8 @@ object WarcFixture {
       (0 until count).foreach { i =>
         java.nio.file.Files.write(
           new java.io.File(tmp, f"seg_$i%03d.warc").toPath, warcBytes(i))
+        java.nio.file.Files.write(
+          new java.io.File(tmp, f"seg_$i%03d.warc.gz").toPath, warcGzBytes(i))
       }
       if (!tmp.renameTo(out)) deleteRec(tmp)
     }
