@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions.{col, element_at, split}
   * byte count between the FIRST SOS header and the EOI trailer (for a
   * progressive stream this spans the later scan headers too — the walk
   * on both sides stops at the first SOS by the same rule).
-  * `progressive` marks SOF2 frames (r14 — the census now reads them;
-  * PIXEL decode still refuses progressive loudly, see [[Jpeg]]'s scope
+  * `progressive` marks SOF2 frames (r14 census, r15 full pixel decode
+  * — see [[Jpeg]]'s scope
   * note); `n_scans` counts FF DA marker pairs — exactly the SOS count,
   * since T.81 byte-stuffs every 0xFF inside entropy data (a table
   * segment could in principle embed a literal FF DA, but no JDK/libjpeg
@@ -35,12 +35,14 @@ final case class JpegMeta(file_name: String, width: Int, height: Int,
   * Reference anchor: the multimodal-column north star (BASELINE.json) —
   * image payloads decoded in-engine, not shelled out.
   *
-  * Scope (loud-failure discipline, the BMP/PNG pattern): the CENSUS
-  * reads baseline (SOF0), extended-sequential (SOF1) and progressive
-  * (SOF2) frame headers — the layouts are identical, and the fixture
-  * carries real JDK-encoded progressive files (r14, VERDICT r13 #7);
-  * PIXEL decode is baseline/extended-sequential Huffman only —
-  * progressive and arithmetic coding refuse with the marker name; 8-bit
+  * Scope (loud-failure discipline, the BMP/PNG pattern): PIXEL decode
+  * covers baseline (SOF0), extended-sequential (SOF1) and, since r15,
+  * PROGRESSIVE (SOF2) Huffman streams — the full T.81 §G successive-
+  * approximation ladder (DC first/refine, AC bands with EOB runs, the
+  * §G.1.2.3 correction-bit walk), differentially proven against the
+  * JDK decoder on real JDK-encoded SOF2 fixtures at the same ±1/±3
+  * tolerances as baseline. Arithmetic coding, lossless and
+  * hierarchical SOFs refuse with the marker name; 8-bit
   * samples; 1 or 3 components; sampling factors 1x1 or the 2x2,1x1,1x1
   * of 4:2:0 for the pixel path (anything else refuses rather than
   * mis-renders). Restart intervals (DRI/RSTn) are handled —
@@ -269,10 +271,14 @@ object Jpeg {
     var blocks: Array[Array[Int]] = _
   }
 
-  /** Full baseline decode to per-component SUBSAMPLED planes:
-    * (width, height, comps as (h, v, planeW, planeH, samples)). */
+  /** Full decode to per-component SUBSAMPLED planes:
+    * (width, height, comps as (h, v, planeW, planeH, samples)).
+    * Baseline/extended-sequential streams take the single-scan MCU walk
+    * below; SOF2 streams route to [[decodeProgressive]] (r15). */
   private[graft] def decodePlanes(name: String, b: Array[Byte])
       : (Int, Int, Seq[(Int, Int, Int, Int, Array[Int])]) = {
+    if (segments(name, b).exists(_._1 == 0xC2))
+      return decodeProgressive(name, b)
     val qt = new Array[Array[Int]](4)
     val hdc = new Array[Huff](4); val hac = new Array[Huff](4)
     var W = 0; var H = 0; var comps: Array[Comp] = null
@@ -375,6 +381,13 @@ object Jpeg {
       }
       my += 1
     }
+    planesOf(W, H, hmax, vmax, comps)
+  }
+
+  /** Assemble per-component subsampled planes from decoded pixel blocks
+    * — the tail both the sequential and progressive paths share. */
+  private def planesOf(W: Int, H: Int, hmax: Int, vmax: Int,
+      comps: Array[Comp]): (Int, Int, Seq[(Int, Int, Int, Int, Array[Int])]) = {
     val planes = comps.toSeq.map { c =>
       val pw = (W * c.h + hmax - 1) / hmax // ceil(W * h / hmax)
       val ph = (H * c.v + vmax - 1) / vmax
@@ -392,6 +405,272 @@ object Jpeg {
       (c.h, c.v, pw, ph, plane)
     }
     (W, H, planes)
+  }
+
+  /** Progressive (SOF2) decode — T.81 §G: coefficients ACCUMULATE across
+    * scans in the frequency domain, so blocks hold raw coefficients
+    * until every scan has landed, then one dequant + IDCT pass renders
+    * them. Scan kinds, dispatched on (Ss, Ah): DC first (diff-coded,
+    * magnitudes shifted left Al), DC refinement (one bit per block), AC
+    * first (band Ss..Se with EOB runs), AC refinement (the §G.1.2.3
+    * correction-bit walk). DC scans may interleave components (MCU
+    * order); AC scans are single-component by spec, walking that
+    * component's ceil(size/8) block grid. DRI restarts byte-align,
+    * reset predictors AND the EOB run. The marker walk here is its own
+    * loop because scans alternate with DHT segments — [[segments]]
+    * stops at the first SOS by design. */
+  private def decodeProgressive(name: String, b: Array[Byte])
+      : (Int, Int, Seq[(Int, Int, Int, Int, Array[Int])]) = {
+    val qt = new Array[Array[Int]](4)
+    val hdc = new Array[Huff](4); val hac = new Array[Huff](4)
+    var W = 0; var H = 0; var comps: Array[Comp] = null
+    var hmax = 0; var vmax = 0; var dri = 0
+    var mcusX = 0; var mcusY = 0
+    var pos = 2
+    var sawEoi = false
+    while (!sawEoi) {
+      require(pos + 2 <= b.length, s"$name: truncated at $pos")
+      require(u8(b, pos) == 0xFF, s"$name: expected marker at $pos")
+      if (u8(b, pos + 1) == 0xFF) { pos += 1 } // fill byte
+      else {
+        val mk = u8(b, pos + 1)
+        if (mk == 0xD9) { sawEoi = true; pos += 2 }
+        else {
+          val len = be16(b, pos + 2)
+          require(len >= 2 && pos + 2 + len <= b.length,
+            s"$name: segment ${mk.toHexString} at $pos has invalid length")
+          val p = pos + 4
+          mk match {
+            case 0xDB =>
+              var q = p
+              while (q < p + len - 2) {
+                val pq = u8(b, q) >> 4; val tq = u8(b, q) & 15
+                require(pq == 0,
+                  s"$name: 16-bit quant tables unsupported in decode")
+                qt(tq) = (0 until 64).map(i => u8(b, q + 1 + i)).toArray
+                q += 65
+              }
+            case 0xC4 =>
+              var q = p
+              while (q < p + len - 2) {
+                val tcth = u8(b, q)
+                val counts = (1 to 16).map(l => u8(b, q + l)).toArray
+                val tot = counts.sum
+                val vals = (0 until tot).map(i => u8(b, q + 17 + i)).toArray
+                val hh = new Huff(counts, vals)
+                if ((tcth >> 4) == 0) hdc(tcth & 15) = hh
+                else hac(tcth & 15) = hh
+                q += 17 + tot
+              }
+            case 0xC2 =>
+              require(u8(b, p) == 8,
+                s"$name: ${u8(b, p)}-bit samples unsupported")
+              H = be16(b, p + 1); W = be16(b, p + 3)
+              val nc = u8(b, p + 5)
+              require(nc == 1 || nc == 3, s"$name: $nc components unsupported")
+              comps = (0 until nc).map { c =>
+                val hv = u8(b, p + 7 + 3 * c)
+                Comp(u8(b, p + 6 + 3 * c), hv >> 4, hv & 15,
+                  u8(b, p + 8 + 3 * c))
+              }.toArray
+              hmax = comps.map(_.h).max; vmax = comps.map(_.v).max
+              for (c <- comps)
+                require((c.h == hmax && c.v == vmax) ||
+                  (c.h == 1 && c.v == 1),
+                  s"$name: sampling ${c.h}x${c.v} with max ${hmax}x$vmax " +
+                    "unsupported")
+              mcusX = (W + 8 * hmax - 1) / (8 * hmax)
+              mcusY = (H + 8 * vmax - 1) / (8 * vmax)
+              for (c <- comps) {
+                c.bw = mcusX * c.h; c.bh = mcusY * c.v
+                c.blocks = Array.fill(c.bw * c.bh)(new Array[Int](64))
+              }
+            case 0xDD => dri = be16(b, p)
+            case 0xDA =>
+              require(comps != null, s"$name: SOS before SOF2")
+              val ns = u8(b, p)
+              val scanComps = (0 until ns).map { si =>
+                val cid = u8(b, p + 1 + 2 * si)
+                val tdta = u8(b, p + 2 + 2 * si)
+                val c = comps.find(_.id == cid).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"$name: SOS refs comp $cid"))
+                c.td = tdta >> 4; c.ta = tdta & 15
+                c
+              }
+              val ss = u8(b, p + 1 + 2 * ns); val se = u8(b, p + 2 + 2 * ns)
+              val ahal = u8(b, p + 3 + 2 * ns)
+              val ah = ahal >> 4; val al = ahal & 15
+              require(ss <= 63 && se <= 63 && ss <= se,
+                s"$name: bad spectral band $ss..$se")
+              require(if (ss == 0) se == 0 else ns == 1,
+                s"$name: progressive scan header out of spec " +
+                  s"(Ss=$ss Se=$se ns=$ns)")
+              val br = new BitReader(b, pos + 2 + len, name)
+              decodeProgScan(name, br, scanComps, ss, se, ah, al,
+                dri, hdc, hac, mcusX, mcusY, W, H, hmax, vmax)
+              pos = br.pos
+            case mk2 if mk2 >= 0xC0 && mk2 <= 0xCF && mk2 != 0xC4 &&
+                mk2 != 0xC8 && mk2 != 0xC2 =>
+              throw new IllegalArgumentException(
+                s"$name: SOF${mk2 - 0xC0} mixed into a progressive file")
+            case _ => () // APPn/COM
+          }
+          if (mk != 0xDA) pos += 2 + len
+        }
+      }
+    }
+    require(comps != null && W > 0, s"$name: missing SOF2 frame header")
+    // every scan has landed: dequant (zigzag-indexed tables) + IDCT
+    for (c <- comps) {
+      require(qt(c.tq) != null, s"$name: missing quant table ${c.tq}")
+      var i = 0
+      while (i < c.blocks.length) {
+        val coefs = c.blocks(i)
+        val dq = new Array[Int](64)
+        var k = 0
+        while (k < 64) { dq(ZZ(k)) = coefs(ZZ(k)) * qt(c.tq)(k); k += 1 }
+        val px = new Array[Int](64)
+        idct(dq, px)
+        c.blocks(i) = px
+        i += 1
+      }
+    }
+    planesOf(W, H, hmax, vmax, comps)
+  }
+
+  /** One progressive scan's entropy decode (T.81 §G.1.2). `eobrun` and
+    * the DC predictors are scan-local and reset at every restart. */
+  private def decodeProgScan(name: String, br: BitReader,
+      scanComps: Seq[Comp], ss: Int, se: Int, ah: Int, al: Int, dri: Int,
+      hdc: Array[Huff], hac: Array[Huff], mcusX: Int, mcusY: Int,
+      W: Int, H: Int, hmax: Int, vmax: Int): Unit = {
+    scanComps.foreach(_.pred = 0)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    def dcFirst(c: Comp, blk: Array[Int]): Unit = {
+      val t = br.decode(hdc(c.td))
+      c.pred += extend(br.bits(t), t)
+      blk(0) = c.pred << al
+    }
+    def dcRefine(blk: Array[Int]): Unit =
+      if (br.bit() == 1) blk(0) |= p1
+    def acFirst(c: Comp, blk: Array[Int]): Unit = {
+      if (eobrun > 0) { eobrun -= 1 }
+      else {
+        var k = ss
+        while (k <= se) {
+          val rs = br.decode(hac(c.ta))
+          val r = rs >> 4; val sb = rs & 15
+          if (sb == 0) {
+            if (r == 15) k += 16
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.bits(r)
+              k = 64
+            }
+          } else {
+            k += r
+            require(k <= se, s"$name: AC run past band end")
+            blk(ZZ(k)) = extend(br.bits(sb), sb) << al
+            k += 1
+          }
+        }
+      }
+    }
+    /** §G.1.2.3: refine existing nonzero coefficients with one
+      * correction bit each while inserting newly-significant ±p1s. */
+    def acRefine(c: Comp, blk: Array[Int]): Unit = {
+      var k = ss
+      if (eobrun == 0) {
+        var break = false
+        while (k <= se && !break) {
+          val rs = br.decode(hac(c.ta))
+          var r = rs >> 4; val sb = rs & 15
+          var coefVal = 0
+          if (sb != 0) {
+            require(sb == 1, s"$name: bad AC refinement magnitude $sb")
+            coefVal = if (br.bit() == 1) p1 else m1
+          } else if (r != 15) {
+            // refinement EOB convention differs from acFirst's: the
+            // CURRENT block's remaining nonzero coefficients still
+            // consume one correction bit each (the tail below), so the
+            // run is 1<<r + bits and is decremented AFTER the tail —
+            // with (1<<r)-1 an EOB0 run skipped the tail and desynced
+            // the stream
+            eobrun = 1 << r
+            if (r > 0) eobrun += br.bits(r)
+            break = true
+          }
+          if (!break) {
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = ZZ(k)
+              if (blk(idx) != 0) {
+                if (br.bit() == 1 && (blk(idx) & p1) == 0)
+                  blk(idx) += (if (blk(idx) >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (coefVal != 0) blk(idx) = coefVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            require(placed || coefVal == 0,
+              s"$name: AC refinement overran band $ss..$se")
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val idx = ZZ(k)
+          if (blk(idx) != 0) {
+            if (br.bit() == 1 && (blk(idx) & p1) == 0)
+              blk(idx) += (if (blk(idx) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+    def decodeBlock(c: Comp, blk: Array[Int]): Unit =
+      if (ss == 0) { if (ah == 0) dcFirst(c, blk) else dcRefine(blk) }
+      else { if (ah == 0) acFirst(c, blk) else acRefine(c, blk) }
+
+    val interleaved = scanComps.length > 1
+    val (unitsX, unitsY) =
+      if (interleaved) (mcusX, mcusY)
+      else {
+        val c = scanComps.head
+        val pw = (W * c.h + hmax - 1) / hmax
+        val ph = (H * c.v + vmax - 1) / vmax
+        ((pw + 7) / 8, (ph + 7) / 8)
+      }
+    var unit = 0; var nextRst = 0
+    var uy = 0
+    while (uy < unitsY) {
+      var ux = 0
+      while (ux < unitsX) {
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          br.restart(nextRst); nextRst += 1
+          scanComps.foreach(_.pred = 0)
+          eobrun = 0
+        }
+        if (!interleaved) {
+          val c = scanComps.head
+          decodeBlock(c, c.blocks(uy * c.bw + ux))
+        } else {
+          for (c <- scanComps; by <- 0 until c.v; bx <- 0 until c.h)
+            decodeBlock(c,
+              c.blocks((uy * c.v + by) * c.bw + (ux * c.h + bx)))
+        }
+        unit += 1; ux += 1
+      }
+      uy += 1
+    }
   }
 
   // libjpeg jdcolor's fixed-point YCbCr->RGB tables (public constants;

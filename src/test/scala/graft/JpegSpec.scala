@@ -44,8 +44,9 @@ class JpegSpec extends SparkSpec {
   }
 
   test("gray pixel decode matches the JDK decoder within +-1 (IDCT rounding)") {
-    for (i <- 0 until JpegFixture.count
-         if JpegFixture.isGray(i) && !JpegFixture.isProgressive(i)) {
+    // r15: progressive files are no longer excluded — SOF2 decode runs
+    // the same differential at the same tolerance
+    for (i <- 0 until JpegFixture.count if JpegFixture.isGray(i)) {
       val bytes = JpegFixture.jpegBytes(i)
       val (w, h, planes) = Jpeg.decodePlanes(s"g$i", bytes)
       assert(planes.size === 1)
@@ -66,8 +67,7 @@ class JpegSpec extends SparkSpec {
 
   test("color pixel decode (4:2:0 fancy upsample + fixed-point YCbCr) " +
       "matches the JDK decoder within +-2") {
-    for (i <- 0 until JpegFixture.count
-         if !JpegFixture.isGray(i) && !JpegFixture.isProgressive(i)) {
+    for (i <- 0 until JpegFixture.count if !JpegFixture.isGray(i)) {
       val bytes = JpegFixture.jpegBytes(i)
       val (w, h, rgb) = Jpeg.decodeRgb(s"c$i", bytes)
       val ref = javax.imageio.ImageIO.read(
@@ -91,11 +91,11 @@ class JpegSpec extends SparkSpec {
     }
   }
 
-  test("progressive JPEG: census reads it, pixel decode refuses loudly") {
-    // the JDK encoder CAN write progressive — both halves of the r14
-    // contract are tested against a real SOF2 stream, not a hand-mangled
-    // header: parseMeta must CENSUS it (crawls carry progressive JPEGs),
-    // decodePlanes must refuse with the marker name
+  test("progressive JPEG: census reads it, pixel decode matches the JDK") {
+    // the JDK encoder CAN write progressive — and since r15 the decoder
+    // runs the full §G successive-approximation algorithm, so the SOF2
+    // stream goes through the same differential as baseline: decodeRgb
+    // against the JDK's own decoder at the color tolerance
     import java.awt.image.BufferedImage
     val img = new BufferedImage(24, 16, BufferedImage.TYPE_3BYTE_BGR)
     for (x <- 0 until 24; y <- 0 until 16)
@@ -111,10 +111,15 @@ class JpegSpec extends SparkSpec {
     val m = Jpeg.parseMeta("prog.jpg", prog)
     assert(m.progressive && m.width === 24 && m.height === 16)
     assert(m.n_scans > 1, "a JDK progressive stream has multiple scans")
-    val e2 = intercept[IllegalArgumentException] {
-      Jpeg.decodePlanes("prog.jpg", prog)
-    }
-    assert(e2.getMessage.contains("non-baseline"))
+    val (w2, h2, rgb) = Jpeg.decodeRgb("prog.jpg", prog)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(prog))
+    assert(w2 === 24 && h2 === 16)
+    var maxd = 0
+    for (yy <- 0 until h2; xx <- 0 until w2; sh <- Seq(16, 8, 0))
+      maxd = math.max(maxd, math.abs(
+        ((ref.getRGB(xx, yy) >> sh) & 0xff) - ((rgb(yy * w2 + xx) >> sh) & 0xff)))
+    assert(maxd <= 3, s"progressive rgb maxdiff $maxd")
     val trunc = JpegFixture.jpegBytes(0).take(40)
     val e3 = intercept[IllegalArgumentException] {
       Jpeg.parseMeta("t.jpg", trunc)
