@@ -242,13 +242,16 @@ object WarcFixture {
     "quality", "dedup", "filter", "sample", "shard", "spark")
 
   /** The deterministic HTML body for page (i, r); "" for the empty-body
-    * case, a short not-found page for 404s. */
-  def bodyOf(i: Int, r: Int): String =
+    * case, a short not-found page for 404s. `mul` scales the paragraph
+    * count ([[graft.IngestScale]]'s knob); mul=1 is the gate fixture. */
+  def bodyOf(i: Int, r: Int): String = bodyOf(i, r, 1)
+
+  def bodyOf(i: Int, r: Int, mul: Int): String =
     if ((i + r) % 11 == 0) ""
     else if ((i + r) % 7 == 0)
       s"<html><body>Not Found $i-$r</body></html>"
     else {
-      val ps = (0 until (2 + (i + r) % 3)).map { p =>
+      val ps = (0 until (2 + (i + r) % 3) * mul).map { p =>
         val ws = (0 until (5 + (i * 3 + r * 5 + p) % 9))
           .map(w => words((i + r * 7 + p * 11 + w * 13) % words.length))
         s"<p>${ws.mkString(" ")}</p>"
@@ -273,18 +276,22 @@ object WarcFixture {
   }
 
   /** File i's records as (already-framed) strings — shared by the plain
-    * writer and WarcSpec's per-record-gzip re-framing. */
-  def recordsOf(i: Int): Seq[String] = {
+    * writer and WarcSpec's per-record-gzip re-framing. The (pages, mul)
+    * overload is the scaled-corpus generator ([[graft.IngestScale]]);
+    * `recordsOf(i)` = the gate fixture's shape exactly. */
+  def recordsOf(i: Int): Seq[String] = recordsOf(i, pagesOf(i), 1)
+
+  def recordsOf(i: Int, pages: Int, mul: Int): Seq[String] = {
     val info = record("warcinfo", None, "application/warc-fields",
       f"00000000-0000-0000-0000-$i%012d",
       "software: graftbot/1.0\r\nformat: WARC file version 1.0\r\n")
-    val pages = (0 until pagesOf(i)).flatMap { r =>
+    val pageRecs = (0 until pages).flatMap { r =>
       val uri = s"http://site$i.example/page/$r"
       val req = record("request", Some(uri), "application/http;msgtype=request",
         f"00000000-0000-0000-1111-${i * 1000 + r}%012d",
         s"GET /page/$r HTTP/1.1\r\nHost: site$i.example\r\n" +
           "User-Agent: graftbot/1.0\r\n\r\n")
-      val body = bodyOf(i, r)
+      val body = bodyOf(i, r, mul)
       val http = s"HTTP/1.1 ${statusOf(i, r)} " +
         (if (statusOf(i, r) == 404) "Not Found" else "OK") + "\r\n" +
         "Content-Type: text/html; charset=UTF-8\r\n" +
@@ -294,7 +301,7 @@ object WarcFixture {
         f"00000000-0000-0000-2222-${i * 1000 + r}%012d", http)
       Seq(req, resp)
     }
-    info +: pages
+    info +: pageRecs
   }
 
   def warcBytes(i: Int): Array[Byte] =
