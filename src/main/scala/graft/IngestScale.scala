@@ -47,25 +47,32 @@ object IngestScale {
     val scales = Seq(("1x", 12, 5, 1), ("10x", 40, 15, 2),
       ("100x", 120, 50, 4), ("1000x", 360, 150, 8))
 
+    // content-keyed + tmp/rename (the WarcFixture.ensure discipline,
+    // review r15): bump the version when the generator changes; an
+    // interrupted run leaves only a .tmp dir, never a trusted partial
     val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_ingest_scale")
+      System.getProperty("java.io.tmpdir"), "graft_ingest_scale_v1")
 
     for ((label, segs, pages, mul) <- scales) {
       val dir = new java.io.File(root, label)
       if (!dir.exists()) {
-        dir.mkdirs()
+        val tmp = new java.io.File(root, label + ".tmp")
+        if (tmp.exists())
+          tmp.listFiles().foreach { f => f.delete(); () }
+        tmp.mkdirs()
         (0 until segs).foreach { i =>
           val recs = WarcFixture.recordsOf(i, pages, mul)
           java.nio.file.Files.write(
-            new java.io.File(dir, f"seg_$i%04d.warc").toPath,
+            new java.io.File(tmp, f"seg_$i%04d.warc").toPath,
             recs.mkString.getBytes(
               java.nio.charset.StandardCharsets.US_ASCII))
           java.nio.file.Files.write(
-            new java.io.File(dir, f"seg_$i%04d.warc.gz").toPath,
+            new java.io.File(tmp, f"seg_$i%04d.warc.gz").toPath,
             recs.map(r => WarcFixture.gzMemberStored(r.getBytes(
               java.nio.charset.StandardCharsets.US_ASCII)))
               .foldLeft(Array.empty[Byte])(_ ++ _))
         }
+        require(tmp.renameTo(dir), s"could not rename $tmp to $dir")
       }
       val plainBytes = dir.listFiles().filter(_.getName.endsWith(".warc"))
         .map(_.length).sum

@@ -80,8 +80,13 @@ object Tar {
       // POSIX ustar splits long member names: `prefix` (offset 345,
       // 155 bytes) + '/' + `name`. Ignoring the field would parse such
       // archives "successfully" with silently truncated names — the
-      // checksum still verifies — so it is honored here (ADVICE r14).
-      val prefix = str(b, pos + 345, 155)
+      // checksum still verifies — so it is honored here (ADVICE r14),
+      // but ONLY under the POSIX version "00" (offset 263): GNU-format
+      // headers pass the 5-byte magic too and store atime/ctime octal
+      // text at offset 345, which must not become a bogus path prefix
+      // (review r15).
+      val posixVersion = b(pos + 263) == '0' && b(pos + 264) == '0'
+      val prefix = if (posixVersion) str(b, pos + 345, 155) else ""
       val entryName =
         if (prefix.isEmpty) str(b, pos, 100)
         else prefix + "/" + str(b, pos, 100)

@@ -46,7 +46,15 @@ object EmbedQueries {
     * risk (at corpus scale this IS the vector-store build job). */
   private def sharedSparse(s: SparkSession, dir: String): DataFrame =
     shared(s, dir, "hsparse") {
-      HashEmbed.sparse(Tables.documents(s, dir), "doc_id", "text")
+      // pinTerms = false (review r15): the inner corpus-sized
+      // termCounts checkpoint would stay REACHABLE through this
+      // memoized frame's plan for the whole session — the pin-stacking
+      // mode that OOM'd the 8 GB heap at 100x (HashEmbed.sparse's
+      // scaladoc). Building this one session-lifetime checkpoint pays
+      // one extra tokenize pass (the tf and df branches each scan), a
+      // once-per-session cost the share amortizes away.
+      HashEmbed.sparse(Tables.documents(s, dir), "doc_id", "text",
+        pinTerms = false)
     }
 
   /** q_embed_hash — the featurizer itself: dense fixed-point component

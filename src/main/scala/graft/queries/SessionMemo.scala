@@ -17,6 +17,32 @@ import org.apache.spark.sql.SparkSession
   * read the artifact, they don't re-train it. */
 private[queries] final class SessionMemo[A] {
   private val m = new java.util.concurrent.ConcurrentHashMap[String, A]()
-  def apply(s: SparkSession, key: String)(make: => A): A =
-    m.computeIfAbsent(s"${System.identityHashCode(s)}:$key", _ => make)
+
+  /** Memoized build. NOT computeIfAbsent: a make closure that touches
+    * another memoized artifact (hashKnn's vector base builds from the
+    * shared sparse frame) would nest updates of the same map, which the
+    * JDK forbids and detects intermittently (IllegalStateException
+    * "Recursive update" whenever the two keys share a bin). get →
+    * build → putIfAbsent instead; a racing double-build is benign
+    * (deterministic artifact, the loser's frame is dropped). The
+    * context key is (applicationId, startTime) — unique per
+    * SparkContext, unlike an identity hash — and entries from any
+    * OTHER context are evicted on the way in: this process runs one
+    * context at a time (local mode), a dead context's checkpointed
+    * RDDs died with it, and the eviction is what bounds the map when a
+    * harness cycles contexts (ProbeSeq's cold rounds). */
+  def apply(s: SparkSession, key: String)(make: => A): A = {
+    val ctx = s.sparkContext.applicationId + ":" +
+      s.sparkContext.startTime + ":"
+    val it = m.keySet.iterator
+    while (it.hasNext) { if (!it.next().startsWith(ctx)) it.remove() }
+    val k = ctx + key
+    val cur = m.get(k)
+    if (cur != null) cur
+    else {
+      val v = make
+      val prev = m.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
 }

@@ -49,6 +49,23 @@ class TarSpec extends SparkSpec {
     val rows = Tar.parse("p.tar", tar)
     assert(rows.head.entry_name === "deep/dir/tree/name.txt")
     assert(rows.head.text === "hello")
+
+    // GNU-format header (version " \0" instead of POSIX "00"): offset
+    // 345 holds atime/ctime octal text, NOT a prefix — it must not
+    // become a bogus path component (review r15)
+    val gnu = Tar.tarBytes(Seq(("name.txt",
+      "hello".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    gnu(263) = ' '; gnu(264) = 0
+    val junk = "14332221505"
+    System.arraycopy(
+      junk.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0,
+      gnu, 345, junk.length)
+    for (i <- 148 until 156) gnu(i) = ' '
+    val gsum = (0 until 512).map(i => gnu(i) & 0xff).sum
+    System.arraycopy(f"$gsum%06o"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0,
+      gnu, 148, 6)
+    assert(Tar.parse("g.tar", gnu).head.entry_name === "name.txt")
   }
 
   test("malformed archives refuse loudly") {
