@@ -166,6 +166,64 @@ class JpegSpec extends SparkSpec {
     assert(!m.progressive && m.n_scans === 1)
   }
 
+  test("odd-dimension differential: partial MCUs, gray+color, " +
+      "baseline+progressive") {
+    // progressive decoders break first at the edges: partial MCUs at
+    // the right/bottom, and the NON-INTERLEAVED ceil(size/8) block
+    // grids of single-component AC scans diverging from the MCU-padded
+    // storage grid. Every (dims, gray/color, baseline/progressive)
+    // cell runs the same JDK differential as the fixture tests.
+    import java.awt.image.BufferedImage
+    for ((w, h) <- Seq((1, 1), (7, 3), (8, 8), (9, 17), (31, 15),
+           (33, 34));
+         gray <- Seq(true, false);
+         progressive <- Seq(false, true)) {
+      val img = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY
+        else BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until w; y <- 0 until h) {
+        // deterministic texture with edges and gradients
+        val v = (x * 37 + y * 91 + (x * y) % 53) % 256
+        img.setRGB(x, y,
+          if (gray) (v << 16) | (v << 8) | v
+          else (v << 16) | (((x * 11 + y * 5) % 256) << 8) |
+            ((255 - v) & 0xff))
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+        .next()
+      val p = wr.getDefaultWriteParam
+      if (progressive)
+        p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bo = new java.io.ByteArrayOutputStream()
+      wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bo))
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wr.dispose()
+      val bytes = bo.toByteArray
+      val tag = s"${w}x$h gray=$gray prog=$progressive"
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (gray) {
+        val (w2, h2, planes) = Jpeg.decodePlanes(tag, bytes)
+        assert(w2 === w && h2 === h, tag)
+        val (_, _, pw, _, y2) = planes.head
+        var maxd = 0
+        for (yy <- 0 until h; xx <- 0 until w)
+          maxd = math.max(maxd, math.abs(
+            ref.getRaster.getSample(xx, yy, 0) - y2(yy * pw + xx)))
+        assert(maxd <= 1, s"$tag: gray maxdiff $maxd")
+      } else {
+        val (w2, h2, rgb) = Jpeg.decodeRgb(tag, bytes)
+        assert(w2 === w && h2 === h, tag)
+        var maxd = 0
+        for (yy <- 0 until h; xx <- 0 until w; sh <- Seq(16, 8, 0))
+          maxd = math.max(maxd, math.abs(
+            ((ref.getRGB(xx, yy) >> sh) & 0xff) -
+              ((rgb(yy * w + xx) >> sh) & 0xff)))
+        assert(maxd <= 3, s"$tag: rgb maxdiff $maxd")
+      }
+    }
+  }
+
   test("scanJpeg decodes the on-disk fixture through binaryFile") {
     val dir = JpegFixture.ensure()
     val got = Jpeg.scanJpeg(

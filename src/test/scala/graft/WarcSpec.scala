@@ -104,6 +104,44 @@ class WarcSpec extends SparkSpec {
     assert(e3.getMessage.contains("CRC32 mismatch"))
   }
 
+  test("gzip member walk round-trips arbitrary member sequences " +
+      "(seeded fuzz, mixed deflate/stored framings)") {
+    val rnd = new scala.util.Random(20260816)
+    for (_ <- 0 until 40) {
+      val payloads = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(5000))
+        rnd.nextBytes(b); b
+      }
+      // alternate REAL deflate members (GZIPOutputStream) with the
+      // fixture's STORED members — both legal RFC 1952, one stream
+      val members = payloads.zipWithIndex.map { case (p, i) =>
+        if (i % 2 == 0) {
+          val bo = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bo)
+          g.write(p); g.close(); bo.toByteArray
+        } else WarcFixture.gzMemberStored(p)
+      }
+      val gz = members.foldLeft(Array.empty[Byte])(_ ++ _)
+      assert(java.util.Arrays.equals(Warc.gunzipAll(gz),
+        payloads.foldLeft(Array.empty[Byte])(_ ++ _)))
+      // truncation INSIDE a member (not at a boundary — a prefix ending
+      // exactly at a boundary is a legal shorter stream) must refuse
+      val bounds = members.map(_.length).scanLeft(0)(_ + _)
+      val cut = {
+        var c = 1 + rnd.nextInt(gz.length - 1)
+        while (bounds.contains(c)) c = 1 + rnd.nextInt(gz.length - 1)
+        c
+      }
+      intercept[Exception] { Warc.gunzipAll(gz.take(cut)) }
+      // trailer corruption: CRC32/ISIZE must catch it
+      val bad = gz.clone()
+      bad(gz.length - 6) = (bad(gz.length - 6) ^ 0x35).toByte
+      val e = intercept[Exception] { Warc.gunzipAll(bad) }
+      assert(e.getMessage.contains("mismatch") ||
+        e.getMessage.contains("truncated"))
+    }
+  }
+
   test("malformed HTTP status lines refuse with file/offset context") {
     def rec(status: String): Array[Byte] = {
       val payload = s"$status\r\nContent-Type: text/html\r\n\r\nok"
