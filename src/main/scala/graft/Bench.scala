@@ -334,6 +334,7 @@ object Bench {
     "simhash" -> "si", "simhash_dup" -> "s4", "skew_audit" -> "sk",
     "soft_dedup" -> "s6", "span_dedup" -> "sp", "span_dedup_cdc" -> "sc",
     "split_leakfree" -> "lk", "stream_append" -> "sa",
+    "stream_crawl" -> "s1",
     "stream_dedup" -> "s2", "stream_hourly" -> "sh", "stream_join" -> "sj",
     "stream_moments" -> "s7", "stream_neardup" -> "s9",
     "stream_sess_win" -> "sw", "stream_sessionize" -> "ss",

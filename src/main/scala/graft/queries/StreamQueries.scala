@@ -916,8 +916,59 @@ object StreamQueries {
       "(in-stream banding, per-signature GroupState with event-time " +
       "eviction, window semantics from stored state)")
 
+  /** q_stream_crawl — STREAMING crawl-container ingestion (r15): the
+    * identical [[graft.ops.Warc]] codec the batch gate checks, executed
+    * as a readStream binaryFile source over the segment directory with
+    * one micro-batch per file (maxFilesPerTrigger=1 → 12 genuine
+    * batches — a crawler appending segments to a directory IS this
+    * pipeline at 100 TB), feeding the ingest-layer digest dedup as a
+    * streaming aggregation in Complete mode: first-capture-wins
+    * min-struct + running capture count per body_md5. The fold is
+    * order-independent (min/count), so the final emission must equal
+    * q_crawl_dedup's BATCH answer exactly — the oracle is that query's
+    * SQL verbatim, the batch/stream unification contract applied to
+    * container ingestion. Complete mode is the honest discipline here
+    * for the q_stream_hourly reason: the digest state IS the dedup
+    * index; production swaps the memory sink for a TTL'd store, the
+    * aggregation plan unchanged. Plain framing only (pathGlobFilter),
+    * matching the batch query's file set. */
+  val qStreamCrawl = Q("q_stream_crawl",
+    (s, _) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val fdir = graft.ops.WarcFixture.ensure()
+      val binSchema = StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType)))
+      val src = s.readStream.format("binaryFile")
+        .schema(binSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.warc")
+        .load(fdir)
+      val sink = s"graft_stream_crawl_${streamRunId.incrementAndGet()}"
+      val q = graft.ops.Warc.scanWarc(src).toDF()
+        .filter(col("warc_type") === "response")
+        .groupBy(col("body_md5"))
+        .agg(min(struct(col("file_name"), col("rec_idx"),
+          col("target_uri"))).as("first"),
+          count(lit(1L)).as("n_captures"))
+        .select(col("body_md5"), col("first.file_name").as("file_name"),
+          col("first.rec_idx").as("rec_idx"),
+          col("first.target_uri").as("target_uri"), col("n_captures"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("body_md5")
+    },
+    graft.queries.TextQueries.qCrawlDedup.oracle,
+    "north star: streaming crawl ingestion in the gate (WARC codec as a " +
+      "readStream file source, one micro-batch per segment, digest dedup " +
+      "as a Complete-mode fold equal to the batch answer)")
+
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qSessionWindow, qJson, qEventsTopK,
     qAsof, qAsofBcast, qRangeJoin, qStreamMoments, qStreamSessionize,
     qStreamHourly, qStreamAppend, qStreamSessWin, qStreamJoin, qStreamDedup,
-    qStreamNearDup)
+    qStreamNearDup, qStreamCrawl)
 }
