@@ -122,9 +122,7 @@ object RetrievalQueries {
   /** q_bm25 — keyword search: BM25 top-10 documents for the fixed query
     * terms. */
   val qBm25 = Q("q_bm25",
-    (s, dir) => rankTop(
-        bm25Scored(Tables.documents(s, dir), "doc_id", "text", queryTerms),
-        "doc_id", 10, "rk")
+    (s, dir) => rankTop(sharedBm25(s, dir), "doc_id", 10, "rk")
       .select("rk", "doc_id", "score"),
     Some("WITH " + bm25Sql + """
       |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk, doc_id, score
@@ -139,9 +137,22 @@ object RetrievalQueries {
     * (the query vector is external input in the reference; candidates
     * exclude the query row itself); doc_id = vec_id is the parent link
     * q_chunk_index established. ≤100 rows by construction. */
+  /** Session-shared frames (the r15 [[SessionMemo]] discipline): the
+    * BM25-scored corpus is consumed by q_bm25 AND the fused shortlist,
+    * and the shortlist itself by q_hybrid_rrf AND q_rerank_model — each
+    * registration used to re-tokenize the corpus for the BM25 stats.
+    * The scored frame is |docs| narrow rows, the shortlist ≤ ~100. */
+  private val memo = new SessionMemo[DataFrame]
+  private def sharedBm25(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"bm25:$dir") {
+      bm25Scored(Tables.documents(s, dir), "doc_id", "text", queryTerms)
+        .localCheckpoint()
+    }
+  private def sharedFused(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"fused:$dir") { fusedShortlist(s, dir).localCheckpoint() }
+
   private def fusedShortlist(s: SparkSession, dir: String): DataFrame = {
-    val textTop = rankTop(
-      bm25Scored(Tables.documents(s, dir), "doc_id", "text", queryTerms),
+    val textTop = rankTop(sharedBm25(s, dir),
       "doc_id", 50, "text_rk").select("doc_id", "text_rk")
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), Vectors.toDoubleArr(col("embedding")).as("v"))
@@ -186,7 +197,7 @@ object RetrievalQueries {
 
   /** q_hybrid_rrf — hybrid retrieval: the fused shortlist's top-10. */
   val qHybridRrf = Q("q_hybrid_rrf",
-    (s, dir) => fusedShortlist(s, dir)
+    (s, dir) => sharedFused(s, dir)
       .orderBy(col("rrf").desc, col("doc_id")).limit(10)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id"))))
@@ -236,7 +247,7 @@ object RetrievalQueries {
     * the returned top-10. */
   private[graft] def rerankScored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val short = fusedShortlist(s, dir)
+    val short = sharedFused(s, dir)
       .withColumn("base_rk", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id"))))
       .select(col("doc_id"), col("base_rk"),
