@@ -144,6 +144,51 @@ object IngestScale {
         s"crawl $label: plain $crawlPlain != gz $crawlGz")
       report("crawl_e2e", label, totalRecords, plainBytes, crawlSecs)
 
+      // crawl_curate_e2e shape: the FULL composed pipeline (digest
+      // argmin dedup -> HTML strip -> word gate -> content-digest split
+      // -> pack manifest); plain and gzip framings must land the
+      // bit-identical manifest (file names suffix-normalized so pack
+      // order keys agree)
+      def curateAgg(glob: String): (Long, Long) = {
+        val reps = scan(glob)
+          .filter(col("warc_type") === "response" &&
+            col("http_status") === 200 && col("body_len") > 0)
+          .groupBy(col("body_md5"))
+          .agg(min(struct(
+            regexp_replace(col("file_name"), "\\.warc(\\.gz)?$", "")
+              .as("f"), col("rec_idx"), col("body"))).as("first"))
+        val clean = trim(regexp_replace(regexp_replace(
+          col("first.body"), "<[^>]*>", " "), "\\s+", " "))
+        val kept = reps
+          .select(col("body_md5"), col("first.f").as("f"),
+            col("first.rec_idx").as("rec_idx"), clean.as("tc"))
+          .withColumn("nw", when(col("tc") === "", 0L)
+            .otherwise(size(split(col("tc"), " ")).cast("long")))
+          .filter(col("nw") >= 10)
+          .withColumn("nc", length(col("tc")).cast("long"))
+          .withColumn("split", graft.ops.Sample.splitByGroup(
+            col("body_md5"), Seq("train" -> 900, "eval" -> 1000)))
+          .withColumn("ck", concat(col("f"), lit("#"),
+            lpad(col("rec_idx").cast("string"), 6, "0")))
+        val row = graft.ops.Pack.packByBudget(kept, col("split"),
+            col("ck"), col("nc"), budget = 400L)
+          .groupBy("split", "pack_id")
+          .agg(count(lit(1)).as("nd"), sum(col("nc")).as("tc2"))
+          .select(xxhash64(col("split"), col("pack_id"), col("nd"),
+            col("tc2")).as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("hx")).head()
+        (row.getLong(0), row.getLong(1))
+      }
+      var curatePlain: (Long, Long) = null
+      val curateSecs = (1 to runs).map(_ => timed {
+        curatePlain = curateAgg("*.warc")
+      })
+      val curateGz = curateAgg("*.warc.gz")
+      require(curatePlain == curateGz,
+        s"curate $label: plain $curatePlain != gz $curateGz")
+      report("crawl_curate_e2e", label, totalRecords, plainBytes,
+        curateSecs)
+
       // crawl_dedup shape: digest argmin (suffix-normalized file names
       // so the two framings land identical first captures)
       def dedupAgg(glob: String): (Long, Long) = {
