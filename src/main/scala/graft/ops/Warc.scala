@@ -24,9 +24,10 @@ final case class WarcRow(file_name: String, rec_idx: Int, warc_type: String,
   * version line, named header fields, `Content-Length` octets of payload,
   * a CRLF CRLF record trailer, repeated to exact EOF — and transparently
   * handles the per-record-gzip framing real crawlers write (RFC 1952
-  * members concatenated back-to-back; `GZIPInputStream` consumes member
-  * boundaries natively, and the WARC walk re-frames records from the
-  * decompressed stream identically — WarcSpec proves plain ≡ gzip).
+  * members concatenated back-to-back; [[Warc.gunzipAll]] walks the
+  * members explicitly with CRC32/ISIZE/exact-EOF accounting, and the
+  * WARC walk re-frames records from the decompressed stream identically
+  * — WarcSpec proves plain ≡ gzip, and since r15 the GATE does too).
   *
   * Oracle discipline: WARC is an OCTET format with ASCII framing, so the
   * gate fixture (ASCII payloads, uncompressed — both legal) lets DuckDB
