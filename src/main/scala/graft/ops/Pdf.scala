@@ -384,7 +384,7 @@ object PdfFixture {
   val count = 10
 
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_pdf_v1").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_pdf_v2").getAbsolutePath
 
   def pagesOf(i: Int): Int = 1 + (i % 4)
 
@@ -449,8 +449,85 @@ object PdfFixture {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  /** File i re-authored as PDF 1.5 for the GATE (r15, the warc.gz
+    * move): the dict-only objects (catalog, pages, page dicts, font)
+    * live in one UNCOMPRESSED /ObjStm whose payload is a header line of
+    * (objnum, offset) pairs followed by ONE DICT PER LINE — offsets are
+    * exact, so the engine's member slicing is fully exercised, while
+    * the payload stays in the string domain DuckDB can regex. Content
+    * streams are top-level plain text. The cross-reference STREAM's
+    * entry rows are genuinely BINARY ([1 4 2] field widths) — the
+    * engine must parse them to locate anything; the oracle never needs
+    * the xref (it re-walks objects from the bytes), and the xref object
+    * sits LAST so the oracle can decode the ASCII prefix of the file
+    * (the binary rows would break a whole-file decode). Page content
+    * formulas are [[contentOf]] verbatim — same pages as the classic
+    * twin, under the doc15 name. */
+  def pdf15Bytes(i: Int): Array[Byte] = {
+    val np = pagesOf(i)
+    val fontObj = 3 + np
+    def contentObj(p: Int) = 4 + np + p
+    val objStmObj = 4 + 2 * np
+    val xrefObj = 5 + 2 * np
+    val kids = (0 until np).map(p => s"${3 + p} 0 R").mkString(" ")
+    val members: Seq[(Int, String)] = (Seq(
+      1 -> s"<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count $np >>") ++
+      (0 until np).map { p =>
+        (3 + p) -> (s"<< /Type /Page /Parent 2 0 R " +
+          s"/MediaBox [0 0 612 792] /Contents ${contentObj(p)} 0 R " +
+          s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+      }) :+
+      (fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val memberOffs = members.map(_._2.length + 1).scanLeft(0)(_ + _).init
+    val hdr = members.zip(memberOffs)
+      .map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = hdr + members.map(_._2).mkString("\n")
+    val out = new java.io.ByteArrayOutputStream()
+    val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    def w(str: String): Unit = out.write(str.getBytes(L1))
+    w("%PDF-1.5\n")
+    val offs = scala.collection.mutable.Map.empty[Int, Int]
+    offs(objStmObj) = out.size()
+    w(s"$objStmObj 0 obj\n<< /Type /ObjStm /N ${members.length} " +
+      s"/First ${hdr.length} /Length ${payload.length} >>\nstream\n")
+    w(payload)
+    w("\nendstream\nendobj\n")
+    (0 until np).foreach { p =>
+      val cs = contentOf(i, p)
+      offs(contentObj(p)) = out.size()
+      w(s"${contentObj(p)} 0 obj\n<< /Length ${cs.length} >>\n" +
+        s"stream\n$cs\nendstream\nendobj\n")
+    }
+    val xrefOff = out.size()
+    offs(xrefObj) = xrefOff
+    val size = xrefObj + 1
+    val slot = (Map(1 -> 0, 2 -> 1) ++
+      (0 until np).map(p => (3 + p) -> (2 + p))) + (fontObj -> (np + 2))
+    val data = new java.io.ByteArrayOutputStream()
+    (0 until size).foreach { n =>
+      val (t, f2, f3) =
+        if (n == 0) (0, 0, 65535)
+        else if (slot.contains(n)) (2, objStmObj, slot(n))
+        else (1, offs(n), 0)
+      data.write(t)
+      data.write((f2 >> 24) & 0xff); data.write((f2 >> 16) & 0xff)
+      data.write((f2 >> 8) & 0xff); data.write(f2 & 0xff)
+      data.write((f3 >> 8) & 0xff); data.write(f3 & 0xff)
+    }
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+      s"/Root 1 0 R /Length ${size * 7} >>\nstream\n")
+    out.write(data.toByteArray)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Build the fixture if missing; returns [[path]]. Same benign-race
-    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). */
+    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v2:
+    * every doc ships in BOTH framings — classic doc_NNN.pdf and the
+    * PDF 1.5 doc15_NNN.pdf (xref stream + ObjStm) — so the gate covers
+    * the 1.5 path, not just PdfSpec. */
   def ensure(): String = this.synchronized {
     val out = new java.io.File(path)
     if (!out.exists()) {
@@ -460,6 +537,8 @@ object PdfFixture {
       (0 until count).foreach { i =>
         java.nio.file.Files.write(
           new java.io.File(tmp, f"doc_$i%03d.pdf").toPath, pdfBytes(i))
+        java.nio.file.Files.write(
+          new java.io.File(tmp, f"doc15_$i%03d.pdf").toPath, pdf15Bytes(i))
       }
       if (!tmp.renameTo(out)) deleteRec(tmp)
     }

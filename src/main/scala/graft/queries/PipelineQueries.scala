@@ -799,26 +799,66 @@ object PipelineQueries {
         .toDF().orderBy("file_name", "page")
     },
     Some(s"""WITH praw AS (
-      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
-      |         decode(content) AS s
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name, content
       |  FROM read_blob('${graft.ops.PdfFixture.path}/*.pdf')
+      |), pcls AS (
+      |  -- classic files: the whole byte stream is ASCII text
+      |  SELECT file_name, decode(content) AS s FROM praw
+      |  WHERE file_name NOT LIKE 'doc15%'
+      |), p15 AS (
+      |  -- PDF 1.5 files: the xref STREAM's entry rows are binary, so
+      |  -- decode only the ASCII PREFIX up to the xref object — its
+      |  -- offset comes from the ASCII startxref tail (hex-windowed).
+      |  -- The oracle walks objects from the bytes and never needs the
+      |  -- xref itself; the ENGINE must parse the binary rows to locate
+      |  -- anything, which is the point of the framing.
+      |  SELECT file_name,
+      |    decode(unhex(substr(hx, 1, 2 * CAST(regexp_extract(
+      |      decode(unhex(substr(hx, len(hx) - 59, 60))),
+      |      'startxref\\n([0-9]+)', 1) AS BIGINT)))) AS s
+      |  FROM (SELECT file_name, hex(content) AS hx FROM praw
+      |        WHERE file_name LIKE 'doc15%') t
+      |), pall AS (
+      |  SELECT * FROM pcls UNION ALL SELECT * FROM p15
       |), om AS (
       |  SELECT file_name,
       |    regexp_extract_all(s, '(?s)\\n([0-9]+) 0 obj\\n(.*?)\\nendobj', 1)
       |      AS onums,
       |    regexp_extract_all(s, '(?s)\\n([0-9]+) 0 obj\\n(.*?)\\nendobj', 2)
       |      AS obodies
-      |  FROM praw
-      |), objs AS (
+      |  FROM pall
+      |), objs0 AS (
       |  SELECT file_name, CAST(onums[i] AS BIGINT) AS objnum,
       |         obodies[i] AS body
       |  FROM om, unnest(generate_series(1, len(onums))) AS g(i)
+      |), stmm AS (
+      |  -- /ObjStm members: header line of (objnum, offset) pairs, one
+      |  -- dict per following line (the fixture's uncompressed layout —
+      |  -- offsets are exact so the engine's slicing is exercised while
+      |  -- the payload stays regex-able)
+      |  SELECT file_name,
+      |    string_split(regexp_extract(payload, '^([^\\n]*)', 1), ' ') AS hdr,
+      |    string_split(payload, chr(10)) AS ln
+      |  FROM (
+      |    SELECT file_name,
+      |      regexp_extract(body, '(?s)stream\\n(.*?)\\nendstream', 1)
+      |        AS payload
+      |    FROM objs0 WHERE body LIKE '%/ObjStm%') t
+      |), objs AS (
+      |  SELECT file_name, objnum, body FROM objs0
+      |  UNION ALL
+      |  SELECT file_name, CAST(hdr[2*i - 1] AS BIGINT) AS objnum,
+      |         ln[i + 1] AS body
+      |  FROM stmm, unnest(generate_series(1, len(hdr) // 2)) AS g(i)
       |), kids AS (
       |  SELECT file_name,
       |    regexp_extract_all(
       |      regexp_extract(body, '/Kids \\[([^\\]]*)\\]', 1),
       |      '([0-9]+) 0 R', 1) AS refs
-      |  FROM objs WHERE body LIKE '%/Kids%'
+      |  -- the ObjStm CONTAINER's body includes its payload (and so the
+      |  -- member Pages dict's /Kids text) — only the member row is the
+      |  -- page tree
+      |  FROM objs WHERE body LIKE '%/Kids%' AND body NOT LIKE '%/ObjStm%'
       |), pages AS (
       |  SELECT file_name, CAST(i AS INTEGER) AS page,
       |         CAST(refs[i] AS BIGINT) AS pobj

@@ -122,9 +122,24 @@ class PdfSpec extends SparkSpec {
     val got = Pdf.scanPdf(
         spark.read.format("binaryFile").load(dir + "/*.pdf"))
       .collect().groupBy(_.file_name)
-    assert(got.size === PdfFixture.count)
-    for (i <- 0 until PdfFixture.count)
+    // v2: every doc ships classic AND PDF 1.5 (doc15_) framed
+    assert(got.size === 2 * PdfFixture.count)
+    for (i <- 0 until PdfFixture.count) {
       assert(got(f"doc_$i%03d.pdf").length === PdfFixture.pagesOf(i))
+      assert(got(f"doc15_$i%03d.pdf").length === PdfFixture.pagesOf(i))
+      // identical page text through both framings
+      assert(got(f"doc15_$i%03d.pdf").map(r => (r.page, r.text)).toSet ===
+        got(f"doc_$i%03d.pdf").map(r => (r.page, r.text)).toSet)
+    }
+  }
+
+  test("pdf15Bytes parses to the classic twin's pages (uncompressed " +
+      "ObjStm + binary xref stream)") {
+    for (i <- 0 until PdfFixture.count) {
+      val cls = Pdf.parse(f"doc_$i%03d.pdf", PdfFixture.pdfBytes(i))
+      val v15 = Pdf.parse(f"doc_$i%03d.pdf", PdfFixture.pdf15Bytes(i))
+      assert(v15 === cls)
+    }
   }
 
   /** File i with every content stream FlateDecode-compressed — built by
