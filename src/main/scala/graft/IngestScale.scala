@@ -222,7 +222,8 @@ object IngestScale {
       val inHash = input.select(xxhash64(col("name"), col("text")).as("h"))
         .agg(expr("bit_xor(h)")).head().getLong(0)
       val tarSecs = (1 to runs).map { r =>
-        val out = new java.io.File(dir, s"shards_$r")
+        // run OUTPUT, not corpus — keep it out of the content-keyed dir
+        val out = new java.io.File(root, s"scratch_shards_${label}_$r")
         timed {
           Tar.writeShards(input.repartition(32, col("name")),
             "name", "text", out.getAbsolutePath)
