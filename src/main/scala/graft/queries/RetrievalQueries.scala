@@ -151,7 +151,7 @@ object RetrievalQueries {
   private def sharedFused(s: SparkSession, dir: String): DataFrame =
     memo(s, s"fused:$dir") { fusedShortlist(s, dir).localCheckpoint() }
 
-  private def fusedShortlist(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def fusedShortlist(s: SparkSession, dir: String): DataFrame = {
     val textTop = rankTop(sharedBm25(s, dir),
       "doc_id", 50, "text_rk").select("doc_id", "text_rk")
     val e = Tables.embeddings(s, dir)

@@ -132,15 +132,33 @@ class PlanSpec extends SparkSpec {
     // ranking is TakeOrderedAndProject (per-partition bounded heaps) —
     // a global Sort here would single-reduce the corpus at 100 TB
     assert(pb.contains("TakeOrderedAndProject"))
-    // the O(1) query-term set prunes the token stream right at the
-    // generate (before tf/df shuffles), so aggregation cost is
+    // r15: the registered query reads the session-shared checkpointed
+    // score frame, so the term-filter contract is asserted on the
+    // BUILD plan (the one that actually tokenizes the corpus, once per
+    // session): the O(1) query-term set prunes the token stream right
+    // at the generate (before tf/df shuffles), so aggregation cost is
     // O(matching tokens) not O(corpus tokens)
-    assert(pb.contains("tok#") && pb.contains(" IN (vector,join,stream,filter)")
-      || pb.contains("tok IN"), s"term filter not visible in plan:\n$pb")
+    val pscored = RetrievalQueries.bm25Scored(
+        graft.Tables.documents(spark, dir), "doc_id", "text",
+        Seq("vector", "join", "stream", "filter"))
+      .queryExecution.executedPlan.toString
+    assert(pscored.contains("tok#") &&
+      pscored.contains(" IN (vector,join,stream,filter)")
+      || pscored.contains("tok IN"),
+      s"term filter not visible in the build plan:\n$pscored")
     val ph = plan(RetrievalQueries.qHybridRrf)
-    assert(ph.contains("TakeOrderedAndProject"))
-    // the vector ranker broadcasts the single query vector
-    assert(ph.contains("BroadcastNestedLoopJoin"))
+    // the fused shortlist is a ≤100-row checkpoint since r15 — the
+    // registered plan must stay a bounded window over the tiny frame
+    assert(ph.contains("Window") && ph.contains("Scan ExistingRDD"),
+      s"expected a window over the shared shortlist checkpoint:\n$ph")
+    // ...and the shortlist BUILD keeps its contracts: the vector ranker
+    // broadcasts the single query vector (never the corpus) and both
+    // rankers take their top-50 through bounded heaps
+    val pf = RetrievalQueries.fusedShortlist(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pf.contains("BroadcastNestedLoopJoin"),
+      s"query-vector broadcast not visible in the shortlist build:\n$pf")
+    assert(pf.contains("TakeOrderedAndProject"))
   }
 
   test("q_cardinality takes its k-minima through the custom TopK operator") {
