@@ -43,8 +43,9 @@ final case class JpegMeta(file_name: String, width: Int, height: Int,
   * JDK decoder on real JDK-encoded SOF2 fixtures at the same ±1/±3
   * tolerances as baseline. Arithmetic coding, lossless and
   * hierarchical SOFs refuse with the marker name; 8-bit
-  * samples; 1 or 3 components; sampling factors 1x1 or the 2x2,1x1,1x1
-  * of 4:2:0 for the pixel path (anything else refuses rather than
+  * samples; 1 or 3 components; sampling factors 1x1, the 2x2,1x1,1x1
+  * of 4:2:0, or the 2x1,1x1,1x1 of 4:2:2 for the pixel path (anything
+  * else — e.g. 4:4:0 — refuses rather than
   * mis-renders). Restart intervals (DRI/RSTn) are handled —
   * byte-aligned, predictors reset, marker sequence checked. */
 object Jpeg {
@@ -99,8 +100,8 @@ object Jpeg {
     var progressive = false
     for ((mk, p, len) <- segs) mk match {
       // baseline / extended-sequential / progressive SOF: the frame
-      // header LAYOUT is identical — the census reads all three, only
-      // the pixel path (decodePlanes) refuses SOF2
+      // header LAYOUT is identical — the census reads all three, and
+      // the pixel path routes SOF2 to decodeProgressive (r15)
       case 0xC0 | 0xC1 | 0xC2 =>
         require(u8(b, p) == 8, s"$name: ${u8(b, p)}-bit samples unsupported")
         progressive = mk == 0xC2
@@ -506,6 +507,17 @@ object Jpeg {
               require(if (ss == 0) se == 0 else ns == 1,
                 s"$name: progressive scan header out of spec " +
                   s"(Ss=$ss Se=$se ns=$ns)")
+              // loud refusal at scan-header time (ADVICE r15): a scan
+              // referencing an undefined table must not NPE mid-decode.
+              // DC-refine scans (Ss=0, Ah>0) read raw bits, no table.
+              for (c <- scanComps) {
+                if (ss == 0 && ah == 0)
+                  require(hdc(c.td) != null,
+                    s"$name: missing DC Huffman table ${c.td}")
+                if (se > 0)
+                  require(hac(c.ta) != null,
+                    s"$name: missing AC Huffman table ${c.ta}")
+              }
               val br = new BitReader(b, pos + 2 + len, name)
               decodeProgScan(name, br, scanComps, ss, se, ah, al,
                 dri, hdc, hac, mcusX, mcusY, W, H, hmax, vmax)
@@ -712,9 +724,37 @@ object Jpeg {
     out
   }
 
+  /** libjpeg-convention h2v1 "fancy" upsample (jdsample.c
+    * h2v1_fancy_upsample) — the 4:2:2 sibling of [[fancyH2V2]]
+    * (VERDICT r15 #6): horizontal-only triangular blend, 3:1 weights,
+    * +1 rounding on the even (near-neighbor) phase and +2 on the odd
+    * phase; rows pass through untouched. The clamped-neighbor edge
+    * formula collapses to sample duplication exactly ((4a+1)>>2 =
+    * (4a+2)>>2 = a), matching libjpeg's special-cased first/last
+    * columns. */
+  private[graft] def fancyH2V1(in: Array[Int], cw: Int,
+                               w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var oy = 0
+    while (oy < h) {
+      var ox = 0
+      while (ox < w) {
+        val ix = ox >> 1
+        val nx = if ((ox & 1) == 0) math.max(ix - 1, 0)
+                 else math.min(ix + 1, cw - 1)
+        val rnd = if ((ox & 1) == 0) 1 else 2
+        out(oy * w + ox) =
+          (3 * in(oy * cw + ix) + in(oy * cw + nx) + rnd) >> 2
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   /** Full decode to packed 0xRRGGBB pixels (gray replicates the single
-    * plane). 4:2:0 chroma goes through [[fancyH2V2]]; 4:4:4 and gray are
-    * pass-through. */
+    * plane). 4:2:0 chroma goes through [[fancyH2V2]], 4:2:2 through
+    * [[fancyH2V1]]; 4:4:4 and gray are pass-through. */
   private[graft] def decodeRgb(name: String,
                                b: Array[Byte]): (Int, Int, Array[Int]) = {
     val (w, h, planes) = decodePlanes(name, b)
@@ -743,17 +783,21 @@ object Jpeg {
             yy += 1
           }
           o
+        } else if (ph2 == 1 && pv2 == 1 && pw == (w + 1) / 2 && ph == h) {
+          // 4:2:2 (1x1 chroma under a 2x1 luma grid): horizontal-only
+          // fancy upsample (r16, VERDICT r15 #6)
+          fancyH2V1(s, pw, w, h)
         } else {
-          // ONLY true 4:2:0 (1x1 chroma under a 2x2 luma grid) reaches the
-          // h2v2 upsample: a 4:2:2 plane (pw=(w+1)/2, ph=h) or 4:4:0
-          // (pw=w, ph=(h+1)/2) also carries 1x1 chroma but halves along
-          // one axis only — cropping those to the top-left quarter would
-          // silently discard half the chroma (ADVICE r13, medium), so
-          // anything that is not exactly the half-by-half plane refuses
-          // with the sampling string instead of mis-rendering.
+          // ONLY true 4:2:0 (1x1 chroma under a 2x2 luma grid) reaches
+          // the h2v2 upsample: a 4:4:0 plane (pw=w, ph=(h+1)/2) also
+          // carries 1x1 chroma but halves vertically only — cropping it
+          // would silently discard half the chroma (ADVICE r13, medium),
+          // so anything that is not exactly the half-by-half plane
+          // refuses with the sampling string instead of mis-rendering.
           require(ph2 == 1 && pv2 == 1 && pw == (w + 1) / 2 && ph == (h + 1) / 2,
             s"$name: unsupported chroma geometry ${pw}x$ph " +
-              s"(sampling ${ph2}x$pv2) for ${w}x$h — only 4:2:0/4:4:4/gray")
+              s"(sampling ${ph2}x$pv2) for ${w}x$h — only " +
+              "4:2:0/4:2:2/4:4:4/gray")
           fancyH2V2(s, pw, ph, w, h)
         }
       }

@@ -14,10 +14,15 @@ final case class PdfPage(file_name: String, page: Int, text: String,
   * document format enterprise corpora arrive in next to .docx/.xlsx
   * (the reference's RFP library is exactly such a corpus). The walk is
   * the real file structure, not a grep: `startxref` → the cross-reference
-  * section — a classic `xref` TABLE (PDF 1.0–1.4) or a cross-reference
-  * STREAM with /ObjStm member extraction (PDF 1.5+, ISO 32000 §7.5.7-8;
-  * /Prev chains and predictors refuse loudly) — → objects located AT
-  * THEIR XREF OFFSETS (each validated against
+  * section — a classic `xref` TABLE (PDF 1.0–1.4, multi-subsection) or a
+  * cross-reference STREAM with /ObjStm member extraction (PDF 1.5+, ISO
+  * 32000 §7.5.7-8, including the /DecodeParms PNG predictors real
+  * writers emit by default) — then the `/Prev` incremental-update chain
+  * newest-to-oldest (ISO 32000 §7.5.6: an update APPENDS changed
+  * objects plus a new xref whose /Prev points at the prior section;
+  * newer entries shadow older ones, including type-0 frees, which is
+  * how a PDF deletes an object without rewriting the file) — → objects
+  * located AT THEIR XREF OFFSETS (each validated against
   * the `N 0 obj` header it points at) → trailer `/Root` → Catalog →
   * `/Pages` → `/Kids` in page order → each page's `/Contents` stream by
   * declared `/Length` (mismatch refuses) → a token-level content-stream
@@ -38,6 +43,16 @@ object Pdf {
 
   private val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
+  /** One cross-reference entry, the unit the /Prev merge shadows:
+    * free (type 0), offset-located (type 1), or inside an /ObjStm
+    * (type 2). Kept as a sum type so a NEWER free entry can DELETE an
+    * older in-use object in the merge — mapping free to "absent" would
+    * let the older section's entry leak back through. */
+  private sealed trait XrefEntry
+  private case object XFree extends XrefEntry
+  private final case class XOff(off: Int) extends XrefEntry
+  private final case class XInStm(stm: Int, idx: Int) extends XrefEntry
+
   /** Parse one PDF into its page rows. `raw` is indexed through an
     * ISO-8859-1 string so char positions ARE byte positions. */
   private[graft] def parse(name: String, raw: Array[Byte]): Seq[PdfPage] = {
@@ -49,25 +64,37 @@ object Pdf {
     val xrefPos = s.substring(sx + 9).trim.takeWhile(_.isDigit).toInt
     // PDF 1.0–1.4: a classic `xref` TABLE. PDF 1.5+: a cross-reference
     // STREAM (`N 0 obj` whose dict is /Type /XRef — VERDICT r15 #4).
-    // Both resolve to the same three facts: type-1 byte offsets, type-2
-    // (object stream, index) locations, and the trailer dict carrying
-    // /Root (classic files keep a `trailer` keyword; xref streams carry
-    // the trailer keys in their own dict).
-    val (offsets: Map[Int, Int], inStm: Map[Int, (Int, Int)],
-         trailer: String) =
-      if (s.startsWith("xref", xrefPos)) {
-        // one subsection "start count", 20-byte entries
-        val hdrEnd = s.indexOf('\n', xrefPos + 5)
-        val Array(first, count) =
-          s.substring(xrefPos + 5, hdrEnd).trim.split(" ").map(_.toInt)
-        val off = (0 until count).map { k =>
-          val e = s.substring(hdrEnd + 1 + 20 * k, hdrEnd + 1 + 20 * (k + 1))
-          (first + k) -> (if (e(17) == 'n') e.substring(0, 10).toInt else -1)
-        }.toMap
-        val t = s.indexOf("trailer", hdrEnd)
-        require(t >= 0, s"$name: no trailer")
-        (off, Map.empty[Int, (Int, Int)], s.substring(t, sx))
-      } else parseXrefStream(name, s, raw, xrefPos)
+    // Both resolve to the same facts: per-object entries (free / byte
+    // offset / object-stream slot), the trailer dict carrying /Root
+    // (classic files keep a `trailer` keyword; xref streams carry the
+    // trailer keys in their own dict), and an optional /Prev link to
+    // the previous section. The chain walks newest → oldest from the
+    // LAST startxref; the merge folds oldest-first so newer entries
+    // shadow older ones (a newer type-0 free DELETES the object).
+    val sections =
+      scala.collection.mutable.ListBuffer.empty[(Map[Int, XrefEntry], String)]
+    var cur: Option[Int] = Some(xrefPos)
+    val visited = scala.collection.mutable.Set.empty[Int]
+    while (cur.isDefined) {
+      val p = cur.get
+      require(p >= 0 && p < s.length, s"$name: xref offset $p out of file")
+      require(visited.add(p),
+        s"$name: /Prev xref chain revisits offset $p (cycle)")
+      require(visited.size <= 64,
+        s"$name: /Prev xref chain longer than 64 sections")
+      val (m, tr, prev) =
+        if (s.startsWith("xref", p)) parseXrefTable(name, s, p)
+        else parseXrefStream(name, s, raw, p)
+      sections += ((m, tr))
+      cur = prev
+    }
+    val merged = sections.reverse
+      .foldLeft(Map.empty[Int, XrefEntry])(_ ++ _._1)
+    val trailer: String = sections.head._2
+    val offsets: Map[Int, Int] =
+      merged.collect { case (n, XOff(o)) => n -> o }
+    val inStm: Map[Int, (Int, Int)] =
+      merged.collect { case (n, XInStm(st, ix)) => n -> (st, ix) }
     def ref(dict: String, key: String): Int = {
       val m = (java.util.regex.Pattern.quote(key) + "\\s+(\\d+)\\s+0\\s+R").r
         .findFirstMatchIn(dict)
@@ -152,8 +179,10 @@ object Pdf {
       require(lenM.isDefined, s"$name: content object $cObjNum has no /Length")
       val len = lenM.get.group(1).toInt
       var dStart = cDictEnd + 6
+      require(dStart < s.length,
+        s"$name: truncated after stream keyword at $dStart")
       if (s.charAt(dStart) == '\r') dStart += 1
-      require(s.charAt(dStart) == '\n',
+      require(dStart < s.length && s.charAt(dStart) == '\n',
         s"$name: no EOL after stream keyword at $dStart")
       dStart += 1
       require(dStart + len <= raw.length,
@@ -172,16 +201,64 @@ object Pdf {
     }
   }
 
+  /** Classic cross-reference TABLE section (ISO 32000 §7.5.4): the
+    * `xref` keyword, one or more `start count` subsections of 20-byte
+    * entries (updates carry several — one per changed object run), then
+    * `trailer` with the dict, bounded by the section's OWN `startxref`
+    * (an updated file has one per section, so the global last one would
+    * overrun). Returns (entries, trailer dict, /Prev offset). */
+  private def parseXrefTable(name: String, s: String, pos: Int)
+      : (Map[Int, XrefEntry], String, Option[Int]) = {
+    val m = scala.collection.mutable.Map.empty[Int, XrefEntry]
+    var p = s.indexOf('\n', pos + 4)
+    require(p >= 0, s"$name: xref table at $pos has no subsection line")
+    p += 1
+    val subRe = "^(\\d+) (\\d+)$".r
+    var nSub = 0
+    var done = false
+    while (!done) {
+      val lineEnd = s.indexOf('\n', p)
+      require(lineEnd >= 0, s"$name: unterminated xref table at $p")
+      s.substring(p, lineEnd).trim match {
+        case subRe(f, c) =>
+          val first = f.toInt; val count = c.toInt
+          p = lineEnd + 1
+          require(p + 20 * count <= s.length,
+            s"$name: xref subsection $first $count truncated at $p")
+          (0 until count).foreach { k =>
+            val e = s.substring(p + 20 * k, p + 20 * (k + 1))
+            m(first + k) =
+              if (e(17) == 'n') XOff(e.substring(0, 10).toInt) else XFree
+          }
+          p += 20 * count
+          nSub += 1
+        case _ => done = true
+      }
+    }
+    require(nSub > 0, s"$name: xref table at $pos has no subsections")
+    require(s.startsWith("trailer", p),
+      s"$name: xref table at $pos not followed by trailer")
+    val sxHere = s.indexOf("startxref", p)
+    require(sxHere > p, s"$name: xref section at $pos has no startxref")
+    val trailer = s.substring(p, sxHere)
+    val prev = "/Prev\\s+(\\d+)".r.findFirstMatchIn(trailer)
+      .map(_.group(1).toInt)
+    (m.toMap, trailer, prev)
+  }
+
   /** PDF 1.5 cross-reference STREAM (ISO 32000 §7.5.8): startxref lands
     * on `N 0 obj` whose dict is /Type /XRef; entries are fixed-width
     * binary rows (/W field widths, big-endian), subsection layout from
-    * /Index (default [0 /Size]), trailer keys (/Root, /Size) in the
-    * SAME dict. Row types: 0 = free, 1 = (offset, gen), 2 = (object
-    * stream number, index within it). Out of scope, refused LOUDLY:
-    * /Prev incremental-update chains, /DecodeParms predictors, entry
-    * types > 2 — the classic refuse-rather-than-misparse contract. */
+    * /Index (default [0 /Size]), trailer keys (/Root, /Size, /Prev) in
+    * the SAME dict. Row types: 0 = free, 1 = (offset, gen), 2 = (object
+    * stream number, index within it). /DecodeParms PNG predictors
+    * (10–15, the Predictor-12 shape real writers emit by default) are
+    * un-filtered per ISO 32000 §7.4.4.4 after FlateDecode; /Columns
+    * must equal the /W row width and /Colors//BitsPerComponent their
+    * 1/8 defaults, or the parse refuses loudly. Still refused: TIFF
+    * Predictor 2, entry types > 2 — refuse-rather-than-misparse. */
   private def parseXrefStream(name: String, s: String, raw: Array[Byte],
-      pos: Int): (Map[Int, Int], Map[Int, (Int, Int)], String) = {
+      pos: Int): (Map[Int, XrefEntry], String, Option[Int]) = {
     require("^\\d+ 0 obj".r.findFirstIn(
       s.substring(pos, math.min(pos + 32, s.length))).isDefined,
       s"$name: startxref $pos points at neither an xref table nor an object")
@@ -190,12 +267,6 @@ object Pdf {
     val dict = s.substring(pos, dictEnd)
     require("/Type\\s*/XRef".r.findFirstIn(dict).isDefined,
       s"$name: object at startxref $pos is not /Type /XRef")
-    require(!dict.contains("/Prev"),
-      s"$name: incremental-update xref chains (/Prev) not supported — " +
-        "single-section files only")
-    require(!dict.contains("/DecodeParms"),
-      s"$name: xref stream /DecodeParms (predictors) not supported")
-    val data = streamData(name, s, raw, pos)
     val wm = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
       .findFirstMatchIn(dict)
     require(wm.isDefined, s"$name: xref stream has no /W")
@@ -214,6 +285,7 @@ object Pdf {
         case None => Seq((0, sizeM.get.group(1).toInt))
       }
     val rw = w1 + w2 + w3
+    val data = decodeParms(name, dict, rw, streamData(name, s, raw, pos))
     require(rw > 0 && data.length == index.map(_._2).sum * rw,
       s"$name: xref stream data is ${data.length} bytes, expected " +
         s"${index.map(_._2).sum} rows of $rw")
@@ -221,23 +293,96 @@ object Pdf {
       if (len == 0) dflt
       else (0 until len).foldLeft(0L)((a, k) =>
         (a << 8) | (data(row * rw + off + k) & 0xffL))
-    val offB = scala.collection.mutable.Map.empty[Int, Int]
-    val stmB = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    val entB = scala.collection.mutable.Map.empty[Int, XrefEntry]
     var row = 0
     for ((start, n) <- index; k <- 0 until n) {
       val obj = start + k
       // a zero-width type field defaults to 1 (ISO 32000 table 17)
       field(row, 0, w1, 1L) match {
-        case 0L => // free entry
-        case 1L => offB(obj) = field(row, w1, w2, 0L).toInt
-        case 2L => stmB(obj) = (field(row, w1, w2, 0L).toInt,
+        case 0L => entB(obj) = XFree
+        case 1L => entB(obj) = XOff(field(row, w1, w2, 0L).toInt)
+        case 2L => entB(obj) = XInStm(field(row, w1, w2, 0L).toInt,
           field(row, w1 + w2, w3, 0L).toInt)
         case t => sys.error(
           s"$name: xref entry type $t for object $obj unsupported")
       }
       row += 1
     }
-    (offB.toMap, stmB.toMap, dict)
+    val prev = "/Prev\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt)
+    (entB.toMap, dict, prev)
+  }
+
+  /** Apply the xref stream's /DecodeParms, if any, to its decoded
+    * bytes: the PNG predictors (ISO 32000 §7.4.4.4, values 10–15 — all
+    * decode identically, the per-ROW filter byte picks the algorithm;
+    * Predictor 12 "Up" is what real writers emit) un-filter rows of
+    * /Columns bytes each prefixed by one filter-type byte. /Columns
+    * must equal the /W row width `rw`, and /Colors 1 /
+    * /BitsPerComponent 8 (their defaults) are the only supported shape
+    * — anything else refuses loudly, as does TIFF Predictor 2. */
+  private def decodeParms(name: String, dict: String, rw: Int,
+      raw0: Array[Byte]): Array[Byte] = {
+    val dpM = "/DecodeParms\\s*<<([^>]*)>>".r.findFirstMatchIn(dict)
+    if (dpM.isEmpty) return raw0
+    val dp = dpM.get.group(1)
+    def num(key: String, dflt: Int): Int =
+      (java.util.regex.Pattern.quote(key) + "\\s+(\\d+)").r
+        .findFirstMatchIn(dp).map(_.group(1).toInt).getOrElse(dflt)
+    val pred = num("/Predictor", 1)
+    if (pred == 1) return raw0
+    require(pred >= 10 && pred <= 15,
+      s"$name: xref /Predictor $pred unsupported (PNG 10-15 only)")
+    val colors = num("/Colors", 1)
+    val bpc = num("/BitsPerComponent", 8)
+    require(colors == 1 && bpc == 8,
+      s"$name: xref predictor /Colors $colors /BitsPerComponent $bpc " +
+        "unsupported (8-bit single-component only)")
+    val cols = num("/Columns", 1)
+    require(cols == rw,
+      s"$name: xref predictor /Columns $cols != /W row width $rw")
+    unfilterPng(name, raw0, cols)
+  }
+
+  /** PNG row un-filtering (RFC 2083 §6) at bpp=1 — the shape PDF xref
+    * streams use. Input is rows of (1 filter byte + `cols` data bytes);
+    * output the reconstructed rows. All five filter types decode;
+    * anything else refuses with the row. */
+  private[graft] def unfilterPng(name: String, d: Array[Byte],
+      cols: Int): Array[Byte] = {
+    require(cols > 0, s"$name: PNG predictor with /Columns $cols")
+    require(d.length % (cols + 1) == 0,
+      s"$name: predictor data ${d.length} bytes is not rows of ${cols + 1}")
+    val rows = d.length / (cols + 1)
+    val out = new Array[Byte](rows * cols)
+    var r = 0
+    while (r < rows) {
+      val ft = d(r * (cols + 1)) & 0xff
+      var i = 0
+      while (i < cols) {
+        val x = d(r * (cols + 1) + 1 + i) & 0xff
+        val a = if (i > 0) out(r * cols + i - 1) & 0xff else 0
+        val b = if (r > 0) out((r - 1) * cols + i) & 0xff else 0
+        val c = if (r > 0 && i > 0) out((r - 1) * cols + i - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) / 2)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case t =>
+            sys.error(s"$name: PNG filter type $t at row $r unsupported")
+        }
+        out(r * cols + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** The decoded bytes of the stream belonging to the object whose
@@ -254,8 +399,10 @@ object Pdf {
       s"$name: stream object at $objOff has no direct /Length")
     val len = lenM.get.group(1).toInt
     var dStart = dictEnd + 6
+    require(dStart < s.length,
+      s"$name: truncated after stream keyword at $dStart")
     if (s.charAt(dStart) == '\r') dStart += 1
-    require(s.charAt(dStart) == '\n',
+    require(dStart < s.length && s.charAt(dStart) == '\n',
       s"$name: no EOL after stream keyword at $dStart")
     dStart += 1
     require(dStart + len <= raw.length,
@@ -384,7 +531,7 @@ object PdfFixture {
   val count = 10
 
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_pdf_v2").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_pdf_v3").getAbsolutePath
 
   def pagesOf(i: Int): Int = 1 + (i % 4)
 
@@ -523,11 +670,167 @@ object PdfFixture {
     out.toByteArray
   }
 
+  /** The literals page 0 shows AFTER the incremental update in
+    * [[pdfPrevBytes]]'s docp framing — a revised first page, so a
+    * reader that ignores the update (or walks the /Prev chain in the
+    * wrong precedence order) extracts provably wrong text. Same
+    * escape-grammar coverage as [[litsOf]]. */
+  def litsV2Of(i: Int): Seq[String] = Seq(
+    s"Doc $i (rev\\2) page 0: ",
+    (0 until (3 + (i + 1) % 4)).map(w =>
+      words((i * 7 + w * 5 + 3) % words.length)).mkString(" "),
+    s" [end $i-0 r2]")
+
+  def textV2Of(i: Int): String = litsV2Of(i).mkString
+
+  /** Page 0's REPLACEMENT content stream, re-issued by the update. */
+  def contentV2Of(i: Int): String = {
+    val ls = litsV2Of(i)
+    s"BT /F1 12 Tf 72 720 Td (${esc(ls(0))}) Tj 0 -14 Td " +
+      s"[(${esc(ls(1))}) -250 (${esc(ls(2))})] TJ ET"
+  }
+
+  /** PNG Up-filter (type 2) each `rw`-byte row, then FlateDecode-pack:
+    * the Predictor-12 xref-stream payload real PDF writers emit. */
+  private def pngUpFlate(rows: Seq[Array[Byte]]): Array[Byte] = {
+    val rw = rows.head.length
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](rw)
+    rows.foreach { r =>
+      require(r.length == rw, s"ragged xref row ${r.length} vs $rw")
+      filtered.write(2)
+      (0 until rw).foreach(k => filtered.write((r(k) - prev(k)) & 0xff))
+      prev = r
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered.toByteArray); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](512)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** One [1 4 2] xref-stream row. */
+  private def xrow(t: Int, f2: Int, f3: Int): Array[Byte] =
+    Array(t, (f2 >> 24) & 0xff, (f2 >> 16) & 0xff, (f2 >> 8) & 0xff,
+      f2 & 0xff, (f3 >> 8) & 0xff, f3 & 0xff).map(_.toByte)
+
+  /** File i re-authored the way real-world PDF 1.5+ writers emit it
+    * (VERDICT r15 #2): the [[pdf15Bytes]] body (ObjStm members, plain
+    * top-level content streams) but with the cross-reference stream
+    * FlateDecode'd under /DecodeParms << /Predictor 12 /Columns 7 >>
+    * (PNG Up-filtered rows — the near-universal writer default), PLUS
+    * one genuine INCREMENTAL UPDATE appended after the base %%EOF: a
+    * re-issued page-0 content object ([[contentV2Of]] — different text
+    * and /Length) and a second Predictor-12 xref stream whose /Prev
+    * points back at the base xref and whose /Index covers only the two
+    * new objects. Newest-wins entry shadowing is therefore load-bearing:
+    * reading the base section's entry for page 0 extracts the WRONG
+    * text. Oracle walkability: both xref streams are binary, but every
+    * OBJECT byte stays ASCII, and the two binary spans are excisable
+    * from hex — [0, xref1off) and [first-%%EOF + 6, xref2off) are pure
+    * ASCII windows (the generator asserts the hex-domain landmarks the
+    * oracle navigates by, including that the first `%%EOF` occurrence
+    * in the HEX string is the base trailer's, byte-aligned). */
+  def pdfPrevBytes(i: Int): Array[Byte] = {
+    val np = pagesOf(i)
+    val fontObj = 3 + np
+    def contentObj(p: Int) = 4 + np + p
+    val objStmObj = 4 + 2 * np
+    val xref1Obj = 5 + 2 * np
+    val xref2Obj = 6 + 2 * np
+    val kids = (0 until np).map(p => s"${3 + p} 0 R").mkString(" ")
+    val members: Seq[(Int, String)] = (Seq(
+      1 -> s"<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count $np >>") ++
+      (0 until np).map { p =>
+        (3 + p) -> (s"<< /Type /Page /Parent 2 0 R " +
+          s"/MediaBox [0 0 612 792] /Contents ${contentObj(p)} 0 R " +
+          s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+      }) :+
+      (fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val memberOffs = members.map(_._2.length + 1).scanLeft(0)(_ + _).init
+    val hdr = members.zip(memberOffs)
+      .map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = hdr + members.map(_._2).mkString("\n")
+    val out = new java.io.ByteArrayOutputStream()
+    val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    def w(str: String): Unit = out.write(str.getBytes(L1))
+    w("%PDF-1.5\n")
+    val offs = scala.collection.mutable.Map.empty[Int, Int]
+    offs(objStmObj) = out.size()
+    w(s"$objStmObj 0 obj\n<< /Type /ObjStm /N ${members.length} " +
+      s"/First ${hdr.length} /Length ${payload.length} >>\nstream\n")
+    w(payload)
+    w("\nendstream\nendobj\n")
+    (0 until np).foreach { p =>
+      val cs = contentOf(i, p)
+      offs(contentObj(p)) = out.size()
+      w(s"${contentObj(p)} 0 obj\n<< /Length ${cs.length} >>\n" +
+        s"stream\n$cs\nendstream\nendobj\n")
+    }
+    // --- base xref stream: Predictor-12 Flate, covers objects 0..size1
+    val xref1Off = out.size()
+    offs(xref1Obj) = xref1Off
+    val size1 = xref1Obj + 1
+    val slot = (Map(1 -> 0, 2 -> 1) ++
+      (0 until np).map(p => (3 + p) -> (2 + p))) + (fontObj -> (np + 2))
+    val rows1 = (0 until size1).map { n =>
+      if (n == 0) xrow(0, 0, 65535)
+      else if (slot.contains(n)) xrow(2, objStmObj, slot(n))
+      else xrow(1, offs(n), 0)
+    }
+    val x1 = pngUpFlate(rows1)
+    w(s"$xref1Obj 0 obj\n<< /Type /XRef /Size $size1 /W [1 4 2] " +
+      s"/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 7 >> " +
+      s"/Length ${x1.length} >>\nstream\n")
+    out.write(x1)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xref1Off\n%%EOF\n")
+    val baseEof = out.size() - 6 // byte offset of the base '%%EOF'
+    // --- incremental update: page 0's content re-issued, then xref2
+    val cs2 = contentV2Of(i)
+    val co0Off = out.size()
+    w(s"${contentObj(0)} 0 obj\n<< /Length ${cs2.length} >>\n" +
+      s"stream\n$cs2\nendstream\nendobj\n")
+    val xref2Off = out.size()
+    val rows2 = Seq(xrow(1, co0Off, 0), xrow(1, xref2Off, 0))
+    val x2 = pngUpFlate(rows2)
+    w(s"$xref2Obj 0 obj\n<< /Type /XRef /Size ${xref2Obj + 1} " +
+      s"/W [1 4 2] /Root 1 0 R /Prev $xref1Off " +
+      s"/Index [${contentObj(0)} 1 $xref2Obj 1] /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 7 >> " +
+      s"/Length ${x2.length} >>\nstream\n")
+    out.write(x2)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xref2Off\n%%EOF\n")
+    val bytes = out.toByteArray
+    // assert the hex-domain landmarks the oracle navigates by: the
+    // FIRST '%%EOF' in the hex string must be the base trailer's and
+    // byte-aligned (a Flate-coincidence earlier would derail the
+    // oracle's window excision — refuse at generation, not at verify)
+    val hx = bytes.map(b => f"${b & 0xff}%02X").mkString
+    val eofHex = "%%EOF".getBytes(L1).map(b => f"$b%02X").mkString
+    require(hx.indexOf(eofHex) == 2 * baseEof,
+      s"docp_$i: first %%EOF hex landmark at ${hx.indexOf(eofHex)}, " +
+        s"expected ${2 * baseEof} — xref Flate bytes collide, " +
+        "adjust the fixture")
+    require(new String(bytes, 0, xref1Off, L1).forall(_ < 128) &&
+      new String(bytes, baseEof + 6, xref2Off - baseEof - 6, L1)
+        .forall(_ < 128),
+      s"docp_$i: oracle ASCII windows contain non-ASCII bytes")
+    bytes
+  }
+
   /** Build the fixture if missing; returns [[path]]. Same benign-race
-    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v2:
-    * every doc ships in BOTH framings — classic doc_NNN.pdf and the
-    * PDF 1.5 doc15_NNN.pdf (xref stream + ObjStm) — so the gate covers
-    * the 1.5 path, not just PdfSpec. */
+    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v3:
+    * every doc ships in THREE framings — classic doc_NNN.pdf, the
+    * PDF 1.5 doc15_NNN.pdf (xref stream + ObjStm), and docp_NNN.pdf
+    * ([[pdfPrevBytes]]: Predictor-12 Flate xref streams + a /Prev
+    * incremental update) — so the gate covers the real-writer 1.5+
+    * path, not just PdfSpec. */
   def ensure(): String = this.synchronized {
     val out = new java.io.File(path)
     if (!out.exists()) {
@@ -539,6 +842,8 @@ object PdfFixture {
           new java.io.File(tmp, f"doc_$i%03d.pdf").toPath, pdfBytes(i))
         java.nio.file.Files.write(
           new java.io.File(tmp, f"doc15_$i%03d.pdf").toPath, pdf15Bytes(i))
+        java.nio.file.Files.write(
+          new java.io.File(tmp, f"docp_$i%03d.pdf").toPath, pdfPrevBytes(i))
       }
       if (!tmp.renameTo(out)) deleteRec(tmp)
     }

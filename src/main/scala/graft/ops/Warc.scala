@@ -140,6 +140,76 @@ object Warc {
     d.digest().map(x => f"$x%02x").mkString
   }
 
+  /** Index of the first CRLF at/after `from`, before `end`, or -1. */
+  private def crlfAt(b: Array[Byte], from: Int, end: Int): Int = {
+    var i = from
+    while (i + 1 < end) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode an RFC 9112 §7.1 chunked body occupying [from, end) of the
+    * record payload: hex chunk-size line (optional `;ext` chunk
+    * extension stripped), `size` data octets, CRLF, repeated until the
+    * 0-size chunk, then optional trailer fields and the final CRLF —
+    * and the walk must land exactly on `end` (the record's
+    * Content-Length already frames the raw HTTP bytes, so a ladder
+    * that under- or over-runs it is a malformed capture). Real crawl
+    * captures store raw HTTP, chunked framing included — VERDICT r15
+    * #3 — so a reader without this dechunks nothing Common Crawl
+    * serves. Loud refusal with offsets on every malformed shape. */
+  private[graft] def dechunk(name: String, b: Array[Byte], from: Int,
+      end: Int, pos: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(end - from)
+    var p = from
+    var done = false
+    while (!done) {
+      val le = crlfAt(b, p, end)
+      require(le >= 0,
+        s"$name: response at $pos: unterminated chunk-size line at $p")
+      val line = new String(b, p, le - p, Ascii)
+      val szStr = line.indexOf(';') match {
+        case -1 => line
+        case k => line.substring(0, k)
+      }
+      require(szStr.nonEmpty &&
+        szStr.forall(c => Character.digit(c, 16) >= 0),
+        s"$name: response at $pos: malformed chunk size '$line' at $p")
+      val sz = java.lang.Long.parseLong(szStr, 16)
+      p = le + 2
+      if (sz == 0L) {
+        // trailer section: zero or more field lines, then a bare CRLF
+        var more = true
+        while (more) {
+          require(p + 2 <= end,
+            s"$name: response at $pos: truncated chunk trailer at $p")
+          if (b(p) == '\r' && b(p + 1) == '\n') { p += 2; more = false }
+          else {
+            val te = crlfAt(b, p, end)
+            require(te > p,
+              s"$name: response at $pos: malformed chunk trailer at $p")
+            p = te + 2
+          }
+        }
+        done = true
+      } else {
+        require(sz <= end - p - 2,
+          s"$name: response at $pos: chunk of $sz octets overruns the " +
+            s"record at $p")
+        out.write(b, p, sz.toInt)
+        p += sz.toInt
+        require(b(p) == '\r' && b(p + 1) == '\n',
+          s"$name: response at $pos: missing CRLF after chunk at $p")
+        p += 2
+      }
+    }
+    require(p == end,
+      s"$name: response at $pos: chunk walk ended at $p, expected $end")
+    out.toByteArray
+  }
+
   /** Parse one WARC file (plain or .gz-framed) into its scan rows. */
   private[graft] def parse(name: String, raw: Array[Byte]): Seq[WarcRow] = {
     val b = if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
@@ -183,17 +253,37 @@ object Warc {
               s"$name: response at $pos has a malformed HTTP status " +
                 s"line '$st'")
           }
-          val ct = http.split("\r\n").drop(1).collectFirst {
+          val hls = http.split("\r\n").drop(1)
+          val ct = hls.collectFirst {
             case l if l.startsWith("Content-Type: ") =>
               l.substring("Content-Type: ".length)
           }
+          val te = hls.collectFirst {
+            case l if l.startsWith("Transfer-Encoding: ") =>
+              l.substring("Transfer-Encoding: ".length)
+          }
           val bOff = hs + 4
-          (Some(code), ct, Some((pEnd - bOff).toLong),
-            Some(md5Hex(b, bOff, pEnd - bOff)),
-            // HTML payloads are UTF-8 text by contract of this scan's
-            // consumers (the mime column says what the bytes are)
-            Some(new String(b, bOff, pEnd - bOff,
-              java.nio.charset.StandardCharsets.UTF_8)))
+          te match {
+            case Some(v) =>
+              // chunked framing: the body columns are the DECHUNKED
+              // payload (what the origin actually sent); any other
+              // transfer coding refuses loudly
+              require(v.trim.equalsIgnoreCase("chunked"),
+                s"$name: response at $pos has unsupported " +
+                  s"Transfer-Encoding '$v'")
+              val body = dechunk(name, b, bOff, pEnd, pos)
+              (Some(code), ct, Some(body.length.toLong),
+                Some(md5Hex(body, 0, body.length)),
+                Some(new String(body,
+                  java.nio.charset.StandardCharsets.UTF_8)))
+            case None =>
+              (Some(code), ct, Some((pEnd - bOff).toLong),
+                Some(md5Hex(b, bOff, pEnd - bOff)),
+                // HTML payloads are UTF-8 text by contract of this
+                // scan's consumers (the mime column says what they are)
+                Some(new String(b, bOff, pEnd - bOff,
+                  java.nio.charset.StandardCharsets.UTF_8)))
+          }
         }
       out += WarcRow(name, idx, typ, fields.get("WARC-Target-URI"), cl,
         status, mime, bodyLen, bodyMd5, bodyTxt)
@@ -235,7 +325,7 @@ object WarcFixture {
   val count = 12
 
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_warc_v2").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_warc_v3").getAbsolutePath
 
   def pagesOf(i: Int): Int = 3 + (i % 5)
 
@@ -308,6 +398,57 @@ object WarcFixture {
   def warcBytes(i: Int): Array[Byte] =
     recordsOf(i).mkString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
+  /** `body` re-framed as an RFC 9112 chunked ladder: cycling chunk
+    * sizes 7/26/61 (26 and 61 put hex letters `1a`/`3d` on the size
+    * lines), lowercase hex, terminated by the bare `0` chunk — the
+    * raw-HTTP shape real crawl captures store (VERDICT r15 #3). */
+  def chunkedBody(body: String): String = {
+    val sizes = Array(7, 26, 61)
+    val sb = new StringBuilder
+    var off = 0
+    var k = 0
+    while (off < body.length) {
+      val n = math.min(sizes(k % 3), body.length - off)
+      sb.append(java.lang.Integer.toHexString(n)).append("\r\n")
+        .append(body.substring(off, off + n)).append("\r\n")
+      off += n; k += 1
+    }
+    sb.append("0\r\n\r\n")
+    sb.toString
+  }
+
+  /** File i's records with every response framed Transfer-Encoding:
+    * chunked — same URIs, same ORIGIN bodies (so body_len/body_md5/body
+    * must equal the Content-Length twin's, the WarcSpec differential),
+    * different raw HTTP octets. */
+  def recordsChunkedOf(i: Int): Seq[String] = {
+    val info = record("warcinfo", None, "application/warc-fields",
+      f"00000000-0000-0000-0000-$i%012d",
+      "software: graftbot/1.0\r\nformat: WARC file version 1.0\r\n")
+    val pageRecs = (0 until pagesOf(i)).flatMap { r =>
+      val uri = s"http://site$i.example/page/$r"
+      val req = record("request", Some(uri),
+        "application/http;msgtype=request",
+        f"00000000-0000-0000-1111-${i * 1000 + r}%012d",
+        s"GET /page/$r HTTP/1.1\r\nHost: site$i.example\r\n" +
+          "User-Agent: graftbot/1.0\r\n\r\n")
+      val body = bodyOf(i, r)
+      val http = s"HTTP/1.1 ${statusOf(i, r)} " +
+        (if (statusOf(i, r) == 404) "Not Found" else "OK") + "\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" + chunkedBody(body)
+      val resp = record("response", Some(uri),
+        "application/http;msgtype=response",
+        f"00000000-0000-0000-3333-${i * 1000 + r}%012d", http)
+      Seq(req, resp)
+    }
+    info +: pageRecs
+  }
+
+  def warcChunkedBytes(i: Int): Array[Byte] =
+    recordsChunkedOf(i).mkString
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
   /** One RFC 1952 gzip member holding `payload` as a SINGLE STORED
     * deflate block (BTYPE=00) — legal gzip whose payload bytes sit at a
     * COMPUTABLE offset (member+15, length from the LE16 block header at
@@ -346,21 +487,29 @@ object WarcFixture {
       .foldLeft(Array.empty[Byte])(_ ++ _)
 
   /** Build the fixture if missing; returns [[path]]. Same benign-race
-    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v2:
-    * every segment ships in BOTH framings (seg_NNN.warc and the
-    * per-record-gzip seg_NNN.warc.gz) so the GATE covers the compressed
-    * path, not just WarcSpec. */
+    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v3:
+    * every segment ships in THREE framings — seg_NNN.warc, the
+    * per-record-gzip seg_NNN.warc.gz, and chunked/segc_NNN.warc (every
+    * response Transfer-Encoding: chunked, same origin bodies) — the
+    * chunked twins in a SUBDIRECTORY so the flat-directory globs the
+    * crawl-composition and streaming queries use keep their exact file
+    * set; q_warc_scan lists the subdirectory explicitly. */
   def ensure(): String = this.synchronized {
     val out = new java.io.File(path)
     if (!out.exists()) {
       val tmp = new java.io.File(out.getParent, out.getName + ".tmp")
       deleteRec(tmp)
       tmp.mkdirs()
+      val chunkedDir = new java.io.File(tmp, "chunked")
+      chunkedDir.mkdirs()
       (0 until count).foreach { i =>
         java.nio.file.Files.write(
           new java.io.File(tmp, f"seg_$i%03d.warc").toPath, warcBytes(i))
         java.nio.file.Files.write(
           new java.io.File(tmp, f"seg_$i%03d.warc.gz").toPath, warcGzBytes(i))
+        java.nio.file.Files.write(
+          new java.io.File(chunkedDir, f"segc_$i%03d.warc").toPath,
+          warcChunkedBytes(i))
       }
       if (!tmp.renameTo(out)) deleteRec(tmp)
     }

@@ -262,6 +262,22 @@ object CurationQueries {
 
   // --------------------------------------------- model-based quality ---
 
+  /** [[qualityModelScores]] over the documents table, trained once per
+    * session+fixture ([[SessionMemo]]): q_quality_model and
+    * q_curate_e2e's learned-gate stage consume the identical
+    * deterministic scorer, and each used to re-run the whole
+    * featurize+train (~2.5 s at sf0.1). The pinned output is the NARROW
+    * (doc_id, label_h, score_fp, keep) frame — the trained-model
+    * scoring table a production cascade materializes once; the wide
+    * intermediate pins inside the build stay per-run and become
+    * collectible once this checkpoint lands. */
+  private val qmMemo = new SessionMemo[org.apache.spark.sql.DataFrame]
+  private def qualityModelShared(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    qmMemo(s, s"qmodel:$dir") {
+      qualityModelScores(Tables.documents(s, dir)).localCheckpoint()
+    }
+
   /** Difference-of-means linear scorer over the hashed text features
     * (VERDICT r10 #4 — the CCNet/fastText-style LEARNED stage real
     * curation pipelines run after the heuristic rules): labels come from
@@ -285,22 +301,6 @@ object CurationQueries {
     * Scale: training is one keyed join (features × labels) + one 64-row
     * aggregate; scoring joins the BROADCAST 64-row weight frame back to
     * the sparse features — no collect, no iteration. */
-  /** [[qualityModelScores]] over the documents table, trained once per
-    * session+fixture ([[SessionMemo]]): q_quality_model and
-    * q_curate_e2e's learned-gate stage consume the identical
-    * deterministic scorer, and each used to re-run the whole
-    * featurize+train (~2.5 s at sf0.1). The pinned output is the NARROW
-    * (doc_id, label_h, score_fp, keep) frame — the trained-model
-    * scoring table a production cascade materializes once; the wide
-    * intermediate pins inside the build stay per-run and become
-    * collectible once this checkpoint lands. */
-  private val qmMemo = new SessionMemo[org.apache.spark.sql.DataFrame]
-  private def qualityModelShared(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    qmMemo(s, s"qmodel:$dir") {
-      qualityModelScores(Tables.documents(s, dir)).localCheckpoint()
-    }
-
   private[queries] def qualityModelScores(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // Both frames are consumed TWICE (lab: training labels + the output

@@ -758,35 +758,118 @@ object PipelineQueries {
     |)""".stripMargin
   }
 
+  /** The chunked-framing oracle walk (VERDICT r15 #3): the same record
+    * hop as [[warcWalkSql]] over the chunked/ twins, then a SECOND
+    * recursive ladder per response record that re-assembles the origin
+    * body from the hex chunk-size lines — the string-domain mirror of
+    * [[graft.ops.Warc.dechunk]]. Emits `chrec` with `wrec`'s columns. */
+  private[queries] def warcChunkedWalkSql: String = {
+    val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
+    val crlf = "(chr(13)||chr(10))"
+    def hk(pos: String) = s"strpos(substr(s, $pos), $sep4)"
+    def hdr(pos: String) = s"substr(s, $pos, ${hk(pos)} - 1)"
+    def cl(pos: String) =
+      s"CAST(regexp_extract(${hdr(pos)}, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+    def nextPos(pos: String) =
+      s"($pos + ${hk(pos)} + 3 + ${cl(pos)} + 4)"
+    // one chunk hop: size = hex line before the first CRLF of `rest`
+    val sz = s"('0x' || substr(rest, 1, strpos(rest, $crlf) - 1))::BIGINT"
+    s"""craw AS (
+    |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+    |         decode(content) AS s
+    |  FROM read_blob('${graft.ops.WarcFixture.path}/chunked/*.warc')
+    |), crec0 AS (
+    |  SELECT file_name, s, CAST(1 AS BIGINT) AS pos,
+    |         CAST(0 AS INTEGER) AS rec_idx
+    |  FROM craw
+    |  UNION ALL
+    |  SELECT file_name, s, ${nextPos("pos")}, rec_idx + 1
+    |  FROM crec0 WHERE ${nextPos("pos")} <= len(s)
+    |), cfld AS (
+    |  SELECT file_name, rec_idx, s, ${hdr("pos")} AS hdr,
+    |         pos + ${hk("pos")} + 3 AS pstart, ${cl("pos")} AS cl
+    |  FROM crec0
+    |), cr2 AS (
+    |  SELECT file_name, rec_idx,
+    |    regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
+    |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
+    |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
+    |    END AS target_uri,
+    |    cl AS content_length, substr(s, pstart, cl) AS payload
+    |  FROM cfld
+    |), cbw AS (
+    |  -- the chunk ladder: hop chunk-by-chunk, accumulating data octets
+    |  SELECT file_name, rec_idx,
+    |    substr(payload, strpos(payload, $sep4) + 4) AS rest, '' AS acc
+    |  FROM cr2 WHERE warc_type = 'response'
+    |  UNION ALL
+    |  SELECT file_name, rec_idx,
+    |    substr(rest, strpos(rest, $crlf) + 2 + $sz + 2),
+    |    acc || substr(rest, strpos(rest, $crlf) + 2, $sz)
+    |  FROM cbw WHERE $sz > 0
+    |), cbodyf AS (
+    |  -- terminal rows: the remaining ladder is the bare 0 chunk
+    |  SELECT file_name, rec_idx, acc AS body FROM cbw
+    |  WHERE substr(rest, 1, 3) = '0' || chr(13) || chr(10)
+    |), chrec AS (
+    |  SELECT c.file_name, c.rec_idx, c.warc_type, c.target_uri,
+    |    c.content_length,
+    |    CASE WHEN c.warc_type = 'response' THEN
+    |      CAST(regexp_extract(c.payload, '^HTTP/1\\.[01] ([0-9]{3})', 1)
+    |        AS INTEGER) END AS http_status,
+    |    CASE WHEN c.warc_type = 'response' THEN
+    |      regexp_extract(c.payload, 'Content-Type: ([^\\r]+)', 1)
+    |    END AS mime,
+    |    CASE WHEN c.warc_type = 'response' THEN
+    |      CAST(len(b.body) AS BIGINT) END AS body_len,
+    |    CASE WHEN c.warc_type = 'response' THEN md5(b.body)
+    |    END AS body_md5,
+    |    CASE WHEN c.warc_type = 'response' THEN b.body END AS body
+    |  FROM cr2 c LEFT JOIN cbodyf b USING (file_name, rec_idx)
+    |)""".stripMargin
+  }
+
   val qWarcScan = Q("q_warc_scan",
     (s, _) => {
       val dir = graft.ops.WarcFixture.ensure()
-      val files = new java.io.File(dir).listFiles()
+      val flat = new java.io.File(dir).listFiles()
         .filter(f => f.getName.endsWith(".warc") ||
-          f.getName.endsWith(".warc.gz")).map(_.getAbsolutePath).sorted
+          f.getName.endsWith(".warc.gz"))
+      val chunked = new java.io.File(dir, "chunked").listFiles()
+        .filter(_.getName.endsWith(".warc"))
+      val files = (flat ++ chunked).map(_.getAbsolutePath).sorted
       graft.ops.Warc.scanWarc(
           s.read.format("binaryFile").load(files.toIndexedSeq: _*))
         .toDF().orderBy("file_name", "rec_idx")
     },
-    Some("WITH RECURSIVE " + warcWalkSql + ",\n" + warcGzWalkSql + """
+    Some("WITH RECURSIVE " + warcWalkSql + ",\n" + warcGzWalkSql + ",\n" +
+      warcChunkedWalkSql + """
       |SELECT * FROM wrec
       |UNION ALL
       |SELECT * FROM gzrec
+      |UNION ALL
+      |SELECT * FROM chrec
       |ORDER BY file_name, rec_idx""".stripMargin),
     "north star: REAL WARC/1.0 crawl-container ingestion (record walk + " +
-      "HTTP envelope + body md5/text) in BOTH framings - plain and " +
-      "per-record-gzip .warc.gz, the latter hex-walked by the oracle " +
-      "through STORED deflate blocks")
+      "HTTP envelope + body md5/text) in THREE framings - plain, " +
+      "per-record-gzip .warc.gz hex-walked through STORED deflate " +
+      "blocks, and chunked Transfer-Encoding dechunked by a recursive " +
+      "hex chunk ladder on both sides")
 
   /** q_pdf_scan — REAL PDF text extraction ([[graft.ops.Pdf]] — xref
     * walk, page tree, /Length-measured content streams, a token-level
     * Tj/TJ text interpreter with the string-escape grammar): the
     * document format an enterprise corpus like the reference's RFP
     * library carries next to .docx/.xlsx, and a first-class ingest
-    * format for any 100 TB document pipeline. The oracle re-extracts
-    * the same pages in the string domain (object bodies by regex, kids
-    * order, literal extraction + escape decode) over the uncompressed
-    * ASCII fixture; FlateDecode completeness is PdfSpec's re-packing
+    * format for any 100 TB document pipeline. Three framings per doc in
+    * the gate: classic (PDF 1.4 xref table), doc15 (xref stream +
+    * ObjStm), and docp (r16 — Predictor-12 FlateDecode'd xref streams
+    * plus a genuine /Prev incremental update that REPLACES page 0's
+    * content, so newest-wins entry shadowing is answer-bearing). The
+    * oracle re-extracts the same pages in the string domain (object
+    * bodies by regex with last-occurrence-wins, kids order, literal
+    * extraction + escape decode), excising the binary xref spans by
+    * hex landmarks; FlateDecode completeness is PdfSpec's re-packing
     * proof (the xlsx STORED/DEFLATE discipline). SF-invariant like the
     * other container scans. */
   val qPdfScan = Q("q_pdf_scan",
@@ -804,7 +887,7 @@ object PipelineQueries {
       |), pcls AS (
       |  -- classic files: the whole byte stream is ASCII text
       |  SELECT file_name, decode(content) AS s FROM praw
-      |  WHERE file_name NOT LIKE 'doc15%'
+      |  WHERE file_name NOT LIKE 'doc15%' AND file_name NOT LIKE 'docp%'
       |), p15 AS (
       |  -- PDF 1.5 files: the xref STREAM's entry rows are binary, so
       |  -- decode only the ASCII PREFIX up to the xref object — its
@@ -818,8 +901,32 @@ object PipelineQueries {
       |      'startxref\\n([0-9]+)', 1) AS BIGINT)))) AS s
       |  FROM (SELECT file_name, hex(content) AS hx FROM praw
       |        WHERE file_name LIKE 'doc15%') t
+      |), pprev AS (
+      |  -- docp files (Predictor-12 xref streams + one /Prev update):
+      |  -- TWO binary xref spans, both excisable from hex. Landmarks:
+      |  -- the FIRST %%EOF (hex 2525454F46, generator-asserted aligned)
+      |  -- ends the base section at byte eof1; the update's startxref
+      |  -- in the ASCII tail gives xref2's offset x2; the base trailer's
+      |  -- startxref just before %%EOF gives xref1's offset x1. ASCII
+      |  -- windows [0,x1) and [eof1+6, x2) hold every object body.
+      |  SELECT file_name, hx,
+      |    (strpos(hx, '2525454F46') - 1) // 2 AS eof1,
+      |    CAST(regexp_extract(decode(unhex(substr(hx, len(hx) - 59, 60))),
+      |      'startxref\\n([0-9]+)', 1) AS BIGINT) AS x2,
+      |    CAST(regexp_extract(decode(unhex(substr(hx,
+      |        strpos(hx, '2525454F46') - 60, 60))),
+      |      'startxref\\n([0-9]+)', 1) AS BIGINT) AS x1
+      |  FROM (SELECT file_name, hex(content) AS hx FROM praw
+      |        WHERE file_name LIKE 'docp%') t
+      |), pprevw AS (
+      |  SELECT file_name,
+      |    decode(unhex(substr(hx, 1, 2 * x1))) ||
+      |    decode(unhex(substr(hx, (eof1 + 6) * 2 + 1,
+      |      2 * (x2 - eof1 - 6)))) AS s
+      |  FROM pprev
       |), pall AS (
       |  SELECT * FROM pcls UNION ALL SELECT * FROM p15
+      |  UNION ALL SELECT * FROM pprevw
       |), om AS (
       |  SELECT file_name,
       |    regexp_extract_all(s, '(?s)\\n([0-9]+) 0 obj\\n(.*?)\\nendobj', 1)
@@ -829,8 +936,16 @@ object PipelineQueries {
       |  FROM pall
       |), objs0 AS (
       |  SELECT file_name, CAST(onums[i] AS BIGINT) AS objnum,
-      |         obodies[i] AS body
+      |         obodies[i] AS body, i
       |  FROM om, unnest(generate_series(1, len(onums))) AS g(i)
+      |), objsd AS (
+      |  -- /Prev newest-wins: a re-issued object (docp's incremental
+      |  -- update) appears twice in file order — keep the LAST
+      |  SELECT file_name, objnum, body FROM (
+      |    SELECT file_name, objnum, body,
+      |      row_number() OVER (PARTITION BY file_name, objnum
+      |                         ORDER BY i DESC) AS rn
+      |    FROM objs0) t WHERE rn = 1
       |), stmm AS (
       |  -- /ObjStm members: header line of (objnum, offset) pairs, one
       |  -- dict per following line (the fixture's uncompressed layout —
@@ -843,9 +958,9 @@ object PipelineQueries {
       |    SELECT file_name,
       |      regexp_extract(body, '(?s)stream\\n(.*?)\\nendstream', 1)
       |        AS payload
-      |    FROM objs0 WHERE body LIKE '%/ObjStm%') t
+      |    FROM objsd WHERE body LIKE '%/ObjStm%') t
       |), objs AS (
-      |  SELECT file_name, objnum, body FROM objs0
+      |  SELECT file_name, objnum, body FROM objsd
       |  UNION ALL
       |  SELECT file_name, CAST(hdr[2*i - 1] AS BIGINT) AS objnum,
       |         ln[i + 1] AS body
@@ -886,7 +1001,8 @@ object PipelineQueries {
       |    AS text,
       |  CAST(len(ls) AS INTEGER) AS n_lits, stream_bytes
       |FROM lits ORDER BY file_name, page""".stripMargin),
-    "north star: REAL PDF text extraction (xref walk, page tree, Tj/TJ " +
+    "north star: REAL PDF text extraction (xref walk incl. Predictor-12 " +
+      "xref streams and /Prev incremental updates, page tree, Tj/TJ " +
       "interpreter + escape grammar; string-domain oracle, FlateDecode " +
       "proven in PdfSpec)")
 

@@ -918,10 +918,16 @@ object StreamQueries {
 
   /** q_stream_crawl — STREAMING crawl-container ingestion (r15): the
     * identical [[graft.ops.Warc]] codec the batch gate checks, executed
-    * as a readStream binaryFile source over the segment directory with
-    * one micro-batch per file (maxFilesPerTrigger=1 → 12 genuine
-    * batches — a crawler appending segments to a directory IS this
-    * pipeline at 100 TB), feeding the ingest-layer digest dedup as a
+    * as a readStream binaryFile source over the segment directory in
+    * bundles of four files per trigger (maxFilesPerTrigger=4 → 3
+    * genuine micro-batches over the 12 segments — a crawler appending
+    * segments to a directory IS this pipeline at 100 TB; the r12
+    * minimal-slice discipline applies: three batches prove the
+    * multi-batch fold, and every extra batch only re-pays the
+    * per-micro-batch floor plus a Complete-mode re-emit of the ENTIRE
+    * digest state, O(batches × state) — VERDICT r15 priced the
+    * 12-batch shape at 20 s, 14% of the whole bench, for zero extra
+    * semantic coverage), feeding the ingest-layer digest dedup as a
     * streaming aggregation in Complete mode: first-capture-wins
     * min-struct + running capture count per body_md5. The fold is
     * order-independent (min/count), so the final emission must equal
@@ -944,7 +950,7 @@ object StreamQueries {
         StructField("content", BinaryType)))
       val src = s.readStream.format("binaryFile")
         .schema(binSchema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "4")
         .option("pathGlobFilter", "*.warc")
         .load(fdir)
       val sink = s"graft_stream_crawl_${streamRunId.incrementAndGet()}"

@@ -224,6 +224,63 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("4:2:2 pixel path matches the JDK (h2v1 fancy upsample); " +
+      "4:4:0 still refuses") {
+    import java.awt.image.BufferedImage
+    def paint(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, JpegFixture.rgbOf(1, x, y))
+      img
+    }
+    // odd widths make the chroma plane's ceil-width edge load-bearing
+    for ((w, h) <- Seq((8, 8), (9, 17), (24, 16), (31, 15), (33, 34))) {
+      val bytes = encodeSampled(paint(w, h), 2, 1)
+      val tag = s"${w}x$h 422"
+      val m = Jpeg.parseMeta(tag, bytes)
+      assert(m.samp === "2x1,1x1,1x1", s"$tag: writer emitted ${m.samp}")
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w2, h2, rgb) = Jpeg.decodeRgb(tag, bytes)
+      assert(w2 === w && h2 === h, tag)
+      var maxd = 0
+      for (yy <- 0 until h; xx <- 0 until w; sh <- Seq(16, 8, 0))
+        maxd = math.max(maxd, math.abs(
+          ((ref.getRGB(xx, yy) >> sh) & 0xff) -
+            ((rgb(yy * w + xx) >> sh) & 0xff)))
+      assert(maxd <= 3, s"$tag: rgb maxdiff $maxd")
+    }
+    // 4:4:0 (1x2 luma grid): census reads it, pixel decode refuses
+    val b440 = encodeSampled(paint(24, 16), 1, 2)
+    assert(Jpeg.parseMeta("440.jpg", b440).samp === "1x2,1x1,1x1")
+    val e = intercept[IllegalArgumentException] {
+      Jpeg.decodeRgb("440.jpg", b440)
+    }
+    assert(e.getMessage.contains("unsupported chroma geometry"))
+  }
+
+  /** JDK-encode with explicit luma sampling factors via the native
+    * metadata tree (the writer exposes no direct subsampling knob). */
+  private def encodeSampled(img: java.awt.image.BufferedImage,
+      hs: Int, vs: Int): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    val typ = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+    val md = wr.getDefaultImageMetadata(typ, p)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val tree = md.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+    val comps = tree.getElementsByTagName("componentSpec")
+    val y = comps.item(0).asInstanceOf[org.w3c.dom.Element]
+    y.setAttribute("HsamplingFactor", hs.toString)
+    y.setAttribute("VsamplingFactor", vs.toString)
+    md.setFromTree(fmt, tree)
+    val bo = new java.io.ByteArrayOutputStream()
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bo))
+    wr.write(null, new javax.imageio.IIOImage(img, null, md), p)
+    wr.dispose()
+    bo.toByteArray
+  }
+
   test("scanJpeg decodes the on-disk fixture through binaryFile") {
     val dir = JpegFixture.ensure()
     val got = Jpeg.scanJpeg(

@@ -92,14 +92,15 @@ class PdfSpec extends SparkSpec {
       java.nio.charset.StandardCharsets.ISO_8859_1)
     def bytes(s: String) =
       s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    // /Prev chains (incremental updates): refused before any decode.
+    // a /Prev pointing at the section ITSELF: cycle, refused by name.
     // The insertion sits AFTER the xref object's start, so the literal
     // startxref offset still lands on it.
-    val withPrev = v.replace("/Type /XRef", "/Type /XRef /Prev 9")
+    val sx = "startxref\n(\\d+)".r.findFirstMatchIn(v).get.group(1)
+    val withCycle = v.replace("/Type /XRef", s"/Type /XRef /Prev $sx")
     val e1 = intercept[IllegalArgumentException] {
-      Pdf.parse("p.pdf", bytes(withPrev))
+      Pdf.parse("p.pdf", bytes(withCycle))
     }
-    assert(e1.getMessage.contains("/Prev"))
+    assert(e1.getMessage.contains("cycle"))
     // row-count mismatch: /Size inflated by one
     val sizeM = "/Size (\\d+)".r.findFirstMatchIn(v).get
     val withBadSize = v.replace(s"/Size ${sizeM.group(1)}",
@@ -108,13 +109,109 @@ class PdfSpec extends SparkSpec {
       Pdf.parse("s.pdf", bytes(withBadSize))
     }
     assert(e2.getMessage.contains("rows of"))
-    // predictors: refused by name
-    val withParms = v.replace("/Type /XRef",
-      "/Type /XRef /DecodeParms << /Predictor 12 >>")
+    // TIFF Predictor 2: refused by value (PNG 10-15 only)
+    val withTiff = v.replace("/Type /XRef",
+      "/Type /XRef /DecodeParms << /Predictor 2 /Columns 7 >>")
     val e3 = intercept[IllegalArgumentException] {
-      Pdf.parse("d.pdf", bytes(withParms))
+      Pdf.parse("d.pdf", bytes(withTiff))
     }
-    assert(e3.getMessage.contains("DecodeParms"))
+    assert(e3.getMessage.contains("PNG 10-15"))
+    // PNG predictor whose /Columns disagrees with the /W row width
+    val withCols = v.replace("/Type /XRef",
+      "/Type /XRef /DecodeParms << /Predictor 12 /Columns 5 >>")
+    val e4 = intercept[IllegalArgumentException] {
+      Pdf.parse("c.pdf", bytes(withCols))
+    }
+    assert(e4.getMessage.contains("Columns"))
+  }
+
+  test("Predictor-12 xref streams + a /Prev incremental update parse " +
+      "with newest-wins shadowing") {
+    for (i <- 0 until PdfFixture.count) {
+      val name = f"doc_$i%03d.pdf"
+      val base = Pdf.parse(name, PdfFixture.pdf15Bytes(i))
+      val upd = Pdf.parse(name, PdfFixture.pdfPrevBytes(i))
+      assert(upd.length === base.length)
+      // page 1 is REPLACED by the update — reading the base section's
+      // entry (or merging the chain in the wrong order) fails here
+      assert(upd.head.text === PdfFixture.textV2Of(i))
+      assert(upd.head.n_lits === 3)
+      assert(upd.head.stream_bytes ===
+        PdfFixture.contentV2Of(i).length.toLong)
+      // every other page identical to the base-framing parse
+      assert(upd.tail === base.tail)
+    }
+  }
+
+  test("PNG predictor un-filtering recovers all five filter types") {
+    val cols = 7
+    val rows = Seq(
+      Array[Byte](1, 2, 3, 4, 5, 6, 7),
+      Array[Byte](9, 9, 9, 0, 0, -1, 127),
+      Array[Byte](0, 50, -100, 25, 25, 25, 80))
+    // filter each row with its own type; the decoder must dispatch on
+    // the per-ROW filter byte, not the /Predictor hint
+    for (types <- Seq(Seq(0, 0, 0), Seq(1, 2, 3), Seq(4, 4, 4),
+        Seq(2, 1, 4))) {
+      val enc = new java.io.ByteArrayOutputStream()
+      var prev = new Array[Byte](cols)
+      rows.zip(types).foreach { case (r, t) =>
+        enc.write(t)
+        (0 until cols).foreach { k =>
+          val x = r(k) & 0xff
+          val a = if (k > 0) r(k - 1) & 0xff else 0
+          val b = prev(k) & 0xff
+          val c = if (k > 0) prev(k - 1) & 0xff else 0
+          val pred = t match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          enc.write((x - pred) & 0xff)
+        }
+        prev = r
+      }
+      val got = Pdf.unfilterPng("t", enc.toByteArray, cols)
+      assert(got.toSeq === rows.flatten.toSeq)
+    }
+    // filter type 5: refused with the row
+    val bad = Array[Byte](5, 0, 0, 0, 0, 0, 0, 0).take(cols + 1)
+    val e = intercept[RuntimeException](Pdf.unfilterPng("t", bad, cols))
+    assert(e.getMessage.contains("filter type 5"))
+  }
+
+  test("classic xref table /Prev update (multi-subsection) shadows " +
+      "the base") {
+    val base = PdfFixture.pdfBytes(0) // 1 page; content obj 4, font 5
+    val v = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val oldXref = "startxref\n(\\d+)".r.findFirstMatchIn(v).get.group(1)
+    val cs2 = "BT (classic update) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val coOff = out.size()
+    w(s"4 0 obj\n<< /Length ${cs2.length} >>\nstream\n$cs2\nendstream" +
+      "\nendobj\n")
+    val fontOff = out.size()
+    w("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>" +
+      "\nendobj\n")
+    val xOff = out.size()
+    // TWO subsections — the table walk must loop, not read one header
+    w(f"xref\n4 1\n$coOff%010d 00000 n \n")
+    w(f"5 1\n$fontOff%010d 00000 n \n")
+    w(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $oldXref >>\n" +
+      s"startxref\n$xOff\n%%EOF\n")
+    val pages = Pdf.parse("u.pdf", out.toByteArray)
+    assert(pages.length === 1)
+    assert(pages.head.text === "classic update")
+    assert(pages.head.stream_bytes === cs2.length.toLong)
   }
 
   test("scanPdf reads the on-disk fixture through binaryFile") {
@@ -122,14 +219,20 @@ class PdfSpec extends SparkSpec {
     val got = Pdf.scanPdf(
         spark.read.format("binaryFile").load(dir + "/*.pdf"))
       .collect().groupBy(_.file_name)
-    // v2: every doc ships classic AND PDF 1.5 (doc15_) framed
-    assert(got.size === 2 * PdfFixture.count)
+    // v3: classic, PDF 1.5 (doc15_), and predictor+/Prev (docp_) framed
+    assert(got.size === 3 * PdfFixture.count)
     for (i <- 0 until PdfFixture.count) {
       assert(got(f"doc_$i%03d.pdf").length === PdfFixture.pagesOf(i))
       assert(got(f"doc15_$i%03d.pdf").length === PdfFixture.pagesOf(i))
-      // identical page text through both framings
+      assert(got(f"docp_$i%03d.pdf").length === PdfFixture.pagesOf(i))
+      // identical page text through both unchanged framings
       assert(got(f"doc15_$i%03d.pdf").map(r => (r.page, r.text)).toSet ===
         got(f"doc_$i%03d.pdf").map(r => (r.page, r.text)).toSet)
+      // the docp framing's update replaced page 1's text
+      val byPage = got(f"docp_$i%03d.pdf").map(r => r.page -> r.text).toMap
+      assert(byPage(1) === PdfFixture.textV2Of(i))
+      (2 to PdfFixture.pagesOf(i)).foreach(p =>
+        assert(byPage(p) === PdfFixture.textOf(i, p - 1)))
     }
   }
 

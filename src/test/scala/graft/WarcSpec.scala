@@ -40,6 +40,70 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("chunked Transfer-Encoding twins dechunk to the Content-Length " +
+      "twin's body columns") {
+    for (i <- 0 until WarcFixture.count) {
+      val plain = Warc.parse(f"seg_$i%03d.warc", WarcFixture.warcBytes(i))
+      val chk = Warc.parse(f"seg_$i%03d.warc",
+        WarcFixture.warcChunkedBytes(i))
+      assert(chk.length === plain.length)
+      plain.zip(chk).foreach { case (p, c) =>
+        // the origin-body columns are framing-invariant...
+        assert(c.body === p.body)
+        assert(c.body_len === p.body_len)
+        assert(c.body_md5 === p.body_md5)
+        assert(c.http_status === p.http_status)
+        assert(c.target_uri === p.target_uri)
+        // ...while the RAW record length legitimately differs for
+        // non-empty chunked responses (the ladder framing costs bytes)
+        if (p.warc_type == "response" && p.body.exists(_.nonEmpty))
+          assert(c.content_length > p.content_length)
+      }
+    }
+  }
+
+  test("chunk ladder grammar: extensions, trailers, uppercase hex; " +
+      "malformed ladders refuse loudly") {
+    def resp(ladder: String, te: String = "chunked"): String = {
+      val http = "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Transfer-Encoding: $te\r\n\r\n" + ladder
+      Seq("WARC/1.0", "WARC-Type: response",
+        "WARC-Record-ID: <urn:uuid:1>",
+        "WARC-Target-URI: http://x.example/",
+        "Content-Type: application/http;msgtype=response",
+        s"Content-Length: ${http.length}").mkString("\r\n") +
+        "\r\n\r\n" + http + "\r\n\r\n"
+    }
+    def one(ladder: String): WarcRow =
+      Warc.parse("t.warc", resp(ladder)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)).head
+    // chunk extension on the size line + a trailer field + uppercase hex
+    val r1 = one("5;x=1\r\nhello\r\nC\r\n world again\r\n0\r\n" +
+      "X-Sum: ok\r\n\r\n")
+    assert(r1.body === Some("hello world again"))
+    assert(r1.body_len === Some(17L))
+    // empty body: just the terminal chunk
+    assert(one("0\r\n\r\n").body === Some(""))
+    // non-hex size line
+    val e1 = intercept[IllegalArgumentException](one("zz\r\nhello\r\n0\r\n\r\n"))
+    assert(e1.getMessage.contains("malformed chunk size"))
+    // chunk overruns the record
+    val e2 = intercept[IllegalArgumentException](one("ff\r\nhello\r\n0\r\n\r\n"))
+    assert(e2.getMessage.contains("overruns"))
+    // missing terminal 0 chunk (ladder ends after a data chunk)
+    val e3 = intercept[IllegalArgumentException](one("5\r\nhello\r\n"))
+    assert(e3.getMessage.nonEmpty)
+    // ladder that ends before the record does (walk must land on end)
+    val e4 = intercept[IllegalArgumentException](one("5\r\nhello\r\n0\r\n\r\nJUNK"))
+    assert(e4.getMessage.contains("expected"))
+    // an unsupported transfer coding refuses by name
+    val e5 = intercept[IllegalArgumentException](Warc.parse("t.warc",
+      resp("0\r\n\r\n", te = "gzip")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    assert(e5.getMessage.contains("unsupported Transfer-Encoding"))
+  }
+
   test("per-record-gzip framing (.warc.gz) parses identically to plain") {
     for (i <- 0 until WarcFixture.count) {
       val gz = WarcFixture.recordsOf(i).map(gzMember)
