@@ -235,7 +235,19 @@ object Warc {
       require(sepAt(b, pEnd) == pEnd,
         s"$name: missing CRLF CRLF record trailer at $pEnd")
       val (status, mime, bodyLen, bodyMd5, bodyTxt) =
-        if (typ != "response") (None, None, None, None, None)
+        if (typ == "conversion") {
+          // WET-shape converted content (ISO 28500 §6.8): the payload
+          // IS the document (no HTTP envelope), so the body columns a
+          // downstream text stage keys on come straight from it; the
+          // mime column carries the record's own Content-Type. A
+          // `revisit` record (§6.7: a duplicate capture pointing at its
+          // WARC-Refers-To original) stays census-only — it has no
+          // payload of its own by design.
+          (None, fields.get("Content-Type"), Some((pEnd - pStart).toLong),
+            Some(md5Hex(b, pStart, pEnd - pStart)),
+            Some(new String(b, pStart, pEnd - pStart,
+              java.nio.charset.StandardCharsets.UTF_8)))
+        } else if (typ != "response") (None, None, None, None, None)
         else {
           val hs = sepAt(b, pStart)
           require(hs >= pStart && hs < pEnd,
@@ -325,7 +337,7 @@ object WarcFixture {
   val count = 12
 
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_warc_v3").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_warc_v4").getAbsolutePath
 
   def pagesOf(i: Int): Int = 3 + (i % 5)
 
@@ -354,13 +366,14 @@ object WarcFixture {
   def statusOf(i: Int, r: Int): Int = if ((i + r) % 7 == 0) 404 else 200
 
   private def record(typ: String, uri: Option[String], ctype: String,
-                     id: String, payload: String): String = {
+                     id: String, payload: String,
+                     extra: Seq[String] = Nil): String = {
     val hdr = Seq(
       "WARC/1.0",
       s"WARC-Type: $typ",
       s"WARC-Record-ID: <urn:uuid:$id>",
       "WARC-Date: 2026-01-01T00:00:00Z") ++
-      uri.map(u => s"WARC-Target-URI: $u") ++ Seq(
+      uri.map(u => s"WARC-Target-URI: $u") ++ extra ++ Seq(
       s"Content-Type: $ctype",
       s"Content-Length: ${payload.length}")
     hdr.mkString("\r\n") + "\r\n\r\n" + payload + "\r\n\r\n"
@@ -449,6 +462,51 @@ object WarcFixture {
     recordsChunkedOf(i).mkString
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
+  /** How many derived (WET/WAT-shape) segment files the fixture ships —
+    * a smaller family than the capture segments; two record types per
+    * page is plenty of grammar coverage. */
+  val derivedCount = 4
+
+  /** The WET-style plain-text extract the conversion record for page
+    * (i, r) carries — deterministic, intentionally NOT derived from
+    * [[bodyOf]] (a WET extract is a different artifact than the HTML). */
+  def wetTextOf(i: Int, r: Int): String =
+    s"site $i page $r extract: " + (0 until (4 + (i + r) % 5))
+      .map(w => words((i * 3 + r * 9 + w * 5) % words.length))
+      .mkString(" ") + "\n"
+
+  /** File i's DERIVED records (VERDICT r15 stretch): per page one
+    * `revisit` (the identical-payload-digest duplicate-capture shape —
+    * WARC-Profile + WARC-Refers-To, payload = the HTTP response headers
+    * only) and one `conversion` (the WET text-extract shape — payload
+    * IS the plain-text document). These are what a CommonCrawl WET/WAT
+    * consumer reads next to the response captures. */
+  def recordsDerivedOf(i: Int): Seq[String] = {
+    val info = record("warcinfo", None, "application/warc-fields",
+      f"00000000-0000-0000-6666-$i%012d",
+      "software: graftbot/1.0\r\nformat: WARC file version 1.0\r\n")
+    val recs = (0 until pagesOf(i)).flatMap { r =>
+      val uri = s"http://site$i.example/page/$r"
+      val refersTo =
+        f"WARC-Refers-To: <urn:uuid:00000000-0000-0000-2222-${i * 1000 + r}%012d>"
+      val rev = record("revisit", Some(uri),
+        "application/http;msgtype=response",
+        f"00000000-0000-0000-4444-${i * 1000 + r}%012d",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n",
+        Seq("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+          "identical-payload-digest", refersTo))
+      val conv = record("conversion", Some(uri), "text/plain",
+        f"00000000-0000-0000-5555-${i * 1000 + r}%012d",
+        wetTextOf(i, r), Seq(refersTo))
+      Seq(rev, conv)
+    }
+    info +: recs
+  }
+
+  def warcDerivedBytes(i: Int): Array[Byte] =
+    recordsDerivedOf(i).mkString
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
   /** One RFC 1952 gzip member holding `payload` as a SINGLE STORED
     * deflate block (BTYPE=00) — legal gzip whose payload bytes sit at a
     * COMPUTABLE offset (member+15, length from the LE16 block header at
@@ -487,13 +545,15 @@ object WarcFixture {
       .foldLeft(Array.empty[Byte])(_ ++ _)
 
   /** Build the fixture if missing; returns [[path]]. Same benign-race
-    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v3:
+    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v4:
     * every segment ships in THREE framings — seg_NNN.warc, the
     * per-record-gzip seg_NNN.warc.gz, and chunked/segc_NNN.warc (every
-    * response Transfer-Encoding: chunked, same origin bodies) — the
-    * chunked twins in a SUBDIRECTORY so the flat-directory globs the
-    * crawl-composition and streaming queries use keep their exact file
-    * set; q_warc_scan lists the subdirectory explicitly. */
+    * response Transfer-Encoding: chunked, same origin bodies) — plus
+    * [[derivedCount]] derived/segd_NNN.warc files carrying the
+    * revisit/conversion (WAT/WET) record shapes. The twins live in
+    * SUBDIRECTORIES so the flat-directory globs the crawl-composition
+    * and streaming queries use keep their exact file set; q_warc_scan
+    * lists the subdirectories explicitly. */
   def ensure(): String = this.synchronized {
     val out = new java.io.File(path)
     if (!out.exists()) {
@@ -502,6 +562,8 @@ object WarcFixture {
       tmp.mkdirs()
       val chunkedDir = new java.io.File(tmp, "chunked")
       chunkedDir.mkdirs()
+      val derivedDir = new java.io.File(tmp, "derived")
+      derivedDir.mkdirs()
       (0 until count).foreach { i =>
         java.nio.file.Files.write(
           new java.io.File(tmp, f"seg_$i%03d.warc").toPath, warcBytes(i))
@@ -510,6 +572,11 @@ object WarcFixture {
         java.nio.file.Files.write(
           new java.io.File(chunkedDir, f"segc_$i%03d.warc").toPath,
           warcChunkedBytes(i))
+      }
+      (0 until derivedCount).foreach { i =>
+        java.nio.file.Files.write(
+          new java.io.File(derivedDir, f"segd_$i%03d.warc").toPath,
+          warcDerivedBytes(i))
       }
       if (!tmp.renameTo(out)) deleteRec(tmp)
     }

@@ -829,6 +829,60 @@ object PipelineQueries {
     |)""".stripMargin
   }
 
+  /** The derived-records oracle walk (revisit/conversion — the WAT/WET
+    * shapes a CommonCrawl consumer reads, VERDICT r15 stretch): the
+    * plain record hop over derived/segd_*.warc; `conversion` records
+    * surface their payload as the body columns and their own WARC
+    * Content-Type as mime, `revisit`/`warcinfo` stay census-only.
+    * Emits `drec` with `wrec`'s columns. */
+  private[queries] def warcDerivedWalkSql: String = {
+    val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
+    def hk(pos: String) = s"strpos(substr(s, $pos), $sep4)"
+    def hdr(pos: String) = s"substr(s, $pos, ${hk(pos)} - 1)"
+    def cl(pos: String) =
+      s"CAST(regexp_extract(${hdr(pos)}, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+    def nextPos(pos: String) =
+      s"($pos + ${hk(pos)} + 3 + ${cl(pos)} + 4)"
+    s"""draw AS (
+    |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+    |         decode(content) AS s
+    |  FROM read_blob('${graft.ops.WarcFixture.path}/derived/*.warc')
+    |), drec0 AS (
+    |  SELECT file_name, s, CAST(1 AS BIGINT) AS pos,
+    |         CAST(0 AS INTEGER) AS rec_idx
+    |  FROM draw
+    |  UNION ALL
+    |  SELECT file_name, s, ${nextPos("pos")}, rec_idx + 1
+    |  FROM drec0 WHERE ${nextPos("pos")} <= len(s)
+    |), dfld AS (
+    |  SELECT file_name, rec_idx, s, ${hdr("pos")} AS hdr,
+    |         pos + ${hk("pos")} + 3 AS pstart, ${cl("pos")} AS cl
+    |  FROM drec0
+    |), drec AS (
+    |  SELECT file_name, rec_idx,
+    |    regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
+    |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
+    |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
+    |    END AS target_uri,
+    |    cl AS content_length,
+    |    CAST(NULL AS INTEGER) AS http_status,
+    |    CASE WHEN regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
+    |           = 'conversion'
+    |      THEN regexp_extract(hdr, 'Content-Type: ([^\\r]+)', 1)
+    |    END AS mime,
+    |    CASE WHEN regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
+    |           = 'conversion'
+    |      THEN cl END AS body_len,
+    |    CASE WHEN regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
+    |           = 'conversion'
+    |      THEN md5(substr(s, pstart, cl)) END AS body_md5,
+    |    CASE WHEN regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
+    |           = 'conversion'
+    |      THEN substr(s, pstart, cl) END AS body
+    |  FROM dfld
+    |)""".stripMargin
+  }
+
   val qWarcScan = Q("q_warc_scan",
     (s, _) => {
       val dir = graft.ops.WarcFixture.ensure()
@@ -837,24 +891,29 @@ object PipelineQueries {
           f.getName.endsWith(".warc.gz"))
       val chunked = new java.io.File(dir, "chunked").listFiles()
         .filter(_.getName.endsWith(".warc"))
-      val files = (flat ++ chunked).map(_.getAbsolutePath).sorted
+      val derived = new java.io.File(dir, "derived").listFiles()
+        .filter(_.getName.endsWith(".warc"))
+      val files = (flat ++ chunked ++ derived).map(_.getAbsolutePath).sorted
       graft.ops.Warc.scanWarc(
           s.read.format("binaryFile").load(files.toIndexedSeq: _*))
         .toDF().orderBy("file_name", "rec_idx")
     },
     Some("WITH RECURSIVE " + warcWalkSql + ",\n" + warcGzWalkSql + ",\n" +
-      warcChunkedWalkSql + """
+      warcChunkedWalkSql + ",\n" + warcDerivedWalkSql + """
       |SELECT * FROM wrec
       |UNION ALL
       |SELECT * FROM gzrec
       |UNION ALL
       |SELECT * FROM chrec
+      |UNION ALL
+      |SELECT * FROM drec
       |ORDER BY file_name, rec_idx""".stripMargin),
     "north star: REAL WARC/1.0 crawl-container ingestion (record walk + " +
       "HTTP envelope + body md5/text) in THREE framings - plain, " +
       "per-record-gzip .warc.gz hex-walked through STORED deflate " +
-      "blocks, and chunked Transfer-Encoding dechunked by a recursive " +
-      "hex chunk ladder on both sides")
+      "blocks, chunked Transfer-Encoding dechunked by a recursive hex " +
+      "chunk ladder on both sides - plus the revisit/conversion " +
+      "(WAT/WET) record shapes")
 
   /** q_pdf_scan — REAL PDF text extraction ([[graft.ops.Pdf]] — xref
     * walk, page tree, /Length-measured content streams, a token-level

@@ -104,6 +104,35 @@ class WarcSpec extends SparkSpec {
     assert(e5.getMessage.contains("unsupported Transfer-Encoding"))
   }
 
+  test("revisit/conversion (WAT/WET) records: conversion surfaces its " +
+      "payload as the body, revisit stays census-only") {
+    for (i <- 0 until WarcFixture.derivedCount) {
+      val rows = Warc.parse(f"segd_$i%03d.warc",
+        WarcFixture.warcDerivedBytes(i))
+      assert(rows.length === 1 + 2 * WarcFixture.pagesOf(i))
+      assert(rows.head.warc_type === "warcinfo")
+      for (r <- 0 until WarcFixture.pagesOf(i)) {
+        val rev = rows(1 + 2 * r); val conv = rows(2 + 2 * r)
+        assert(rev.warc_type === "revisit")
+        assert(rev.target_uri === Some(s"http://site$i.example/page/$r"))
+        // a revisit has no payload of its own — census columns only
+        assert(rev.body === None && rev.body_md5 === None &&
+          rev.mime === None && rev.http_status === None)
+        assert(conv.warc_type === "conversion")
+        assert(conv.target_uri === rev.target_uri)
+        assert(conv.mime === Some("text/plain"))
+        assert(conv.http_status === None)
+        val wet = WarcFixture.wetTextOf(i, r)
+        assert(conv.body === Some(wet))
+        assert(conv.body_len === Some(wet.length.toLong))
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(wet.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .map(x => f"$x%02x").mkString
+        assert(conv.body_md5 === Some(md))
+      }
+    }
+  }
+
   test("per-record-gzip framing (.warc.gz) parses identically to plain") {
     for (i <- 0 until WarcFixture.count) {
       val gz = WarcFixture.recordsOf(i).map(gzMember)
