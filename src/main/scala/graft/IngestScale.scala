@@ -51,15 +51,22 @@ object IngestScale {
     // review r15): bump the version when the generator changes; an
     // interrupted run leaves only a .tmp dir, never a trusted partial
     val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_ingest_scale_v1")
+      System.getProperty("java.io.tmpdir"), "graft_ingest_scale_v2")
+    def delRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delRec))
+      f.delete(); ()
+    }
 
     for ((label, segs, pages, mul) <- scales) {
       val dir = new java.io.File(root, label)
       if (!dir.exists()) {
         val tmp = new java.io.File(root, label + ".tmp")
-        if (tmp.exists())
-          tmp.listFiles().foreach { f => f.delete(); () }
+        if (tmp.exists()) delRec(tmp)
         tmp.mkdirs()
+        // chunked twins in a SUBDIRECTORY so the *.warc globs keep
+        // their exact plain file set (the WarcFixture v4 discipline)
+        val chunkedDir = new java.io.File(tmp, "chunked")
+        chunkedDir.mkdirs()
         (0 until segs).foreach { i =>
           val recs = WarcFixture.recordsOf(i, pages, mul)
           java.nio.file.Files.write(
@@ -71,6 +78,10 @@ object IngestScale {
             recs.map(r => WarcFixture.gzMemberStored(r.getBytes(
               java.nio.charset.StandardCharsets.US_ASCII)))
               .foldLeft(Array.empty[Byte])(_ ++ _))
+          java.nio.file.Files.write(
+            new java.io.File(chunkedDir, f"segc_$i%04d.warc").toPath,
+            WarcFixture.recordsChunkedOf(i, pages, mul).mkString.getBytes(
+              java.nio.charset.StandardCharsets.US_ASCII))
         }
         require(tmp.renameTo(dir), s"could not rename $tmp to $dir")
       }
@@ -110,8 +121,14 @@ object IngestScale {
         (row.getLong(0), row.getLong(1), row.getLong(2))
       }
 
+      // three byte-level framings of the SAME corpus — plain,
+      // per-record-gzip, and chunked Transfer-Encoding (r16) — must
+      // land the identical generator-side record/response/md5 fold:
+      // framing invariance as a measured four-decade claim, and the
+      // dechunk walk priced against the plain scan on the same bytes
       for ((op, glob) <- Seq("warc_scan" -> "*.warc",
-          "warc_scan_gz" -> "*.warc.gz")) {
+          "warc_scan_gz" -> "*.warc.gz",
+          "warc_scan_chunked" -> "chunked/*.warc")) {
         val secs = (1 to runs).map(_ => timed {
           val (n, nResp, md5x) = scanAgg(glob)
           require(n == totalRecords, s"$op $label: $n != $totalRecords")

@@ -433,19 +433,23 @@ object WarcFixture {
   /** File i's records with every response framed Transfer-Encoding:
     * chunked — same URIs, same ORIGIN bodies (so body_len/body_md5/body
     * must equal the Content-Length twin's, the WarcSpec differential),
-    * different raw HTTP octets. */
-  def recordsChunkedOf(i: Int): Seq[String] = {
+    * different raw HTTP octets. The (pages, mul) overload is the
+    * scaled-corpus generator ([[graft.IngestScale]]'s chunked row). */
+  def recordsChunkedOf(i: Int): Seq[String] =
+    recordsChunkedOf(i, pagesOf(i), 1)
+
+  def recordsChunkedOf(i: Int, pages: Int, mul: Int): Seq[String] = {
     val info = record("warcinfo", None, "application/warc-fields",
       f"00000000-0000-0000-0000-$i%012d",
       "software: graftbot/1.0\r\nformat: WARC file version 1.0\r\n")
-    val pageRecs = (0 until pagesOf(i)).flatMap { r =>
+    val pageRecs = (0 until pages).flatMap { r =>
       val uri = s"http://site$i.example/page/$r"
       val req = record("request", Some(uri),
         "application/http;msgtype=request",
         f"00000000-0000-0000-1111-${i * 1000 + r}%012d",
         s"GET /page/$r HTTP/1.1\r\nHost: site$i.example\r\n" +
           "User-Agent: graftbot/1.0\r\n\r\n")
-      val body = bodyOf(i, r)
+      val body = bodyOf(i, r, mul)
       val http = s"HTTP/1.1 ${statusOf(i, r)} " +
         (if (statusOf(i, r) == 404) "Not Found" else "OK") + "\r\n" +
         "Content-Type: text/html; charset=UTF-8\r\n" +
