@@ -156,6 +156,20 @@ object Pdf {
         case None => sys.error(s"$name: object $n not in xref")
       }
     }
+    /** Resolve an integer-valued indirect object (the `/Length 5 0 R`
+      * shape real writers emit for content streams routinely — the
+      * stream is written before its length is known, then the integer
+      * lands in a separate object). Works for offset-located and
+      * ObjStm-member integers alike via [[body]]; refuses loudly on a
+      * non-integer body. */
+    def intObj(n: Int): Int = {
+      val t = body(n).trim
+      val t2 = "^\\d+ 0 obj".r.findFirstIn(t)
+        .map(h => t.substring(h.length)).getOrElse(t).trim
+      require(t2.nonEmpty && t2.forall(_.isDigit),
+        s"$name: indirect /Length object $n is not an integer: '$t2'")
+      t2.toInt
+    }
     val catalog = body(ref(trailer, "/Root"))
     val pagesObj = body(ref(catalog, "/Pages"))
     val kids = "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(pagesObj)
@@ -175,9 +189,12 @@ object Pdf {
       val cDictEnd = s.indexOf("stream", cOff)
       require(cDictEnd > cOff, s"$name: content object $cObjNum has no stream")
       val cDict = s.substring(cOff, cDictEnd)
-      val lenM = "/Length\\s+(\\d+)".r.findFirstMatchIn(cDict)
+      val lenM = "/Length\\s+(\\d+)(\\s+0\\s+R)?".r.findFirstMatchIn(cDict)
       require(lenM.isDefined, s"$name: content object $cObjNum has no /Length")
-      val len = lenM.get.group(1).toInt
+      // direct integer, or the indirect `/Length n 0 R` real writers
+      // emit when the stream is serialized before its length is known
+      val len = if (lenM.get.group(2) == null) lenM.get.group(1).toInt
+                else intObj(lenM.get.group(1).toInt)
       var dStart = cDictEnd + 6
       require(dStart < s.length,
         s"$name: truncated after stream keyword at $dStart")
@@ -394,9 +411,16 @@ object Pdf {
     val dictEnd = s.indexOf("stream", objOff)
     require(dictEnd > objOff, s"$name: object at $objOff has no stream")
     val dict = s.substring(objOff, dictEnd)
-    val lenM = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict)
+    val lenM = "/Length\\s+(\\d+)(\\s+0\\s+R)?".r.findFirstMatchIn(dict)
     require(lenM.isDefined,
-      s"$name: stream object at $objOff has no direct /Length")
+      s"$name: stream object at $objOff has no /Length")
+    // xref stream dict keys shall be direct objects (ISO 32000 §7.5.8),
+    // and resolving an ObjStm's indirect length could recurse through
+    // the ObjStm being opened — refuse BY NAME rather than misparse the
+    // object number as the length (the pre-r16 regex did exactly that)
+    require(lenM.get.group(2) == null,
+      s"$name: stream object at $objOff has an indirect /Length " +
+        "(unsupported for xref/object streams)")
     val len = lenM.get.group(1).toInt
     var dStart = dictEnd + 6
     require(dStart < s.length,
@@ -434,7 +458,10 @@ object Pdf {
   }
 
   /** Content-stream text interpreter: collects string literals bound to
-    * `Tj`, and every literal inside a `[...]` array closed by `TJ`.
+    * `Tj`, and every literal inside a `[...]` array closed by `TJ` —
+    * both the `(...)` escape-grammar form and the `<...>` HEX form
+    * (ISO 32000 §7.3.4.3: whitespace ignored, odd trailing digit padded
+    * with 0; `<<` opens a dictionary, not a string).
     * Returns (concatenated text, literal count). */
   private[graft] def extractText(name: String, cs: String): (String, Int) = {
     val out = new StringBuilder
@@ -492,6 +519,24 @@ object Pdf {
           else if (nextTokenIs(after, "Tj")) { out.append(lit); n += 1 }
           // a literal bound to any other operator is not page text
           i = after
+        case '<' =>
+          if (i + 1 < cs.length && cs.charAt(i + 1) == '<') {
+            i += 2 // dictionary open — consume BOTH chars so the second
+                   // '<' cannot re-trigger as a hex-string open
+          } else {
+            // hex string literal
+            val end = cs.indexOf('>', i + 1)
+            require(end > i, s"$name: unterminated hex string at $i")
+            val hx = cs.substring(i + 1, end).filterNot(_.isWhitespace)
+            require(hx.forall(c => Character.digit(c, 16) >= 0),
+              s"$name: non-hex digit in hex string at $i")
+            val padded = if (hx.length % 2 == 1) hx + "0" else hx
+            val lit = padded.grouped(2)
+              .map(h => Integer.parseInt(h, 16).toChar).mkString
+            if (inArray) arrayLits += lit
+            else if (nextTokenIs(end + 1, "Tj")) { out.append(lit); n += 1 }
+            i = end + 1
+          }
         case '[' => inArray = true; arrayLits.clear(); i += 1
         case ']' =>
           inArray = false

@@ -77,6 +77,22 @@ class PdfSpec extends SparkSpec {
     val (t4, n4) = Pdf.extractText("e",
       "BT (shown) Tj (ignored) Tw [(a) -1 (b)] TJ ET")
     assert(t4 === "shownab" && n4 === 3)
+    // hex string literals (§7.3.4.3): whitespace ignored inside, odd
+    // trailing digit padded with 0, mixed forms in one TJ array
+    val (t5, n5) = Pdf.extractText("e", "BT <48656C6C6F> Tj ET")
+    assert(t5 === "Hello" && n5 === 1)
+    val (t6, _) = Pdf.extractText("e", "BT <4 86 5\n6C6C6F7> Tj ET")
+    assert(t6 === "Hellop") // odd digit 7 pads to 0x70
+    val (t7, n7) = Pdf.extractText("e", "BT [(a) -2 <20> -2 (b)] TJ ET")
+    assert(t7 === "a b" && n7 === 3)
+    // << opens a dictionary, not a hex string — must not be consumed
+    val (t8, n8) = Pdf.extractText("e",
+      "/MC << /K 1 >> BDC BT (x) Tj ET EMC")
+    assert(t8 === "x" && n8 === 1)
+    val e6 = intercept[IllegalArgumentException] {
+      Pdf.extractText("e", "BT <48656C Tj ET")
+    }
+    assert(e6.getMessage.contains("hex string"))
   }
 
   test("PDF 1.5 xref streams + object streams parse identically to classic") {
@@ -243,6 +259,64 @@ class PdfSpec extends SparkSpec {
       val v15 = Pdf.parse(f"doc_$i%03d.pdf", PdfFixture.pdf15Bytes(i))
       assert(v15 === cls)
     }
+  }
+
+  test("indirect /Length (the `n 0 R` shape real writers emit) " +
+      "resolves through the xref; xref streams keep the direct rule") {
+    for (i <- Seq(0, 3)) {
+      assert(Pdf.parse(f"doc_$i%03d.pdf", indirectLengthVariant(i)) ===
+        Pdf.parse(f"doc_$i%03d.pdf", PdfFixture.pdfBytes(i)))
+    }
+    // an xref STREAM with an indirect /Length refuses by name (ISO
+    // 32000 §7.5.8 requires direct keys there) — and must NOT misparse
+    // the object number as the length, the pre-r16 failure shape
+    val tiny = ("%PDF-1.5\n" +
+      "1 0 obj\n<< /Type /XRef /Size 2 /W [1 4 2] /Root 1 0 R " +
+      "/Length 2 0 R >>\nstream\nxxxxxxx\nendstream\nendobj\n" +
+      "startxref\n9\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val e = intercept[IllegalArgumentException](Pdf.parse("x.pdf", tiny))
+    assert(e.getMessage.contains("indirect /Length"))
+  }
+
+  /** File i with every content stream's /Length replaced by an indirect
+    * reference to a trailing integer object — the order real writers
+    * serialize in (stream first, length once known). Same pages, same
+    * stream bytes; parse must be identical to the direct twin. */
+  private def indirectLengthVariant(i: Int): Array[Byte] = {
+    val np = PdfFixture.pagesOf(i)
+    val fontObj = 3 + 2 * np
+    def lenObj(p: Int) = fontObj + 1 + p
+    val kids = (0 until np).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    val bodies: Seq[(Int, String)] = (Seq(
+      1 -> s"<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count $np >>") ++
+      (0 until np).flatMap { p =>
+        val cs = PdfFixture.contentOf(i, p)
+        Seq(
+          (3 + 2 * p) -> (s"<< /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [0 0 612 792] /Contents ${4 + 2 * p} 0 R " +
+            s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>"),
+          (4 + 2 * p) -> (s"<< /Length ${lenObj(p)} 0 R >>\nstream\n$cs" +
+            "\nendstream"))
+      } ++ Seq(
+      fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      (0 until np).map(p =>
+        lenObj(p) -> PdfFixture.contentOf(i, p).length.toString))
+    val size = fontObj + 1 + np
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = new Array[Int](size)
+    bodies.foreach { case (n, b) =>
+      offsets(n) = sb.length
+      sb.append(s"$n 0 obj\n").append(b).append("\nendobj\n")
+    }
+    val xrefPos = sb.length
+    sb.append(s"xref\n0 $size\n")
+    sb.append("0000000000 65535 f \n")
+    (1 until size).foreach(n => sb.append(f"${offsets(n)}%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefPos\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
   /** File i with every content stream FlateDecode-compressed — built by
