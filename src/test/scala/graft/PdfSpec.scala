@@ -261,6 +261,43 @@ class PdfSpec extends SparkSpec {
     }
   }
 
+  test("a second /Prev update re-shadows the first, and a newer " +
+      "type-0 free DELETES an object (classic chain of three)") {
+    val base = PdfFixture.pdfBytes(0) // 1 page; content obj 4
+    val v = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val x0 = "startxref\n(\\d+)".r.findFirstMatchIn(v).get.group(1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    // update 1: replace the content stream
+    val cs1 = "BT (first update) Tj ET"
+    val co1 = out.size()
+    w(s"4 0 obj\n<< /Length ${cs1.length} >>\nstream\n$cs1\nendstream" +
+      "\nendobj\n")
+    val x1 = out.size()
+    w(f"xref\n4 1\n$co1%010d 00000 n \n")
+    w(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $x0 >>\nstartxref\n$x1\n%%EOF\n")
+    // chain of three: newest wins over BOTH older sections
+    val cs2 = "BT (second update) Tj ET"
+    val co2 = out.size()
+    w(s"4 0 obj\n<< /Length ${cs2.length} >>\nstream\n$cs2\nendstream" +
+      "\nendobj\n")
+    val x2 = out.size()
+    w(f"xref\n4 1\n$co2%010d 00000 n \n")
+    w(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $x1 >>\nstartxref\n$x2\n%%EOF\n")
+    val pages = Pdf.parse("u2.pdf", out.toByteArray)
+    assert(pages.head.text === "second update")
+    // update 3: FREE the content object — the newer type-0 entry must
+    // shadow every older in-use entry, so the reference now dangles
+    val x3 = out.size()
+    w("xref\n4 1\n0000000000 65535 f \n")
+    w(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $x2 >>\nstartxref\n$x3\n%%EOF\n")
+    val e = intercept[RuntimeException](Pdf.parse("u3.pdf", out.toByteArray))
+    assert(e.getMessage.contains("not in xref") ||
+      e.getMessage.contains("/Contents"))
+  }
+
   test("indirect /Length (the `n 0 R` shape real writers emit) " +
       "resolves through the xref; xref streams keep the direct rule") {
     for (i <- Seq(0, 3)) {
