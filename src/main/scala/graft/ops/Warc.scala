@@ -177,6 +177,10 @@ object Warc {
       require(szStr.nonEmpty &&
         szStr.forall(c => Character.digit(c, 16) >= 0),
         s"$name: response at $pos: malformed chunk size '$line' at $p")
+      // 8 hex digits (4 GiB) already exceeds any record payload; more
+      // would overflow parseLong into an uncontextualized exception
+      require(szStr.length <= 8,
+        s"$name: response at $pos: unreasonable chunk size '$szStr' at $p")
       val sz = java.lang.Long.parseLong(szStr, 16)
       p = le + 2
       if (sz == 0L) {

@@ -24,4 +24,27 @@ class StreamRegistrySpec extends SparkSpec {
     assert(Registry.byName("q_stream_moments").oracle ===
       Registry.byName("q_value_moments").oracle)
   }
+
+  test("q_stream_crawl equals batch q_crawl_dedup AND still folds " +
+      "across multiple micro-batches after the r16 reprice") {
+    // the reprice (maxFilesPerTrigger 1 -> 4) must not collapse the run
+    // into one batch — three genuine micro-batches are what make the
+    // Complete-mode fold a batch/stream unification proof rather than a
+    // single-batch rerun of the batch plan. Count the actual source
+    // files and assert the implied batch count the option yields.
+    val dir = graft.ops.WarcFixture.ensure()
+    val plainSegs = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".warc"))
+    assert(plainSegs === graft.ops.WarcFixture.count)
+    assert((plainSegs + 3) / 4 >= 3,
+      "fixture too small for a multi-batch fold at 4 files/trigger")
+    val streamed = Registry.byName("q_stream_crawl").fn(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_crawl_dedup").fn(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    assert(Registry.byName("q_stream_crawl").oracle ===
+      Registry.byName("q_crawl_dedup").oracle)
+  }
 }
