@@ -44,7 +44,12 @@ object BenchHistory {
     "q_stream_moments", "q_stream_dedup",
     // r11 second wave: the iterative graph build/search, the
     // featurizer-bound selector, and the semdedup-composed sampler
-    "q_ann_graph", "q_dsir_select", "q_diverse_sample")
+    "q_ann_graph", "q_dsir_select", "q_diverse_sample",
+    // r16: the two r15 late registrations recording their first
+    // calm-window medians (VERDICT r15 #5) — streaming gate run and
+    // the composed crawl plan; both deserve 3-run medians even when a
+    // warm first run dips under the 0.7 s one-run bar
+    "q_stream_crawl", "q_crawl_curate_e2e")
 
   /** The most recent `bench_history.jsonl` medians recorded at `sf`
     * (e.g. "sf0.1"), as query → seconds; empty when the file is absent,
