@@ -51,12 +51,18 @@ object BenchHistory {
     // warm first run dips under the 0.7 s one-run bar
     "q_stream_crawl", "q_crawl_curate_e2e")
 
-  /** The most recent `bench_history.jsonl` medians recorded at `sf`
-    * (e.g. "sf0.1"), as query → seconds; empty when the file is absent,
-    * no line matches, or parsing fails — [[Bench]]'s history stall guard
-    * must degrade to inert, never abort the report. The parser leans on
-    * the writer's fixed one-line format below (keys are registry names,
-    * all `q`-prefixed; values plain JSON numbers). */
+  /** The most recent recorded median PER QUERY at `sf` (e.g. "sf0.1"):
+    * matching-sf lines layered oldest → newest, newest value winning
+    * per key. Layering (r16; previously last-line-wins) lets a PARTIAL
+    * line — a late registration recording its first medians — add its
+    * queries without shadowing the full-registry calm-window record
+    * beneath it, which last-line-wins would have gutted (mv/ms and the
+    * stall guard would have lost every other query's reference).
+    * Empty when the file is absent, no line matches, or parsing fails —
+    * [[Bench]]'s history stall guard must degrade to inert, never abort
+    * the report. The parser leans on the writer's fixed one-line format
+    * below (keys are registry names, all `q`-prefixed; values plain
+    * JSON numbers). */
   def latestMedians(sf: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get("bench_history.jsonl")
@@ -64,14 +70,14 @@ object BenchHistory {
       else {
         import scala.jdk.CollectionConverters._
         val sfTag = s""""sf":"$sf""""
+        val kv = """"(q[A-Za-z0-9_]*)":([0-9][0-9.]*)""".r
         java.nio.file.Files.readAllLines(p).asScala
-          .filter(_.contains(sfTag)).lastOption match {
-          case None => Map.empty
-          case Some(line) =>
-            val kv = """"(q[A-Za-z0-9_]*)":([0-9][0-9.]*)""".r
-            kv.findAllMatchIn(line.substring(line.indexOf("\"medians\"")))
-              .map(g => g.group(1) -> g.group(2).toDouble).toMap
-        }
+          .filter(_.contains(sfTag))
+          .foldLeft(Map.empty[String, Double]) { (acc, line) =>
+            acc ++ kv
+              .findAllMatchIn(line.substring(line.indexOf("\"medians\"")))
+              .map(g => g.group(1) -> g.group(2).toDouble)
+          }
       }
     } catch { case _: Throwable => Map.empty }
 

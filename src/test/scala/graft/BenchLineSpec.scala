@@ -217,8 +217,9 @@ class BenchLineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncate"))
   }
 
-  test("latestMedians reads the newest matching-sf history line and " +
-      "degrades to empty on absence (the history stall guard's contract)") {
+  test("latestMedians layers matching-sf history lines newest-over-" +
+      "oldest and degrades to empty on absence (the stall guard's " +
+      "contract; r16 — a partial line must not shadow the full record)") {
     // the checked-in repo history: round-11 full-registry line at sf0.1
     val m = BenchHistory.latestMedians("sf0.1")
     assert(m.size > 100,
@@ -233,6 +234,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(m.keys.forall(_.matches("q[A-Za-z0-9_]*")))
     assert(m.keySet.count(Registry.all.map(_.name).toSet) > 100,
       "history line no longer covers the current registry")
+    // layering semantics on the checked-in record: the NEWEST line's
+    // value wins per key (q_entity_canon_pr 2.29 from the r15 line, not
+    // the 1.70/2.03 r14 lines beneath it), and a key recorded only in
+    // an OLDER line still surfaces (q_ann_recall_cl, last recorded r13
+    // before the r14 query fusion — inert for Bench, which only looks
+    // up current names)
+    assert(m("q_entity_canon_pr") === 2.29)
+    assert(m("q_ann_recall_cl") === 3.36)
     // unmatched sf and a bad working-dir file both yield the inert guard
     assert(BenchHistory.latestMedians("sf_nonexistent").isEmpty)
     // guard arithmetic: a reading above max(2x median, median+1s)
