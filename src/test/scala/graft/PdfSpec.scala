@@ -202,6 +202,44 @@ class PdfSpec extends SparkSpec {
     assert(e.getMessage.contains("filter type 5"))
   }
 
+  test("PNG predictor un-filtering round-trips random rows under " +
+      "random per-row filters (seeded fuzz)") {
+    val rnd = new scala.util.Random(422)
+    for (trial <- 0 until 40) {
+      val cols = 1 + rnd.nextInt(16)
+      val nRows = 1 + rnd.nextInt(24)
+      val rows = Array.fill(nRows)(
+        Array.fill(cols)((rnd.nextInt(256) - 128).toByte))
+      val enc = new java.io.ByteArrayOutputStream()
+      var prev = new Array[Byte](cols)
+      rows.foreach { r =>
+        val t = rnd.nextInt(5)
+        enc.write(t)
+        (0 until cols).foreach { k =>
+          val x = r(k) & 0xff
+          val a = if (k > 0) r(k - 1) & 0xff else 0
+          val b = prev(k) & 0xff
+          val c = if (k > 0) prev(k - 1) & 0xff else 0
+          val pred = t match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          enc.write((x - pred) & 0xff)
+        }
+        prev = r
+      }
+      val got = Pdf.unfilterPng(s"f$trial", enc.toByteArray, cols)
+      assert(got.toSeq === rows.flatten.toSeq, s"trial $trial cols=$cols")
+    }
+  }
+
   test("classic xref table /Prev update (multi-subsection) shadows " +
       "the base") {
     val base = PdfFixture.pdfBytes(0) // 1 page; content obj 4, font 5

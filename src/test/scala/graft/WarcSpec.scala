@@ -133,6 +133,42 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("dechunk round-trips arbitrary bodies under arbitrary ladders " +
+      "(seeded fuzz: random splits, extensions, trailers, mixed-case hex)") {
+    val rnd = new scala.util.Random(421) // seeded — failures reproduce
+    for (trial <- 0 until 60) {
+      val body = (0 until rnd.nextInt(400))
+        .map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      // random chunk split: sizes 1..97 so multi-hex-digit sizes occur
+      val sb = new StringBuilder
+      var off = 0
+      while (off < body.length) {
+        val n = math.min(1 + rnd.nextInt(97), body.length - off)
+        var szLine = java.lang.Integer.toHexString(n)
+        if (rnd.nextBoolean()) szLine = szLine.toUpperCase
+        if (rnd.nextInt(4) == 0) szLine += s";ext=${rnd.nextInt(10)}"
+        sb.append(szLine).append("\r\n")
+          .append(body.substring(off, off + n)).append("\r\n")
+        off += n
+      }
+      sb.append("0\r\n")
+      if (rnd.nextInt(3) == 0) sb.append(s"X-Trailer: t$trial\r\n")
+      sb.append("\r\n")
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" + sb.toString
+      val rec = Seq("WARC/1.0", "WARC-Type: response",
+        "WARC-Record-ID: <urn:uuid:f>",
+        "WARC-Target-URI: http://f.example/",
+        "Content-Type: application/http;msgtype=response",
+        s"Content-Length: ${http.length}").mkString("\r\n") +
+        "\r\n\r\n" + http + "\r\n\r\n"
+      val row = Warc.parse(s"f$trial.warc",
+        rec.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).head
+      assert(row.body === Some(body), s"trial $trial")
+      assert(row.body_len === Some(body.length.toLong), s"trial $trial")
+    }
+  }
+
   test("per-record-gzip framing (.warc.gz) parses identically to plain") {
     for (i <- 0 until WarcFixture.count) {
       val gz = WarcFixture.recordsOf(i).map(gzMember)
