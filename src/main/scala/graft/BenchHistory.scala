@@ -74,9 +74,14 @@ object BenchHistory {
         java.nio.file.Files.readAllLines(p).asScala
           .filter(_.contains(sfTag))
           .foldLeft(Map.empty[String, Double]) { (acc, line) =>
-            acc ++ kv
+            // per-LINE resilience: under layering, one malformed line
+            // (no "medians" key, truncated mid-write) must only lose
+            // itself, not discard every other line's record through
+            // the outer catch (review r16)
+            try acc ++ kv
               .findAllMatchIn(line.substring(line.indexOf("\"medians\"")))
               .map(g => g.group(1) -> g.group(2).toDouble)
+            catch { case _: Throwable => acc }
           }
       }
     } catch { case _: Throwable => Map.empty }

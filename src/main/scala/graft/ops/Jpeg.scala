@@ -332,6 +332,9 @@ object Jpeg {
           val c = comps.find(_.id == cid).getOrElse(
             throw new IllegalArgumentException(s"$name: SOS refs comp $cid"))
           c.td = tdta >> 4; c.ta = tdta & 15
+          // ids index the 4-slot table arrays — a 4-bit field reaches 15
+          require(c.td <= 3 && c.ta <= 3,
+            s"$name: Huffman table id ${c.td}/${c.ta} out of range in SOS")
         }
         scanStart = p + len
       case mk2 if mk2 >= 0xC2 && mk2 <= 0xCF && mk2 != 0xC4 && mk2 != 0xC8 =>
@@ -497,6 +500,11 @@ object Jpeg {
                   throw new IllegalArgumentException(
                     s"$name: SOS refs comp $cid"))
                 c.td = tdta >> 4; c.ta = tdta & 15
+                // 4-bit ids reach 15 but index 4-slot arrays — refuse
+                // with context before any table lookup (review r16)
+                require(c.td <= 3 && c.ta <= 3,
+                  s"$name: Huffman table id ${c.td}/${c.ta} out of " +
+                    "range in SOS")
                 c
               }
               val ss = u8(b, p + 1 + 2 * ns); val se = u8(b, p + 2 + 2 * ns)

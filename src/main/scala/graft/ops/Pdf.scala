@@ -189,12 +189,19 @@ object Pdf {
       val cDictEnd = s.indexOf("stream", cOff)
       require(cDictEnd > cOff, s"$name: content object $cObjNum has no stream")
       val cDict = s.substring(cOff, cDictEnd)
-      val lenM = "/Length\\s+(\\d+)(\\s+0\\s+R)?".r.findFirstMatchIn(cDict)
+      val lenM =
+        "/Length\\s+(\\d+)(?:\\s+(\\d+)\\s+R)?".r.findFirstMatchIn(cDict)
       require(lenM.isDefined, s"$name: content object $cObjNum has no /Length")
       // direct integer, or the indirect `/Length n 0 R` real writers
-      // emit when the stream is serialized before its length is known
-      val len = if (lenM.get.group(2) == null) lenM.get.group(1).toInt
-                else intObj(lenM.get.group(1).toInt)
+      // emit when the stream is serialized before its length is known;
+      // a NON-ZERO generation must refuse by name, not fall through to
+      // reading the object number as the length (review r16)
+      val len = lenM.get.group(2) match {
+        case null => lenM.get.group(1).toInt
+        case "0" => intObj(lenM.get.group(1).toInt)
+        case g => sys.error(s"$name: /Length ${lenM.get.group(1)} $g R " +
+          "has a non-zero generation (unsupported)")
+      }
       var dStart = cDictEnd + 6
       require(dStart < s.length,
         s"$name: truncated after stream keyword at $dStart")
@@ -411,14 +418,16 @@ object Pdf {
     val dictEnd = s.indexOf("stream", objOff)
     require(dictEnd > objOff, s"$name: object at $objOff has no stream")
     val dict = s.substring(objOff, dictEnd)
-    val lenM = "/Length\\s+(\\d+)(\\s+0\\s+R)?".r.findFirstMatchIn(dict)
+    val lenM =
+      "/Length\\s+(\\d+)(?:\\s+\\d+\\s+R)?".r.findFirstMatchIn(dict)
     require(lenM.isDefined,
       s"$name: stream object at $objOff has no /Length")
     // xref stream dict keys shall be direct objects (ISO 32000 §7.5.8),
     // and resolving an ObjStm's indirect length could recurse through
-    // the ObjStm being opened — refuse BY NAME rather than misparse the
-    // object number as the length (the pre-r16 regex did exactly that)
-    require(lenM.get.group(2) == null,
+    // the ObjStm being opened — refuse BY NAME (any generation) rather
+    // than misparse the object number as the length (the pre-r16 regex
+    // did exactly that)
+    require(!lenM.get.matched.endsWith("R"),
       s"$name: stream object at $objOff has an indirect /Length " +
         "(unsupported for xref/object streams)")
     val len = lenM.get.group(1).toInt

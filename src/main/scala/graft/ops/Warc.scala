@@ -270,14 +270,19 @@ object Warc {
                 s"line '$st'")
           }
           val hls = http.split("\r\n").drop(1)
-          val ct = hls.collectFirst {
-            case l if l.startsWith("Content-Type: ") =>
-              l.substring("Content-Type: ".length)
+          // HTTP field names are case-insensitive (RFC 9110 §5.1) and
+          // the colon may carry no following space — an exact-case
+          // match would silently SKIP dechunking on a lowercase
+          // `transfer-encoding: chunked` capture and emit the raw
+          // ladder as the body (review r16)
+          def hdrVal(field: String): Option[String] = hls.collectFirst {
+            case l if l.length > field.length &&
+              l.regionMatches(true, 0, field, 0, field.length) &&
+              l.charAt(field.length) == ':' =>
+              l.substring(field.length + 1).trim
           }
-          val te = hls.collectFirst {
-            case l if l.startsWith("Transfer-Encoding: ") =>
-              l.substring("Transfer-Encoding: ".length)
-          }
+          val ct = hdrVal("Content-Type")
+          val te = hdrVal("Transfer-Encoding")
           val bOff = hs + 4
           te match {
             case Some(v) =>
@@ -389,7 +394,16 @@ object WarcFixture {
     * `recordsOf(i)` = the gate fixture's shape exactly. */
   def recordsOf(i: Int): Seq[String] = recordsOf(i, pagesOf(i), 1)
 
-  def recordsOf(i: Int, pages: Int, mul: Int): Seq[String] = {
+  def recordsOf(i: Int, pages: Int, mul: Int): Seq[String] =
+    segmentRecords(i, pages, mul, chunked = false)
+
+  /** ONE generator for both response framings — the "same origin
+    * bodies, different raw octets" contract the chunked differential
+    * proves is structural here, not maintained-by-parallel-code
+    * (review r16): `chunked` only swaps the response's body framing
+    * and the record-id family. */
+  private def segmentRecords(i: Int, pages: Int, mul: Int,
+                             chunked: Boolean): Seq[String] = {
     val info = record("warcinfo", None, "application/warc-fields",
       f"00000000-0000-0000-0000-$i%012d",
       "software: graftbot/1.0\r\nformat: WARC file version 1.0\r\n")
@@ -400,13 +414,17 @@ object WarcFixture {
         s"GET /page/$r HTTP/1.1\r\nHost: site$i.example\r\n" +
           "User-Agent: graftbot/1.0\r\n\r\n")
       val body = bodyOf(i, r, mul)
-      val http = s"HTTP/1.1 ${statusOf(i, r)} " +
+      val statusLine = s"HTTP/1.1 ${statusOf(i, r)} " +
         (if (statusOf(i, r) == 404) "Not Found" else "OK") + "\r\n" +
-        "Content-Type: text/html; charset=UTF-8\r\n" +
-        s"Content-Length: ${body.length}\r\n\r\n" + body
+        "Content-Type: text/html; charset=UTF-8\r\n"
+      val http =
+        if (chunked) statusLine +
+          "Transfer-Encoding: chunked\r\n\r\n" + chunkedBody(body)
+        else statusLine + s"Content-Length: ${body.length}\r\n\r\n" + body
+      val idFam = if (chunked) "3333" else "2222"
       val resp = record("response", Some(uri),
         "application/http;msgtype=response",
-        f"00000000-0000-0000-2222-${i * 1000 + r}%012d", http)
+        f"00000000-0000-0000-$idFam%s-${i * 1000 + r}%012d", http)
       Seq(req, resp)
     }
     info +: pageRecs
@@ -442,29 +460,8 @@ object WarcFixture {
   def recordsChunkedOf(i: Int): Seq[String] =
     recordsChunkedOf(i, pagesOf(i), 1)
 
-  def recordsChunkedOf(i: Int, pages: Int, mul: Int): Seq[String] = {
-    val info = record("warcinfo", None, "application/warc-fields",
-      f"00000000-0000-0000-0000-$i%012d",
-      "software: graftbot/1.0\r\nformat: WARC file version 1.0\r\n")
-    val pageRecs = (0 until pages).flatMap { r =>
-      val uri = s"http://site$i.example/page/$r"
-      val req = record("request", Some(uri),
-        "application/http;msgtype=request",
-        f"00000000-0000-0000-1111-${i * 1000 + r}%012d",
-        s"GET /page/$r HTTP/1.1\r\nHost: site$i.example\r\n" +
-          "User-Agent: graftbot/1.0\r\n\r\n")
-      val body = bodyOf(i, r, mul)
-      val http = s"HTTP/1.1 ${statusOf(i, r)} " +
-        (if (statusOf(i, r) == 404) "Not Found" else "OK") + "\r\n" +
-        "Content-Type: text/html; charset=UTF-8\r\n" +
-        "Transfer-Encoding: chunked\r\n\r\n" + chunkedBody(body)
-      val resp = record("response", Some(uri),
-        "application/http;msgtype=response",
-        f"00000000-0000-0000-3333-${i * 1000 + r}%012d", http)
-      Seq(req, resp)
-    }
-    info +: pageRecs
-  }
+  def recordsChunkedOf(i: Int, pages: Int, mul: Int): Seq[String] =
+    segmentRecords(i, pages, mul, chunked = true)
 
   def warcChunkedBytes(i: Int): Array[Byte] =
     recordsChunkedOf(i).mkString

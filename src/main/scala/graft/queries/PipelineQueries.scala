@@ -640,7 +640,12 @@ object PipelineQueries {
     * rec_idx, warc_type, target_uri, content_length, http_status, mime,
     * body_len, body_md5, body)` — spliced by q_warc_scan and by the
     * crawl-composition queries (TextQueries.qCrawlE2e). */
-  private[queries] def warcWalkSql: String = {
+  /** The record-hop scaffolding every plain-framing oracle walk shares
+    * (review r16 — previously copied per walk): `<p>raw` (read + ASCII
+    * decode) → `<p>rec0` (recursive Content-Length hop) → `<p>fld`
+    * with (file_name, rec_idx, s, hdr, pstart, cl). The per-walk
+    * projections diverge after `fld`. */
+  private def warcRecordHopSql(p: String, glob: String): String = {
     val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
     def hk(pos: String) = s"strpos(substr(s, $pos), $sep4)"
     def hdr(pos: String) = s"substr(s, $pos, ${hk(pos)} - 1)"
@@ -648,22 +653,28 @@ object PipelineQueries {
       s"CAST(regexp_extract(${hdr(pos)}, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
     def nextPos(pos: String) =
       s"($pos + ${hk(pos)} + 3 + ${cl(pos)} + 4)"
-    s"""wraw AS (
+    s"""${p}raw AS (
     |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
     |         decode(content) AS s
-    |  FROM read_blob('${graft.ops.WarcFixture.path}/*.warc')
-    |), rec AS (
+    |  FROM read_blob('${graft.ops.WarcFixture.path}/$glob')
+    |), ${p}rec0 AS (
     |  SELECT file_name, s, CAST(1 AS BIGINT) AS pos,
     |         CAST(0 AS INTEGER) AS rec_idx
-    |  FROM wraw
+    |  FROM ${p}raw
     |  UNION ALL
     |  SELECT file_name, s, ${nextPos("pos")}, rec_idx + 1
-    |  FROM rec WHERE ${nextPos("pos")} <= len(s)
-    |), wfld AS (
+    |  FROM ${p}rec0 WHERE ${nextPos("pos")} <= len(s)
+    |), ${p}fld AS (
     |  SELECT file_name, rec_idx, s, ${hdr("pos")} AS hdr,
     |         pos + ${hk("pos")} + 3 AS pstart, ${cl("pos")} AS cl
-    |  FROM rec
-    |), wr2 AS (
+    |  FROM ${p}rec0
+    |)""".stripMargin
+  }
+
+  private[queries] def warcWalkSql: String = {
+    val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
+    warcRecordHopSql("w", "*.warc") + s""",
+    |wr2 AS (
     |  SELECT file_name, rec_idx,
     |    regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
     |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
@@ -766,30 +777,10 @@ object PipelineQueries {
   private[queries] def warcChunkedWalkSql: String = {
     val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
     val crlf = "(chr(13)||chr(10))"
-    def hk(pos: String) = s"strpos(substr(s, $pos), $sep4)"
-    def hdr(pos: String) = s"substr(s, $pos, ${hk(pos)} - 1)"
-    def cl(pos: String) =
-      s"CAST(regexp_extract(${hdr(pos)}, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
-    def nextPos(pos: String) =
-      s"($pos + ${hk(pos)} + 3 + ${cl(pos)} + 4)"
     // one chunk hop: size = hex line before the first CRLF of `rest`
     val sz = s"('0x' || substr(rest, 1, strpos(rest, $crlf) - 1))::BIGINT"
-    s"""craw AS (
-    |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
-    |         decode(content) AS s
-    |  FROM read_blob('${graft.ops.WarcFixture.path}/chunked/*.warc')
-    |), crec0 AS (
-    |  SELECT file_name, s, CAST(1 AS BIGINT) AS pos,
-    |         CAST(0 AS INTEGER) AS rec_idx
-    |  FROM craw
-    |  UNION ALL
-    |  SELECT file_name, s, ${nextPos("pos")}, rec_idx + 1
-    |  FROM crec0 WHERE ${nextPos("pos")} <= len(s)
-    |), cfld AS (
-    |  SELECT file_name, rec_idx, s, ${hdr("pos")} AS hdr,
-    |         pos + ${hk("pos")} + 3 AS pstart, ${cl("pos")} AS cl
-    |  FROM crec0
-    |), cr2 AS (
+    warcRecordHopSql("c", "chunked/*.warc") + s""",
+    |cr2 AS (
     |  SELECT file_name, rec_idx,
     |    regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
     |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
@@ -835,53 +826,31 @@ object PipelineQueries {
     * surface their payload as the body columns and their own WARC
     * Content-Type as mime, `revisit`/`warcinfo` stay census-only.
     * Emits `drec` with `wrec`'s columns. */
-  private[queries] def warcDerivedWalkSql: String = {
-    val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
-    def hk(pos: String) = s"strpos(substr(s, $pos), $sep4)"
-    def hdr(pos: String) = s"substr(s, $pos, ${hk(pos)} - 1)"
-    def cl(pos: String) =
-      s"CAST(regexp_extract(${hdr(pos)}, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
-    def nextPos(pos: String) =
-      s"($pos + ${hk(pos)} + 3 + ${cl(pos)} + 4)"
-    s"""draw AS (
-    |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
-    |         decode(content) AS s
-    |  FROM read_blob('${graft.ops.WarcFixture.path}/derived/*.warc')
-    |), drec0 AS (
-    |  SELECT file_name, s, CAST(1 AS BIGINT) AS pos,
-    |         CAST(0 AS INTEGER) AS rec_idx
-    |  FROM draw
-    |  UNION ALL
-    |  SELECT file_name, s, ${nextPos("pos")}, rec_idx + 1
-    |  FROM drec0 WHERE ${nextPos("pos")} <= len(s)
-    |), dfld AS (
-    |  SELECT file_name, rec_idx, s, ${hdr("pos")} AS hdr,
-    |         pos + ${hk("pos")} + 3 AS pstart, ${cl("pos")} AS cl
-    |  FROM drec0
+  private[queries] def warcDerivedWalkSql: String =
+    warcRecordHopSql("d", "derived/*.warc") + s""",
+    |dr2 AS (
+    |  -- warc_type computed ONCE (review r16 — drec previously
+    |  -- re-extracted it per output column)
+    |  SELECT file_name, rec_idx, hdr, pstart, cl, s,
+    |    regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) AS warc_type
+    |  FROM dfld
     |), drec AS (
-    |  SELECT file_name, rec_idx,
-    |    regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
+    |  SELECT file_name, rec_idx, warc_type,
     |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
     |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
     |    END AS target_uri,
     |    cl AS content_length,
     |    CAST(NULL AS INTEGER) AS http_status,
-    |    CASE WHEN regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
-    |           = 'conversion'
+    |    CASE WHEN warc_type = 'conversion'
     |      THEN regexp_extract(hdr, 'Content-Type: ([^\\r]+)', 1)
     |    END AS mime,
-    |    CASE WHEN regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
-    |           = 'conversion'
-    |      THEN cl END AS body_len,
-    |    CASE WHEN regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
-    |           = 'conversion'
+    |    CASE WHEN warc_type = 'conversion' THEN cl END AS body_len,
+    |    CASE WHEN warc_type = 'conversion'
     |      THEN md5(substr(s, pstart, cl)) END AS body_md5,
-    |    CASE WHEN regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1)
-    |           = 'conversion'
+    |    CASE WHEN warc_type = 'conversion'
     |      THEN substr(s, pstart, cl) END AS body
-    |  FROM dfld
+    |  FROM dr2
     |)""".stripMargin
-  }
 
   val qWarcScan = Q("q_warc_scan",
     (s, _) => {

@@ -970,8 +970,9 @@ object StreamQueries {
     },
     graft.queries.TextQueries.qCrawlDedup.oracle,
     "north star: streaming crawl ingestion in the gate (WARC codec as a " +
-      "readStream file source, one micro-batch per segment, digest dedup " +
-      "as a Complete-mode fold equal to the batch answer)")
+      "readStream file source, segments bundled 4 per trigger for 3 " +
+      "genuine micro-batches, digest dedup as a Complete-mode fold " +
+      "equal to the batch answer)")
 
   def all: Seq[Q] = Seq(qHourly, qSliding, qSessionize, qSessionWindow, qJson, qEventsTopK,
     qAsof, qAsofBcast, qRangeJoin, qStreamMoments, qStreamSessionize,

@@ -159,6 +159,37 @@ class PdfSpec extends SparkSpec {
     }
   }
 
+  /** Reference PNG row-filter ENCODER (RFC 2083 §6, bpp=1) — the single
+    * spec-side inverse both predictor tests encode through. */
+  private def pngFilterRows(rows: Seq[Array[Byte]], types: Seq[Int],
+      cols: Int): Array[Byte] = {
+    val enc = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    rows.zip(types).foreach { case (r, t) =>
+      enc.write(t)
+      (0 until cols).foreach { k =>
+        val x = r(k) & 0xff
+        val a = if (k > 0) r(k - 1) & 0xff else 0
+        val b = prev(k) & 0xff
+        val c = if (k > 0) prev(k - 1) & 0xff else 0
+        val pred = t match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        enc.write((x - pred) & 0xff)
+      }
+      prev = r
+    }
+    enc.toByteArray
+  }
+
   test("PNG predictor un-filtering recovers all five filter types") {
     val cols = 7
     val rows = Seq(
@@ -169,31 +200,7 @@ class PdfSpec extends SparkSpec {
     // the per-ROW filter byte, not the /Predictor hint
     for (types <- Seq(Seq(0, 0, 0), Seq(1, 2, 3), Seq(4, 4, 4),
         Seq(2, 1, 4))) {
-      val enc = new java.io.ByteArrayOutputStream()
-      var prev = new Array[Byte](cols)
-      rows.zip(types).foreach { case (r, t) =>
-        enc.write(t)
-        (0 until cols).foreach { k =>
-          val x = r(k) & 0xff
-          val a = if (k > 0) r(k - 1) & 0xff else 0
-          val b = prev(k) & 0xff
-          val c = if (k > 0) prev(k - 1) & 0xff else 0
-          val pred = t match {
-            case 0 => 0
-            case 1 => a
-            case 2 => b
-            case 3 => (a + b) / 2
-            case 4 =>
-              val p = a + b - c
-              val pa = math.abs(p - a); val pb = math.abs(p - b)
-              val pc = math.abs(p - c)
-              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-          }
-          enc.write((x - pred) & 0xff)
-        }
-        prev = r
-      }
-      val got = Pdf.unfilterPng("t", enc.toByteArray, cols)
+      val got = Pdf.unfilterPng("t", pngFilterRows(rows, types, cols), cols)
       assert(got.toSeq === rows.flatten.toSeq)
     }
     // filter type 5: refused with the row
@@ -210,32 +217,9 @@ class PdfSpec extends SparkSpec {
       val nRows = 1 + rnd.nextInt(24)
       val rows = Array.fill(nRows)(
         Array.fill(cols)((rnd.nextInt(256) - 128).toByte))
-      val enc = new java.io.ByteArrayOutputStream()
-      var prev = new Array[Byte](cols)
-      rows.foreach { r =>
-        val t = rnd.nextInt(5)
-        enc.write(t)
-        (0 until cols).foreach { k =>
-          val x = r(k) & 0xff
-          val a = if (k > 0) r(k - 1) & 0xff else 0
-          val b = prev(k) & 0xff
-          val c = if (k > 0) prev(k - 1) & 0xff else 0
-          val pred = t match {
-            case 0 => 0
-            case 1 => a
-            case 2 => b
-            case 3 => (a + b) / 2
-            case 4 =>
-              val p = a + b - c
-              val pa = math.abs(p - a); val pb = math.abs(p - b)
-              val pc = math.abs(p - c)
-              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-          }
-          enc.write((x - pred) & 0xff)
-        }
-        prev = r
-      }
-      val got = Pdf.unfilterPng(s"f$trial", enc.toByteArray, cols)
+      val types = Seq.fill(nRows)(rnd.nextInt(5))
+      val got = Pdf.unfilterPng(s"f$trial",
+        pngFilterRows(rows.toSeq, types, cols), cols)
       assert(got.toSeq === rows.flatten.toSeq, s"trial $trial cols=$cols")
     }
   }
