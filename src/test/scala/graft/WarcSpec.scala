@@ -133,6 +133,28 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("HTTP header field names match case-insensitively with " +
+      "optional space (RFC 9110) — lowercase transfer-encoding " +
+      "must still dechunk") {
+    val http = "HTTP/1.1 200 OK\r\n" +
+      "content-type:text/plain\r\n" +
+      "transfer-encoding:chunked\r\n\r\n" +
+      "5\r\nhello\r\n0\r\n\r\n"
+    val rec = Seq("WARC/1.0", "WARC-Type: response",
+      "WARC-Record-ID: <urn:uuid:ci>",
+      "WARC-Target-URI: http://ci.example/",
+      "Content-Type: application/http;msgtype=response",
+      s"Content-Length: ${http.length}").mkString("\r\n") +
+      "\r\n\r\n" + http + "\r\n\r\n"
+    val row = Warc.parse("ci.warc",
+      rec.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).head
+    // a case-sensitive match would skip dechunking and emit the raw
+    // ladder ("5\r\nhello\r\n0\r\n\r\n") as the body — silent misparse
+    assert(row.body === Some("hello"))
+    assert(row.body_len === Some(5L))
+    assert(row.mime === Some("text/plain"))
+  }
+
   test("dechunk round-trips arbitrary bodies under arbitrary ladders " +
       "(seeded fuzz: random splits, extensions, trailers, mixed-case hex)") {
     val rnd = new scala.util.Random(421) // seeded — failures reproduce
