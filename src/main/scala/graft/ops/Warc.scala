@@ -239,12 +239,13 @@ object Warc {
       require(sepAt(b, pEnd) == pEnd,
         s"$name: missing CRLF CRLF record trailer at $pEnd")
       val (status, mime, bodyLen, bodyMd5, bodyTxt) =
-        if (typ == "conversion") {
-          // WET-shape converted content (ISO 28500 §6.8): the payload
-          // IS the document (no HTTP envelope), so the body columns a
-          // downstream text stage keys on come straight from it; the
-          // mime column carries the record's own Content-Type. A
-          // `revisit` record (§6.7: a duplicate capture pointing at its
+        if (typ == "conversion" || typ == "metadata") {
+          // WET-shape converted content (ISO 28500 §6.8) and WAT-shape
+          // metadata (§6.6: JSON describing a capture): the payload IS
+          // the document (no HTTP envelope), so the body columns a
+          // downstream stage keys on come straight from it; the mime
+          // column carries the record's own Content-Type. A `revisit`
+          // record (§6.7: a duplicate capture pointing at its
           // WARC-Refers-To original) stays census-only — it has no
           // payload of its own by design.
           (None, fields.get("Content-Type"), Some((pEnd - pStart).toLong),
@@ -346,7 +347,7 @@ object WarcFixture {
   val count = 12
 
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_warc_v4").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_warc_v5").getAbsolutePath
 
   def pagesOf(i: Int): Int = 3 + (i % 5)
 
@@ -480,12 +481,20 @@ object WarcFixture {
       .map(w => words((i * 3 + r * 9 + w * 5) % words.length))
       .mkString(" ") + "\n"
 
+  /** The WAT-style JSON metadata the `metadata` record for page (i, r)
+    * carries — deterministic, the envelope-summary shape a WAT consumer
+    * reads (kept single-line so the oracle's string walk stays flat). */
+  def watJsonOf(i: Int, r: Int): String =
+    s"""{"uri":"http://site$i.example/page/$r","status":${statusOf(i, r)},""" +
+      s""""links":${(i + r) % 4},"title":"Page $i-$r"}"""
+
   /** File i's DERIVED records (VERDICT r15 stretch): per page one
     * `revisit` (the identical-payload-digest duplicate-capture shape —
     * WARC-Profile + WARC-Refers-To, payload = the HTTP response headers
-    * only) and one `conversion` (the WET text-extract shape — payload
-    * IS the plain-text document). These are what a CommonCrawl WET/WAT
-    * consumer reads next to the response captures. */
+    * only), one `conversion` (the WET text-extract shape — payload IS
+    * the plain-text document), and one `metadata` (the WAT shape —
+    * payload is the JSON capture summary). These are what a CommonCrawl
+    * WET/WAT consumer reads next to the response captures. */
   def recordsDerivedOf(i: Int): Seq[String] = {
     val info = record("warcinfo", None, "application/warc-fields",
       f"00000000-0000-0000-6666-$i%012d",
@@ -503,7 +512,10 @@ object WarcFixture {
       val conv = record("conversion", Some(uri), "text/plain",
         f"00000000-0000-0000-5555-${i * 1000 + r}%012d",
         wetTextOf(i, r), Seq(refersTo))
-      Seq(rev, conv)
+      val meta = record("metadata", Some(uri), "application/json",
+        f"00000000-0000-0000-7777-${i * 1000 + r}%012d",
+        watJsonOf(i, r), Seq(refersTo))
+      Seq(rev, conv, meta)
     }
     info +: recs
   }
@@ -550,7 +562,7 @@ object WarcFixture {
       .foldLeft(Array.empty[Byte])(_ ++ _)
 
   /** Build the fixture if missing; returns [[path]]. Same benign-race
-    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v4:
+    * contract as [[Mp3Fixture.ensure]] (content-keyed, tmp+rename). v5:
     * every segment ships in THREE framings — seg_NNN.warc, the
     * per-record-gzip seg_NNN.warc.gz, and chunked/segc_NNN.warc (every
     * response Transfer-Encoding: chunked, same origin bodies) — plus

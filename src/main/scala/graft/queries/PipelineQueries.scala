@@ -820,11 +820,12 @@ object PipelineQueries {
     |)""".stripMargin
   }
 
-  /** The derived-records oracle walk (revisit/conversion — the WAT/WET
-    * shapes a CommonCrawl consumer reads, VERDICT r15 stretch): the
-    * plain record hop over derived/segd_*.warc; `conversion` records
-    * surface their payload as the body columns and their own WARC
-    * Content-Type as mime, `revisit`/`warcinfo` stay census-only.
+  /** The derived-records oracle walk (revisit/conversion/metadata —
+    * the WAT/WET shapes a CommonCrawl consumer reads, VERDICT r15
+    * stretch): the plain record hop over derived/segd_*.warc;
+    * `conversion` (WET text) and `metadata` (WAT JSON) records surface
+    * their payload as the body columns and their own WARC Content-Type
+    * as mime, `revisit`/`warcinfo` stay census-only.
     * Emits `drec` with `wrec`'s columns. */
   private[queries] def warcDerivedWalkSql: String =
     warcRecordHopSql("d", "derived/*.warc") + s""",
@@ -841,13 +842,14 @@ object PipelineQueries {
     |    END AS target_uri,
     |    cl AS content_length,
     |    CAST(NULL AS INTEGER) AS http_status,
-    |    CASE WHEN warc_type = 'conversion'
+    |    CASE WHEN warc_type IN ('conversion', 'metadata')
     |      THEN regexp_extract(hdr, 'Content-Type: ([^\\r]+)', 1)
     |    END AS mime,
-    |    CASE WHEN warc_type = 'conversion' THEN cl END AS body_len,
-    |    CASE WHEN warc_type = 'conversion'
+    |    CASE WHEN warc_type IN ('conversion', 'metadata')
+    |      THEN cl END AS body_len,
+    |    CASE WHEN warc_type IN ('conversion', 'metadata')
     |      THEN md5(substr(s, pstart, cl)) END AS body_md5,
-    |    CASE WHEN warc_type = 'conversion'
+    |    CASE WHEN warc_type IN ('conversion', 'metadata')
     |      THEN substr(s, pstart, cl) END AS body
     |  FROM dr2
     |)""".stripMargin
@@ -881,8 +883,8 @@ object PipelineQueries {
       "HTTP envelope + body md5/text) in THREE framings - plain, " +
       "per-record-gzip .warc.gz hex-walked through STORED deflate " +
       "blocks, chunked Transfer-Encoding dechunked by a recursive hex " +
-      "chunk ladder on both sides - plus the revisit/conversion " +
-      "(WAT/WET) record shapes")
+      "chunk ladder on both sides - plus the revisit/conversion/" +
+      "metadata (WAT/WET) record shapes")
 
   /** q_pdf_scan — REAL PDF text extraction ([[graft.ops.Pdf]] — xref
     * walk, page tree, /Length-measured content streams, a token-level

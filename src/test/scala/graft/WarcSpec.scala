@@ -104,15 +104,17 @@ class WarcSpec extends SparkSpec {
     assert(e5.getMessage.contains("unsupported Transfer-Encoding"))
   }
 
-  test("revisit/conversion (WAT/WET) records: conversion surfaces its " +
-      "payload as the body, revisit stays census-only") {
+  test("revisit/conversion/metadata (WAT/WET) records: conversion and " +
+      "metadata surface their payloads as the body, revisit stays " +
+      "census-only") {
     for (i <- 0 until WarcFixture.derivedCount) {
       val rows = Warc.parse(f"segd_$i%03d.warc",
         WarcFixture.warcDerivedBytes(i))
-      assert(rows.length === 1 + 2 * WarcFixture.pagesOf(i))
+      assert(rows.length === 1 + 3 * WarcFixture.pagesOf(i))
       assert(rows.head.warc_type === "warcinfo")
       for (r <- 0 until WarcFixture.pagesOf(i)) {
-        val rev = rows(1 + 2 * r); val conv = rows(2 + 2 * r)
+        val rev = rows(1 + 3 * r); val conv = rows(2 + 3 * r)
+        val meta = rows(3 + 3 * r)
         assert(rev.warc_type === "revisit")
         assert(rev.target_uri === Some(s"http://site$i.example/page/$r"))
         // a revisit has no payload of its own — census columns only
@@ -129,6 +131,10 @@ class WarcSpec extends SparkSpec {
           .digest(wet.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
           .map(x => f"$x%02x").mkString
         assert(conv.body_md5 === Some(md))
+        assert(meta.warc_type === "metadata")
+        assert(meta.mime === Some("application/json"))
+        assert(meta.body === Some(WarcFixture.watJsonOf(i, r)))
+        assert(meta.http_status === None)
       }
     }
   }
