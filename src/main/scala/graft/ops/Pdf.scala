@@ -218,7 +218,8 @@ object Pdf {
           s"(object $cObjNum)")
       val streamBytes = java.util.Arrays.copyOfRange(raw, dStart, dStart + len)
       val content =
-        if (cDict.contains("/FlateDecode")) inflate(name, streamBytes)
+        if (flateOnly(name, cDict, s"content object $cObjNum"))
+          inflate(name, streamBytes)
         else streamBytes
       val (text, nLits) = extractText(name, new String(content, L1))
       PdfPage(name, idx + 1, text, nLits, len.toLong)
@@ -447,7 +448,22 @@ object Pdf {
       s"$name: declared /Length $len does not land on endstream " +
         s"(object at $objOff)")
     val bytes = java.util.Arrays.copyOfRange(raw, dStart, dStart + len)
-    if (dict.contains("/FlateDecode")) inflate(name, bytes) else bytes
+    if (flateOnly(name, dict, s"stream object at $objOff"))
+      inflate(name, bytes)
+    else bytes
+  }
+
+  /** True when the dict selects FlateDecode as its ONLY filter; a
+    * filter CASCADE (`/Filter [/ASCIIHexDecode /FlateDecode]`) refuses
+    * by name — the bare contains() check would have fed the outer
+    * coding's text straight into the inflater (review r16). */
+  private def flateOnly(name: String, dict: String, where: String): Boolean = {
+    val arr = "/Filter\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict)
+    arr.foreach { m =>
+      require("/\\w+".r.findAllIn(m.group(1)).size <= 1,
+        s"$name: filter cascade '${m.group(1).trim}' unsupported ($where)")
+    }
+    dict.contains("/FlateDecode")
   }
 
   private def inflate(name: String, b: Array[Byte]): Array[Byte] = {
@@ -456,7 +472,13 @@ object Pdf {
     val out = new java.io.ByteArrayOutputStream(b.length * 4)
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
-      val n = inf.inflate(buf)
+      // DataFormatException carries no file context — re-refuse loudly
+      val n = try inf.inflate(buf)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"$name: malformed FlateDecode stream (${e.getMessage})")
+        }
       require(n > 0 || !inf.needsInput(),
         s"$name: truncated FlateDecode stream")
       require(!inf.needsDictionary(), s"$name: FDICT zlib stream unsupported")

@@ -378,6 +378,57 @@ class PdfSpec extends SparkSpec {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  test("the array form of a single /Filter parses; filter cascades " +
+      "refuse by name") {
+    val cs = "BT (filtered) Tj ET"
+    // array-of-one FlateDecode: equivalent to the name form, must parse
+    val one = onePageWithFilter("/Filter [/FlateDecode]", deflateBytes(
+      cs.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    val pages = Pdf.parse("a.pdf", one)
+    assert(pages.head.text === "filtered")
+    // a cascade would feed the OUTER coding's text to the inflater —
+    // refuse by name instead
+    val casc = onePageWithFilter("/Filter [/ASCIIHexDecode /FlateDecode]",
+      "4254" .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val e = intercept[IllegalArgumentException](Pdf.parse("c.pdf", casc))
+    assert(e.getMessage.contains("filter cascade"))
+    // malformed zlib bytes under a legitimate /FlateDecode refuse with
+    // file context, not a bare DataFormatException
+    val bad = onePageWithFilter("/Filter /FlateDecode",
+      Array[Byte](0x12, 0x34, 0x56, 0x78))
+    val e2 = intercept[IllegalArgumentException](Pdf.parse("z.pdf", bad))
+    assert(e2.getMessage.contains("FlateDecode"))
+  }
+
+  /** Minimal classic one-page file whose content stream carries the
+    * given /Filter clause and raw bytes — offsets computed as written,
+    * so the parse reaches the filter logic with a valid xref. */
+  private def onePageWithFilter(filter: String,
+      content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](5)
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets(n) = out.size()
+      w(s"$n 0 obj\n"); body; w("\nendobj\n")
+    }
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"))
+    obj(4) {
+      w(s"<< /Length ${content.length} $filter >>\nstream\n")
+      out.write(content)
+      w("\nendstream")
+    }
+    val xrefPos = out.size()
+    w("xref\n0 5\n0000000000 65535 f \n")
+    (1 to 4).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** File i with every content stream FlateDecode-compressed — built by
     * the same object/xref bookkeeping as the fixture writer, so offsets
     * stay exact while /Length now measures the compressed bytes. */
