@@ -218,7 +218,13 @@ object MediaCodec {
                   s"$name: interlaced PNG unsupported")
               case "IDAT" => idat.write(b, off + 8, len)
               case "IEND" => done = true
-              case _ => () // ancillary chunks skipped
+              case "PLTE" => () // legal as a SUGGESTED palette on 2/6
+              case t =>
+                // ancillary chunks (lowercase first letter) are
+                // skippable by design; an unknown CRITICAL chunk means
+                // the image cannot be decoded faithfully — refuse
+                require((t(0) & 0x20) != 0,
+                  s"$name: unknown critical chunk $t at $off")
             }
             off += 12 + len
           }
