@@ -64,6 +64,12 @@ object Tar {
     val out = Seq.newBuilder[TarEntry]
     var pos = 0
     var idx = 0
+    // GNU longname state: a type-'L' member's payload is the FULL name
+    // of the member that FOLLOWS it (the `tar` CLI emits these for
+    // >100-char paths — a WebDataset shard with deep sample keys);
+    // surfacing the L row raw while leaving the next member's name
+    // truncated would be a silent misparse of the archive's semantics
+    var pendingLongName: Option[String] = None
     while (pos + 512 <= b.length && !isZeroBlock(b, pos)) {
       val magic = new String(b, pos + 257, 5, L1)
       require(magic == "ustar", s"$name: bad magic '$magic' at $pos")
@@ -100,10 +106,25 @@ object Tar {
       // UTF-8, so non-ASCII round-trips exactly
       val text = new String(b, pStart, size.toInt,
         java.nio.charset.StandardCharsets.UTF_8)
-      out += TarEntry(name, idx, entryName, size, tf, text)
+      if (tf == "L") {
+        require(entryName == "././@LongLink",
+          s"$name: GNU longname member at $pos is named '$entryName', " +
+            "not ././@LongLink")
+        require(pendingLongName.isEmpty,
+          s"$name: consecutive GNU longname members at $pos")
+        // NUL-terminated full name for the next member; the L member
+        // itself materializes no entry (GNU tar's own convention)
+        pendingLongName = Some(text.takeWhile(_ != '\u0000'))
+      } else {
+        out += TarEntry(name, idx, pendingLongName.getOrElse(entryName),
+          size, tf, text)
+        pendingLongName = None
+        idx += 1
+      }
       pos = pStart + (((size + 511) / 512) * 512).toInt
-      idx += 1
     }
+    require(pendingLongName.isEmpty,
+      s"$name: dangling GNU longname with no following member")
     require(pos + 1024 <= b.length && isZeroBlock(b, pos) &&
       isZeroBlock(b, pos + 512),
       s"$name: walk did not land on the two-zero-block terminator at $pos")

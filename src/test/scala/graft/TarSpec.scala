@@ -68,6 +68,47 @@ class TarSpec extends SparkSpec {
     assert(Tar.parse("g.tar", gnu).head.entry_name === "name.txt")
   }
 
+  test("GNU longname ('L') members apply to the following member and " +
+      "materialize no entry of their own") {
+    val longName = "very/deep/dataset/shard/path/that/overflows/the/" +
+      "hundred/byte/ustar/name/field/by/some/margin/sample_000000042.txt"
+    assert(longName.length > 100)
+    def member(name: String, tf: Char,
+        payload: Array[Byte]): Array[Byte] = {
+      val h = Tar.header(name, payload.length)
+      h(156) = tf.toByte
+      // re-checksum with the chksum field as spaces
+      for (i <- 148 until 156) h(i) = ' '
+      val sum = h.map(_ & 0xff).sum
+      System.arraycopy(f"$sum%06o"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0,
+        h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      val pad = (512 - payload.length % 512) % 512
+      h ++ payload ++ new Array[Byte](pad)
+    }
+    val lPayload = (longName + "\u0000")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val tar = member("././@LongLink", 'L', lPayload) ++
+      member(longName.takeRight(100), '0',
+        "payload text".getBytes(java.nio.charset.StandardCharsets.UTF_8)) ++
+      member("short.txt", '0',
+        "other".getBytes(java.nio.charset.StandardCharsets.UTF_8)) ++
+      new Array[Byte](1024)
+    val rows = Tar.parse("gnu.tar", tar)
+    assert(rows.length === 2)
+    assert(rows(0).entry_name === longName)
+    assert(rows(0).text === "payload text")
+    assert(rows(0).entry_idx === 0)
+    // the longname applies ONLY to the next member
+    assert(rows(1).entry_name === "short.txt")
+    // a dangling L at the end refuses
+    val dangling = member("././@LongLink", 'L', lPayload) ++
+      new Array[Byte](1024)
+    val e = intercept[IllegalArgumentException](Tar.parse("d.tar", dangling))
+    assert(e.getMessage.contains("dangling GNU longname"))
+  }
+
   test("malformed archives refuse loudly") {
     val good = TarFixture.tarBytes(0)
     // corrupted header byte -> checksum mismatch
