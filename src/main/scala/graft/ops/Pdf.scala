@@ -177,9 +177,9 @@ object Pdf {
     val pageNums = "(\\d+)\\s+0\\s+R".r.findAllMatchIn(kids.get.group(1))
       .map(_.group(1).toInt).toSeq
     require(pageNums.nonEmpty, s"$name: empty /Kids")
-    pageNums.zipWithIndex.map { case (pn, idx) =>
-      val page = body(pn)
-      val cObjNum = ref(page, "/Contents")
+    /** Read ONE content stream object: (decoded content, declared
+      * length). Shared by the single-ref and array /Contents forms. */
+    def readContent(cObjNum: Int): (String, Int) = {
       // streams may not live inside an /ObjStm (ISO 32000 §7.5.7), so a
       // /Contents target must be offset-located — refuse otherwise
       val cOff = offsets.getOrElse(cObjNum, -1)
@@ -221,8 +221,29 @@ object Pdf {
         if (flateOnly(name, cDict, s"content object $cObjNum"))
           inflate(name, streamBytes)
         else streamBytes
-      val (text, nLits) = extractText(name, new String(content, L1))
-      PdfPage(name, idx + 1, text, nLits, len.toLong)
+      (new String(content, L1), len)
+    }
+    pageNums.zipWithIndex.map { case (pn, idx) =>
+      val page = body(pn)
+      // /Contents is a single reference OR an array of them (ISO 32000
+      // §7.7.3.3 — Word-style writers split page content into several
+      // streams routinely; §7.8.2: the array forms ONE logical content
+      // stream, streams concatenated with whitespace between, tokens
+      // never spanning a boundary)
+      val cRefs: Seq[Int] =
+        "/Contents\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(page) match {
+          case Some(m) =>
+            val ns = "(\\d+)\\s+0\\s+R".r.findAllMatchIn(m.group(1))
+              .map(_.group(1).toInt).toSeq
+            require(ns.nonEmpty, s"$name: empty /Contents array")
+            ns
+          case None => Seq(ref(page, "/Contents"))
+        }
+      val parts = cRefs.map(readContent)
+      val (text, nLits) =
+        extractText(name, parts.map(_._1).mkString("\n"))
+      PdfPage(name, idx + 1, text, nLits,
+        parts.map(_._2.toLong).sum)
     }
   }
 

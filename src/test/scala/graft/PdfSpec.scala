@@ -378,6 +378,37 @@ class PdfSpec extends SparkSpec {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  test("/Contents arrays (Word-style split content) concatenate into " +
+      "one logical stream") {
+    // page content split across TWO streams, the split landing BETWEEN
+    // tokens (§7.8.2: tokens never span a stream boundary)
+    val cs1 = "BT (first half ) Tj"
+    val cs2 = "( second half) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit =
+      out.write(str.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](6)
+    def obj(n: Int, bodyStr: String): Unit = {
+      offsets(n) = out.size()
+      w(s"$n 0 obj\n$bodyStr\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>")
+    obj(4, s"<< /Length ${cs1.length} >>\nstream\n$cs1\nendstream")
+    obj(5, s"<< /Length ${cs2.length} >>\nstream\n$cs2\nendstream")
+    val xrefPos = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    val pages = Pdf.parse("arr.pdf", out.toByteArray)
+    assert(pages.length === 1)
+    assert(pages.head.text === "first half  second half")
+    assert(pages.head.n_lits === 2)
+    assert(pages.head.stream_bytes === (cs1.length + cs2.length).toLong)
+  }
+
   test("the array form of a single /Filter parses; filter cascades " +
       "refuse by name") {
     val cs = "BT (filtered) Tj ET"
