@@ -335,6 +335,13 @@ object Jpeg {
           // ids index the 4-slot table arrays — a 4-bit field reaches 15
           require(c.td <= 3 && c.ta <= 3,
             s"$name: Huffman table id ${c.td}/${c.ta} out of range in SOS")
+          // loud refusal at scan-header time, mirroring the progressive
+          // path (ADVICE r16): a scan referencing an undefined table
+          // must not NPE with no file context mid-decode
+          require(hdc(c.td) != null,
+            s"$name: missing DC Huffman table ${c.td}")
+          require(hac(c.ta) != null,
+            s"$name: missing AC Huffman table ${c.ta}")
         }
         scanStart = p + len
       case mk2 if mk2 >= 0xC2 && mk2 <= 0xCF && mk2 != 0xC4 && mk2 != 0xC8 =>

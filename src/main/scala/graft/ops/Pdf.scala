@@ -218,9 +218,7 @@ object Pdf {
           s"(object $cObjNum)")
       val streamBytes = java.util.Arrays.copyOfRange(raw, dStart, dStart + len)
       val content =
-        if (flateOnly(name, cDict, s"content object $cObjNum"))
-          inflate(name, streamBytes)
-        else streamBytes
+        decodeFilters(name, cDict, streamBytes, s"content object $cObjNum")
       (new String(content, L1), len)
     }
     pageNums.zipWithIndex.map { case (pn, idx) =>
@@ -469,22 +467,72 @@ object Pdf {
       s"$name: declared /Length $len does not land on endstream " +
         s"(object at $objOff)")
     val bytes = java.util.Arrays.copyOfRange(raw, dStart, dStart + len)
-    if (flateOnly(name, dict, s"stream object at $objOff"))
-      inflate(name, bytes)
-    else bytes
+    decodeFilters(name, dict, bytes, s"stream object at $objOff")
   }
 
-  /** True when the dict selects FlateDecode as its ONLY filter; a
-    * filter CASCADE (`/Filter [/ASCIIHexDecode /FlateDecode]`) refuses
-    * by name — the bare contains() check would have fed the outer
-    * coding's text straight into the inflater (review r16). */
-  private def flateOnly(name: String, dict: String, where: String): Boolean = {
-    val arr = "/Filter\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict)
-    arr.foreach { m =>
-      require("/\\w+".r.findAllIn(m.group(1)).size <= 1,
-        s"$name: filter cascade '${m.group(1).trim}' unsupported ($where)")
+  /** Apply the stream dict's /Filter chain (ISO 32000 §7.4.1: name or
+    * array form; an array lists filters in the order they were APPLIED,
+    * so decode runs left-to-right). Supported: no filter, /FlateDecode,
+    * /ASCIIHexDecode, and the `[/ASCIIHexDecode /FlateDecode]` pair
+    * older writers emit for binary-safe transport. ANY other filter
+    * name refuses loudly — the pre-r17 helper returned a single
+    * non-Flate filter's still-encoded bytes raw into the text
+    * interpreter, a silent misparse (ADVICE r16). */
+  private def decodeFilters(name: String, dict: String, bytes: Array[Byte],
+                            where: String): Array[Byte] = {
+    val filters: List[String] =
+      "/Filter\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict) match {
+        case Some(m) =>
+          "/(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toList
+        case None =>
+          "/Filter\\s*/(\\w+)".r.findFirstMatchIn(dict)
+            .map(_.group(1)).toList
+      }
+    filters match {
+      case Nil                          => bytes
+      case "FlateDecode" :: Nil         => inflate(name, bytes)
+      case "ASCIIHexDecode" :: Nil      => asciiHex(name, bytes, where)
+      case "ASCIIHexDecode" :: "FlateDecode" :: Nil =>
+        inflate(name, asciiHex(name, bytes, where))
+      case fs => sys.error(s"$name: filter chain " +
+        s"${fs.map("/" + _).mkString(" ")} unsupported ($where)")
     }
-    dict.contains("/FlateDecode")
+  }
+
+  /** ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace ignored,
+    * `>` is EOD (required; data after it refuses), an odd trailing
+    * digit is padded with 0; any other character refuses loudly. */
+  private def asciiHex(name: String, b: Array[Byte],
+                       where: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length / 2)
+    var hi = -1
+    var i = 0
+    var eod = false
+    while (i < b.length && !eod) {
+      val c = b(i) & 0xff
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c == '>') { eod = true; -1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+                 c == '\f' || c == 0) -1
+        else sys.error(s"$name: non-hex byte 0x${c.toHexString} in " +
+          s"ASCIIHexDecode data ($where)")
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out.write(hi << 4 | d); hi = -1 }
+      }
+      i += 1
+    }
+    require(eod, s"$name: ASCIIHexDecode data missing the > EOD ($where)")
+    while (i < b.length) {
+      require(b(i) == 0 || (b(i) & 0xff).toChar.isWhitespace,
+        s"$name: data after the ASCIIHexDecode EOD marker ($where)")
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit: pad with 0
+    out.toByteArray
   }
 
   private def inflate(name: String, b: Array[Byte]): Array[Byte] = {

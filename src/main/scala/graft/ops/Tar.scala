@@ -70,6 +70,16 @@ object Tar {
     // surfacing the L row raw while leaving the next member's name
     // truncated would be a silent misparse of the archive's semantics
     var pendingLongName: Option[String] = None
+    // PAX state (POSIX.1-2001 pax interchange format — what Python's
+    // `tarfile` emits BY DEFAULT since 3.8, hence most WebDataset
+    // shards): a type-'x' member's payload holds `len key=value\n`
+    // records overriding the FOLLOWING member's header fields; a
+    // type-'g' member sets global defaults for ALL following members.
+    // Ignoring them would surface the raw keyword blob as a member row
+    // and leave the next member's name truncated — the same
+    // silent-misparse class the 'L' handling closes for GNU format.
+    var paxNext: Map[String, String] = Map.empty
+    var paxGlobal: Map[String, String] = Map.empty
     while (pos + 512 <= b.length && !isZeroBlock(b, pos)) {
       val magic = new String(b, pos + 257, 5, L1)
       require(magic == "ustar", s"$name: bad magic '$magic' at $pos")
@@ -96,35 +106,75 @@ object Tar {
       val entryName =
         if (prefix.isEmpty) str(b, pos, 100)
         else prefix + "/" + str(b, pos, 100)
-      val size = octal(name, b, pos + 124, 12, "size")
+      val hdrSize = octal(name, b, pos + 124, 12, "size")
       val tf = (b(pos + 156) & 0xff).toChar.toString
       val pStart = pos + 512
-      require(pStart + size <= b.length,
-        s"$name: member '$entryName' payload $size overruns EOF")
-      // UTF-8: the text members this scan serves are text by contract
-      // (WebDataset .txt/.cls members); the write direction encodes
-      // UTF-8, so non-ASCII round-trips exactly
-      val text = new String(b, pStart, size.toInt,
-        java.nio.charset.StandardCharsets.UTF_8)
-      if (tf == "L") {
-        require(entryName == "././@LongLink",
-          s"$name: GNU longname member at $pos is named '$entryName', " +
-            "not ././@LongLink")
-        require(pendingLongName.isEmpty,
-          s"$name: consecutive GNU longname members at $pos")
-        // NUL-terminated full name for the next member; the L member
-        // itself materializes no entry (GNU tar's own convention)
-        pendingLongName = Some(text.takeWhile(_ != '\u0000'))
-      } else {
-        out += TarEntry(name, idx, pendingLongName.getOrElse(entryName),
-          size, tf, text)
-        pendingLongName = None
-        idx += 1
+      require(pStart + hdrSize <= b.length,
+        s"$name: member '$entryName' payload $hdrSize overruns EOF")
+      // advance by the HEADER size for metadata members ('L'/'x'/'g' --
+      // their payload IS the metadata, never PAX-overridden); data
+      // members advance by the effective size below
+      var advance = hdrSize
+      tf match {
+        case "L" =>
+          require(entryName == "././@LongLink",
+            s"$name: GNU longname member at $pos is named '$entryName', " +
+              "not ././@LongLink")
+          require(pendingLongName.isEmpty,
+            s"$name: consecutive GNU longname members at $pos")
+          // NUL-terminated full name for the next member; the L member
+          // itself materializes no entry (GNU tar's own convention)
+          val text = new String(b, pStart, hdrSize.toInt,
+            java.nio.charset.StandardCharsets.UTF_8)
+          pendingLongName = Some(text.takeWhile(_ != '\u0000'))
+        case "x" =>
+          require(paxNext.isEmpty,
+            s"$name: consecutive PAX extended headers at $pos")
+          paxNext = paxRecords(name, b, pStart, hdrSize.toInt)
+        case "g" =>
+          // global defaults layer: a later 'g' updates the running map;
+          // an empty value DELETES the default (POSIX.1-2001 pax: "an
+          // empty value shall delete any default for that keyword")
+          paxRecords(name, b, pStart, hdrSize.toInt).foreach {
+            case (k, "") => paxGlobal -= k
+            case (k, v)  => paxGlobal += (k -> v)
+          }
+        case _ =>
+          require(!(pendingLongName.nonEmpty && paxNext.contains("path")),
+            s"$name: member at $pos has BOTH a GNU longname and a PAX " +
+              "path override (ambiguous)")
+          val effName = paxNext.get("path").filter(_.nonEmpty)
+            .orElse(pendingLongName)
+            .orElse(paxGlobal.get("path")).getOrElse(entryName)
+          // PAX `size` overrides the header's 12-char octal field --
+          // how Python's tarfile stores >8 GiB members (the octal field
+          // can't represent them); the WALK must advance by it too or
+          // every member after is mis-framed
+          val effSize = paxNext.get("size").orElse(paxGlobal.get("size"))
+            .map { s =>
+              require(s.nonEmpty && s.forall(_.isDigit),
+                s"$name: non-decimal PAX size '$s' at $pos")
+              s.toLong
+            }.getOrElse(hdrSize)
+          require(pStart + effSize <= b.length,
+            s"$name: member '$effName' PAX size $effSize overruns EOF")
+          // UTF-8: the text members this scan serves are text by
+          // contract (WebDataset .txt/.cls members); the write
+          // direction encodes UTF-8, so non-ASCII round-trips exactly
+          val text = new String(b, pStart, effSize.toInt,
+            java.nio.charset.StandardCharsets.UTF_8)
+          out += TarEntry(name, idx, effName, effSize, tf, text)
+          pendingLongName = None
+          paxNext = Map.empty
+          idx += 1
+          advance = effSize
       }
-      pos = pStart + (((size + 511) / 512) * 512).toInt
+      pos = pStart + (((advance + 511) / 512) * 512).toInt
     }
     require(pendingLongName.isEmpty,
       s"$name: dangling GNU longname with no following member")
+    require(paxNext.isEmpty,
+      s"$name: dangling PAX extended header with no following member")
     require(pos + 1024 <= b.length && isZeroBlock(b, pos) &&
       isZeroBlock(b, pos + 512),
       s"$name: walk did not land on the two-zero-block terminator at $pos")
@@ -132,6 +182,83 @@ object Tar {
       s"$name: ${b.length - pos - 1024} trailing bytes after the terminator")
     require(idx > 0, s"$name: empty archive")
     out.result()
+  }
+
+  /** Parse a PAX extended-header payload into its keyword map.
+    * POSIX.1-2001 pax record grammar: `"%d %s=%s\n"` where the leading
+    * decimal is the FULL record length in bytes (its own digits, the
+    * space, key, '=', value, and the trailing newline included) and the
+    * value is UTF-8. Malformed blocks refuse loudly — a misread length
+    * would silently shift every following record. */
+  private[graft] def paxRecords(name: String, b: Array[Byte], off: Int,
+                                len: Int): Map[String, String] = {
+    var recs = Map.empty[String, String]
+    var p = off
+    val end = off + len
+    while (p < end) {
+      var q = p
+      while (q < end && b(q) != ' ') {
+        require(b(q) >= '0' && b(q) <= '9',
+          s"$name: non-digit byte in PAX record length at $q")
+        q += 1
+      }
+      require(q > p && q < end,
+        s"$name: malformed PAX record length at $p")
+      val rl = new String(b, p, q - p, L1).toInt
+      require(rl > q - p + 1 && p + rl <= end,
+        s"$name: PAX record length $rl overruns the header block at $p")
+      require(b(p + rl - 1) == '\n',
+        s"$name: PAX record at $p does not end in a newline")
+      val body = new String(b, q + 1, p + rl - 1 - (q + 1),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = body.indexOf('=')
+      require(eq > 0, s"$name: PAX record at $p is not key=value form")
+      // later records for the same keyword win (POSIX: "the last
+      // occurrence shall take precedence"); unrecognized keywords are
+      // carried and ignored by the caller (POSIX: "shall be ignored"),
+      // NOT refused — real writers emit vendor keys (SCHILY.*, mtime)
+      recs += body.substring(0, eq) -> body.substring(eq + 1)
+      p += rl
+    }
+    recs
+  }
+
+  /** One PAX record in the self-referential length encoding the parse
+    * direction verifies ("%d %s=%s\n", length counting its own digits). */
+  private[graft] def paxRecord(key: String, value: String): Array[Byte] = {
+    val body = s" $key=$value\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var digits = 1
+    // the length field counts itself: grow digits until stable
+    while ((digits + body.length).toString.length > digits) digits += 1
+    (digits + body.length).toString
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+  }
+
+  /** Render members into one archive with explicit TYPE FLAGS — the
+    * write direction for PAX fixtures ('x'/'g' metadata members carry
+    * [[paxRecord]] payloads); [[tarBytes]] stays the plain-file form. */
+  private[graft] def tarBytesTyped(
+      members: Seq[(String, Char, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, tf, payload) =>
+      require(name.getBytes(L1).length <= 100,
+        s"member name too long for a ustar header: $name")
+      val h = header(name, payload.length)
+      if (tf != '0') {
+        h(156) = tf.toByte
+        // re-checksum with the chksum field as spaces
+        for (i <- 148 until 156) h(i) = ' '
+        val sum = h.map(_ & 0xff).sum
+        System.arraycopy(f"$sum%06o".getBytes(L1), 0, h, 148, 6)
+        h(154) = 0; h(155) = ' '
+      }
+      out.write(h)
+      out.write(payload)
+      out.write(new Array[Byte]((512 - payload.length % 512) % 512))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
   }
 
   /** Render members into one ustar archive — the WRITE direction (the
@@ -220,8 +347,49 @@ object Tar {
 object TarFixture {
   val count = 8
 
+  /** PAX framing twins live in the `pax/` SUBDIRECTORY (distinct
+    * basename prefix) so the flat-dir globs existing queries use keep
+    * their exact file set — only the scan query lists it explicitly. */
+  val paxCount = 4
+
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_tar_v2").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_tar_v3").getAbsolutePath
+
+  def paxDir: String = new java.io.File(path, "pax").getAbsolutePath
+
+  def paxSamplesOf(i: Int): Int = 2 + (i % 3)
+
+  /** A >100-char member path — the shape Python `tarfile` (PAX_FORMAT
+    * default since 3.8) stores via an 'x' header `path` record, with
+    * the ustar name field holding only a truncation. */
+  def paxLongNameOf(i: Int, k: Int): String =
+    "pax/deep/nested/shard/directory/tree/that/overflows/the/hundred/" +
+      s"byte/name/field/run_$i/segment_$k/sample_${i}_$k.txt"
+
+  def paxTextOf(i: Int, k: Int): String =
+    (0 until (5 + (i + 2 * k) % 4)).map(w =>
+      words((i * 7 + k * 3 + w * 5) % words.length)).mkString(" ")
+
+  def paxClsOf(i: Int, k: Int): String = ((i * 2 + k) % 10).toString
+
+  /** One PAX shard: a 'g' global header carrying only an (ignored)
+    * comment record, then per sample an 'x' header (`path` override +
+    * an unrecognized-but-tolerated `mtime` record), the data member
+    * under its truncated ustar name, and a short-named .cls member
+    * with no PAX metadata — interleaving proves the 'x' override
+    * applies to exactly one following member. */
+  def paxTarBytes(i: Int): Array[Byte] = Tar.tarBytesTyped(
+    Seq(("pax_global_hdr", 'g',
+      Tar.paxRecord("comment", s"graft pax fixture shard $i"))) ++
+    (0 until paxSamplesOf(i)).flatMap { k =>
+      val long = paxLongNameOf(i, k)
+      Seq(
+        (s"PaxHeaders.0/sample_${i}_$k.txt", 'x',
+          Tar.paxRecord("path", long) ++
+            Tar.paxRecord("mtime", s"17000000$i$k.0")),
+        (long.take(100), '0', paxTextOf(i, k).getBytes("US-ASCII")),
+        (s"sample_${i}_$k.cls", '0', paxClsOf(i, k).getBytes("US-ASCII")))
+    })
 
   def samplesOf(i: Int): Int = 2 + (i % 4)
 
@@ -252,6 +420,13 @@ object TarFixture {
       (0 until count).foreach { i =>
         java.nio.file.Files.write(
           new java.io.File(tmp, f"shard_$i%03d.tar").toPath, tarBytes(i))
+      }
+      val pax = new java.io.File(tmp, "pax")
+      pax.mkdirs()
+      (0 until paxCount).foreach { i =>
+        java.nio.file.Files.write(
+          new java.io.File(pax, f"paxshard_$i%03d.tar").toPath,
+          paxTarBytes(i))
       }
       if (!tmp.renameTo(out)) deleteRec(tmp)
     }

@@ -1047,10 +1047,16 @@ object PipelineQueries {
   val qTarScan = Q("q_tar_scan",
     (s, _) => {
       val dir = graft.ops.TarFixture.ensure()
-      val files = new java.io.File(dir).listFiles()
-        .filter(_.getName.endsWith(".tar")).map(_.getAbsolutePath).sorted
+      val flat = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".tar")).map(_.getAbsolutePath)
+      // second framing (r17): PAX interchange shards — the format
+      // Python's tarfile emits by default since 3.8 — in the pax/
+      // subdirectory so flat-dir globs elsewhere keep their file set
+      val pax = new java.io.File(graft.ops.TarFixture.paxDir).listFiles()
+        .filter(_.getName.endsWith(".tar")).map(_.getAbsolutePath)
       graft.ops.Tar.scanTar(
-          s.read.format("binaryFile").load(files.toIndexedSeq: _*))
+          s.read.format("binaryFile")
+            .load((flat ++ pax).sorted.toIndexedSeq: _*))
         .toDF().orderBy("file_name", "entry_idx")
     },
     Some {
@@ -1064,38 +1070,78 @@ object PipelineQueries {
       def unhex(c: String) =
         s"(SELECT COALESCE(string_agg(chr(('0x' || substr($c, 2*i - 1, 2))::INT), " +
           s"'' ORDER BY i), '') FROM unnest(generate_series(1, length($c)//2)) AS g(i))"
-      s"""WITH RECURSIVE traw AS (
-      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
-      |         hex(content) AS hx, octet_length(content) AS n
-      |  FROM read_blob('${graft.ops.TarFixture.path}/*.tar')
-      |), ent AS (
-      |  SELECT file_name, hx, n, CAST(0 AS BIGINT) AS pos,
-      |         CAST(0 AS INTEGER) AS entry_idx
-      |  FROM traw
-      |  UNION ALL
-      |  SELECT file_name, hx, n, ${next("pos")}, entry_idx + 1
-      |  FROM ent
-      |  WHERE ${next("pos")} + 1024 < n
-      |    AND ${b(next("pos"))} <> 0
-      |), fld AS (
+      // one walk body per framing: same recursive 512-block hop; the
+      // PAX framing then applies the 'x'-header path override via a
+      // one-row lag and renumbers the materialized members
+      def walk(raw: String, ent: String, glob: String) =
+        s"""$raw AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+        |         hex(content) AS hx, octet_length(content) AS n
+        |  FROM read_blob('$glob')
+        |), $ent AS (
+        |  SELECT file_name, hx, n, CAST(0 AS BIGINT) AS pos,
+        |         CAST(0 AS INTEGER) AS entry_idx
+        |  FROM $raw
+        |  UNION ALL
+        |  SELECT file_name, hx, n, ${next("pos")}, entry_idx + 1
+        |  FROM $ent
+        |  WHERE ${next("pos")} + 1024 < n
+        |    AND ${b(next("pos"))} <> 0
+        |)""".stripMargin
+      val payload =
+        s"""(SELECT COALESCE(string_agg(
+        |     chr(('0x' || substr(hx, 2*(pos + 512) + 2*i - 1, 2))::INT),
+        |     '' ORDER BY i), '')
+        |   FROM unnest(generate_series(1, CAST(size AS INTEGER))) AS g(i))"""
+          .stripMargin
+      s"""WITH RECURSIVE ${walk("traw", "ent",
+             graft.ops.TarFixture.path + "/*.tar")},
+      |${walk("praw", "pent", graft.ops.TarFixture.paxDir + "/*.tar")},
+      |fld AS (
       |  SELECT file_name, entry_idx, hx,
       |    regexp_replace(substr(hx, 2*pos + 1, 200), '(00)+$$', '')
       |      AS name_hex,
       |    ${oct("pos")} AS size, pos
       |  FROM ent
+      |), pfld AS (
+      |  SELECT file_name, entry_idx AS ord, hx,
+      |    regexp_replace(substr(hx, 2*pos + 1, 200), '(00)+$$', '')
+      |      AS name_hex,
+      |    ${oct("pos")} AS size, pos,
+      |    chr(CAST(${b("pos + 156")} AS INT)) AS type_flag
+      |  FROM pent
+      |), pdec AS (
+      |  SELECT file_name, ord, type_flag, size,
+      |    ${unhex("name_hex")} AS hdr_name,
+      |    $payload AS text
+      |  FROM pfld
+      |), peff AS (
+      |  SELECT file_name, ord, type_flag, size, text,
+      |    CASE WHEN lag(type_flag) OVER w = 'x'
+      |         THEN regexp_extract(lag(text) OVER w, 'path=([^\\n]*)', 1)
+      |         ELSE hdr_name END AS entry_name
+      |  FROM pdec
+      |  WINDOW w AS (PARTITION BY file_name ORDER BY ord)
+      |), prows AS (
+      |  SELECT file_name,
+      |    CAST(row_number() OVER (PARTITION BY file_name ORDER BY ord)
+      |         - 1 AS INTEGER) AS entry_idx,
+      |    entry_name, size, type_flag, text
+      |  FROM peff WHERE type_flag NOT IN ('x', 'g')
       |)
-      |SELECT file_name, entry_idx,
-      |  ${unhex("name_hex")} AS entry_name, size,
-      |  chr(CAST(${b("pos + 156")} AS INT)) AS type_flag,
-      |  (SELECT COALESCE(string_agg(
-      |     chr(('0x' || substr(hx, 2*(pos + 512) + 2*i - 1, 2))::INT),
-      |     '' ORDER BY i), '')
-      |   FROM unnest(generate_series(1, CAST(size AS INTEGER))) AS g(i))
-      |    AS text
-      |FROM fld ORDER BY file_name, entry_idx""".stripMargin
+      |SELECT * FROM (
+      |  SELECT file_name, entry_idx,
+      |    ${unhex("name_hex")} AS entry_name, size,
+      |    chr(CAST(${b("pos + 156")} AS INT)) AS type_flag,
+      |    $payload AS text
+      |  FROM fld
+      |  UNION ALL
+      |  SELECT * FROM prows
+      |) ORDER BY file_name, entry_idx""".stripMargin
     },
     "north star: REAL ustar/WebDataset shard ingestion (block walk, " +
-      "octal fields, checksum verify engine-side; recursive hex oracle)")
+      "octal fields, checksum verify engine-side; PAX 'x'/'g' extended " +
+      "headers second framing; recursive hex oracle)")
 
   /** q_tar_roundtrip — the WebDataset shard SINK exercised in the gate
     * on real pipeline data (q_tar_scan proves the codec on its fixture;

@@ -109,6 +109,115 @@ class TarSpec extends SparkSpec {
     assert(e.getMessage.contains("dangling GNU longname"))
   }
 
+  test("PAX 'x' headers override the following member's path and size; " +
+      "'g' sets global defaults; both materialize no entry") {
+    // PAX differential: the fixture's pax shards carry the SAME logical
+    // samples a plain-ustar twin would, reachable only through the 'x'
+    // path records (ustar name field holds a truncation)
+    for (i <- 0 until graft.ops.TarFixture.paxCount) {
+      val rows = Tar.parse(f"paxshard_$i%03d.tar",
+        graft.ops.TarFixture.paxTarBytes(i))
+      assert(rows.length === 2 * graft.ops.TarFixture.paxSamplesOf(i))
+      for (k <- 0 until graft.ops.TarFixture.paxSamplesOf(i)) {
+        val txt = rows(2 * k); val cls = rows(2 * k + 1)
+        assert(txt.entry_name === graft.ops.TarFixture.paxLongNameOf(i, k))
+        assert(txt.entry_name.length > 100,
+          "the PAX path must exceed the ustar name field")
+        assert(txt.text === graft.ops.TarFixture.paxTextOf(i, k))
+        assert(txt.entry_idx === 2 * k, "metadata members must not index")
+        assert(cls.entry_name === s"sample_${i}_$k.cls",
+          "the 'x' override applies to exactly ONE following member")
+        assert(cls.text === graft.ops.TarFixture.paxClsOf(i, k))
+      }
+    }
+
+    // 'g' global default applied across members + empty-value deletion
+    val g1 = Tar.tarBytesTyped(Seq(
+      ("g_hdr", 'g', Tar.paxRecord("path", "global/override.txt")),
+      ("a.txt", '0', "aa".getBytes("US-ASCII")),
+      ("g_hdr2", 'g', Tar.paxRecord("path", "")), // delete the default
+      ("b.txt", '0', "bb".getBytes("US-ASCII"))))
+    val gr = Tar.parse("g.tar", g1)
+    assert(gr.map(_.entry_name) === Seq("global/override.txt", "b.txt"))
+
+    // 'x' size override: the header octal says 0 but the PAX record
+    // carries the real size (how tarfile stores >8 GiB members) — the
+    // walk must advance by the override or mis-frame what follows
+    def member0(payload: Array[Byte]): Array[Byte] = {
+      val h = Tar.header("big.bin", 0) // header size field: 0
+      for (i <- 148 until 156) h(i) = ' '
+      val sum = h.map(_ & 0xff).sum
+      System.arraycopy(f"$sum%06o  "
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0,
+        h, 148, 8)
+      val pad = (512 - payload.length % 512) % 512
+      h ++ payload ++ new Array[Byte](pad)
+    }
+    def meta(name: String, tf: Char, payload: Array[Byte]): Array[Byte] = {
+      val h = Tar.header(name, payload.length)
+      h(156) = tf.toByte
+      for (i <- 148 until 156) h(i) = ' '
+      val sum = h.map(_ & 0xff).sum
+      System.arraycopy(f"$sum%06o  "
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0,
+        h, 148, 8)
+      val pad = (512 - payload.length % 512) % 512
+      h ++ payload ++ new Array[Byte](pad)
+    }
+    val data = "hello".getBytes("US-ASCII")
+    val sized = meta("PaxHeaders.0/big.bin", 'x',
+        Tar.paxRecord("size", "5")) ++
+      member0(data) ++
+      meta("after.txt", '0', "tail".getBytes("US-ASCII")) ++
+      new Array[Byte](1024)
+    val sr = Tar.parse("s.tar", sized)
+    assert(sr.map(e => (e.entry_name, e.size, e.text)) === Seq(
+      ("big.bin", 5L, "hello"), ("after.txt", 4L, "tail")))
+  }
+
+  test("malformed PAX blocks refuse loudly") {
+    def tarWith(payload: Array[Byte], withData: Boolean = true) = {
+      val tail = if (withData)
+        Tar.tarBytes(Seq(("a.txt", "aa".getBytes("US-ASCII"))))
+      else new Array[Byte](1024)
+      Tar.tarBytesTyped(Seq(("PaxHeaders.0/a.txt", 'x', payload)))
+        .dropRight(1024) ++ tail
+    }
+    // non-digit length prefix
+    val e1 = intercept[IllegalArgumentException] {
+      Tar.parse("p.tar", tarWith("x9 path=a\n".getBytes("US-ASCII")))
+    }
+    assert(e1.getMessage.contains("non-digit"))
+    // length overruns the block
+    val e2 = intercept[IllegalArgumentException] {
+      Tar.parse("p.tar", tarWith("99 path=a\n".getBytes("US-ASCII")))
+    }
+    assert(e2.getMessage.contains("overruns"))
+    // record not newline-terminated
+    val e3 = intercept[IllegalArgumentException] {
+      Tar.parse("p.tar", tarWith("9 path=aX".getBytes("US-ASCII")))
+    }
+    assert(e3.getMessage.contains("newline"))
+    // no key=value form
+    val e4 = intercept[IllegalArgumentException] {
+      Tar.parse("p.tar", tarWith("8 patha\n".getBytes("US-ASCII")))
+    }
+    assert(e4.getMessage.contains("key=value"))
+    // dangling 'x' with no following member
+    val e5 = intercept[IllegalArgumentException] {
+      Tar.parse("p.tar",
+        tarWith(Tar.paxRecord("path", "a.txt"), withData = false))
+    }
+    assert(e5.getMessage.contains("dangling PAX"))
+    // consecutive 'x' members
+    val two = Tar.tarBytesTyped(Seq(
+      ("PaxHeaders.0/a", 'x', Tar.paxRecord("path", "a.txt")),
+      ("PaxHeaders.0/b", 'x', Tar.paxRecord("path", "b.txt")),
+      ("a.txt", '0', "aa".getBytes("US-ASCII"))))
+    val e6 = intercept[IllegalArgumentException] { Tar.parse("p.tar", two) }
+    assert(e6.getMessage.contains("consecutive PAX"))
+  }
+
   test("malformed archives refuse loudly") {
     val good = TarFixture.tarBytes(0)
     // corrupted header byte -> checksum mismatch
