@@ -282,9 +282,14 @@ object Bench {
     * alphabetically-first names (decontam..events_topk) take the
     * uppercase [A-Z] 1-char space (JSON keys are case-sensitive; still
     * collision-free with the 2-char fields), restoring the headroom
-    * after crawl_curate_e2e landed at 166 registrations. Both 1-char
-    * assignments are STABLE (keymap immutability): later registrations
-    * take 2-char codes regardless of sort order. */
+    * after crawl_curate_e2e landed at 166 registrations. Wave 11 (r17):
+    * the NEXT 26 alphabetically-first names (fingerprint..media_bmp)
+    * take a fixed punctuation 1-char space (`!#$%&()*+-./;<=>?@[]^_{|}~`
+    * in order — all legal unescaped JSON-key chars, collision-free with
+    * the 2-char fields), restoring the headroom after q_warc_revisit
+    * landed at 168 registrations. All 1-char assignments are STABLE
+    * (keymap immutability): later registrations take 2-char codes
+    * regardless of sort order. */
   private[graft] val displayAbbrev = Map(
     "ann_delta" -> "0", "ann_graph" -> "1", "ann_ivf" -> "2",
     "ann_ivf_pq" -> "3", "ann_ivf_sq" -> "4", "ann_lsh" -> "5",
@@ -308,15 +313,15 @@ object Bench {
     "entity_canon" -> "T", "entity_canon2" -> "U",
     "entity_canon_pr" -> "V", "events_hourly" -> "W",
     "events_json" -> "X", "events_sliding" -> "Y", "events_topk" -> "Z",
-    "fingerprint" -> "fg", "funnel" -> "fn", "fuzzy_join" -> "fz",
-    "fuzzy_join2" -> "f2", "grouping_sets" -> "gs", "hash_recall" -> "hr",
-    "having_join" -> "hj", "heavy_hitters" -> "hh",
-    "hist_quantile" -> "hq", "html_extract" -> "ht", "hybrid_rrf" -> "rf",
-    "inline_scan" -> "in", "jaccard" -> "ja", "keys" -> "ky",
-    "keys_sha" -> "ks", "knn" -> "kn", "knn_hash" -> "kh",
-    "lag_lead" -> "lg", "lang_id" -> "li", "lastwins" -> "lw",
-    "latest_file" -> "lf", "latest_per_q" -> "lp", "longest_resp" -> "lr",
-    "mad_outliers" -> "ma", "maxsim" -> "m2", "media_bmp" -> "bi",
+    "fingerprint" -> "!", "funnel" -> "#", "fuzzy_join" -> "$",
+    "fuzzy_join2" -> "%", "grouping_sets" -> "&", "hash_recall" -> "(",
+    "having_join" -> ")", "heavy_hitters" -> "*",
+    "hist_quantile" -> "+", "html_extract" -> "-", "hybrid_rrf" -> ".",
+    "inline_scan" -> "/", "jaccard" -> ";", "keys" -> "<",
+    "keys_sha" -> "=", "knn" -> ">", "knn_hash" -> "?",
+    "lag_lead" -> "@", "lang_id" -> "[", "lastwins" -> "]",
+    "latest_file" -> "^", "latest_per_q" -> "_", "longest_resp" -> "{",
+    "mad_outliers" -> "|", "maxsim" -> "}", "media_bmp" -> "~",
     "media_features" -> "me",
     "media_frames" -> "mf", "media_jpeg" -> "jp", "media_meta" -> "mm",
     "media_mp3" -> "m3", "media_png" -> "pn", "media_resize" -> "mz",
@@ -344,7 +349,8 @@ object Bench {
     "token_bpe" -> "tb", "top_terms" -> "tt", "topk_native" -> "tn",
     "topk_per_group" -> "tk", "triangles" -> "tr", "unigram_nll" -> "un",
     "upsert" -> "up", "util_scalars" -> "ut", "value_moments" -> "vm",
-    "vocab_encode" -> "ve", "warc_scan" -> "wa", "winnow" -> "wi",
+    "vocab_encode" -> "ve", "warc_revisit" -> "wr", "warc_scan" -> "wa",
+    "winnow" -> "wi",
     "xlsx_scan" -> "xl", "zipf" -> "zf")
 
   private[graft] def short(name: String): String = {

@@ -51,7 +51,7 @@ object IngestScale {
     // review r15): bump the version when the generator changes; an
     // interrupted run leaves only a .tmp dir, never a trusted partial
     val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_ingest_scale_v2")
+      System.getProperty("java.io.tmpdir"), "graft_ingest_scale_v3")
     def delRec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delRec))
       f.delete(); ()

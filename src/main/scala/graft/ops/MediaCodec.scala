@@ -166,9 +166,11 @@ object MediaCodec {
     * chunk walk → IDAT concatenation → `java.util.zip.Inflater` (a full
     * zlib codec, adler-checked) → per-row unfilter (all five PNG filter
     * types incl. the Paeth predictor) → exact per-channel stats. Scope:
-    * 8-bit grayscale (color type 0), truecolor (2) and truecolor+alpha
-    * (6), non-interlaced — the shapes a training-data image pipeline
-    * normalizes to; everything else fails loudly. Chunk CRCs are not
+    * 8-bit grayscale (color type 0), truecolor (2), PLTE-indexed (3,
+    * r17 — palette-expanded to RGB, tRNS per-entry alpha honored) and
+    * truecolor+alpha (6), non-interlaced — the shapes a training-data
+    * image pipeline normalizes to; everything else fails loudly
+    * (Adam7 interlace still refuses by name). Chunk CRCs are not
     * verified (the zlib adler32 covers the payload; a CRC pass would
     * protect ancillary chunks this decoder ignores).
     *
@@ -194,6 +196,8 @@ object MediaCodec {
             s"$name: not a PNG file")
           var off = 8
           var w = -1; var h = -1; var colorType = -1
+          var plte: Array[Byte] = null
+          var trns: Array[Byte] = null
           val idat = new java.io.ByteArrayOutputStream()
           var done = false
           while (!done) {
@@ -209,16 +213,37 @@ object MediaCodec {
                 require(w > 0 && h > 0, s"$name: bad dimensions ${w}x$h")
                 require((b(off + 16) & 0xff) == 8, s"$name: not 8-bit")
                 colorType = b(off + 17) & 0xff
-                require(colorType == 0 || colorType == 2 || colorType == 6,
+                require(colorType == 0 || colorType == 2 ||
+                  colorType == 3 || colorType == 6,
                   s"$name: color type $colorType unsupported (8-bit " +
-                    "gray/truecolor/truecolor+alpha only)")
+                    "gray/palette/truecolor/truecolor+alpha only)")
                 require((b(off + 18) & 0xff) == 0 && (b(off + 19) & 0xff) == 0,
                   s"$name: nonstandard compression/filter method")
                 require((b(off + 20) & 0xff) == 0,
                   s"$name: interlaced PNG unsupported")
               case "IDAT" => idat.write(b, off + 8, len)
               case "IEND" => done = true
-              case "PLTE" => () // legal as a SUGGESTED palette on 2/6
+              case "PLTE" =>
+                // MANDATORY palette for color type 3 (r17); still legal
+                // as a SUGGESTED palette on 2/6 (ignored there); an
+                // ERROR on grayscale (ISO 15948 §11.2.3)
+                require(colorType != 0,
+                  s"$name: PLTE chunk on a grayscale image")
+                if (colorType == 3) {
+                  require(len % 3 == 0 && len >= 3 && len <= 768,
+                    s"$name: PLTE length $len is not 3..768 in RGB triples")
+                  require(plte == null, s"$name: duplicate PLTE chunk")
+                  plte = java.util.Arrays.copyOfRange(b, off + 8,
+                    off + 8 + len)
+                }
+              case "tRNS" if colorType == 3 =>
+                // per-entry alpha for the palette (entries past the
+                // chunk default to opaque); must follow PLTE
+                require(plte != null, s"$name: tRNS before PLTE")
+                require(len <= plte.length / 3,
+                  s"$name: tRNS carries $len entries for a " +
+                    s"${plte.length / 3}-entry palette")
+                trns = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
               case t =>
                 // ancillary chunks (lowercase first letter) are
                 // skippable by design; an unknown CRITICAL chunk means
@@ -229,7 +254,12 @@ object MediaCodec {
             off += 12 + len
           }
           require(w > 0, s"$name: missing IHDR")
-          val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+          require(colorType != 3 || plte != null,
+            s"$name: palette image has no PLTE chunk")
+          // filter/stride geometry runs over the CODED samples — one
+          // palette index byte per pixel for type 3
+          val bpp = colorType match {
+            case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
           val stride = w * bpp
           val raw = {
             val inf = new java.util.zip.Inflater()
@@ -287,15 +317,29 @@ object MediaCodec {
             }
             r += 1
           }
-          val n = new Array[Long](bpp); val sum = new Array[Long](bpp)
-          val rw = new Array[Long](bpp)
+          // stats run over the RENDERED channels: identical to the coded
+          // samples for 0/2/6, palette-expanded RGB (+tRNS alpha) for 3
+          val outCh =
+            if (colorType == 3) { if (trns != null) 4 else 3 } else bpp
+          val n = new Array[Long](outCh); val sum = new Array[Long](outCh)
+          val rw = new Array[Long](outCh)
+          val nPal = if (plte == null) 0 else plte.length / 3
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               var c = 0
-              while (c < bpp) {
-                val v = img(y * stride + x * bpp + c) & 0xff
+              while (c < outCh) {
+                val v =
+                  if (colorType != 3) img(y * stride + x * bpp + c) & 0xff
+                  else {
+                    val idx = img(y * stride + x) & 0xff
+                    require(idx < nPal, s"$name: pixel ($x,$y) indexes " +
+                      s"palette entry $idx of $nPal")
+                    if (c < 3) plte(3 * idx + c) & 0xff
+                    else if (idx < trns.length) trns(idx) & 0xff
+                    else 255
+                  }
                 n(c) += 1; sum(c) += v; rw(c) += (y + 1).toLong * v
                 c += 1
               }
@@ -303,7 +347,7 @@ object MediaCodec {
             }
             y += 1
           }
-          (0 until bpp).map(c => PngChannelStat(name, w, h, colorType, c,
+          (0 until outCh).map(c => PngChannelStat(name, w, h, colorType, c,
             n(c), sum(c), rw(c)))
         }
       }
@@ -431,7 +475,7 @@ object PngFixture {
   // are only required for sinks whose content varies per run
   // (q_docx_roundtrip's truncate-then-write).
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_png_v2").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_png_v3").getAbsolutePath
 
   def widthOf(i: Int): Int = 4 + i % 5
   def heightOf(i: Int): Int = 3 + i % 4
@@ -439,6 +483,45 @@ object PngFixture {
     i % 3 match { case 0 => 0; case 1 => 2; case _ => 6 }
   def pixel(i: Int, x: Int, y: Int, c: Int): Int =
     (i * 17 + x * 5 + y * 13 + c * 7) % 256
+
+  /** Palette (color type 3) family — v3, a second file family
+    * (`pimg_*.png`) in the same directory: PLTE-indexed scanlines,
+    * odd-indexed files carrying a tRNS alpha chunk shorter than the
+    * palette (entries past it default opaque). */
+  val paletteCount = 12
+
+  def pWidthOf(i: Int): Int = 5 + i % 4
+  def pHeightOf(i: Int): Int = 3 + i % 5
+  /** Palette entry count — small enough that index bytes repeat. */
+  def nPalOf(i: Int): Int = 5 + (i * 7) % 12
+  def palByteOf(i: Int, k: Int): Int = (i * 23 + k * 37 + 11) % 256
+  def hasTrnsOf(i: Int): Boolean = i % 2 == 1
+  def nTrnsOf(i: Int): Int = if (hasTrnsOf(i)) 1 + i % 5 else 0
+  def trnsByteOf(i: Int, j: Int): Int = (i * 41 + j * 17 + 3) % 256
+  def idxOf(i: Int, x: Int, y: Int): Int =
+    (i * 3 + x * 7 + y * 5) % nPalOf(i)
+
+  def pngPaletteBytes(i: Int): Array[Byte] = {
+    val w = pWidthOf(i); val h = pHeightOf(i); val np = nPalOf(i)
+    require(nTrnsOf(i) <= np, s"fixture $i: tRNS longer than palette")
+    val raw = new Array[Byte](h * (1 + w))
+    for (y <- 0 until h; x <- 0 until w)
+      raw(y * (1 + w) + 1 + x) = idxOf(i, x, y).toByte
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(3.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte))
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("PLTE",
+      Array.tabulate(3 * np)(k => palByteOf(i, k).toByte)))
+    if (hasTrnsOf(i))
+      out.write(chunk("tRNS",
+        Array.tabulate(nTrnsOf(i))(j => trnsByteOf(i, j).toByte)))
+    out.write(chunk("IDAT", storedZlib(raw)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
 
   private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
     val bb = ByteBuffer.allocate(12 + data.length)
@@ -495,6 +578,11 @@ object PngFixture {
       (0 until count).foreach { i =>
         java.nio.file.Files.write(
           new java.io.File(tmp, f"img_$i%03d.png").toPath, pngBytes(i))
+      }
+      (0 until paletteCount).foreach { i =>
+        java.nio.file.Files.write(
+          new java.io.File(tmp, f"pimg_$i%03d.png").toPath,
+          pngPaletteBytes(i))
       }
       if (!tmp.renameTo(out)) deleteRec(tmp) // lost a build race: theirs won
     }

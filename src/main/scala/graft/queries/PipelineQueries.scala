@@ -671,6 +671,21 @@ object PipelineQueries {
     |)""".stripMargin
   }
 
+  /** Identity/digest columns every walk extracts from the WARC header
+    * block (r17): record_id is mandatory (ISO 28500 §5.2); refers_to +
+    * payload_digest make revisit records resolvable to their original
+    * captures — the q_warc_revisit join. */
+  private def warcIdColsSql: String =
+    // plain (non-interpolated) string: \r below is the two-char regex
+    // escape the SQL needs, NOT a Scala escape
+    """regexp_extract(hdr, 'WARC-Record-ID: ([^\r]+)', 1) AS record_id,
+    |    CASE WHEN hdr LIKE '%WARC-Refers-To: %'
+    |         THEN regexp_extract(hdr, 'WARC-Refers-To: ([^\r]+)', 1)
+    |    END AS refers_to,
+    |    CASE WHEN hdr LIKE '%WARC-Payload-Digest: %'
+    |         THEN regexp_extract(hdr, 'WARC-Payload-Digest: ([^\r]+)', 1)
+    |    END AS payload_digest""".stripMargin
+
   private[queries] def warcWalkSql: String = {
     val sep4 = "(chr(13)||chr(10)||chr(13)||chr(10))"
     warcRecordHopSql("w", "*.warc") + s""",
@@ -680,10 +695,12 @@ object PipelineQueries {
     |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
     |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
     |    END AS target_uri,
-    |    cl AS content_length, substr(s, pstart, cl) AS payload
+    |    cl AS content_length, substr(s, pstart, cl) AS payload,
+    |    ${warcIdColsSql}
     |  FROM wfld
     |), wrec AS (
     |  SELECT file_name, rec_idx, warc_type, target_uri, content_length,
+    |    record_id, refers_to, payload_digest,
     |    CASE WHEN warc_type = 'response' THEN
     |      CAST(regexp_extract(payload, '^HTTP/1\\.[01] ([0-9]{3})', 1)
     |        AS INTEGER) END AS http_status,
@@ -750,6 +767,7 @@ object PipelineQueries {
     |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
     |    END AS target_uri,
     |    cl AS content_length,
+    |    ${warcIdColsSql},
     |    CASE WHEN regexp_extract(hdr, 'WARC-Type: ([a-z]+)', 1) = 'response'
     |      THEN CAST(regexp_extract(payload, '^HTTP/1\\.[01] ([0-9]{3})', 1)
     |        AS INTEGER) END AS http_status,
@@ -786,7 +804,8 @@ object PipelineQueries {
     |    CASE WHEN hdr LIKE '%WARC-Target-URI: %'
     |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
     |    END AS target_uri,
-    |    cl AS content_length, substr(s, pstart, cl) AS payload
+    |    cl AS content_length, substr(s, pstart, cl) AS payload,
+    |    ${warcIdColsSql}
     |  FROM cfld
     |), cbw AS (
     |  -- the chunk ladder: hop chunk-by-chunk, accumulating data octets
@@ -804,7 +823,7 @@ object PipelineQueries {
     |  WHERE substr(rest, 1, 3) = '0' || chr(13) || chr(10)
     |), chrec AS (
     |  SELECT c.file_name, c.rec_idx, c.warc_type, c.target_uri,
-    |    c.content_length,
+    |    c.content_length, c.record_id, c.refers_to, c.payload_digest,
     |    CASE WHEN c.warc_type = 'response' THEN
     |      CAST(regexp_extract(c.payload, '^HTTP/1\\.[01] ([0-9]{3})', 1)
     |        AS INTEGER) END AS http_status,
@@ -841,6 +860,7 @@ object PipelineQueries {
     |         THEN regexp_extract(hdr, 'WARC-Target-URI: ([^\\r]+)', 1)
     |    END AS target_uri,
     |    cl AS content_length,
+    |    ${warcIdColsSql},
     |    CAST(NULL AS INTEGER) AS http_status,
     |    CASE WHEN warc_type IN ('conversion', 'metadata')
     |      THEN regexp_extract(hdr, 'Content-Type: ([^\\r]+)', 1)
@@ -885,6 +905,56 @@ object PipelineQueries {
       "blocks, chunked Transfer-Encoding dechunked by a recursive hex " +
       "chunk ladder on both sides - plus the revisit/conversion/" +
       "metadata (WAT/WET) record shapes")
+
+  /** q_warc_revisit — revisit RESOLUTION (r17): the dedup join a real
+    * crawl consumer runs. A `revisit` record (ISO 28500 §6.7.2,
+    * identical-payload-digest profile) is a duplicate capture that
+    * stores NO payload — just WARC-Refers-To (the original capture's
+    * record id) and WARC-Payload-Digest. Resolving it back to the
+    * original's body is how a WET/WAT consumer reconstructs content
+    * for duplicate URLs without re-storing it. Scale shape: a keyed
+    * equi-join on record id — at 100 TB both sides are corpus-sized,
+    * so nothing is hand-broadcast (AQE picks the strategy at fixture
+    * size); the digest VERIFICATION column is answer-bearing (the
+    * fixture digests are md5-labelled hashes of the referred bodies,
+    * so a join against the wrong capture fails the gate). */
+  val qWarcRevisit = Q("q_warc_revisit",
+    (s, _) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{concat, lit}
+      val dir = graft.ops.WarcFixture.ensure()
+      val flat = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc")).map(_.getAbsolutePath).sorted
+      val derived = new java.io.File(dir, "derived").listFiles()
+        .filter(_.getName.endsWith(".warc")).map(_.getAbsolutePath).sorted
+      val caps = graft.ops.Warc.scanWarc(
+          s.read.format("binaryFile").load(flat.toIndexedSeq: _*))
+        .toDF().where($"warc_type" === "response")
+        .select($"record_id".as("orig_id"),
+          $"body_md5".as("orig_body_md5"),
+          $"body_len".as("orig_body_len"))
+      graft.ops.Warc.scanWarc(
+          s.read.format("binaryFile").load(derived.toIndexedSeq: _*))
+        .toDF().where($"warc_type" === "revisit")
+        .join(caps, $"refers_to" === $"orig_id")
+        .select($"file_name", $"rec_idx", $"target_uri", $"refers_to",
+          $"payload_digest", $"orig_body_md5", $"orig_body_len",
+          ($"payload_digest" === concat(lit("md5:"), $"orig_body_md5"))
+            .as("digest_match"))
+        .orderBy("file_name", "rec_idx")
+    },
+    Some("WITH RECURSIVE " + warcWalkSql + ",\n" + warcDerivedWalkSql + """
+      |SELECT d.file_name, d.rec_idx, d.target_uri, d.refers_to,
+      |  d.payload_digest, w.body_md5 AS orig_body_md5,
+      |  w.body_len AS orig_body_len,
+      |  (d.payload_digest = 'md5:' || w.body_md5) AS digest_match
+      |FROM drec d JOIN wrec w ON w.record_id = d.refers_to
+      |WHERE d.warc_type = 'revisit'
+      |ORDER BY d.file_name, d.rec_idx""".stripMargin),
+    "north star: WARC revisit resolution - the duplicate-capture dedup " +
+      "join (revisit.refers_to -> original.record_id) with " +
+      "payload-digest verification, WARC/1.1 records joined to " +
+      "WARC/1.0 captures")
 
   /** q_pdf_scan — REAL PDF text extraction ([[graft.ops.Pdf]] — xref
     * walk, page tree, /Length-measured content streams, a token-level
@@ -1200,6 +1270,6 @@ object PipelineQueries {
 
   def all: Seq[Q] = Seq(qDocRender, qLatestFile, qSyncUpload, qSyncDelete,
     qSyncDiff, qUtilScalars, qDupStats, qSetOps, qInlineScan, qBinaryScan,
-    qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip, qWarcScan, qPdfScan,
-    qTarScan, qTarRoundtrip)
+    qXlsxScan, qDocxScan, qPipelineE2e, qDocxRoundtrip, qWarcScan,
+    qWarcRevisit, qPdfScan, qTarScan, qTarRoundtrip)
 }

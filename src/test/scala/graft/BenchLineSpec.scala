@@ -53,9 +53,9 @@ class BenchLineSpec extends AnyFunSuite {
         "wave 10 spent [A-Z] on the next 26; the assignments are STABLE " +
         "thereafter — keymap immutability — so later registrations take " +
         "2-char codes regardless of sort order)")
-    assert(Bench.displayAbbrev.values.count(_.length == 1) == 62,
-      "wave 9+10: exactly the [0-9a-zA-Z] code space is spent on " +
-        "1-char names")
+    assert(Bench.displayAbbrev.values.count(_.length == 1) == 88,
+      "wave 9+10+11: exactly the [0-9a-zA-Z] + 26-punctuation code " +
+        "space is spent on 1-char names")
     // the self-adjudication line fields must never be shadowed by a query
     // display code — a reader greps the line for both
     val fields = Set("cn", "cm", "ms", "mv", "rr", "rt", "fp", "fs", "sf",
@@ -98,7 +98,9 @@ class BenchLineSpec extends AnyFunSuite {
     // extraction below is exact, and the table is now asserted equal to
     // the code map (both directions). bench_keymap.json's r11 entry is
     // the machine-readable twin for round-over-round tooling.
-    val pat = "`([a-z0-9_]+)`→`([a-zA-Z0-9_]+)`".r
+    // the code side matches anything but a backtick: wave-11 codes are
+    // punctuation (a backtick can't be a code — it would end the span)
+    val pat = "`([a-z0-9_]+)`→`([^`]+)`".r
     def extract(path: String): Map[String, String] =
       pat.findAllMatchIn(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8"))

@@ -211,6 +211,113 @@ class MultimodalSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("interlaced")))
   }
 
+  private def pngDf(name: String, bytes: Array[Byte]) =
+    spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(s"mem/$name", bytes)),
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType))))
+
+  test("decodePng inverts the JDK's own PALETTE encoder (TYPE_BYTE_INDEXED " +
+      "+ IndexColorModel -> color type 3) at exact equality") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    // a full 256-entry opaque palette forces the JDK writer to 8-bit
+    // indexed output — an INDEPENDENT palette encoder for the r17 path
+    val rs = Array.tabulate(256)(k => ((k * 37 + 11) % 256).toByte)
+    val gs = Array.tabulate(256)(k => ((k * 59 + 7) % 256).toByte)
+    val bs = Array.tabulate(256)(k => ((k * 83 + 3) % 256).toByte)
+    val icm = new IndexColorModel(8, 256, rs, gs, bs)
+    val w = 9; val h = 7
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (x <- 0 until w; y <- 0 until h)
+      img.getRaster.setSample(x, y, 0, (x * 31 + y * 17) % 256)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val got = graft.ops.MediaCodec.decodePng(pngDf("jdkpal.png",
+      baos.toByteArray)).collect().map(r => r.channel -> r).toMap
+    assert(got.size === 3)
+    assert(got(0).color_type === 3,
+      "the JDK must have written an indexed PNG for this to test the path")
+    for (c <- 0 until 3) {
+      val vs = for (x <- 0 until w; y <- 0 until h) yield {
+        val rgb = img.getRGB(x, y)
+        (y, (rgb >> (16 - 8 * c)) & 0xff)
+      }
+      assert(got(c).n_px === w.toLong * h)
+      assert(got(c).sum_v === vs.map(_._2.toLong).sum, s"c=$c")
+      assert(got(c).row_weighted ===
+        vs.map { case (y, v) => (y + 1).toLong * v }.sum, s"c=$c")
+    }
+  }
+
+  test("decodePng: palette gate fixture matches the generation formula " +
+      "(tRNS alpha included); malformed palette shapes refuse loudly") {
+    import graft.ops.PngFixture
+    for (i <- Seq(0, 1, 5, 11)) {
+      val got = graft.ops.MediaCodec.decodePng(
+          pngDf(s"pimg_$i.png", PngFixture.pngPaletteBytes(i)))
+        .collect().map(r => r.channel -> r).toMap
+      val outCh = if (PngFixture.hasTrnsOf(i)) 4 else 3
+      assert(got.size === outCh, s"i=$i")
+      assert(got(0).color_type === 3)
+      for (c <- 0 until outCh) {
+        val vs = for (x <- 0 until PngFixture.pWidthOf(i);
+                      y <- 0 until PngFixture.pHeightOf(i)) yield {
+          val idx = PngFixture.idxOf(i, x, y)
+          val v =
+            if (c < 3) PngFixture.palByteOf(i, 3 * idx + c)
+            else if (idx < PngFixture.nTrnsOf(i))
+              PngFixture.trnsByteOf(i, idx)
+            else 255
+          (y, v)
+        }
+        assert(got(c).sum_v === vs.map(_._2.toLong).sum, s"i=$i c=$c")
+        assert(got(c).row_weighted === vs.map { case (y, v) =>
+          (y + 1).toLong * v }.sum, s"i=$i c=$c")
+      }
+    }
+    def decodeErr(name: String, bytes: Array[Byte]): String = {
+      val e = intercept[org.apache.spark.SparkException] {
+        graft.ops.MediaCodec.decodePng(pngDf(name, bytes)).collect()
+      }
+      def msg(t: Throwable): String =
+        Option(t.getMessage).getOrElse("") +
+          Option(t.getCause).map(msg).getOrElse("")
+      msg(e)
+    }
+    // an index past the palette refuses with coordinates: rebuild
+    // fixture 0 with its PLTE truncated to 2 entries (indices reach 4)
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      bb.putInt(body.length).put(typ.getBytes("US-ASCII")).put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(body)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val full = PngFixture.pngPaletteBytes(0)
+    val plteLen = 3 * PngFixture.nPalOf(0)
+    val shortPng = full.take(33) ++
+      chunk("PLTE", Array.tabulate(6)(k => PngFixture.palByteOf(0, k)
+        .toByte)) ++ full.drop(33 + 12 + plteLen)
+    assert(decodeErr("short.png", shortPng).contains("palette entry"))
+    // tRNS longer than the palette
+    val overTrns = full.take(33 + 12 + plteLen) ++
+      chunk("tRNS", new Array[Byte](PngFixture.nPalOf(0) + 1)) ++
+      full.drop(33 + 12 + plteLen)
+    assert(decodeErr("over.png", overTrns)
+      .contains(s"${PngFixture.nPalOf(0)}-entry palette"))
+    // a palette image with no PLTE at all
+    val noPlte = full.take(33) ++ full.drop(33 + 12 + plteLen)
+    assert(decodeErr("noplte.png", noPlte).contains("no PLTE"))
+    // PLTE on a grayscale image is a spec violation
+    val grayPlte = PngFixture.pngBytes(0).take(33) ++
+      chunk("PLTE", new Array[Byte](3)) ++ PngFixture.pngBytes(0).drop(33)
+    assert(decodeErr("grayplte.png", grayPlte).contains("grayscale"))
+  }
+
   test("decodePng: FDICT zlib stream refuses loudly instead of spinning") {
     // ADVICE r12: Inflater.inflate returns 0 with needsInput=false and
     // finished=false on a preset-dictionary stream — before the guard the

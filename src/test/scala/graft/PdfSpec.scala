@@ -409,20 +409,52 @@ class PdfSpec extends SparkSpec {
     assert(pages.head.stream_bytes === (cs1.length + cs2.length).toLong)
   }
 
-  test("the array form of a single /Filter parses; filter cascades " +
-      "refuse by name") {
+  test("the /Filter grammar: array-of-one, ASCIIHexDecode, the " +
+      "ASCIIHex->Flate cascade decode; anything else refuses by name") {
     val cs = "BT (filtered) Tj ET"
+    val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
     // array-of-one FlateDecode: equivalent to the name form, must parse
-    val one = onePageWithFilter("/Filter [/FlateDecode]", deflateBytes(
-      cs.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
-    val pages = Pdf.parse("a.pdf", one)
-    assert(pages.head.text === "filtered")
-    // a cascade would feed the OUTER coding's text to the inflater —
-    // refuse by name instead
+    val one = onePageWithFilter("/Filter [/FlateDecode]",
+      deflateBytes(cs.getBytes(L1)))
+    assert(Pdf.parse("a.pdf", one).head.text === "filtered")
+    // ASCIIHexDecode alone (ISO 32000 §7.4.2): whitespace ignored, odd
+    // trailing digit padded, > EOD required
+    def hexOf(b: Array[Byte]): String =
+      b.map(x => f"$x%02X").mkString(" ") + " >"
+    val hexed = onePageWithFilter("/Filter /ASCIIHexDecode",
+      hexOf(cs.getBytes(L1)).getBytes(L1))
+    assert(Pdf.parse("h.pdf", hexed).head.text === "filtered")
+    // the [/ASCIIHexDecode /FlateDecode] cascade older writers emit
+    // (r17, VERDICT r16 stretch #8): decode left-to-right
     val casc = onePageWithFilter("/Filter [/ASCIIHexDecode /FlateDecode]",
-      "4254" .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-    val e = intercept[IllegalArgumentException](Pdf.parse("c.pdf", casc))
-    assert(e.getMessage.contains("filter cascade"))
+      hexOf(deflateBytes(cs.getBytes(L1))).getBytes(L1))
+    assert(Pdf.parse("c.pdf", casc).head.text === "filtered")
+    // a SINGLE unsupported filter refuses by name — pre-r17 the bytes
+    // fed the text interpreter still-encoded (ADVICE r16, medium)
+    for (f <- Seq("/Filter /LZWDecode", "/Filter [/LZWDecode]")) {
+      val lzw = onePageWithFilter(f, Array[Byte](1, 2, 3, 4))
+      val e = intercept[RuntimeException](Pdf.parse("l.pdf", lzw))
+      assert(e.getMessage.contains("LZWDecode") &&
+        e.getMessage.contains("unsupported"), e.getMessage)
+    }
+    // an unsupported cascade refuses by name too
+    val badCasc = onePageWithFilter(
+      "/Filter [/ASCII85Decode /FlateDecode]", Array[Byte](1, 2))
+    val e3 = intercept[RuntimeException](Pdf.parse("c2.pdf", badCasc))
+    assert(e3.getMessage.contains("ASCII85Decode"), e3.getMessage)
+    // malformed hex data refuses with context: missing EOD, data after
+    // EOD, a non-hex byte
+    for ((data, what) <- Seq("4254" -> "EOD", "42 > 54" -> "after",
+        "4Z54 >" -> "non-hex")) {
+      val b = onePageWithFilter("/Filter /ASCIIHexDecode",
+        data.getBytes(L1))
+      val e = intercept[RuntimeException](Pdf.parse("m.pdf", b))
+      assert(e.getMessage.contains(what), s"'$data': ${e.getMessage}")
+    }
+    // odd trailing digit pads with 0 (spec): "42 5>" decodes to 0x42 0x50
+    val odd = onePageWithFilter("/Filter /ASCIIHexDecode",
+      "28 4F 4B 29 54 6A 2>".getBytes(L1)) // "(OK)Tj " + 0x20
+    assert(Pdf.parse("o.pdf", odd).head.text === "OK")
     // malformed zlib bytes under a legitimate /FlateDecode refuse with
     // file context, not a bare DataFormatException
     val bad = onePageWithFilter("/Filter /FlateDecode",

@@ -139,6 +139,54 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("WARC/1.1 twins parse identically to WARC/1.0; other versions " +
+      "refuse by name") {
+    // version differential: the same records re-emitted under the IIPC
+    // 1.1 version line must produce identical rows (nothing this scan
+    // surfaces changed between the revisions)
+    val plain = Warc.parse("seg_000.warc", WarcFixture.warcBytes(0))
+    val v11 = WarcFixture.recordsOf(0)
+      .map(r => "WARC/1.1" + r.stripPrefix("WARC/1.0")).mkString
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    assert(Warc.parse("seg_000.warc", v11) === plain)
+    // 0.18 (the pre-standard draft) and 2.0 are different grammars
+    for (v <- Seq("WARC/0.18", "WARC/2.0")) {
+      val bad = WarcFixture.recordsOf(0)
+        .map(r => v + r.stripPrefix("WARC/1.0")).mkString
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val e = intercept[IllegalArgumentException] {
+        Warc.parse("v.warc", bad)
+      }
+      assert(e.getMessage.contains(s"unsupported WARC version line '$v'"))
+    }
+  }
+
+  test("revisit records resolve to their referred capture: refers_to " +
+      "matches the original's record_id and the payload digest matches " +
+      "its body hash") {
+    for (i <- 0 until WarcFixture.derivedCount) {
+      val caps = Warc.parse(f"seg_$i%03d.warc", WarcFixture.warcBytes(i))
+        .filter(_.warc_type == "response")
+        .map(r => r.record_id -> r).toMap
+      val rows = Warc.parse(f"segd_$i%03d.warc",
+        WarcFixture.warcDerivedBytes(i))
+      for (r <- 0 until WarcFixture.pagesOf(i)) {
+        val rev = rows(1 + 3 * r)
+        assert(rev.warc_type === "revisit")
+        assert(rev.refers_to.isDefined, "revisit must carry Refers-To")
+        val orig = caps(rev.refers_to.get) // resolves, or throws here
+        assert(orig.target_uri === rev.target_uri)
+        // identical-payload-digest profile: the revisit's digest IS the
+        // original's payload hash
+        assert(rev.payload_digest ===
+          Some("md5:" + orig.body_md5.get))
+        // responses carry their own digest header too, and it agrees
+        // with the body hash the scan computes
+        assert(orig.payload_digest === Some("md5:" + orig.body_md5.get))
+      }
+    }
+  }
+
   test("HTTP header field names match case-insensitively with " +
       "optional space (RFC 9110) — lowercase transfer-encoding " +
       "must still dechunk") {
@@ -303,6 +351,7 @@ class WarcSpec extends SparkSpec {
     def rec(status: String): Array[Byte] = {
       val payload = s"$status\r\nContent-Type: text/html\r\n\r\nok"
       (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:st>\r\n" +
         s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n")
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     }

@@ -37,7 +37,10 @@ if int(ROUND[1:]) < int(newest[1:]):
 src = open("src/main/scala/graft/Bench.scala").read()
 block = src[src.index("displayAbbrev = Map("):]
 block = block[: block.index(")\n\n")]
-amap = dict(re.findall(r'"([a-z0-9_]+)" -> "([a-zA-Z0-9_]+)"', block))
+# codes are 1-2 chars from the alnum + wave-11 punctuation space — match
+# anything but a quote (a quote can't be a code: it would need escaping
+# in both the Scala literal and the JSON key)
+amap = dict(re.findall(r'"([a-z0-9_]+)" -> "([^"]+)"', block))
 assert len(amap) > 100, len(amap)
 
 pairs = ", ".join("`%s`→`%s`" % (k, v) for k, v in sorted(amap.items()))
