@@ -44,9 +44,9 @@ final case class JpegMeta(file_name: String, width: Int, height: Int,
   * tolerances as baseline. Arithmetic coding, lossless and
   * hierarchical SOFs refuse with the marker name; 8-bit
   * samples; 1 or 3 components; sampling factors 1x1, the 2x2,1x1,1x1
-  * of 4:2:0, or the 2x1,1x1,1x1 of 4:2:2 for the pixel path (anything
-  * else — e.g. 4:4:0 — refuses rather than
-  * mis-renders). Restart intervals (DRI/RSTn) are handled —
+  * of 4:2:0, the 2x1,1x1,1x1 of 4:2:2, or the 1x2,1x1,1x1 of 4:4:0
+  * for the pixel path (anything else — e.g. 4:1:1 — refuses rather
+  * than mis-renders). Restart intervals (DRI/RSTn) are handled —
   * byte-aligned, predictors reset, marker sequence checked. */
 object Jpeg {
 
@@ -767,9 +767,37 @@ object Jpeg {
     out
   }
 
+  /** libjpeg-turbo-convention h1v2 "fancy" upsample (jdsample.c
+    * h1v2_fancy_upsample) — the 4:4:0 vertical sibling of
+    * [[fancyH2V1]] (VERDICT r16 #5): vertical-only triangular blend,
+    * 3:1 weights, +1 rounding on the even (near-neighbor) phase and +2
+    * on the odd phase; columns pass through untouched. The clamped
+    * edge rows collapse to duplication exactly like h2v1's edge
+    * columns. */
+  private[graft] def fancyH1V2(in: Array[Int], cw: Int, ch: Int,
+                               w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var oy = 0
+    while (oy < h) {
+      val iy = oy >> 1
+      val ny = if ((oy & 1) == 0) math.max(iy - 1, 0)
+               else math.min(iy + 1, ch - 1)
+      val rnd = if ((oy & 1) == 0) 1 else 2
+      var ox = 0
+      while (ox < w) {
+        out(oy * w + ox) =
+          (3 * in(iy * cw + ox) + in(ny * cw + ox) + rnd) >> 2
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   /** Full decode to packed 0xRRGGBB pixels (gray replicates the single
     * plane). 4:2:0 chroma goes through [[fancyH2V2]], 4:2:2 through
-    * [[fancyH2V1]]; 4:4:4 and gray are pass-through. */
+    * [[fancyH2V1]], 4:4:0 through [[fancyH1V2]]; 4:4:4 and gray are
+    * pass-through. */
   private[graft] def decodeRgb(name: String,
                                b: Array[Byte]): (Int, Int, Array[Int]) = {
     val (w, h, planes) = decodePlanes(name, b)
@@ -802,13 +830,15 @@ object Jpeg {
           // 4:2:2 (1x1 chroma under a 2x1 luma grid): horizontal-only
           // fancy upsample (r16, VERDICT r15 #6)
           fancyH2V1(s, pw, w, h)
+        } else if (ph2 == 1 && pv2 == 1 && pw == w && ph == (h + 1) / 2) {
+          // 4:4:0 (1x1 chroma under a 1x2 luma grid): vertical-only
+          // fancy upsample (r17, VERDICT r16 #5)
+          fancyH1V2(s, pw, ph, w, h)
         } else {
           // ONLY true 4:2:0 (1x1 chroma under a 2x2 luma grid) reaches
-          // the h2v2 upsample: a 4:4:0 plane (pw=w, ph=(h+1)/2) also
-          // carries 1x1 chroma but halves vertically only — cropping it
-          // would silently discard half the chroma (ADVICE r13, medium),
-          // so anything that is not exactly the half-by-half plane
-          // refuses with the sampling string instead of mis-rendering.
+          // the h2v2 upsample — anything that is not exactly the
+          // half-by-half plane refuses with the sampling string
+          // instead of mis-rendering (ADVICE r13, medium).
           require(ph2 == 1 && pv2 == 1 && pw == (w + 1) / 2 && ph == (h + 1) / 2,
             s"$name: unsupported chroma geometry ${pw}x$ph " +
               s"(sampling ${ph2}x$pv2) for ${w}x$h — only " +

@@ -225,7 +225,7 @@ class JpegSpec extends SparkSpec {
   }
 
   test("4:2:2 pixel path matches the JDK (h2v1 fancy upsample); " +
-      "4:4:0 still refuses") {
+      "4:1:1 refuses") {
     import java.awt.image.BufferedImage
     def paint(w: Int, h: Int): BufferedImage = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
@@ -250,13 +250,41 @@ class JpegSpec extends SparkSpec {
             ((rgb(yy * w + xx) >> sh) & 0xff)))
       assert(maxd <= 3, s"$tag: rgb maxdiff $maxd")
     }
-    // 4:4:0 (1x2 luma grid): census reads it, pixel decode refuses
-    val b440 = encodeSampled(paint(24, 16), 1, 2)
-    assert(Jpeg.parseMeta("440.jpg", b440).samp === "1x2,1x1,1x1")
+    // a genuinely unsupported grid (4:1:1, 4x1 luma) still refuses
+    val b411 = encodeSampled(paint(24, 16), 4, 1)
+    assert(Jpeg.parseMeta("411.jpg", b411).samp === "4x1,1x1,1x1")
     val e = intercept[IllegalArgumentException] {
-      Jpeg.decodeRgb("440.jpg", b440)
+      Jpeg.decodeRgb("411.jpg", b411)
     }
     assert(e.getMessage.contains("unsupported chroma geometry"))
+  }
+
+  test("4:4:0 pixel path matches the JDK (h1v2 fancy upsample)") {
+    import java.awt.image.BufferedImage
+    def paint(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, JpegFixture.rgbOf(2, x, y))
+      img
+    }
+    // odd heights make the chroma plane's ceil-height edge load-bearing
+    for ((w, h) <- Seq((8, 8), (17, 9), (16, 24), (15, 31), (34, 33))) {
+      val bytes = encodeSampled(paint(w, h), 1, 2)
+      val tag = s"${w}x$h 440"
+      val m = Jpeg.parseMeta(tag, bytes)
+      assert(m.samp === "1x2,1x1,1x1", s"$tag: writer emitted ${m.samp}")
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w2, h2, rgb) = Jpeg.decodeRgb(tag, bytes)
+      assert(w2 === w && h2 === h, tag)
+      var maxd = 0
+      for (yy <- 0 until h; xx <- 0 until w; sh <- Seq(16, 8, 0))
+        maxd = math.max(maxd, math.abs(
+          ((ref.getRGB(xx, yy) >> sh) & 0xff) -
+            ((rgb(yy * w + xx) >> sh) & 0xff)))
+      info(s"$tag maxdiff $maxd")
+      assert(maxd <= 3, s"$tag: rgb maxdiff $maxd")
+    }
   }
 
   /** JDK-encode with explicit luma sampling factors via the native
