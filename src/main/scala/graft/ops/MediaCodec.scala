@@ -195,7 +195,7 @@ object MediaCodec {
           require(b.length >= 8 && b.take(8).sameElements(sig),
             s"$name: not a PNG file")
           var off = 8
-          var w = -1; var h = -1; var colorType = -1
+          var w = -1; var h = -1; var colorType = -1; var depth = 8
           var plte: Array[Byte] = null
           var trns: Array[Byte] = null
           val idat = new java.io.ByteArrayOutputStream()
@@ -211,12 +211,20 @@ object MediaCodec {
                 require(len == 13, s"$name: IHDR length $len")
                 w = be32(b, off + 8); h = be32(b, off + 12)
                 require(w > 0 && h > 0, s"$name: bad dimensions ${w}x$h")
-                require((b(off + 16) & 0xff) == 8, s"$name: not 8-bit")
+                depth = b(off + 16) & 0xff
                 colorType = b(off + 17) & 0xff
                 require(colorType == 0 || colorType == 2 ||
                   colorType == 3 || colorType == 6,
                   s"$name: color type $colorType unsupported (8-bit " +
                     "gray/palette/truecolor/truecolor+alpha only)")
+                // sub-byte depths are how real writers (libpng, PIL,
+                // the JDK) emit SMALL palettes — a 16-color image ships
+                // at depth 4, not 8 (r17); non-palette types stay 8-bit
+                require(if (colorType == 3)
+                    depth == 1 || depth == 2 || depth == 4 || depth == 8
+                  else depth == 8,
+                  s"$name: bit depth $depth unsupported for color type " +
+                    s"$colorType")
                 require((b(off + 18) & 0xff) == 0 && (b(off + 19) & 0xff) == 0,
                   s"$name: nonstandard compression/filter method")
                 require((b(off + 20) & 0xff) == 0,
@@ -260,7 +268,12 @@ object MediaCodec {
           // palette index byte per pixel for type 3
           val bpp = colorType match {
             case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
-          val stride = w * bpp
+          // scanline geometry runs over CODED bytes: sub-byte palette
+          // indices pack MSB-first, ceil(w·depth/8) bytes per row; the
+          // filter left-neighbor distance stays one byte (ISO 15948
+          // §9.2: bpp for filtering rounds UP to one byte)
+          val stride =
+            if (colorType == 3) (w * depth + 7) / 8 else w * bpp
           val raw = {
             val inf = new java.util.zip.Inflater()
             inf.setInput(idat.toByteArray)
@@ -333,7 +346,11 @@ object MediaCodec {
                 val v =
                   if (colorType != 3) img(y * stride + x * bpp + c) & 0xff
                   else {
-                    val idx = img(y * stride + x) & 0xff
+                    // MSB-first packed index (depth 1/2/4 collapse to a
+                    // shift-and-mask; depth 8 reads the byte whole)
+                    val bit = x * depth
+                    val idx = (img(y * stride + (bit >> 3)) >>
+                      (8 - depth - (bit & 7))) & ((1 << depth) - 1)
                     require(idx < nPal, s"$name: pixel ($x,$y) indexes " +
                       s"palette entry $idx of $nPal")
                     if (c < 3) plte(3 * idx + c) & 0xff
@@ -475,7 +492,7 @@ object PngFixture {
   // are only required for sinks whose content varies per run
   // (q_docx_roundtrip's truncate-then-write).
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_png_v3").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_png_v4").getAbsolutePath
 
   def widthOf(i: Int): Int = 4 + i % 5
   def heightOf(i: Int): Int = 3 + i % 4
@@ -484,31 +501,42 @@ object PngFixture {
   def pixel(i: Int, x: Int, y: Int, c: Int): Int =
     (i * 17 + x * 5 + y * 13 + c * 7) % 256
 
-  /** Palette (color type 3) family — v3, a second file family
+  /** Palette (color type 3) family — a second file family
     * (`pimg_*.png`) in the same directory: PLTE-indexed scanlines,
     * odd-indexed files carrying a tRNS alpha chunk shorter than the
-    * palette (entries past it default opaque). */
+    * palette (entries past it default opaque). v4: the family cycles
+    * bit depths 8/4/2/1 — sub-byte packed indices are what real
+    * writers emit for small palettes. */
   val paletteCount = 12
 
   def pWidthOf(i: Int): Int = 5 + i % 4
   def pHeightOf(i: Int): Int = 3 + i % 5
-  /** Palette entry count — small enough that index bytes repeat. */
-  def nPalOf(i: Int): Int = 5 + (i * 7) % 12
+  def pDepthOf(i: Int): Int = Array(8, 4, 2, 1)(i % 4)
+  /** Palette entry count — small enough that indices repeat, capped by
+    * what the bit depth can address. */
+  def nPalOf(i: Int): Int = math.min(5 + (i * 7) % 12, 1 << pDepthOf(i))
   def palByteOf(i: Int, k: Int): Int = (i * 23 + k * 37 + 11) % 256
   def hasTrnsOf(i: Int): Boolean = i % 2 == 1
-  def nTrnsOf(i: Int): Int = if (hasTrnsOf(i)) 1 + i % 5 else 0
+  def nTrnsOf(i: Int): Int =
+    if (hasTrnsOf(i)) math.min(1 + i % 5, nPalOf(i)) else 0
   def trnsByteOf(i: Int, j: Int): Int = (i * 41 + j * 17 + 3) % 256
   def idxOf(i: Int, x: Int, y: Int): Int =
     (i * 3 + x * 7 + y * 5) % nPalOf(i)
 
   def pngPaletteBytes(i: Int): Array[Byte] = {
     val w = pWidthOf(i); val h = pHeightOf(i); val np = nPalOf(i)
+    val depth = pDepthOf(i)
     require(nTrnsOf(i) <= np, s"fixture $i: tRNS longer than palette")
-    val raw = new Array[Byte](h * (1 + w))
-    for (y <- 0 until h; x <- 0 until w)
-      raw(y * (1 + w) + 1 + x) = idxOf(i, x, y).toByte
+    val rowBytes = (w * depth + 7) / 8
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val bit = x * depth
+      val off = y * (1 + rowBytes) + 1 + (bit >> 3)
+      raw(off) = (raw(off) |
+        (idxOf(i, x, y) << (8 - depth - (bit & 7)))).toByte
+    }
     val ihdr = ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(3.toByte)
+      .putInt(w).putInt(h).put(depth.toByte).put(3.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte))

@@ -254,7 +254,13 @@ object MultimodalQueries {
       graft.ops.MediaCodec.decodePng(
         s.read.format("binaryFile").load(files.toIndexedSeq: _*)).toDF()
     },
-    Some(s"""WITH raw AS (
+    Some {
+      // MSB-first packed palette index at (x, y): byte fetch, shift,
+      // mask — depth 8 collapses to the whole byte
+      val palIdx =
+        s"((${hB("base + y*(1 + rowbytes) + 1 + (x*depth) // 8")} >> " +
+          "(8 - depth - ((x*depth) % 8))) & ((1 << depth) - 1))"
+      s"""WITH raw AS (
       |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
       |         hex(content) AS hx
       |  FROM read_blob('${graft.ops.PngFixture.path}/*.png')
@@ -280,8 +286,10 @@ object MultimodalQueries {
       |), pal AS (
       |  -- palette branch (r17): PLTE chunk sits right after IHDR
       |  -- (length at byte 33), the optional tRNS right after PLTE —
-      |  -- every offset is derived from the BYTES, not the formula
+      |  -- every offset is derived from the BYTES, not the formula;
+      |  -- depth (byte 24) drives the MSB-first sub-byte index unpack
       |  SELECT file_name, hx, width, height, color_type,
+      |    CAST(${hB("24")} AS INTEGER) AS depth,
       |    CAST(16777216*${hB("33")} + 65536*${hB("34")} + 256*${hB("35")}
       |         + ${hB("36")} AS INTEGER) AS plen
       |  FROM hdr WHERE color_type = 3
@@ -294,17 +302,19 @@ object MultimodalQueries {
       |              + ${hB("48 + plen")} AS INTEGER) ELSE 0 END AS tlen
       |  FROM pal
       |), pal3 AS (
-      |  -- base = first scanline byte: IDAT data + zlib(2) + stored(5)
+      |  -- base = first scanline byte: IDAT data + zlib(2) + stored(5);
+      |  -- rowbytes = packed scanline bytes at this depth
       |  SELECT *, CASE WHEN has_trns THEN 72 + plen + tlen
-      |                 ELSE 60 + plen END AS base
+      |                 ELSE 60 + plen END AS base,
+      |    (width * depth + 7) // 8 AS rowbytes
       |  FROM pal2
       |), ppx AS (
       |  SELECT file_name, width, height, color_type,
       |    CAST(c AS INTEGER) AS channel, y,
       |    CASE WHEN c < 3
-      |      THEN ${hB(s"41 + 3*(${hB("base + y*(1 + width) + 1 + x")}) + c")}
-      |    WHEN ${hB("base + y*(1 + width) + 1 + x")} < tlen
-      |      THEN ${hB(s"53 + plen + (${hB("base + y*(1 + width) + 1 + x")})")}
+      |      THEN ${hB(s"41 + 3*($palIdx) + c")}
+      |    WHEN $palIdx < tlen
+      |      THEN ${hB(s"53 + plen + ($palIdx)")}
       |    ELSE 255 END AS v
       |  FROM pal3,
       |    unnest(generate_series(0, width - 1)) AS gx(x),
@@ -317,10 +327,11 @@ object MultimodalQueries {
       |  CAST(SUM(v) AS BIGINT) AS sum_v,
       |  CAST(SUM((y + 1) * v) AS BIGINT) AS row_weighted
       |FROM (SELECT * FROM px UNION ALL SELECT * FROM ppx)
-      |GROUP BY file_name, width, height, color_type, channel""".stripMargin),
+      |GROUP BY file_name, width, height, color_type, channel""".stripMargin
+    },
     "north star: REAL PNG decode (zlib inflate + all 5 filters + " +
-      "PLTE-indexed color with tRNS alpha), oracle-checked through " +
-      "the stored-block container")
+      "PLTE-indexed color at depths 8/4/2/1 with tRNS alpha), " +
+      "oracle-checked through the stored-block container")
 
   /** q_media_jpeg — REAL JPEG header decode in the gate (VERDICT r12
     * next-round #2): the engine walks the marker segments for real

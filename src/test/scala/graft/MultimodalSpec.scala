@@ -252,10 +252,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodePng inverts the JDK's SUB-BYTE palette encodes (16-entry " +
+      "ICM -> depth 4, TYPE_BYTE_BINARY -> depth 1) at exact equality") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    def check(img: BufferedImage, name: String, wantDepth: Int): Unit = {
+      val w = img.getWidth; val h = img.getHeight
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      val bytes = baos.toByteArray
+      assert((bytes(24) & 0xff) === wantDepth,
+        s"$name: JDK wrote depth ${bytes(24)}, wanted $wantDepth")
+      assert((bytes(25) & 0xff) === 3, s"$name: not indexed")
+      val got = graft.ops.MediaCodec.decodePng(pngDf(name, bytes))
+        .collect().map(r => r.channel -> r).toMap
+      assert(got.size === 3, name)
+      for (c <- 0 until 3) {
+        val vs = for (x <- 0 until w; y <- 0 until h)
+          yield ((img.getRGB(x, y) >> (16 - 8 * c)) & 0xff).toLong
+        assert(got(c).sum_v === vs.sum, s"$name c=$c")
+      }
+    }
+    // 16-entry opaque palette: the JDK packs indices at 4 bits
+    val n16 = 16
+    val r16a = Array.tabulate(n16)(k => ((k * 37 + 11) % 256).toByte)
+    val g16 = Array.tabulate(n16)(k => ((k * 59 + 7) % 256).toByte)
+    val b16 = Array.tabulate(n16)(k => ((k * 83 + 3) % 256).toByte)
+    // a 4-bit ICM's compatible raster is MultiPixelPacked — that is
+    // what makes the JDK writer emit a depth-4 file (TYPE_BYTE_INDEXED
+    // would keep an 8-bit raster and an 8-bit encode)
+    val icm4 = new IndexColorModel(4, n16, r16a, g16, b16)
+    val img4 = new BufferedImage(icm4,
+      icm4.createCompatibleWritableRaster(11, 6), false, null)
+    for (x <- 0 until 11; y <- 0 until 6)
+      img4.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % n16)
+    check(img4, "jdk4.png", 4)
+    // two-entry palette (TYPE_BYTE_BINARY): 1-bit packing
+    val img1 = new BufferedImage(13, 5, BufferedImage.TYPE_BYTE_BINARY,
+      new IndexColorModel(1, 2, Array[Byte](30, 200.toByte),
+        Array[Byte](60, 90), Array[Byte](10, 250.toByte)))
+    for (x <- 0 until 13; y <- 0 until 5)
+      img1.getRaster.setSample(x, y, 0, (x + y) % 2)
+    check(img1, "jdk1.png", 1)
+  }
+
   test("decodePng: palette gate fixture matches the generation formula " +
       "(tRNS alpha included); malformed palette shapes refuse loudly") {
     import graft.ops.PngFixture
-    for (i <- Seq(0, 1, 5, 11)) {
+    // i mod 4 cycles bit depth 8/4/2/1 — all four packings covered
+    for (i <- Seq(0, 1, 5, 6, 11)) {
       val got = graft.ops.MediaCodec.decodePng(
           pngDf(s"pimg_$i.png", PngFixture.pngPaletteBytes(i)))
         .collect().map(r => r.channel -> r).toMap
