@@ -217,12 +217,19 @@ object MediaCodec {
                   colorType == 3 || colorType == 6,
                   s"$name: color type $colorType unsupported (8-bit " +
                     "gray/palette/truecolor/truecolor+alpha only)")
-                // sub-byte depths are how real writers (libpng, PIL,
-                // the JDK) emit SMALL palettes — a 16-color image ships
-                // at depth 4, not 8 (r17); non-palette types stay 8-bit
-                require(if (colorType == 3)
-                    depth == 1 || depth == 2 || depth == 4 || depth == 8
-                  else depth == 8,
+                // non-8-bit depths are real-writer shapes (r17):
+                // sub-byte palettes (a 16-color image ships at depth 4),
+                // bilevel/low-depth grayscale scans, and 16-bit gray or
+                // truecolor (microscopy/scientific exports). Legal
+                // combinations per ISO 15948 Table 11.1, minus
+                // 16-bit-palette (not a thing) — anything else refuses.
+                require(colorType match {
+                    case 3 => depth == 1 || depth == 2 || depth == 4 ||
+                      depth == 8
+                    case 0 => depth == 1 || depth == 2 || depth == 4 ||
+                      depth == 8 || depth == 16
+                    case _ => depth == 8 || depth == 16
+                  },
                   s"$name: bit depth $depth unsupported for color type " +
                     s"$colorType")
                 require((b(off + 18) & 0xff) == 0 && (b(off + 19) & 0xff) == 0,
@@ -268,12 +275,13 @@ object MediaCodec {
           // palette index byte per pixel for type 3
           val bpp = colorType match {
             case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
-          // scanline geometry runs over CODED bytes: sub-byte palette
-          // indices pack MSB-first, ceil(w·depth/8) bytes per row; the
-          // filter left-neighbor distance stays one byte (ISO 15948
-          // §9.2: bpp for filtering rounds UP to one byte)
-          val stride =
-            if (colorType == 3) (w * depth + 7) / 8 else w * bpp
+          // scanline geometry runs over CODED bytes: sub-byte samples
+          // pack MSB-first, 16-bit samples take two big-endian bytes —
+          // ceil(w·channels·depth/8) bytes per row; the filter
+          // left-neighbor distance is the per-pixel byte count rounded
+          // UP to one byte (ISO 15948 §9.2)
+          val stride = (w * bpp * depth + 7) / 8
+          val filterBpp = math.max(1, bpp * depth / 8)
           val raw = {
             val inf = new java.util.zip.Inflater()
             inf.setInput(idat.toByteArray)
@@ -311,10 +319,12 @@ object MediaCodec {
             var j = 0
             while (j < stride) {
               val x = raw(r * (stride + 1) + 1 + j) & 0xff
-              val left = if (j >= bpp) img(r * stride + j - bpp) & 0xff else 0
+              val left =
+                if (j >= filterBpp) img(r * stride + j - filterBpp) & 0xff
+                else 0
               val up = if (r > 0) img((r - 1) * stride + j) & 0xff else 0
-              val ul = if (r > 0 && j >= bpp)
-                img((r - 1) * stride + j - bpp) & 0xff else 0
+              val ul = if (r > 0 && j >= filterBpp)
+                img((r - 1) * stride + j - filterBpp) & 0xff else 0
               val recon = ft match {
                 case 0 => x
                 case 1 => x + left
@@ -344,8 +354,7 @@ object MediaCodec {
               var c = 0
               while (c < outCh) {
                 val v =
-                  if (colorType != 3) img(y * stride + x * bpp + c) & 0xff
-                  else {
+                  if (colorType == 3) {
                     // MSB-first packed index (depth 1/2/4 collapse to a
                     // shift-and-mask; depth 8 reads the byte whole)
                     val bit = x * depth
@@ -356,6 +365,20 @@ object MediaCodec {
                     if (c < 3) plte(3 * idx + c) & 0xff
                     else if (idx < trns.length) trns(idx) & 0xff
                     else 255
+                  }
+                  else if (depth == 8) img(y * stride + x * bpp + c) & 0xff
+                  else if (depth == 16)
+                    // rendered 8-bit channel = the big-endian hi byte
+                    // (what BufferedImage.getRGB yields for USHORT_GRAY)
+                    img(y * stride + (x * bpp + c) * 2) & 0xff
+                  else {
+                    // sub-byte grayscale sample, scaled to 8 bits by the
+                    // exact expansion 255/(2^d−1) (= 255, 85, 17 —
+                    // integer in every legal case, ISO 15948 §13.12)
+                    val bit = x * depth
+                    val s0 = (img(y * stride + (bit >> 3)) >>
+                      (8 - depth - (bit & 7))) & ((1 << depth) - 1)
+                    s0 * (255 / ((1 << depth) - 1))
                   }
                 n(c) += 1; sum(c) += v; rw(c) += (y + 1).toLong * v
                 c += 1
@@ -492,7 +515,7 @@ object PngFixture {
   // are only required for sinks whose content varies per run
   // (q_docx_roundtrip's truncate-then-write).
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_png_v4").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_png_v5").getAbsolutePath
 
   def widthOf(i: Int): Int = 4 + i % 5
   def heightOf(i: Int): Int = 3 + i % 4
@@ -522,6 +545,44 @@ object PngFixture {
   def trnsByteOf(i: Int, j: Int): Int = (i * 41 + j * 17 + 3) % 256
   def idxOf(i: Int, x: Int, y: Int): Int =
     (i * 3 + x * 7 + y * 5) % nPalOf(i)
+
+  /** Grayscale depth family — v5 (`gimg_*.png`): color type 0 at bit
+    * depths 1/2/4/16 (depth 8 is the img_ family's i%3==0 files) —
+    * bilevel/low-depth scans and 16-bit scientific exports, MSB-first
+    * packing and big-endian 16-bit samples. */
+  val grayCount = 8
+
+  def gWidthOf(i: Int): Int = 6 + i % 5
+  def gHeightOf(i: Int): Int = 3 + i % 4
+  def gDepthOf(i: Int): Int = Array(1, 2, 4, 16)(i % 4)
+  def gSampleOf(i: Int, x: Int, y: Int): Int =
+    (i * 257 + x * 1031 + y * 2053) % (1 << gDepthOf(i))
+
+  def pngGrayBytes(i: Int): Array[Byte] = {
+    val w = gWidthOf(i); val h = gHeightOf(i); val depth = gDepthOf(i)
+    val rowBytes = (w * depth + 7) / 8
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = gSampleOf(i, x, y)
+      if (depth == 16) {
+        raw(y * (1 + rowBytes) + 1 + 2 * x) = (s >> 8).toByte
+        raw(y * (1 + rowBytes) + 2 + 2 * x) = (s & 0xff).toByte
+      } else {
+        val bit = x * depth
+        val off = y * (1 + rowBytes) + 1 + (bit >> 3)
+        raw(off) = (raw(off) | (s << (8 - depth - (bit & 7)))).toByte
+      }
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(depth.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte))
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("IDAT", storedZlib(raw)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
 
   def pngPaletteBytes(i: Int): Array[Byte] = {
     val w = pWidthOf(i); val h = pHeightOf(i); val np = nPalOf(i)
@@ -611,6 +672,11 @@ object PngFixture {
         java.nio.file.Files.write(
           new java.io.File(tmp, f"pimg_$i%03d.png").toPath,
           pngPaletteBytes(i))
+      }
+      (0 until grayCount).foreach { i =>
+        java.nio.file.Files.write(
+          new java.io.File(tmp, f"gimg_$i%03d.png").toPath,
+          pngGrayBytes(i))
       }
       if (!tmp.renameTo(out)) deleteRec(tmp) // lost a build race: theirs won
     }

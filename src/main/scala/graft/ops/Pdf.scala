@@ -492,11 +492,74 @@ object Pdf {
       case Nil                          => bytes
       case "FlateDecode" :: Nil         => inflate(name, bytes)
       case "ASCIIHexDecode" :: Nil      => asciiHex(name, bytes, where)
+      case "ASCII85Decode" :: Nil       => ascii85(name, bytes, where)
       case "ASCIIHexDecode" :: "FlateDecode" :: Nil =>
         inflate(name, asciiHex(name, bytes, where))
+      case "ASCII85Decode" :: "FlateDecode" :: Nil =>
+        inflate(name, ascii85(name, bytes, where))
       case fs => sys.error(s"$name: filter chain " +
         s"${fs.map("/" + _).mkString(" ")} unsupported ($where)")
     }
+  }
+
+  /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars `!`..`u` encode 4 bytes
+    * base-85 big-endian; a lone `z` encodes 4 zero bytes (illegal
+    * mid-group); whitespace ignored; `~>` is the required EOD; a final
+    * partial group of n chars (n ≥ 2) encodes n−1 bytes (padded with
+    * `u` = 84, surplus output dropped); a single leftover char, a group
+    * overflowing 2^32−1, or any other byte refuses loudly. */
+  private def ascii85(name: String, b: Array[Byte],
+                      where: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var k = 0
+    var i = 0
+    var eod = false
+    def flush(n: Int): Unit = {
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < n) grp(j) else 84); j += 1 }
+      require(v <= 0xffffffffL,
+        s"$name: ASCII85 group overflows 32 bits at $i ($where)")
+      val bs = Array((v >> 24).toInt, (v >> 16).toInt, (v >> 8).toInt,
+        v.toInt)
+      var m = 0
+      while (m < (if (n == 5) 4 else n - 1)) {
+        out.write(bs(m) & 0xff); m += 1
+      }
+    }
+    while (i < b.length && !eod) {
+      val c = b(i) & 0xff
+      if (c == '~') {
+        require(i + 1 < b.length && b(i + 1) == '>',
+          s"$name: malformed ASCII85 EOD at $i ($where)")
+        eod = true
+        i += 1
+      } else if (c == 'z') {
+        require(k == 0, s"$name: 'z' inside an ASCII85 group at $i ($where)")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c >= '!' && c <= 'u') {
+        grp(k) = c - '!'; k += 1
+        if (k == 5) { flush(5); k = 0 }
+      } else if (!(c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+          c == '\f' || c == 0)) {
+        sys.error(s"$name: invalid ASCII85 byte 0x${c.toHexString} " +
+          s"at $i ($where)")
+      }
+      i += 1
+    }
+    require(eod, s"$name: ASCII85 data missing the ~> EOD ($where)")
+    while (i < b.length) {
+      require(b(i) == 0 || (b(i) & 0xff).toChar.isWhitespace,
+        s"$name: data after the ASCII85 EOD marker ($where)")
+      i += 1
+    }
+    if (k > 0) {
+      require(k >= 2,
+        s"$name: single trailing ASCII85 char before EOD ($where)")
+      flush(k)
+    }
+    out.toByteArray
   }
 
   /** ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace ignored,

@@ -270,11 +270,12 @@ object MultimodalQueries {
       |         + ${hB("19")} AS INTEGER) AS width,
       |    CAST(16777216*${hB("20")} + 65536*${hB("21")} + 256*${hB("22")}
       |         + ${hB("23")} AS INTEGER) AS height,
+      |    CAST(${hB("24")} AS INTEGER) AS depth,
       |    CAST(${hB("25")} AS INTEGER) AS color_type
       |  FROM raw
       |), dims AS (
       |  SELECT *, CASE color_type WHEN 0 THEN 1 WHEN 2 THEN 3 ELSE 4 END AS bpp
-      |  FROM hdr WHERE color_type <> 3
+      |  FROM hdr WHERE color_type <> 3 AND depth = 8
       |), px AS (
       |  SELECT file_name, width, height, color_type,
       |    CAST(c AS INTEGER) AS channel, y,
@@ -283,13 +284,28 @@ object MultimodalQueries {
       |    unnest(generate_series(0, width - 1)) AS gx(x),
       |    unnest(generate_series(0, height - 1)) AS gy(y),
       |    unnest(generate_series(0, bpp - 1)) AS gc(c)
+      |), gdims AS (
+      |  -- non-8-bit grayscale (r17): sub-byte scans scale by the exact
+      |  -- 255/(2^d−1) expansion, 16-bit renders its big-endian hi byte
+      |  SELECT *, (width * depth + 7) // 8 AS growbytes
+      |  FROM hdr WHERE color_type = 0 AND depth <> 8
+      |), gpx AS (
+      |  SELECT file_name, width, height, color_type,
+      |    CAST(0 AS INTEGER) AS channel, y,
+      |    CASE WHEN depth = 16
+      |      THEN ${hB("48 + y*(1 + growbytes) + 1 + 2*x")}
+      |    ELSE ((${hB("48 + y*(1 + growbytes) + 1 + (x*depth) // 8")} >>
+      |          (8 - depth - ((x*depth) % 8))) & ((1 << depth) - 1))
+      |         * (255 // ((1 << depth) - 1)) END AS v
+      |  FROM gdims,
+      |    unnest(generate_series(0, width - 1)) AS gx(x),
+      |    unnest(generate_series(0, height - 1)) AS gy(y)
       |), pal AS (
       |  -- palette branch (r17): PLTE chunk sits right after IHDR
       |  -- (length at byte 33), the optional tRNS right after PLTE —
       |  -- every offset is derived from the BYTES, not the formula;
       |  -- depth (byte 24) drives the MSB-first sub-byte index unpack
-      |  SELECT file_name, hx, width, height, color_type,
-      |    CAST(${hB("24")} AS INTEGER) AS depth,
+      |  SELECT file_name, hx, width, height, color_type, depth,
       |    CAST(16777216*${hB("33")} + 65536*${hB("34")} + 256*${hB("35")}
       |         + ${hB("36")} AS INTEGER) AS plen
       |  FROM hdr WHERE color_type = 3
@@ -326,7 +342,8 @@ object MultimodalQueries {
       |  count(*) AS n_px,
       |  CAST(SUM(v) AS BIGINT) AS sum_v,
       |  CAST(SUM((y + 1) * v) AS BIGINT) AS row_weighted
-      |FROM (SELECT * FROM px UNION ALL SELECT * FROM ppx)
+      |FROM (SELECT * FROM px UNION ALL SELECT * FROM gpx
+      |      UNION ALL SELECT * FROM ppx)
       |GROUP BY file_name, width, height, color_type, channel""".stripMargin
     },
     "north star: REAL PNG decode (zlib inflate + all 5 filters + " +

@@ -362,6 +362,44 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeErr("grayplte.png", grayPlte).contains("grayscale"))
   }
 
+  test("decodePng: non-8-bit grayscale — sub-byte scans scale by " +
+      "255/(2^d-1), 16-bit renders the hi byte; JDK USHORT_GRAY " +
+      "differential at exact equality") {
+    import graft.ops.PngFixture
+    for (i <- 0 until PngFixture.grayCount) {
+      val got = graft.ops.MediaCodec.decodePng(
+          pngDf(s"gimg_$i.png", PngFixture.pngGrayBytes(i))).collect()
+      assert(got.length === 1, s"i=$i")
+      val r = got.head
+      assert(r.color_type === 0 && r.channel === 0)
+      val d = PngFixture.gDepthOf(i)
+      val vs = for (x <- 0 until PngFixture.gWidthOf(i);
+                    y <- 0 until PngFixture.gHeightOf(i)) yield {
+        val s = PngFixture.gSampleOf(i, x, y)
+        (y, if (d == 16) s >> 8 else s * (255 / ((1 << d) - 1)))
+      }
+      assert(r.sum_v === vs.map(_._2.toLong).sum, s"i=$i d=$d")
+      assert(r.row_weighted === vs.map { case (y, v) =>
+        (y + 1).toLong * v }.sum, s"i=$i d=$d")
+    }
+    // the JDK's own 16-bit gray encoder (TYPE_USHORT_GRAY -> depth-16
+    // type 0, real DEFLATE + its own filters): rendered hi bytes match
+    val img = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (x <- 0 until 9; y <- 0 until 7)
+      img.getRaster.setSample(x, y, 0, (x * 7919 + y * 104729) % 65536)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val bytes = baos.toByteArray
+    assert((bytes(24) & 0xff) === 16 && (bytes(25) & 0xff) === 0,
+      s"JDK wrote depth ${bytes(24)} type ${bytes(25)}")
+    val got = graft.ops.MediaCodec.decodePng(pngDf("jdk16.png", bytes))
+      .collect().head
+    val exp = (for (x <- 0 until 9; y <- 0 until 7)
+      yield (img.getRaster.getSample(x, y, 0) >> 8).toLong).sum
+    assert(got.sum_v === exp)
+  }
+
   test("decodePng: FDICT zlib stream refuses loudly instead of spinning") {
     // ADVICE r12: Inflater.inflate returns 0 with needsInput=false and
     // finished=false on a preset-dictionary stream — before the guard the
