@@ -256,6 +256,57 @@ object IngestScale {
         }
       }
       report("tar_roundtrip", label, nSamples, plainBytes, tarSecs)
+
+      // tar PAX shape (r17): the same samples under >100-char paths
+      // that ONLY a PAX 'x' path override can carry (the Python-tarfile
+      // default format) — one extended header per member, so this row
+      // prices the PAX record parse + the doubled member-header walk
+      // against the plain tar_roundtrip row above. The oracle is the
+      // same exact-frame hash, keyed by the LONG name: a reader that
+      // drops or misapplies an override cannot hand the frame back.
+      val paxPrefix = "pax/deep/nested/shard/directory/tree/that/" +
+        "overflows/the/hundred/byte/name/field/padding/longer/"
+      val inputPax = input.select(
+        concat(lit(paxPrefix), col("name")).as("name"), col("text"))
+      val inPaxHash = inputPax
+        .select(xxhash64(col("name"), col("text")).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+      val paxSecs = (1 to runs).map { r =>
+        val out = new java.io.File(root, s"scratch_pax_${label}_$r")
+        timed {
+          out.mkdirs()
+          inputPax.repartition(32, col("name"))
+            .foreachPartition {
+              (rows: Iterator[org.apache.spark.sql.Row]) =>
+              val members = rows.flatMap { row =>
+                val n = row.getString(0); val t = row.getString(1)
+                require(n.length > 100, s"pax row: name fits ustar: $n")
+                Seq(
+                  (s"PaxHeaders.0/${n.takeRight(80)}", 'x',
+                    Tar.paxRecord("path", n)),
+                  (n.take(100), '0',
+                    t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              }.toSeq
+              if (members.nonEmpty) {
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                java.nio.file.Files.write(
+                  new java.io.File(out, f"part_$pid%05d.tar").toPath,
+                  Tar.tarBytesTyped(members))
+                ()
+              }
+            }
+          val back = Tar.scanTar(spark.read.format("binaryFile")
+            .load(out.getAbsolutePath + "/*.tar")).toDF()
+          val row = back
+            .select(xxhash64(col("entry_name"), col("text")).as("h"))
+            .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("hx")).head()
+          require(row.getLong(0) == nSamples,
+            s"tar pax $label: ${row.getLong(0)} != $nSamples members")
+          require(row.getLong(1) == inPaxHash,
+            s"tar pax $label: round-trip hash mismatch")
+        }
+      }
+      report("tar_pax_roundtrip", label, nSamples, plainBytes, paxSecs)
     }
     spark.stop()
   }
