@@ -165,12 +165,13 @@ object MediaCodec {
     * compressed-format gap the sandbox's missing codec libraries left):
     * chunk walk → IDAT concatenation → `java.util.zip.Inflater` (a full
     * zlib codec, adler-checked) → per-row unfilter (all five PNG filter
-    * types incl. the Paeth predictor) → exact per-channel stats. Scope:
-    * 8-bit grayscale (color type 0), truecolor (2), PLTE-indexed (3,
-    * r17 — palette-expanded to RGB, tRNS per-entry alpha honored) and
-    * truecolor+alpha (6), non-interlaced — the shapes a training-data
-    * image pipeline normalizes to; everything else fails loudly
-    * (Adam7 interlace still refuses by name). Chunk CRCs are not
+    * types incl. the Paeth predictor) → exact per-channel stats. Scope
+    * (r17): grayscale (color type 0) at depths 1/2/4/8/16, truecolor
+    * (2) at 8/16, PLTE-indexed (3) at 1/2/4/8 (palette-expanded to
+    * RGB, tRNS per-entry alpha honored), truecolor+alpha (6) at 8/16 —
+    * in BOTH interlace methods (none and Adam7, §8.2: seven
+    * independently-filtered sub-images scattered onto the pixel grid);
+    * everything else fails loudly. Chunk CRCs are not
     * verified (the zlib adler32 covers the payload; a CRC pass would
     * protect ancillary chunks this decoder ignores).
     *
@@ -196,6 +197,7 @@ object MediaCodec {
             s"$name: not a PNG file")
           var off = 8
           var w = -1; var h = -1; var colorType = -1; var depth = 8
+          var interlaced = false
           var plte: Array[Byte] = null
           var trns: Array[Byte] = null
           val idat = new java.io.ByteArrayOutputStream()
@@ -234,8 +236,11 @@ object MediaCodec {
                     s"$colorType")
                 require((b(off + 18) & 0xff) == 0 && (b(off + 19) & 0xff) == 0,
                   s"$name: nonstandard compression/filter method")
-                require((b(off + 20) & 0xff) == 0,
-                  s"$name: interlaced PNG unsupported")
+                // interlace method 1 = Adam7 (r17); anything else is
+                // outside ISO 15948 Table 11.1
+                interlaced = (b(off + 20) & 0xff) == 1
+                require((b(off + 20) & 0xff) <= 1,
+                  s"$name: unknown interlace method ${b(off + 20) & 0xff}")
               case "IDAT" => idat.write(b, off + 8, len)
               case "IEND" => done = true
               case "PLTE" =>
@@ -277,15 +282,32 @@ object MediaCodec {
             case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
           // scanline geometry runs over CODED bytes: sub-byte samples
           // pack MSB-first, 16-bit samples take two big-endian bytes —
-          // ceil(w·channels·depth/8) bytes per row; the filter
+          // ceil(pw·channels·depth/8) bytes per row; the filter
           // left-neighbor distance is the per-pixel byte count rounded
           // UP to one byte (ISO 15948 §9.2)
-          val stride = (w * bpp * depth + 7) / 8
           val filterBpp = math.max(1, bpp * depth / 8)
+          val bitsPerPx = bpp * depth
+          def rowBytesOf(pw: Int): Int = (pw * bitsPerPx + 7) / 8
+          // Adam7 pass grid (ISO 15948 §8.2) as (x0, dx, y0, dy); the
+          // non-interlaced image is the single trivial pass. Each pass
+          // is an independently FILTERED sub-image (its first row has
+          // no up-neighbor), and a pass with no pixels contributes no
+          // bytes — not even filter bytes.
+          val passes: Seq[(Int, Int, Int, Int)] =
+            if (!interlaced) Seq((0, 1, 0, 1))
+            else Seq((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8),
+              (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+          val passDims = passes.map { case (x0, dx, y0, dy) =>
+            val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+            val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+            (pw, ph)
+          }
+          val rawLen = passDims.map { case (pw, ph) =>
+            if (pw == 0 || ph == 0) 0 else ph * (1 + rowBytesOf(pw)) }.sum
           val raw = {
             val inf = new java.util.zip.Inflater()
             inf.setInput(idat.toByteArray)
-            val out = new Array[Byte](h * (stride + 1))
+            val out = new Array[Byte](rawLen)
             var n = 0
             while (n < out.length && !inf.finished()) {
               val k = inf.inflate(out, n, out.length - n)
@@ -305,43 +327,80 @@ object MediaCodec {
             inf.end()
             out
           }
-          // unfilter in place into `img` (recon bytes, no filter bytes)
-          val img = new Array[Byte](h * stride)
           def paeth(a: Int, bb: Int, c: Int): Int = {
             val p = a + bb - c
             val pa = math.abs(p - a); val pb = math.abs(p - bb)
             val pc = math.abs(p - c)
             if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
           }
-          var r = 0
-          while (r < h) {
-            val ft = raw(r * (stride + 1)) & 0xff
-            var j = 0
-            while (j < stride) {
-              val x = raw(r * (stride + 1) + 1 + j) & 0xff
-              val left =
-                if (j >= filterBpp) img(r * stride + j - filterBpp) & 0xff
-                else 0
-              val up = if (r > 0) img((r - 1) * stride + j) & 0xff else 0
-              val ul = if (r > 0 && j >= filterBpp)
-                img((r - 1) * stride + j - filterBpp) & 0xff else 0
-              val recon = ft match {
-                case 0 => x
-                case 1 => x + left
-                case 2 => x + up
-                case 3 => x + (left + up) / 2
-                case 4 => x + paeth(left, up, ul)
-                case other =>
-                  throw new IllegalArgumentException(
-                    s"$name: row $r has invalid filter type $other")
+          // unfilter each pass, then SCATTER its coded samples onto the
+          // full-resolution grid (sub-byte unpacked to raw sample
+          // values; 16-bit reduced to its rendered big-endian hi byte —
+          // what BufferedImage.getRGB yields for USHORT_GRAY)
+          val samples = new Array[Int](w * h * bpp)
+          var off2 = 0
+          passes.zip(passDims).foreach { case ((x0, dx, y0, dy), (pw, ph)) =>
+            if (pw > 0 && ph > 0) {
+              val rb = rowBytesOf(pw)
+              val img = new Array[Byte](ph * rb)
+              var r = 0
+              while (r < ph) {
+                val ft = raw(off2 + r * (rb + 1)) & 0xff
+                var j = 0
+                while (j < rb) {
+                  val x = raw(off2 + r * (rb + 1) + 1 + j) & 0xff
+                  val left =
+                    if (j >= filterBpp) img(r * rb + j - filterBpp) & 0xff
+                    else 0
+                  val up = if (r > 0) img((r - 1) * rb + j) & 0xff else 0
+                  val ul = if (r > 0 && j >= filterBpp)
+                    img((r - 1) * rb + j - filterBpp) & 0xff else 0
+                  val recon = ft match {
+                    case 0 => x
+                    case 1 => x + left
+                    case 2 => x + up
+                    case 3 => x + (left + up) / 2
+                    case 4 => x + paeth(left, up, ul)
+                    case other =>
+                      throw new IllegalArgumentException(
+                        s"$name: pass row $r has invalid filter type $other")
+                  }
+                  img(r * rb + j) = (recon & 0xff).toByte
+                  j += 1
+                }
+                r += 1
               }
-              img(r * stride + j) = (recon & 0xff).toByte
-              j += 1
+              var pj = 0
+              while (pj < ph) {
+                var pi = 0
+                while (pi < pw) {
+                  var c = 0
+                  while (c < bpp) {
+                    val v =
+                      if (depth == 8) img(pj * rb + pi * bpp + c) & 0xff
+                      else if (depth == 16)
+                        img(pj * rb + (pi * bpp + c) * 2) & 0xff
+                      else {
+                        val bit = pi * depth
+                        (img(pj * rb + (bit >> 3)) >>
+                          (8 - depth - (bit & 7))) & ((1 << depth) - 1)
+                      }
+                    samples(((y0 + pj * dy) * w + (x0 + pi * dx)) * bpp + c)
+                      = v
+                    c += 1
+                  }
+                  pi += 1
+                }
+                pj += 1
+              }
+              off2 += ph * (1 + rb)
             }
-            r += 1
           }
           // stats run over the RENDERED channels: identical to the coded
-          // samples for 0/2/6, palette-expanded RGB (+tRNS alpha) for 3
+          // samples for 0/2/6 at depth 8, hi-byte for 16, the exact
+          // 255/(2^d−1) expansion for sub-byte grayscale (= 255, 85, 17
+          // — integer in every legal case, ISO 15948 §13.12),
+          // palette-expanded RGB (+tRNS alpha) for 3
           val outCh =
             if (colorType == 3) { if (trns != null) 4 else 3 } else bpp
           val n = new Array[Long](outCh); val sum = new Array[Long](outCh)
@@ -355,31 +414,16 @@ object MediaCodec {
               while (c < outCh) {
                 val v =
                   if (colorType == 3) {
-                    // MSB-first packed index (depth 1/2/4 collapse to a
-                    // shift-and-mask; depth 8 reads the byte whole)
-                    val bit = x * depth
-                    val idx = (img(y * stride + (bit >> 3)) >>
-                      (8 - depth - (bit & 7))) & ((1 << depth) - 1)
+                    val idx = samples((y * w + x) * bpp)
                     require(idx < nPal, s"$name: pixel ($x,$y) indexes " +
                       s"palette entry $idx of $nPal")
                     if (c < 3) plte(3 * idx + c) & 0xff
                     else if (idx < trns.length) trns(idx) & 0xff
                     else 255
                   }
-                  else if (depth == 8) img(y * stride + x * bpp + c) & 0xff
-                  else if (depth == 16)
-                    // rendered 8-bit channel = the big-endian hi byte
-                    // (what BufferedImage.getRGB yields for USHORT_GRAY)
-                    img(y * stride + (x * bpp + c) * 2) & 0xff
-                  else {
-                    // sub-byte grayscale sample, scaled to 8 bits by the
-                    // exact expansion 255/(2^d−1) (= 255, 85, 17 —
-                    // integer in every legal case, ISO 15948 §13.12)
-                    val bit = x * depth
-                    val s0 = (img(y * stride + (bit >> 3)) >>
-                      (8 - depth - (bit & 7))) & ((1 << depth) - 1)
-                    s0 * (255 / ((1 << depth) - 1))
-                  }
+                  else if (depth < 8)
+                    samples((y * w + x) * bpp + c) * (255 / ((1 << depth) - 1))
+                  else samples((y * w + x) * bpp + c)
                 n(c) += 1; sum(c) += v; rw(c) += (y + 1).toLong * v
                 c += 1
               }

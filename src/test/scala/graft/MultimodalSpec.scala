@@ -193,8 +193,9 @@ class MultimodalSpec extends SparkSpec {
         assert(r.sum_v === exp, s"i=$i c=${r.channel}")
       }
     }
-    // interlaced flag flipped -> loud refusal (CRC is not checked; the
-    // header byte IS the decode contract)
+    // interlace flag FLIPPED on a non-interlaced stream (r17: Adam7
+    // itself now decodes): the pass framing disagrees with the actual
+    // scanline bytes and the exact-length landing refuses loudly
     val bad = PngFixture.pngBytes(0)
     bad(28) = 1 // IHDR interlace byte (8 sig + 8 hdr + 12 offset)
     val e = intercept[org.apache.spark.SparkException] {
@@ -207,8 +208,11 @@ class MultimodalSpec extends SparkSpec {
           org.apache.spark.sql.types.StructField("content",
             org.apache.spark.sql.types.BinaryType))))).collect()
     }
-    assert(e.getMessage.contains("interlaced") ||
-      Option(e.getCause).exists(_.getMessage.contains("interlaced")))
+    def chainMsg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(chainMsg).getOrElse("")
+    assert(chainMsg(e).contains("IDAT decodes to") ||
+      chainMsg(e).contains("expected"))
   }
 
   private def pngDf(name: String, bytes: Array[Byte]) =
@@ -398,6 +402,76 @@ class MultimodalSpec extends SparkSpec {
     val exp = (for (x <- 0 until 9; y <- 0 until 7)
       yield (img.getRaster.getSample(x, y, 0) >> 8).toLong).sum
     assert(got.sum_v === exp)
+  }
+
+  test("decodePng: Adam7 interlace matches the JDK's own progressive " +
+      "encodes across types, depths, and partial-pass geometries") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    def encodeProgressive(img: BufferedImage): Array[Byte] = {
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+        .next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bo = new java.io.ByteArrayOutputStream()
+      wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bo))
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wr.dispose()
+      bo.toByteArray
+    }
+    // geometries straddle the 8x8 pass grid: 1x1 leaves six of seven
+    // passes EMPTY (they must contribute zero bytes, not filter bytes),
+    // 3x2/5x9 exercise partial passes, 13x11 odd both ways
+    val sizes = Seq((1, 1), (3, 2), (5, 9), (8, 8), (13, 11))
+    val icm16 = new IndexColorModel(4, 16,
+      Array.tabulate(16)(k => ((k * 37 + 11) % 256).toByte),
+      Array.tabulate(16)(k => ((k * 59 + 7) % 256).toByte),
+      Array.tabulate(16)(k => ((k * 83 + 3) % 256).toByte))
+    for ((w, h) <- sizes; kind <- 0 until 5) {
+      val img = kind match {
+        case 0 => new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        case 1 => new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+        case 2 => new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        case 3 => new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+        case _ => new BufferedImage(icm16,
+          icm16.createCompatibleWritableRaster(w, h), false, null)
+      }
+      def px(x: Int, y: Int, c: Int) = (x * 29 + y * 47 + c * 13) % 256
+      for (x <- 0 until w; y <- 0 until h) kind match {
+        case 0 => img.setRGB(x, y,
+          (px(x, y, 0) << 16) | (px(x, y, 1) << 8) | px(x, y, 2))
+        case 1 => img.setRGB(x, y, (px(x, y, 3) << 24) |
+          (px(x, y, 0) << 16) | (px(x, y, 1) << 8) | px(x, y, 2))
+        case 2 => img.getRaster.setSample(x, y, 0, px(x, y, 0))
+        case 3 => img.getRaster.setSample(x, y, 0,
+          (x * 7919 + y * 104729) % 65536)
+        case _ => img.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 16)
+      }
+      val bytes = encodeProgressive(img)
+      val tag = s"${w}x$h kind$kind"
+      assert((bytes(28) & 0xff) === 1, s"$tag: JDK did not interlace")
+      val got = graft.ops.MediaCodec.decodePng(pngDf("adam7.png", bytes))
+        .collect().map(r => r.channel -> r).toMap
+      val nCh = got.size
+      for (c <- 0 until nCh) {
+        val exp = (for (x <- 0 until w; y <- 0 until h) yield {
+          (if (kind == 3) img.getRaster.getSample(x, y, 0) >> 8
+           else if (kind == 2) img.getRaster.getSample(x, y, 0)
+           else (img.getRGB(x, y) >> (if (c == 3) 24 else 16 - 8 * c))
+             & 0xff).toLong
+        }).sum
+        assert(got(c).sum_v === exp, s"$tag c=$c")
+      }
+    }
+    // an unknown interlace METHOD still refuses by value
+    val bad = graft.ops.PngFixture.pngBytes(0)
+    bad(28) = 2
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.ops.MediaCodec.decodePng(pngDf("bad7.png", bad)).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("unknown interlace method"))
   }
 
   test("decodePng: FDICT zlib stream refuses loudly instead of spinning") {
