@@ -258,8 +258,11 @@ object MediaCodec {
                 }
               case "tRNS" if colorType == 3 =>
                 // per-entry alpha for the palette (entries past the
-                // chunk default to opaque); must follow PLTE
+                // chunk default to opaque); must follow PLTE, at most
+                // one (ISO 15948 §5.6 — review r17: the duplicate case
+                // previously last-wins'd silently, unlike PLTE)
                 require(plte != null, s"$name: tRNS before PLTE")
+                require(trns == null, s"$name: duplicate tRNS chunk")
                 require(len <= plte.length / 3,
                   s"$name: tRNS carries $len entries for a " +
                     s"${plte.length / 3}-entry palette")

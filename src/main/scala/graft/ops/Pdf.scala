@@ -470,9 +470,10 @@ object Pdf {
     decodeFilters(name, dict, bytes, s"stream object at $objOff")
   }
 
-  /** Apply the stream dict's /Filter chain (ISO 32000 §7.4.1: name or
-    * array form; an array lists filters in the order they were APPLIED,
-    * so decode runs left-to-right). Supported: no filter, /FlateDecode,
+  /** Apply the stream dict's /Filter chain (ISO 32000 §7.3.8.2: name
+    * or array form; an array names filters in the order they shall be
+    * applied to DECODE — the reverse of encoding order — so decode
+    * runs left-to-right). Supported: no filter, /FlateDecode,
     * /ASCIIHexDecode, and the `[/ASCIIHexDecode /FlateDecode]` pair
     * older writers emit for binary-safe transport. ANY other filter
     * name refuses loudly — the pre-r17 helper returned a single

@@ -143,19 +143,32 @@ object Tar {
           require(!(pendingLongName.nonEmpty && paxNext.contains("path")),
             s"$name: member at $pos has BOTH a GNU longname and a PAX " +
               "path override (ambiguous)")
-          val effName = paxNext.get("path").filter(_.nonEmpty)
-            .orElse(pendingLongName)
-            .orElse(paxGlobal.get("path")).getOrElse(entryName)
+          // an EMPTY 'x' value is POSIX's per-member deletion: it
+          // suppresses any 'g' default too and reverts to the ustar
+          // header value ("causing the ustar header block value to be
+          // used" — review r17; the pre-review filter(_.nonEmpty) fell
+          // through to the global default instead)
+          val effName = paxNext.get("path") match {
+            case Some("") => entryName
+            case Some(p)  => p
+            case None     => pendingLongName
+              .orElse(paxGlobal.get("path")).getOrElse(entryName)
+          }
           // PAX `size` overrides the header's 12-char octal field --
           // how Python's tarfile stores >8 GiB members (the octal field
           // can't represent them); the WALK must advance by it too or
           // every member after is mis-framed
-          val effSize = paxNext.get("size").orElse(paxGlobal.get("size"))
-            .map { s =>
-              require(s.nonEmpty && s.forall(_.isDigit),
-                s"$name: non-decimal PAX size '$s' at $pos")
-              s.toLong
-            }.getOrElse(hdrSize)
+          def paxSize(s: String): Long = {
+            require(s.nonEmpty && s.forall(_.isDigit),
+              s"$name: non-decimal PAX size '$s' at $pos")
+            s.toLong
+          }
+          val effSize = paxNext.get("size") match {
+            case Some("") => hdrSize // per-member deletion
+            case Some(s)  => paxSize(s)
+            case None     =>
+              paxGlobal.get("size").map(paxSize).getOrElse(hdrSize)
+          }
           require(pStart + effSize <= b.length,
             s"$name: member '$effName' PAX size $effSize overruns EOF")
           // UTF-8: the text members this scan serves are text by

@@ -360,6 +360,14 @@ class MultimodalSpec extends SparkSpec {
     // a palette image with no PLTE at all
     val noPlte = full.take(33) ++ full.drop(33 + 12 + plteLen)
     assert(decodeErr("noplte.png", noPlte).contains("no PLTE"))
+    // duplicate tRNS refuses like duplicate PLTE (review r17)
+    val f1 = PngFixture.pngPaletteBytes(1)
+    val plteLen1 = 3 * PngFixture.nPalOf(1)
+    val tStart = 33 + 12 + plteLen1
+    val tTotal = 12 + PngFixture.nTrnsOf(1)
+    val dupTrns = f1.take(tStart + tTotal) ++
+      f1.slice(tStart, tStart + tTotal) ++ f1.drop(tStart + tTotal)
+    assert(decodeErr("duptrns.png", dupTrns).contains("duplicate tRNS"))
     // PLTE on a grayscale image is a spec violation
     val grayPlte = PngFixture.pngBytes(0).take(33) ++
       chunk("PLTE", new Array[Byte](3)) ++ PngFixture.pngBytes(0).drop(33)

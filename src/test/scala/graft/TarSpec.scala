@@ -140,6 +140,22 @@ class TarSpec extends SparkSpec {
     val gr = Tar.parse("g.tar", g1)
     assert(gr.map(_.entry_name) === Seq("global/override.txt", "b.txt"))
 
+    // an EMPTY 'x' value is POSIX's per-member deletion: it suppresses
+    // the 'g' default too and reverts to the ustar header name; the
+    // member AFTER it still sees the global (review r17)
+    val del = Tar.tarBytesTyped(Seq(
+      ("g_hdr", 'g', Tar.paxRecord("path", "global/override.txt")),
+      ("PaxHeaders.0/real", 'x', Tar.paxRecord("path", "")),
+      ("real.txt", '0', "rr".getBytes("US-ASCII")),
+      ("b.txt", '0', "bb".getBytes("US-ASCII"))))
+    assert(Tar.parse("d.tar", del).map(_.entry_name) ===
+      Seq("real.txt", "global/override.txt"))
+    // an empty 'x' size likewise reverts to the header octal field
+    val szDel = Tar.tarBytesTyped(Seq(
+      ("PaxHeaders.0/a", 'x', Tar.paxRecord("size", "")),
+      ("a.txt", '0', "abc".getBytes("US-ASCII"))))
+    assert(Tar.parse("s2.tar", szDel).head.size === 3L)
+
     // 'x' size override: the header octal says 0 but the PAX record
     // carries the real size (how tarfile stores >8 GiB members) — the
     // walk must advance by the override or mis-frame what follows
