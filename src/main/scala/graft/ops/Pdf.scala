@@ -28,9 +28,13 @@ final case class PdfPage(file_name: String, page: Int, text: String,
   * declared `/Length` (mismatch refuses) → a token-level content-stream
   * scan that collects string literals bound to `Tj` and `[...] TJ` text
   * operators, decoding the string-escape grammar (\\ \( \) \n \r \t \b
-  * \f, octal \ddd, line continuations). `/Filter /FlateDecode` content
-  * streams inflate through `java.util.zip` (the xlsx codec's machinery;
-  * PdfSpec proves plain ≡ deflate on identical pages).
+  * \f, octal \ddd, line continuations). The `/Filter` chain decodes as
+  * a left-to-right fold (r17): FlateDecode through `java.util.zip`
+  * (the xlsx codec's machinery; PdfSpec proves plain ≡ deflate on
+  * identical pages), ASCIIHexDecode, ASCII85Decode, LZWDecode (TIFF
+  * variant, /EarlyChange both values) and RunLengthDecode — the full
+  * text-transport family, arbitrary cascades included; image-codec
+  * filters (DCT/JBIG2/JPX/CCITT) refuse by name.
   *
   * Oracle discipline: the gate fixture is written UNCOMPRESSED with
   * ASCII literals (both legal), so DuckDB re-walks the same bytes in the
@@ -489,18 +493,108 @@ object Pdf {
           "/Filter\\s*/(\\w+)".r.findFirstMatchIn(dict)
             .map(_.group(1)).toList
       }
-    filters match {
-      case Nil                          => bytes
-      case "FlateDecode" :: Nil         => inflate(name, bytes)
-      case "ASCIIHexDecode" :: Nil      => asciiHex(name, bytes, where)
-      case "ASCII85Decode" :: Nil       => ascii85(name, bytes, where)
-      case "ASCIIHexDecode" :: "FlateDecode" :: Nil =>
-        inflate(name, asciiHex(name, bytes, where))
-      case "ASCII85Decode" :: "FlateDecode" :: Nil =>
-        inflate(name, ascii85(name, bytes, where))
-      case fs => sys.error(s"$name: filter chain " +
-        s"${fs.map("/" + _).mkString(" ")} unsupported ($where)")
+    // r17: the text-transport filters compose arbitrarily per spec, so
+    // the chain is a left-to-right fold over the supported decoders
+    // ([/ASCII85Decode /LZWDecode] was THE classic pre-Flate combo);
+    // any unsupported name refuses loudly
+    val earlyChange =
+      "/EarlyChange\\s+(\\d+)".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(1)
+    filters.foldLeft(bytes) { (acc, f) =>
+      f match {
+        case "FlateDecode"     => inflate(name, acc)
+        case "ASCIIHexDecode"  => asciiHex(name, acc, where)
+        case "ASCII85Decode"   => ascii85(name, acc, where)
+        case "LZWDecode"       => lzw(name, acc, where, earlyChange)
+        case "RunLengthDecode" => runLength(name, acc, where)
+        case other => sys.error(s"$name: filter /$other unsupported " +
+          s"(chain ${filters.map("/" + _).mkString(" ")}, $where)")
+      }
     }
+  }
+
+  /** LZWDecode (ISO 32000 §7.4.4: the TIFF LZW variant): 9-bit codes
+    * packed MSB-first, Clear=256 resets the table and width, EOD=257;
+    * the width grows at table sizes 511/1023/2047 when /EarlyChange=1
+    * (the default — "one code early"), 512/1024/2048 when 0. The KwKwK
+    * case (code == next table slot) reconstructs prev+prev[0]. Loud
+    * refusals: truncation before EOD, out-of-table codes, table
+    * overflow without a Clear — and a wrong width rule MISALIGNS the
+    * bit stream into out-of-table codes within a few reads, so the
+    * failure mode of a disagreeing writer is loud, not silent. */
+  private def lzw(name: String, b: Array[Byte], where: String,
+                  earlyChange: Int): Array[Byte] = {
+    require(earlyChange == 0 || earlyChange == 1,
+      s"$name: /EarlyChange $earlyChange out of spec ($where)")
+    val out = new java.io.ByteArrayOutputStream(b.length * 3)
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    var done = false
+    while (!done) {
+      while (bitCnt < width && i < b.length) {
+        bitBuf = (bitBuf << 8) | (b(i) & 0xff); bitCnt += 8; i += 1
+      }
+      require(bitCnt >= width,
+        s"$name: LZW stream truncated before EOD ($where)")
+      val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 256) { dictSize = 258; width = 9; prev = null }
+      else if (code == 257) done = true
+      else {
+        val entry: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code >= 258 && code < dictSize && dict(code) != null)
+            dict(code)
+          else if (code == dictSize && prev != null) prev :+ prev(0)
+          else sys.error(s"$name: LZW code $code outside the table " +
+            s"(size $dictSize) at input byte $i ($where)")
+        out.write(entry, 0, entry.length)
+        if (prev != null) {
+          require(dictSize < 4096,
+            s"$name: LZW table overflow without a Clear ($where)")
+          dict(dictSize) = prev :+ entry(0)
+          dictSize += 1
+        }
+        prev = entry
+        if (width < 12 && dictSize + earlyChange >= (1 << width)) width += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (ISO 32000 §7.4.5): length byte L — 0..127 copies
+    * the next L+1 bytes literally, 129..255 repeats the next byte
+    * 257−L times, 128 is EOD (required). */
+  private def runLength(name: String, b: Array[Byte],
+                        where: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length * 2)
+    var i = 0
+    var done = false
+    while (!done) {
+      require(i < b.length,
+        s"$name: RunLength data missing the 128 EOD ($where)")
+      val l = b(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        require(i + l + 1 <= b.length,
+          s"$name: RunLength literal run of ${l + 1} overruns at $i ($where)")
+        out.write(b, i, l + 1)
+        i += l + 1
+      } else {
+        require(i < b.length,
+          s"$name: RunLength repeat run missing its byte at $i ($where)")
+        var k = 0
+        while (k < 257 - l) { out.write(b(i) & 0xff); k += 1 }
+        i += 1
+      }
+    }
+    out.toByteArray
   }
 
   /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars `!`..`u` encode 4 bytes

@@ -431,17 +431,17 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parse("c.pdf", casc).head.text === "filtered")
     // a SINGLE unsupported filter refuses by name — pre-r17 the bytes
     // fed the text interpreter still-encoded (ADVICE r16, medium)
-    for (f <- Seq("/Filter /LZWDecode", "/Filter [/LZWDecode]")) {
-      val lzw = onePageWithFilter(f, Array[Byte](1, 2, 3, 4))
-      val e = intercept[RuntimeException](Pdf.parse("l.pdf", lzw))
-      assert(e.getMessage.contains("LZWDecode") &&
+    for (f <- Seq("/Filter /DCTDecode", "/Filter [/DCTDecode]")) {
+      val dct = onePageWithFilter(f, Array[Byte](1, 2, 3, 4))
+      val e = intercept[RuntimeException](Pdf.parse("l.pdf", dct))
+      assert(e.getMessage.contains("DCTDecode") &&
         e.getMessage.contains("unsupported"), e.getMessage)
     }
     // an unsupported cascade refuses by name too
     val badCasc = onePageWithFilter(
-      "/Filter [/RunLengthDecode /FlateDecode]", Array[Byte](1, 2))
+      "/Filter [/JBIG2Decode /FlateDecode]", Array[Byte](1, 2))
     val e3 = intercept[RuntimeException](Pdf.parse("c2.pdf", badCasc))
-    assert(e3.getMessage.contains("RunLengthDecode"), e3.getMessage)
+    assert(e3.getMessage.contains("JBIG2Decode"), e3.getMessage)
     // malformed hex data refuses with context: missing EOD, data after
     // EOD, a non-hex byte
     for ((data, what) <- Seq("4254" -> "EOD", "42 > 54" -> "after",
@@ -461,6 +461,139 @@ class PdfSpec extends SparkSpec {
       Array[Byte](0x12, 0x34, 0x56, 0x78))
     val e2 = intercept[IllegalArgumentException](Pdf.parse("z.pdf", bad))
     assert(e2.getMessage.contains("FlateDecode"))
+  }
+
+  test("LZWDecode: hand-packed code vector, width-boundary round-trips " +
+      "at both /EarlyChange values, RunLengthDecode; refusals") {
+    val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    // bit-packer over explicit (code, width) pairs — packing is trivial
+    // and SEPARATE from the LZW logic under test
+    def pack(codes: Seq[(Int, Int)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var n = 0
+      codes.foreach { case (c, w) =>
+        buf = (buf << w) | c; n += w
+        while (n >= 8) { out.write(((buf >> (n - 8)) & 0xff).toInt); n -= 8 }
+      }
+      if (n > 0) out.write(((buf << (8 - n)) & 0xff).toInt)
+      out.toByteArray
+    }
+    // hand-packed micro-vector at width 9 spelling "BT (ok) Tj ET"
+    // through literal codes + ONE table reference + the KwKwK case:
+    //   Clear, B, T, sp, (, o, k, ), sp, T, j, 258 ("BT"→ wait: the
+    // first add is made processing the SECOND code, so 258 = "BT"),
+    // then EOD. Decoded: "BT (ok) Tj" + "BT" — includes a table hit.
+    val lit = "BT (ok) Tj ".getBytes(L1).map(b => ((b & 0xff), 9)).toSeq
+    val micro = pack(Seq((256, 9)) ++ lit ++ Seq((258, 9), (257, 9)))
+    // after 11 literals the decoder's table is 258.."BT"(258),"T "(259),
+    // " ("(260)... so 258 decodes to "BT"; total text ops: "(ok) Tj"
+    // then "BT" is a dangling op — harmless to the interpreter
+    val mpg = onePageWithFilter("/Filter /LZWDecode", micro)
+    assert(Pdf.parse("mi.pdf", mpg).head.text === "ok")
+    // spec-side ENCODER mirrored on the decoder's width rule; emits
+    // Clear up front and EOD at the end
+    def enc(data: Array[Byte], early: Int): Array[Byte] = {
+      val dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+      def reset(): Int = { dict.clear(); 258 }
+      var next = reset()
+      var width = 9
+      val codes = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      codes += ((256, width))
+      var wseq: Vector[Byte] = Vector.empty
+      def codeOf(s: Seq[Byte]): Int =
+        if (s.length == 1) s.head & 0xff else dict(s)
+      data.foreach { b =>
+        val cand = wseq :+ b
+        if (cand.length == 1 || dict.contains(cand)) wseq = cand
+        else {
+          codes += ((codeOf(wseq), width))
+          dict(cand) = next; next += 1
+          // the encoder's table runs ONE entry ahead of the decoder's
+          // at the same stream position (the decoder's add lags one
+          // emission), so its bump condition is one entry later than
+          // the decoder's size+early >= 2^w rule
+          if (width < 12 && next + early > (1 << width)) width += 1
+          if (next == 4096) { codes += ((256, width)); next = reset(); width = 9 }
+          wseq = Vector(b)
+        }
+      }
+      if (wseq.nonEmpty) codes += ((codeOf(wseq), width))
+      codes += ((257, width))
+      pack(codes.toSeq)
+    }
+    // round-trips that CROSS the 9->10->11 width boundaries (unique
+    // pairs grow the table past 1023): both parameter values, asserted
+    // through the full page parse so /Length and the interpreter hold
+    // the aaaa run forces the KwKwK pattern deterministically; 2200
+    // distinct literals push the table past 2047 (both width bumps and
+    // the 4096 Clear/reset path)
+    val body = (0 until 2200).map(k =>
+      s"(${k % 97}x${(k * 7) % 89})")
+      .mkString("BT (aaaaaaaaaaaa) Tj ", " Tj ", " Tj ET")
+    for (early <- Seq(0, 1)) {
+      val parms = if (early == 1) ""
+        else " /DecodeParms << /EarlyChange 0 >>"
+      val pg = onePageWithFilter(s"/Filter /LZWDecode$parms",
+        enc(body.getBytes(L1), early))
+      val expected = Pdf.extractText("x", body)._1
+      assert(Pdf.parse(s"e$early.pdf", pg).head.text === expected,
+        s"early=$early")
+    }
+    // the parameter is LOAD-BEARING: an EarlyChange=1 stream read under
+    // EarlyChange=0 misaligns at the first boundary and refuses loudly
+    val e1 = intercept[RuntimeException] {
+      Pdf.parse("mm.pdf", onePageWithFilter(
+        "/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+        enc(body.getBytes(L1), 1)))
+    }
+    assert(e1.getMessage.contains("LZW"), e1.getMessage)
+    // the classic pre-Flate combo: [/ASCII85Decode /LZWDecode]
+    def enc85(b: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < b.length) {
+        val n = math.min(4, b.length - i)
+        var v = 0L
+        for (j <- 0 until 4)
+          v = (v << 8) | (if (j < n) b(i + j) & 0xffL else 0L)
+        val cs = new Array[Char](5)
+        for (j <- 4 to 0 by -1) { cs(j) = ('!' + v % 85).toChar; v /= 85 }
+        sb.appendAll(cs, 0, n + 1)
+        i += n
+      }
+      sb.append("~>").toString
+    }
+    val combo = onePageWithFilter("/Filter [/ASCII85Decode /LZWDecode]",
+      enc85(enc("BT (classic) Tj ET".getBytes(L1), 1)).getBytes(L1))
+    assert(Pdf.parse("cl.pdf", combo).head.text === "classic")
+    // truncation before EOD refuses
+    val trunc = enc("BT (t) Tj ET".getBytes(L1), 1)
+    val e2 = intercept[RuntimeException] {
+      Pdf.parse("t.pdf", onePageWithFilter("/Filter /LZWDecode",
+        trunc.dropRight(2)))
+    }
+    assert(e2.getMessage.contains("LZW"), e2.getMessage)
+
+    // RunLengthDecode: literal runs, repeat runs, EOD required
+    def rle(parts: Seq[Either[Array[Byte], (Byte, Int)]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach {
+        case Left(lit) => out.write(lit.length - 1); out.write(lit, 0,
+          lit.length)
+        case Right((b, n)) => out.write(257 - n); out.write(b & 0xff)
+      }
+      out.write(128)
+      out.toByteArray
+    }
+    val rl = rle(Seq(Left("BT (r".getBytes(L1)),
+      Right(('l'.toByte, 4)), Left(") Tj ET".getBytes(L1))))
+    val rpg = onePageWithFilter("/Filter /RunLengthDecode", rl)
+    assert(Pdf.parse("r.pdf", rpg).head.text === "rllll")
+    val e3 = intercept[RuntimeException] {
+      Pdf.parse("r2.pdf", onePageWithFilter("/Filter /RunLengthDecode",
+        rl.dropRight(1)))
+    }
+    assert(e3.getMessage.contains("EOD"), e3.getMessage)
   }
 
   test("ASCII85Decode: base-85 groups, z shorthand, partial final " +
