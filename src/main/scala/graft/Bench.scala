@@ -323,7 +323,8 @@ object Bench {
     "latest_file" -> "^", "latest_per_q" -> "_", "longest_resp" -> "{",
     "mad_outliers" -> "|", "maxsim" -> "}", "media_bmp" -> "~",
     "media_features" -> "me",
-    "media_frames" -> "mf", "media_jpeg" -> "jp", "media_meta" -> "mm",
+    "media_frames" -> "mf", "media_gif" -> "gf", "media_jpeg" -> "jp",
+    "media_meta" -> "mm",
     "media_mp3" -> "m3", "media_png" -> "pn", "media_resize" -> "mz",
     "media_wav" -> "wv", "mix" -> "mi", "mix_temp" -> "mx",
     "near_dup" -> "nd", "near_dup_rep" -> "nr", "pack" -> "pk",

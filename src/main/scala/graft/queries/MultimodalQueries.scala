@@ -503,6 +503,80 @@ object MultimodalQueries {
     "north star: REAL MP3 frame census (sync walk, bitrate/samplerate " +
       "tables, padding-aware lengths; recursive hex oracle)")
 
+  /** q_media_gif — REAL GIF structure census in the gate (r17): the
+    * engine walks the full block grammar ([[graft.ops.Gif]] — logical
+    * screen, global/local color tables, extension sub-blocks, image
+    * descriptors, trailer, exact-EOF landing) over a fixture the JDK's
+    * OWN encoder wrote (real GIF-LZW bytes, its own sub-block framing,
+    * interlace, multi-frame sequences), and the oracle re-walks the
+    * same bytes with a recursive hex STATE MACHINE (st 0 = at a block
+    * introducer, st 1 = hopping length-prefixed sub-blocks) that
+    * skips the LZW payloads structurally — the census never reads
+    * them. Frame-0 pixel decode (GIF-LZW, palette, deinterlace) is
+    * GifSpec's differential against `ImageIO.read` at exact equality
+    * (the JPEG pixel-path split). */
+  val qMediaGif = Q("q_media_gif",
+    (s, _) => {
+      val dir = graft.ops.GifFixture.ensure()
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gif")).map(_.getAbsolutePath).sorted
+      graft.ops.Gif.scanGif(
+        s.read.format("binaryFile").load(files.toIndexedSeq: _*)).toDF()
+        .orderBy("file_name")
+    },
+    Some(s"""WITH RECURSIVE graw AS (
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+      |         hex(content) AS hx, octet_length(content) AS n
+      |  FROM read_blob('${graft.ops.GifFixture.path}/*.gif')
+      |), gscr AS (
+      |  SELECT file_name, hx, n,
+      |    CASE WHEN substr(hx, 7, 6) = '383761' THEN '87a'
+      |         ELSE '89a' END AS version,
+      |    CAST(${hB("6")} + 256*${hB("7")} AS INTEGER) AS width,
+      |    CAST(${hB("8")} + 256*${hB("9")} AS INTEGER) AS height,
+      |    CAST(CASE WHEN ${hB("10")} >= 128
+      |         THEN 1 << ((${hB("10")} % 8) + 1) ELSE 0 END AS INTEGER)
+      |      AS gct_entries
+      |  FROM graw
+      |), gwalk AS (
+      |  -- st 0: at a block introducer (0x2C image / 0x21 extension /
+      |  -- 0x3B trailer); st 1: hopping length-prefixed sub-blocks.
+      |  -- An image descriptor advances past its geometry, optional
+      |  -- local color table and the LZW min-code byte in ONE step.
+      |  SELECT file_name, hx, n, version, width, height, gct_entries,
+      |    CAST(13 + 3*gct_entries AS BIGINT) AS pos,
+      |    0 AS frames, 0 AS inter, 0 AS st
+      |  FROM gscr
+      |  UNION ALL
+      |  SELECT file_name, hx, n, version, width, height, gct_entries,
+      |    CASE WHEN st = 1 THEN
+      |           CASE WHEN ${hB("pos")} = 0 THEN pos + 1
+      |                ELSE pos + 1 + ${hB("pos")} END
+      |         WHEN ${hB("pos")} = 44 THEN pos + 11 +
+      |           CASE WHEN ${hB("pos + 9")} >= 128
+      |                THEN 3 * (1 << ((${hB("pos + 9")} % 8) + 1))
+      |                ELSE 0 END
+      |         ELSE pos + 2 END AS pos,
+      |    frames + CASE WHEN st = 0 AND ${hB("pos")} = 44
+      |                  THEN 1 ELSE 0 END,
+      |    inter + CASE WHEN st = 0 AND ${hB("pos")} = 44
+      |                  AND (${hB("pos + 9")} // 64) % 2 = 1
+      |                  THEN 1 ELSE 0 END,
+      |    CASE WHEN st = 1 AND ${hB("pos")} = 0 THEN 0 ELSE 1 END AS st
+      |  FROM gwalk
+      |  WHERE NOT (st = 0 AND ${hB("pos")} = 59)
+      |)
+      |SELECT file_name, version, width, height,
+      |  CAST(frames AS INTEGER) AS n_frames, gct_entries,
+      |  CAST(inter AS INTEGER) AS interlaced_frames,
+      |  CAST(n AS BIGINT) AS total_bytes
+      |FROM gwalk WHERE st = 0 AND ${hB("pos")} = 59
+      |ORDER BY file_name""".stripMargin),
+    "north star: REAL GIF block-structure census over the JDK encoder's " +
+      "own bytes (recursive hex state machine; GIF-LZW pixel decode is " +
+      "GifSpec's ImageIO differential)")
+
   def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaFeatures,
-    qMediaResize, qMediaWav, qMediaBmp, qMediaPng, qMediaJpeg, qMediaMp3)
+    qMediaResize, qMediaWav, qMediaBmp, qMediaPng, qMediaJpeg, qMediaMp3,
+    qMediaGif)
 }
