@@ -121,21 +121,55 @@ object MediaCodec {
           require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
             s"$name: not a BMP file")
           val off = le32(b, 10)
-          val w = le32(b, 18); val h = le32(b, 22)
-          require(le16(b, 28) == 24, s"$name: not 24bpp")
+          val biSize = le32(b, 14)
+          require(biSize >= 40,
+            s"$name: BITMAPCOREHEADER (biSize $biSize) unsupported")
+          val w = le32(b, 18)
+          // a NEGATIVE height is the top-down orientation screen-capture
+          // writers emit (r17); positive stays the bottom-up default
+          val hRaw = le32(b, 22)
+          val topDown = hRaw < 0
+          val h = math.abs(hRaw)
+          require(w > 0 && h > 0, s"$name: bad dimensions ${w}x$hRaw")
+          val bpp = le16(b, 28)
+          // palette BMPs (8/4/1 bpp, BGR0 entries after the info header)
+          // are what indexed-image writers emit — r17, the PNG palette
+          // discipline applied to the BMP container
+          require(bpp == 1 || bpp == 4 || bpp == 8 || bpp == 24,
+            s"$name: ${bpp}bpp unsupported (1/4/8/24 only)")
           require(le32(b, 30) == 0, s"$name: compressed BMP unsupported")
-          require(h > 0, s"$name: top-down BMP unsupported")
-          val stride = ((w * 3 + 3) / 4) * 4
+          val palOff = 14 + biSize
+          val clrUsed = le32(b, 46)
+          val nPal =
+            if (bpp == 24) 0
+            else if (clrUsed != 0) clrUsed
+            else 1 << bpp // biClrUsed 0 = the full 2^bpp table
+          require(bpp == 24 || off >= palOff + 4 * nPal,
+            s"$name: pixel data at $off overlaps the $nPal-entry " +
+              "color table")
+          val stride = ((w * bpp + 31) / 32) * 4
           val n = new Array[Long](3); val sum = new Array[Long](3)
           val rw = new Array[Long](3)
           var r = 0
           while (r < h) {
-            val y = h - 1 - r // logical top-down row
+            val y = if (topDown) r else h - 1 - r // logical top-down row
             var x = 0
             while (x < w) {
               var c = 0
               while (c < 3) {
-                val v = b(off + r * stride + x * 3 + c) & 0xff
+                val v =
+                  if (bpp == 24) b(off + r * stride + x * 3 + c) & 0xff
+                  else {
+                    // MSB-first packed index (high nibble / high bit
+                    // first), looked up in the BGR0 palette — channel
+                    // order stays the 24bpp path's B,G,R
+                    val bit = x * bpp
+                    val idx = (b(off + r * stride + (bit >> 3)) >>
+                      (8 - bpp - (bit & 7))) & ((1 << bpp) - 1)
+                    require(idx < nPal, s"$name: pixel ($x,$y) indexes " +
+                      s"palette entry $idx of $nPal")
+                    b(palOff + 4 * idx + c) & 0xff
+                  }
                 n(c) += 1; sum(c) += v; rw(c) += (y + 1).toLong * v
                 c += 1
               }
@@ -456,7 +490,7 @@ object MediaFixture {
     * embeds it at registry-construction time; [[ensure]] builds it before
     * any engine read). */
   def path: String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_media_v1").getAbsolutePath
+    System.getProperty("java.io.tmpdir"), "graft_media_v2").getAbsolutePath
 
   /** PCM16 WAV, canonical 44-byte header. Channels, rate and length vary
     * with i; samples are the integer sequence ((i·7919 + j·31) mod 4001)
@@ -513,6 +547,49 @@ object MediaFixture {
     bb.array()
   }
 
+  /** Palette BMP family — v2 (`bmpp_*.bmp`): bpp cycles 8/4/1 with
+    * BGR0 color tables; files with i mod 3 = 1 store rows TOP-DOWN
+    * (negative height) — the orientation screen-capture writers emit. */
+  val palBmpCount = 9
+
+  def pbBppOf(i: Int): Int = Array(8, 4, 1)(i % 3)
+  def pbTopDownOf(i: Int): Boolean = i % 3 == 1
+  def pbWidthOf(i: Int): Int = 5 + i % 5
+  def pbHeightOf(i: Int): Int = 3 + i % 4
+  /** Palette channel c ∈ 0..2 in the stored B,G,R order. */
+  def pbPalOf(i: Int, k: Int, c: Int): Int =
+    (i * 19 + k * 31 + c * 7 + 3) % 256
+  def pbIdxOf(i: Int, x: Int, y: Int): Int =
+    (i * 5 + x * 3 + y * 7) % (1 << pbBppOf(i))
+
+  def bmpPaletteBytes(i: Int): Array[Byte] = {
+    val w = pbWidthOf(i); val h = pbHeightOf(i); val bpp = pbBppOf(i)
+    val nPal = 1 << bpp
+    val stride = ((w * bpp + 31) / 32) * 4
+    val img = stride * h
+    val off = 54 + 4 * nPal
+    val bb = ByteBuffer.allocate(off + img).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(off + img)
+      .putShort(0).putShort(0).putInt(off)
+      .putInt(40).putInt(w)
+      .putInt(if (pbTopDownOf(i)) -h else h)
+      .putShort(1).putShort(bpp.toShort)
+      .putInt(0).putInt(img).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (k <- 0 until nPal; c <- 0 to 3)
+      bb.put(if (c < 3) pbPalOf(i, k, c).toByte else 0.toByte)
+    for (r <- 0 until h) {
+      val y = if (pbTopDownOf(i)) r else h - 1 - r
+      val row = new Array[Byte](stride)
+      for (x <- 0 until w) {
+        val bit = x * bpp
+        row(bit >> 3) = (row(bit >> 3) |
+          (pbIdxOf(i, x, y) << (8 - bpp - (bit & 7)))).toByte
+      }
+      bb.put(row)
+    }
+    bb.array()
+  }
+
   /** Build the fixture if missing; returns [[path]]. */
   def ensure(): String = this.synchronized {
     val out = new java.io.File(path)
@@ -525,6 +602,11 @@ object MediaFixture {
           new java.io.File(tmp, f"wav_$i%03d.wav").toPath, wavBytes(i))
         java.nio.file.Files.write(
           new java.io.File(tmp, f"bmp_$i%03d.bmp").toPath, bmpBytes(i))
+      }
+      (0 until palBmpCount).foreach { i =>
+        java.nio.file.Files.write(
+          new java.io.File(tmp, f"bmpp_$i%03d.bmp").toPath,
+          bmpPaletteBytes(i))
       }
       if (!tmp.renameTo(out)) deleteRec(tmp) // lost a build race: theirs won
     }

@@ -205,6 +205,12 @@ object MultimodalQueries {
     * `row_weighted` keys on the LOGICAL top-down row index, so a decoder
     * that forgot BMP's bottom-up storage (or the 4-byte row padding —
     * widths 4-8 make stride ≠ 3·width for most files) fails the hash. */
+  private def bmpIdx: String = {
+    val srcRow = "(CASE WHEN topdown = 1 THEN y ELSE height-1-y END)"
+    s"(${hB(s"off + $srcRow * stride + (x*bpp) // 8")} >> " +
+      "(8 - bpp - ((x*bpp) % 8))) & ((1 << bpp) - 1)"
+  }
+
   val qMediaBmp = Q("q_media_bmp",
     (s, _) => graft.ops.MediaCodec.decodeBmp(mediaFiles(s, ".bmp")).toDF(),
     Some(s"""WITH raw AS (
@@ -212,27 +218,51 @@ object MultimodalQueries {
       |         hex(content) AS hx
       |  FROM read_blob('${graft.ops.MediaFixture.path}/*.bmp')
       |), hdr AS (
+      |  -- height is a SIGNED le32: values past 2^31 are the top-down
+      |  -- orientation (r17); bpp and biSize come from the bytes too
       |  SELECT file_name, hx,
       |    CAST(${hB("10")} + 256*${hB("11")} + 65536*${hB("12")}
       |         + 16777216*${hB("13")} AS BIGINT) AS off,
+      |    CAST(${hB("14")} + 256*${hB("15")} AS BIGINT) AS bisize,
       |    CAST(${hB("18")} + 256*${hB("19")} + 65536*${hB("20")}
       |         + 16777216*${hB("21")} AS INTEGER) AS width,
-      |    CAST(${hB("22")} + 256*${hB("23")} + 65536*${hB("24")}
-      |         + 16777216*${hB("25")} AS INTEGER) AS height
+      |    ${hB("22")} + 256*${hB("23")} + 65536*${hB("24")}
+      |         + 16777216*${hB("25")} AS hraw,
+      |    CAST(${hB("28")} + 256*${hB("29")} AS INTEGER) AS bpp
       |  FROM raw
+      |), hdr2 AS (
+      |  SELECT file_name, hx, off, bisize, width, bpp,
+      |    CAST(CASE WHEN hraw >= 2147483648 THEN 4294967296 - hraw
+      |              ELSE hraw END AS INTEGER) AS height,
+      |    CASE WHEN hraw >= 2147483648 THEN 1 ELSE 0 END AS topdown,
+      |    ((width * bpp + 31) // 32) * 4 AS stride
+      |  FROM hdr
       |), px AS (
       |  SELECT file_name, width, height, CAST(c AS INTEGER) AS channel, y,
-      |    ${hB("off + (height-1-y) * (((width*3 + 3)//4)*4) + x*3 + c")} AS v
-      |  FROM hdr,
+      |    ${hB("off + (height-1-y) * stride + x*3 + c")} AS v
+      |  FROM hdr2,
       |    unnest(generate_series(0, width - 1)) AS gx(x),
       |    unnest(generate_series(0, height - 1)) AS gy(y),
       |    unnest(generate_series(0, 2)) AS gc(c)
+      |  WHERE bpp = 24
+      |), ppx AS (
+      |  -- palette branch: MSB-first packed index -> BGR0 table entry
+      |  -- at 14+biSize; top-down rows read straight, bottom-up flipped
+      |  SELECT file_name, width, height, CAST(c AS INTEGER) AS channel, y,
+      |    ${hB(s"14 + bisize + 4*($bmpIdx) + c")} AS v
+      |  FROM hdr2,
+      |    unnest(generate_series(0, width - 1)) AS gx(x),
+      |    unnest(generate_series(0, height - 1)) AS gy(y),
+      |    unnest(generate_series(0, 2)) AS gc(c)
+      |  WHERE bpp <> 24
       |)
       |SELECT file_name, width, height, channel, count(*) AS n_px,
       |  CAST(SUM(v) AS BIGINT) AS sum_v,
       |  CAST(SUM((y + 1) * v) AS BIGINT) AS row_weighted
-      |FROM px GROUP BY file_name, width, height, channel""".stripMargin),
-    "north star: REAL BMP (24bpp) decode with orientation proof, oracle-checked")
+      |FROM (SELECT * FROM px UNION ALL SELECT * FROM ppx)
+      |GROUP BY file_name, width, height, channel""".stripMargin),
+    "north star: REAL BMP decode (24bpp + 8/4/1bpp palettes, both row " +
+      "orientations), oracle-checked")
 
   /** q_media_png — REAL compressed-format decode in the gate (VERDICT
     * r11 expected this to be spec-only, "no DuckDB oracle can follow it

@@ -517,6 +517,55 @@ class MultimodalSpec extends SparkSpec {
     assert(msg(e).contains("FDICT"), msg(e).take(200))
   }
 
+  test("decodeBmp: palette files (8/4/1 bpp) and top-down rows match " +
+      "the generation formulas; JDK BMP-writer differential at exact " +
+      "equality") {
+    import graft.ops.MediaFixture
+    // fixture formulas: every depth, both orientations
+    for (i <- 0 until MediaFixture.palBmpCount) {
+      val got = graft.ops.MediaCodec.decodeBmp(
+          pngDf(s"bmpp_$i.bmp", MediaFixture.bmpPaletteBytes(i)))
+        .collect().map(r => r.channel -> r).toMap
+      assert(got.size === 3, s"i=$i")
+      for (c <- 0 until 3) {
+        val vs = for (x <- 0 until MediaFixture.pbWidthOf(i);
+                      y <- 0 until MediaFixture.pbHeightOf(i)) yield
+          (y, MediaFixture.pbPalOf(i, MediaFixture.pbIdxOf(i, x, y), c))
+        assert(got(c).sum_v === vs.map(_._2.toLong).sum,
+          s"i=$i c=$c bpp=${MediaFixture.pbBppOf(i)}")
+        assert(got(c).row_weighted === vs.map { case (y, v) =>
+          (y + 1).toLong * v }.sum,
+          s"i=$i c=$c topdown=${MediaFixture.pbTopDownOf(i)}")
+      }
+    }
+    // the JDK's own BMP writer on indexed images (8bpp via
+    // TYPE_BYTE_INDEXED, 1bpp via TYPE_BYTE_BINARY): channel order is
+    // the stored B,G,R
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    def check(img: BufferedImage, name: String): Unit = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", baos))
+      val got = graft.ops.MediaCodec.decodeBmp(pngDf(name,
+        baos.toByteArray)).collect().map(r => r.channel -> r).toMap
+      for (c <- 0 until 3) {
+        val exp = (for (x <- 0 until img.getWidth;
+                        y <- 0 until img.getHeight)
+          yield ((img.getRGB(x, y) >> (8 * c)) & 0xff).toLong).sum
+        assert(got(c).sum_v === exp, s"$name c=$c")
+      }
+    }
+    val img8 = new BufferedImage(9, 6, BufferedImage.TYPE_BYTE_INDEXED)
+    for (x <- 0 until 9; y <- 0 until 6)
+      img8.getRaster.setSample(x, y, 0, (x * 31 + y * 17) % 256)
+    check(img8, "jdk8.bmp")
+    val img1 = new BufferedImage(11, 5, BufferedImage.TYPE_BYTE_BINARY,
+      new IndexColorModel(1, 2, Array[Byte](40, 210.toByte),
+        Array[Byte](70, 99), Array[Byte](20, 240.toByte)))
+    for (x <- 0 until 11; y <- 0 until 5)
+      img1.getRaster.setSample(x, y, 0, (x + y) % 2)
+    check(img1, "jdk1.bmp")
+  }
+
   test("decodeBmp flips bottom-up rows and skips row padding") {
     val dir = graft.ops.MediaFixture.ensure()
     val files = new java.io.File(dir).listFiles()
