@@ -236,14 +236,36 @@ class BenchLineSpec extends AnyFunSuite {
     assert(m.keys.forall(_.matches("q[A-Za-z0-9_]*")))
     assert(m.keySet.count(Registry.all.map(_.name).toSet) > 100,
       "history line no longer covers the current registry")
-    // layering semantics on the checked-in record: the NEWEST line's
-    // value wins per key (q_entity_canon_pr 2.29 from the r15 line, not
-    // the 1.70/2.03 r14 lines beneath it), and a key recorded only in
-    // an OLDER line still surfaces (q_ann_recall_cl, last recorded r13
-    // before the r14 query fusion — inert for Bench, which only looks
-    // up current names)
-    assert(m("q_entity_canon_pr") === 2.29)
-    assert(m("q_ann_recall_cl") === 3.36)
+    // layering semantics on the checked-in record, pinned against an
+    // INDEPENDENT parse of the file rather than a literal snapshot (the
+    // r17 lesson: a re-recorded line invalidated a hardcoded 2.29): the
+    // NEWEST line mentioning a key wins (q_entity_canon_pr is recorded
+    // in many lines), and a key recorded only in an OLDER line still
+    // surfaces (q_ann_recall_cl, last recorded r13 before the r14 query
+    // fusion — inert for Bench, which only looks up current names)
+    def newestRecorded(key: String): Double = {
+      val rx = ("\"" + key + "\":([0-9][0-9.]*)").r
+      scala.io.Source.fromFile("bench_history.jsonl").getLines()
+        .filter(_.contains("\"sf\":\"sf0.1\""))
+        .flatMap(l => rx.findFirstMatchIn(l).map(_.group(1).toDouble))
+        .toSeq.lastOption
+        .getOrElse(fail(s"$key absent from every sf0.1 history line"))
+    }
+    assert(m("q_entity_canon_pr") === newestRecorded("q_entity_canon_pr"))
+    assert(m("q_ann_recall_cl") === newestRecorded("q_ann_recall_cl"))
+    // the layered value differs from at least one OLDER line's record
+    // for some key — i.e. layering is actually doing newest-wins work
+    // on this file, not just echoing a single line
+    val anyOverridden = m.keys.exists { k =>
+      val rx = ("\"" + k + "\":([0-9][0-9.]*)").r
+      val vs = scala.io.Source.fromFile("bench_history.jsonl").getLines()
+        .filter(_.contains("\"sf\":\"sf0.1\""))
+        .flatMap(l => rx.findFirstMatchIn(l).map(_.group(1).toDouble))
+        .toSeq
+      vs.size > 1 && vs.distinct.size > 1
+    }
+    assert(anyOverridden, "no key in the history has multiple distinct " +
+      "recorded values — the layering assertion would be vacuous")
     // unmatched sf and a bad working-dir file both yield the inert guard
     assert(BenchHistory.latestMedians("sf_nonexistent").isEmpty)
     // guard arithmetic: a reading above max(2x median, median+1s)
