@@ -327,6 +327,7 @@ object Bench {
     "media_meta" -> "mm",
     "media_mp3" -> "m3", "media_png" -> "pn", "media_resize" -> "mz",
     "media_wav" -> "wv", "mix" -> "mi", "mix_temp" -> "mx",
+    "mp3_sideinfo" -> "m5",
     "near_dup" -> "nd", "near_dup_rep" -> "nr", "pack" -> "pk",
     "pagerank" -> "pg", "pdf_scan" -> "pd", "pipeline_e2e" -> "p2",
     "pivot" -> "pv", "profile" -> "pf", "q1_agg" -> "q1", "q3_top" -> "q3",

@@ -380,6 +380,14 @@ final case class Mp3PcmRow(file_name: String, sample_rate: Int,
                            q16_max: Long, q16_sum: Long, pcm16_min: Int,
                            pcm16_max: Int, pcm_md5: String)
 
+/** Flattened side-info gate row (see [[Mp3Pcm.sideRows]]). */
+final case class Mp3SideRow(file_name: String, frame_idx: Int, granule: Int,
+                            mdb: Int, scfsi_mask: Int, part23: Int,
+                            big_values: Int, global_gain: Int, sfc: Int,
+                            ws: Int, block_type: Int, region0: Int,
+                            region1: Int, preflag: Int, sf_scale: Int,
+                            count1_table: Int)
+
 object Mp3Pcm {
   import Mp3Fixed._
 
@@ -624,6 +632,47 @@ object Mp3Pcm {
       q16.sum, if (q16.isEmpty) 0 else q16.map(pcm16).min,
       if (q16.isEmpty) 0 else q16.map(pcm16).max, md5)
     (row, q16)
+  }
+
+  /** One frame-granule's side information, flattened for the gate: the
+    * REAL decode-path parse ([[parseSideInfo]]) on the engine side, a
+    * fixed-offset hex bit walk on the oracle side (q_mp3_sideinfo).
+    * ws granules report region0/region1 as 0 (the fields do not exist
+    * in their layout), mirroring [[Mp3GranuleSide]]'s defaults. */
+  def sideRows(name: String, b: Array[Byte]): Seq[Mp3SideRow] = {
+    var pos = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mp3SideRow]
+    var fi = 0
+    while (pos < b.length) {
+      require(pos + 4 <= b.length, s"$name: truncated header at $pos")
+      require(u8(b, pos) == 0xFF && u8(b, pos + 1) == 0xFB,
+        s"$name: need MPEG-1 Layer III no-CRC sync at $pos")
+      val brIdx = u8(b, pos + 2) >> 4
+      val si = (u8(b, pos + 2) >> 2) & 3
+      val pad = (u8(b, pos + 2) >> 1) & 1
+      require(brIdx >= 1 && brIdx <= 14 && si <= 2, s"$name: bad header")
+      val (mdb, scfsi, grs) = parseSideInfo(b, pos + 4, name)
+      val mask = (scfsi(0) << 3) | (scfsi(1) << 2) | (scfsi(2) << 1) | scfsi(3)
+      grs.zipWithIndex.foreach { case (g, gi) =>
+        out += Mp3SideRow(name, fi, gi, mdb, mask, g.part23, g.bigValues,
+          g.globalGain, g.scalefacCompress, if (g.windowSwitching) 1 else 0,
+          g.blockType, g.region0Count, g.region1Count, g.preflag,
+          g.scalefacScale, g.count1Table)
+      }
+      fi += 1
+      pos += Mp3.frameLen(Mp3.kbpsTable(brIdx), Mp3.srTable(si), pad)
+    }
+    require(pos == b.length, s"$name: frame walk overran EOF")
+    out.toSeq
+  }
+
+  /** binaryFile frame -> per-frame-per-granule side-info rows. */
+  def sideInfoOf(df: DataFrame): Dataset[Mp3SideRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(element_at(split(col("path"), "/"), -1).as("f"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (n, bytes) => sideRows(n, bytes) })
   }
 
   /** Decode a binaryFile frame of .mp3 files into one sample-summary row

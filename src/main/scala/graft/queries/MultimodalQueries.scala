@@ -533,6 +533,79 @@ object MultimodalQueries {
     "north star: REAL MP3 frame census (sync walk, bitrate/samplerate " +
       "tables, padding-aware lengths; recursive hex oracle)")
 
+  /** q_mp3_sideinfo — the DECODE bitstream layer in the gate (r18,
+    * alongside [[graft.ops.Mp3Pcm]]'s sample-exactness spec): the
+    * engine runs the REAL side-info parse the sample decoder uses
+    * (main_data_begin, scfsi, both granules' part2_3/big_values/gain/
+    * window-switching branch fields) over the PCM fixture — which
+    * exercises every branch: block types 0..3, scfsi reuse, a nonzero
+    * reservoir — and the oracle re-reads every field with fixed-offset
+    * BIT arithmetic over the same 17 side-info bytes (mono layout:
+    * granule g's fields start at bit 18 + 59g; preflag/scalefac_scale/
+    * count1 sit at +56..58 in BOTH layout branches). A 3-byte hex
+    * window covers any field (<= 12 bits). */
+  val qMp3Side = Q("q_mp3_sideinfo",
+    (s, _) => {
+      val dir = graft.ops.Mp3PcmFixture.ensure()
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".mp3")).map(_.getAbsolutePath).sorted
+      graft.ops.Mp3Pcm.sideInfoOf(
+        s.read.format("binaryFile").load(files.toIndexedSeq: _*)).toDF()
+    },
+    Some {
+      def kbps(pos: String) = "(CASE " + hB(s"($pos) + 2") + " // 16 " +
+        graft.ops.Mp3.kbpsTable.zipWithIndex.drop(1)
+          .map { case (k, i) => s"WHEN $i THEN $k" }.mkString(" ") + " END)"
+      def hz(pos: String) = "(CASE (" + hB(s"($pos) + 2") +
+        " // 4) % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"
+      def pad(pos: String) = "((" + hB(s"($pos) + 2") + " // 2) % 2)"
+      def flen(pos: String) =
+        s"(144000 * ${kbps(pos)} // ${hz(pos)} + ${pad(pos)})"
+      // bit field at side-info bit offset o (may reference g), length L
+      def sb(o: String, len: Int) = {
+        val k = s"(($o) // 8)"
+        s"(((${hB(s"pos + 4 + $k")} * 65536 + " +
+          s"${hB(s"pos + 4 + $k + 1")} * 256 + ${hB(s"pos + 4 + $k + 2")})" +
+          s" >> (24 - (($o) % 8) - $len)) & ${(1 << len) - 1})"
+      }
+      def gb(off: Int, len: Int) = sb(s"18 + 59*g + $off", len)
+      s"""WITH RECURSIVE mraw AS (
+      |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+      |         hex(content) AS hx, octet_length(content) AS n
+      |  FROM read_blob('${graft.ops.Mp3PcmFixture.path}/*.mp3')
+      |), frame AS (
+      |  SELECT file_name, hx, n, 0 AS pos FROM mraw
+      |  UNION ALL
+      |  SELECT file_name, hx, n, pos + ${flen("pos")}
+      |  FROM frame WHERE pos + ${flen("pos")} < n
+      |), fr AS (
+      |  SELECT file_name, hx, pos, CAST(row_number() OVER (
+      |    PARTITION BY file_name ORDER BY pos) - 1 AS INTEGER) AS frame_idx
+      |  FROM frame
+      |)
+      |SELECT file_name, frame_idx, CAST(g AS INTEGER) AS granule,
+      |  CAST(${sb("0", 9)} AS INTEGER) AS mdb,
+      |  CAST(${sb("14", 4)} AS INTEGER) AS scfsi_mask,
+      |  CAST(${gb(0, 12)} AS INTEGER) AS part23,
+      |  CAST(${gb(12, 9)} AS INTEGER) AS big_values,
+      |  CAST(${gb(21, 8)} AS INTEGER) AS global_gain,
+      |  CAST(${gb(29, 4)} AS INTEGER) AS sfc,
+      |  CAST(${gb(33, 1)} AS INTEGER) AS ws,
+      |  CAST(CASE WHEN ${gb(33, 1)} = 1 THEN ${gb(34, 2)} ELSE 0 END
+      |    AS INTEGER) AS block_type,
+      |  CAST(CASE WHEN ${gb(33, 1)} = 1 THEN 0 ELSE ${gb(49, 4)} END
+      |    AS INTEGER) AS region0,
+      |  CAST(CASE WHEN ${gb(33, 1)} = 1 THEN 0 ELSE ${gb(53, 3)} END
+      |    AS INTEGER) AS region1,
+      |  CAST(${gb(56, 1)} AS INTEGER) AS preflag,
+      |  CAST(${gb(57, 1)} AS INTEGER) AS sf_scale,
+      |  CAST(${gb(58, 1)} AS INTEGER) AS count1_table
+      |FROM fr, unnest(generate_series(0, 1)) AS gg(g)""".stripMargin
+    },
+    "north star: the MP3 decoder's side-info parse oracle-checked bit " +
+      "by bit (fixed-offset hex arithmetic; samples are Mp3PcmSpec's " +
+      "generator differential)")
+
   /** q_media_gif — REAL GIF structure census in the gate (r17): the
     * engine walks the full block grammar ([[graft.ops.Gif]] — logical
     * screen, global/local color tables, extension sub-blocks, image
@@ -608,5 +681,5 @@ object MultimodalQueries {
 
   def all: Seq[Q] = Seq(qMediaMeta, qMediaFrames, qMediaFeatures,
     qMediaResize, qMediaWav, qMediaBmp, qMediaPng, qMediaJpeg, qMediaMp3,
-    qMediaGif)
+    qMp3Side, qMediaGif)
 }
