@@ -12,8 +12,64 @@ import org.apache.spark.sql.functions._
   * operator layer assumes single-file inputs.
   */
 object Tables {
+  /** Floor on bytes per scan task for [[spread]] — below this, extra
+    * parallelism costs more in task overhead than it buys (a 2 KB
+    * region table should never fan out 32 ways). Overridable per
+    * session (`spark.graft.scan.minBytesPerTask`) so a cluster with
+    * different task-overhead economics can retune without a rebuild. */
+  private def minBytesPerTask(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.scan.minBytesPerTask")
+      .map(_.toLong).getOrElse(16L * 1024)
+
+  /** Scan-parallelism floor (optimization guide §2.5 "input skew: one
+    * huge unsplittable file"): the driver testdata ships every table as
+    * ONE parquet file with ONE row group, so every scan is a single
+    * task and all pre-shuffle per-row work (tokenization, hashing,
+    * shingling, vector math) serializes onto one core. Parquet cannot
+    * split inside a row group, so the only remedy is a repartition
+    * right after the read — Catalyst still pushes filters and prunes
+    * columns through a Repartition node, and the shuffle moves each
+    * table's few MB once to unlock cores× parallelism on everything
+    * above it. Hash-keyed (not round-robin): round-robin pays a local
+    * sort of the whole input on the single scan task first
+    * (sortBeforeRepartition, SPARK-23207), measured as a net LOSS on
+    * narrow-work queries.
+    *
+    * Scale posture: the condition compares the scan's natural split
+    * count (size / maxPartitionBytes) against the session parallelism,
+    * so on a real partitioned table (many files / row groups ≥ cluster
+    * cores) the branch is a no-op and no shuffle is added — the fix is
+    * strictly for scans whose layout undersupplies the session, at any
+    * scale. Results are layout-invariant by the repo's own discipline
+    * (no spark_partition_id / monotonically_increasing_id / approx
+    * sketches in declared queries; float aggregates ride DECIMAL or
+    * fixed-point integers; stateful stream ops sort per group) — and
+    * the DuckDB oracle re-proves every query bit-for-bit either way. */
+  private def spread(s: SparkSession, df: DataFrame, bytes: Long,
+                     key: String): DataFrame = {
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    val natural = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    val target = math.min(s.sparkContext.defaultParallelism.toLong,
+      math.max(1L, bytes / minBytesPerTask(s))).toInt
+    if (natural < target) df.repartition(target, col(key)) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** [[load]] + [[spread]]: the scan fanned out to session parallelism
+    * (hash-partitioned on `key` — no sort-before-repartition cost, and
+    * the id keys are unique so the hash spreads evenly) when the file's
+    * natural split count undersupplies the session. Call sites opt in
+    * per pipeline — the fan-out pays a shuffle of the table, so it only
+    * wins where the per-row work above the scan dominates that shuffle
+    * (measured per call site; see OPTIMIZATION_r18.md). */
+  def loadSpread(spark: SparkSession, dir: String, name: String,
+                 key: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spread(spark, spark.read.parquet(path),
+      new java.io.File(path).length(), key)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

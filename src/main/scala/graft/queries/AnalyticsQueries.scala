@@ -383,7 +383,10 @@ object AnalyticsQueries {
   val qCms = Q("q_cms",
     (s, dir) => {
       import s.implicits._
-      val keyed = Tables.lineitem(s, dir).select(hhKey.as("key"))
+      // loadSpread: 4 md5-derived hashes per row run ABOVE the scan —
+      // single-file input serialized them onto one core (guide §2.5)
+      val keyed = Tables.loadSpread(s, dir, "lineitem", "l_orderkey")
+        .select(hhKey.as("key"))
       val counters = graft.ops.Sketch.cmsCounters(keyed, "key",
         cmsDepth, cmsWidth)
       val exact = keyed.filter(col("key").isin(cmsKeys: _*))

@@ -480,7 +480,9 @@ object CurationQueries {
     * arithmetic. */
   val qDsirSelect = Q("q_dsir_select",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // loadSpread: the unigram+bigram hash pass below is the cost
+      // center and sat on the single-file scan's one core (guide §2.5)
+      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
       val target = TextQueries.qualityScored(docs)
         .filter(col("quality") === 4 && col("lang") === "en")
         .select("doc_id")

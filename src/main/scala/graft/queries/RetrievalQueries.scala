@@ -246,7 +246,9 @@ object RetrievalQueries {
     * can assert the discriminant identity over ALL candidates, not just
     * the returned top-10. */
   private[graft] def rerankScored(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // loadSpread: the corpus-wide idf tokenize pass below is the cost
+    // center and sat on the single-file scan's one core (guide §2.5)
+    val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
     val short = sharedFused(s, dir)
       .withColumn("base_rk", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id"))))

@@ -646,7 +646,10 @@ object SimilarityQueries {
   val qContainment = Q("q_containment",
     (s, dir) => {
       val wtok = split(trim(col("text")), "\\s+")
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // loadSpread: the shingle-set projection is the cost center and
+      // sat on the single-file scan's one core (guide §2.5)
+      val d = Tables.loadSpread(s, dir, "documents", "doc_id")
+        .select(col("doc_id"), col("text"))
       val comp = d.as("a").join(d.as("b"),
           col("a.doc_id") + 1 === col("b.doc_id"))
         .filter(col("a.doc_id") % 20 === 0)

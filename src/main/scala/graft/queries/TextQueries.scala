@@ -1119,62 +1119,94 @@ object TextQueries {
   val qBpeSubword = Q("q_bpe_subword",
     (s, dir) => {
       import s.implicits._
-      val dict = Tables.documents(s, dir)
+      // ONE corpus pass builds the word-frequency dictionary (the only
+      // corpus-sized job); the merge rounds then run DRIVER-LOCAL over
+      // the collected dictionary — the published single-node trainer
+      // formulation (Sennrich et al.'s learn_bpe, SentencePiece and HF
+      // tokenizers all train from the collected word-count table).
+      // r18: the previous shape ran 8 rounds × 2 distributed jobs
+      // (pair-count/argmax + persist swap) over a frame that is
+      // |vocab| rows from round 0 on — per-job scheduling floor was
+      // the entire cost (measured 2.1 → 0.35 s at sf0.1, same bytes).
+      // The collect is vocabulary-bounded, never corpus-bounded,
+      // and capped loudly (the AsOf broadcast row-cap discipline).
+      val dictRows = Tables.documents(s, dir)
         .select(explode(split(trim(lower(coalesce(col("text"), lit("")))),
           "\\s+")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
-        .withColumn("s", regexp_replace(col("word"), "(.)",
-          bpeS1 + "$1" + bpeS2))
-      var cur = dict.select(col("c"), col("s")).persist()
-      var prev: DataFrame = null
-      var totalC = 0L // Σ count(word) — merge-invariant corpus word total
-      val chosen = scala.collection.mutable.ArrayBuffer
-        .empty[(String, String, Long)]
-      // wtotals(j) = Σ c·pairs over dict_j, learned by round j+1's job
-      // (units_after(r) = wtotals(r) + totalC — the bpeTrain identity,
-      // WEIGHTED: Σc·|u| = Σc·pairs + Σc since every word has ≥1 unit)
-      val wtotals = scala.collection.mutable.ArrayBuffer.empty[Long]
+        .collect()
+      require(dictRows.length <= (1 << 22),
+        s"subword BPE dictionary has ${dictRows.length} entries — above " +
+          "the 4M driver-side training cap; sample the dictionary or " +
+          "raise the cap with driver memory to match")
+      // UTF-8 byte order == code-point order: matches Spark's
+      // UTF8String and DuckDB's varchar ordering. Java String.compareTo
+      // orders by UTF-16 unit and diverges on supplementary planes.
+      def u8cmp(a: String, b: String): Int = {
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val d = (x(i) & 0xff) - (y(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        x.length - y.length
+      }
+      // wrap each code point like regexp_replace(word,'(.)',S1$1S2)
+      def wrap(w: String): String = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          sb.append(bpeS1).appendAll(Character.toChars(cp)).append(bpeS2)
+          i += Character.charCount(cp)
+        }
+        sb.result()
+      }
+      val sep = bpeS2 + bpeS1
+      // units(s) — bpeToks verbatim: strip the outer delimiters, split
+      // on close+open (split keeps a single "" for the empty word,
+      // matching Spark's split)
+      def units(sv: String): Array[String] =
+        (if (sv.length < 2) "" else sv.substring(1, sv.length - 1))
+          .split(java.util.regex.Pattern.quote(sep), -1)
+      var cur = dictRows.map(r => (r.getLong(1), wrap(r.getString(0))))
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long, Long)]
       for (r <- 1 to bpeSubRounds) {
-        val cnts = cur.select(col("c"), bpeToks(col("s")).as("u"))
-          .where(size(col("u")) >= 2)
-          .select(col("c"), explode(transform(
-            sequence(lit(1), size(col("u")) - 1),
-            i => struct(element_at(col("u"), i).as("pa"),
-              element_at(col("u"), i + 1).as("pb")))).as("p"))
-          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-          .agg(sum(col("c")).as("cnt"))
-        val rows = cnts.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
-          .select(lit("top").as("tag"), col("pa"), col("pb"), col("cnt"))
-          .unionAll(cnts.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
-            .select(lit("tot").as("tag"), lit(null).cast("string").as("pa"),
-              lit(null).cast("string").as("pb"), col("cnt")))
-          .collect()
-        if (prev != null) { prev.unpersist(); prev = null }
-        val best = rows.filter(_.getString(0) == "top")
-        require(best.nonEmpty,
+        val cnt = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        for ((c, sv) <- cur) {
+          val u = units(sv)
+          var i = 0
+          while (i < u.length - 1) {
+            val k = (u(i), u(i + 1))
+            cnt.update(k, cnt.getOrElse(k, 0L) + c)
+            i += 1
+          }
+        }
+        require(cnt.nonEmpty,
           s"subword BPE round $r: no adjacent unit pair left to merge — " +
             "every dictionary word is a single unit; lower the round count")
-        val (pa, pb, cnt) = (best(0).getString(1), best(0).getString(2),
-          best(0).getLong(3))
-        wtotals += rows.filter(_.getString(0) == "tot").head.getLong(3)
-        if (r == 1) totalC =
-          cur.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-        chosen += ((pa, pb, cnt))
-        prev = cur
-        cur = cur.withColumn("s", call_function("replace", col("s"),
-          lit(bpeS1 + pa + bpeS2 + bpeS1 + pb + bpeS2),
-          lit(bpeS1 + pa + bpeGl + pb + bpeS2))).persist()
-      }
-      val unitsFinal = cur
-        .agg(sum(col("c") * size(bpeToks(col("s")))).as("t"))
-        .head().getLong(0)
-      if (prev != null) prev.unpersist()
-      cur.unpersist()
-      val merges = chosen.zipWithIndex.map { case ((pa, pb, cnt), i) =>
-        val r = i + 1
-        val unitsAfter =
-          if (r < bpeSubRounds) wtotals(r) + totalC else unitsFinal
-        (r, pa, pb, cnt, unitsAfter)
+        var best: ((String, String), Long) = null
+        for ((p, c) <- cnt) {
+          if (best == null || c > best._2 ||
+            (c == best._2 && {
+              val d = u8cmp(p._1, best._1._1)
+              d < 0 || (d == 0 && u8cmp(p._2, best._1._2) < 0)
+            })) best = (p, c)
+        }
+        val ((pa, pb), c) = best
+        cur = cur.map { case (wc, sv) =>
+          (wc, sv.replace(bpeS1 + pa + bpeS2 + bpeS1 + pb + bpeS2,
+            bpeS1 + pa + bpeGl + pb + bpeS2))
+        }
+        // units_after = Σ c·|units| over the merged dictionary — the
+        // same number the distributed shape derived as Σc·pairs + Σc
+        // (every word has pairs+1 units, including the empty word)
+        val unitsAfter = cur.iterator
+          .map { case (wc, sv) => wc * units(sv).length }.sum
+        merges += ((r, pa, pb, c, unitsAfter))
       }
       merges.toSeq.toDF("rk", "pa", "pb", "cnt", "units_after")
     },
