@@ -388,9 +388,18 @@ object CurationQueries {
     * single-window formulation — two algorithms, one answer. */
   val qBudgetSelect = Q("q_budget_select",
     (s, dir) => {
-      val scored = TextQueries.qualityScored(Tables.documents(s, dir))
+      // The hierarchical-prefix plan consumes `scored` from SEVEN
+      // subtrees (tier totals, three selection branches, the two
+      // summary aggregates, the budget scalar) and Spark re-runs the
+      // text-heavy quality scorer per consumer — pin the (doc_id,
+      // quality, toks) 3-long frame once (the persist-features-once
+      // posture; r18, the q_dsir_select r13 precedent). loadSpread:
+      // that one scoring pass sat on the single-file scan's one core.
+      val scored = TextQueries.qualityScored(
+          Tables.loadSpread(s, dir, "documents", "doc_id"))
         .select(col("doc_id"), col("quality"),
           coalesce(col("n_tokens").cast("long"), lit(0L)).as("toks"))
+        .localCheckpoint()
       graft.ops.BudgetSelect.summary(scored,
         graft.ops.BudgetSelect.quarterBudget(scored))
     },
