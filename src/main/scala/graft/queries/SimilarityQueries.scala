@@ -1913,15 +1913,18 @@ object SimilarityQueries {
     val exactPairs = base.withColumnRenamed("vec_id", "nbr_id")
       .crossJoin(broadcast(qs))
       .filter(col("nbr_id") =!= col("query_id"))
-    val exact = topK(exactPairs, 3, Seq("query_id", "nbr_id"))
-      .localCheckpoint()
-    def recallOf(method: String, ann: DataFrame): DataFrame =
-      exact.join(ann.select(col("query_id").as("aq"), col("nbr_id").as("an")),
-          col("query_id") === col("aq") && col("nbr_id") === col("an"),
-          "left")
-        .agg(round(sum(when(col("an").isNotNull, 1).otherwise(0))
-            .cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
-        .select(lit(method).as("method"), col("recall"))
+    // r18 (guide §2.6, overlap independent jobs): the exact-kNN
+    // ground-truth checkpoint and the lock-step trainer collects are
+    // independent given `pinned` — submit both from futures so the
+    // trainer's driver-side rounds back-fill the exact pass's tail
+    // instead of waiting behind it (the same concurrency discipline as
+    // qAnnRecall's two fixture sides, one level down).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val exactF = Future {
+      topK(exactPairs, 3, Seq("query_id", "nbr_id")).localCheckpoint()
+    }
     // the trained quantizers are rung-invariant (training is
     // deterministic and rung-independent): train the coarse codebook and
     // the per-block PQ books ONCE and hand them to every rung that needs
@@ -1933,10 +1936,21 @@ object SimilarityQueries {
       "lock-step coarse+PQ training needs matching k/iters knobs")
     // r15: the clustered side receives the session-shared codebooks
     // ([[cembTrained]]) instead of re-training the identical family
-    val trained = pretrained.getOrElse(
-      KMeans.trainMany(base.select("vec_id", "v"),
-        (0, embDims) +: pqSlices, ivfCells, ivfIters))
+    val trainedF = Future {
+      pretrained.getOrElse(
+        KMeans.trainMany(base.select("vec_id", "v"),
+          (0, embDims) +: pqSlices, ivfCells, ivfIters))
+    }
+    val exact = Await.result(exactF, Duration.Inf)
+    val trained = Await.result(trainedF, Duration.Inf)
     val (coarse, books) = (trained.head, trained.tail)
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      exact.join(ann.select(col("query_id").as("aq"), col("nbr_id").as("an")),
+          col("query_id") === col("aq") && col("nbr_id") === col("an"),
+          "left")
+        .agg(round(sum(when(col("an").isNotNull, 1).otherwise(0))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
+        .select(lit(method).as("method"), col("recall"))
     // NOT pinned (r15 A/B): the lsh and mp rungs do consume the
     // identical bucketed+normed frame, but a localCheckpoint on it
     // measured 5.7-6.2 s / 7.8 cpu-s vs 4.6-5.5 / 7.5 un-pinned at
