@@ -19,7 +19,14 @@ object Tables {
     * different task-overhead economics can retune without a rebuild. */
   private def minBytesPerTask(s: SparkSession): Long =
     s.conf.getOption("spark.graft.scan.minBytesPerTask")
-      .map(_.toLong).getOrElse(16L * 1024)
+      .map { v =>
+        val parsed = try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.scan.minBytesPerTask must be a positive byte " +
+              s"count, got '$v'")
+        }
+        math.max(1L, parsed) // clamp: 0 would divide-by-zero in spread
+      }.getOrElse(16L * 1024)
 
   /** Scan-parallelism floor (optimization guide §2.5 "input skew: one
     * huge unsplittable file"): the driver testdata ships every table as
@@ -67,8 +74,22 @@ object Tables {
   def loadSpread(spark: SparkSession, dir: String, name: String,
                  key: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    spread(spark, spark.read.parquet(path),
-      new java.io.File(path).length(), key)
+    spread(spark, spark.read.parquet(path), dataBytes(path), key)
+  }
+
+  /** Total data bytes under `path` — a single file's length, or the sum
+    * of file lengths one level down for a directory-style parquet table
+    * (java.io.File.length() on a directory returns the dirent size,
+    * which silently no-op'd [[spread]]'s under-supply gate on multi-file
+    * tables — ADVICE r18). Non-local filesystems return 0 (File can't
+    * see them); there the natural split count already supplies
+    * parallelism and the no-op is the correct answer. */
+  private def dataBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+        .getOrElse(0L)
+    else f.length()
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

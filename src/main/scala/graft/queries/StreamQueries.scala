@@ -285,6 +285,42 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Scratch root for the gate queries' EPHEMERAL streaming checkpoints,
+    * handed to `body` as a fresh per-run checkpointLocation and deleted
+    * when the run ends (r19, guide §1 measurement: walCommit +
+    * commitOffsets + the state store's per-task delta read/write were
+    * ~25-30% of every micro-batch's wall on the disk-backed
+    * java.io.tmpdir default). These executions are AvailableNow
+    * one-shots whose sink is read back synchronously in the same call —
+    * restart/recovery is structurally impossible, so checkpoint
+    * durability buys nothing and the WAL + state deltas belong on the
+    * fastest LOCAL scratch medium: RAM-backed /dev/shm when present,
+    * else java.io.tmpdir (exactly what Spark's own temp-checkpoint
+    * fallback uses). A production streaming job — long-lived,
+    * restartable — needs a durable checkpoint and would pass its own
+    * checkpointLocation instead of this scratch; the conf
+    * (`spark.graft.stream.scratchDir`) retunes the scratch root per
+    * deployment without a rebuild. */
+  private def withScratchCheckpoint[T](s: SparkSession)(body: String => T): T = {
+    val base = s.conf.getOption("spark.graft.stream.scratchDir").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
+      else System.getProperty("java.io.tmpdir")
+    }
+    val dir = new java.io.File(base,
+      s"graft_stream_ckpt_${streamRunId.incrementAndGet()}_" +
+        java.util.UUID.randomUUID().toString.take(8))
+    try body(dir.getAbsolutePath) finally deleteRec(dir)
+  }
+
+  /** Start `w` against a [[withScratchCheckpoint]] location and block to
+    * completion — the one way every gate query executes its stream. */
+  private def runScratch(s: SparkSession,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[_]): Unit =
+    withScratchCheckpoint(s) { ckpt =>
+      w.option("checkpointLocation", ckpt).start().awaitTermination()
+    }
+
   /** q_stream_moments — the ONE registry entry whose Spark side actually
     * executes `readStream`: [[graft.streaming.Streams.momentsStream]]
     * (three-long GroupState per event_type) over the events parquet under
@@ -308,11 +344,10 @@ object StreamQueries {
       val src = eventsStreamSliced(s, dir)
         .select(col("event_type"), col("value"))
       val sink = s"graft_stream_moments_${streamRunId.incrementAndGet()}"
-      val q = graft.streaming.Streams.momentsStream(src, "event_type", "value")
+      runScratch(s, graft.streaming.Streams.momentsStream(src, "event_type", "value")
         .toDF("event_type", "n", "mean_value", "std_value")
         .writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("update").trigger(Trigger.AvailableNow()))
       s.table(sink)
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("event_type")).orderBy(col("n").desc)))
@@ -476,10 +511,9 @@ object StreamQueries {
           col("event_id").cast("long").as("event_id"))
         .as[graft.ops.Sessionize.Event]
       val sink = s"graft_stream_sess_${streamRunId.incrementAndGet()}"
-      val q = graft.streaming.Streams.sessionizeStreamSnapshot(src)
+      runScratch(s, graft.streaming.Streams.sessionizeStreamSnapshot(src)
         .writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("update").trigger(Trigger.AvailableNow()))
       s.table(sink)
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("user_id"), col("session_id"))
@@ -510,11 +544,10 @@ object StreamQueries {
     (s, dir) => withStateParts(s, dir) {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"graft_stream_hourly_${streamRunId.incrementAndGet()}"
-      val q = graft.streaming.Streams.hourlyCounts(
+      runScratch(s, graft.streaming.Streams.hourlyCounts(
           eventsStreamSliced(s, dir, parts = 2))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("complete").trigger(Trigger.AvailableNow()))
       s.table(sink)
     },
     qHourly.oracle,
@@ -556,10 +589,9 @@ object StreamQueries {
       val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(sliced)
       val sink = s"graft_stream_append_${streamRunId.incrementAndGet()}"
-      val q = graft.streaming.Streams.hourlyCounts(src)
+      runScratch(s, graft.streaming.Streams.hourlyCounts(src)
         .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()))
       s.table(sink)
     },
     Some("WITH " + lateOntimeSql + """
@@ -612,10 +644,9 @@ object StreamQueries {
       val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(sliced)
       val sink = s"graft_stream_sesswin_${streamRunId.incrementAndGet()}"
-      val q = graft.streaming.Streams.sessionWindows(src)
+      runScratch(s, graft.streaming.Streams.sessionWindows(src)
         .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()))
       s.table(sink)
     },
     Some("WITH " + lateOntimeSql + """, gaps AS (
@@ -691,9 +722,8 @@ object StreamQueries {
           (unix_micros(col("c_ts")) - unix_micros(col("s_ts")))
             .as("offset_us"))
       val sink = s"graft_stream_join_${streamRunId.incrementAndGet()}"
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runScratch(s, joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()))
       s.table(sink)
     },
     Some("WITH " + lateOntimeSql + """, s AS (
@@ -742,9 +772,8 @@ object StreamQueries {
         .select(col("user_id"), col("event_type"),
           date_format(col("m"), "yyyy-MM-dd HH:mm:ss").as("minute"))
       val sink = s"graft_stream_dedup_${streamRunId.incrementAndGet()}"
-      val q = src.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runScratch(s, src.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()))
       s.table(sink)
     },
     Some("WITH " + lateOntimeSql + """
@@ -874,10 +903,9 @@ object StreamQueries {
         .withWatermark("ts", "0 seconds")
         .as[graft.streaming.Streams.BandArrival]
       val sink = s"graft_stream_neardup_${streamRunId.incrementAndGet()}"
-      val q = graft.streaming.Streams.neardupStream(rows, neardupGapMin)
+      runScratch(s, graft.streaming.Streams.neardupStream(rows, neardupGapMin)
         .writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("update").trigger(Trigger.AvailableNow()))
       s.table(sink)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bands"),
@@ -954,7 +982,7 @@ object StreamQueries {
         .option("pathGlobFilter", "*.warc")
         .load(fdir)
       val sink = s"graft_stream_crawl_${streamRunId.incrementAndGet()}"
-      val q = graft.ops.Warc.scanWarc(src).toDF()
+      runScratch(s, graft.ops.Warc.scanWarc(src).toDF()
         .filter(col("warc_type") === "response")
         .groupBy(col("body_md5"))
         .agg(min(struct(col("file_name"), col("rec_idx"),
@@ -964,8 +992,7 @@ object StreamQueries {
           col("first.rec_idx").as("rec_idx"),
           col("first.target_uri").as("target_uri"), col("n_captures"))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("complete").trigger(Trigger.AvailableNow()))
       s.table(sink).orderBy("body_md5")
     },
     graft.queries.TextQueries.qCrawlDedup.oracle,

@@ -1116,6 +1116,19 @@ object TextQueries {
     * Oracle: the same unrolled-CTE replay at character granularity —
     * character wrapping via one regexp_replace('(.)' → wrapped capture)
     * on both engines, weighted counts as exact integer sums. */
+  /** The driver-side training cap for [[qBpeSubword]]'s collected
+    * dictionary (the AsOf broadcast row-cap discipline): 4M entries ≈
+    * low hundreds of MB of (word, count) rows — vocabulary-bounded by
+    * construction, but a runaway vocabulary (e.g. un-tokenized binary
+    * text) must refuse loudly, not OOM the driver. Extracted so
+    * BpeTrainSpec can exercise the refusal without 4M real rows. */
+  private[graft] val subwordDictCap = 1 << 22
+  private[graft] def requireSubwordDictCap(n: Int): Unit =
+    require(n <= subwordDictCap,
+      s"subword BPE dictionary has $n entries — above " +
+        "the 4M driver-side training cap; sample the dictionary or " +
+        "raise the cap with driver memory to match")
+
   val qBpeSubword = Q("q_bpe_subword",
     (s, dir) => {
       import s.implicits._
@@ -1127,7 +1140,8 @@ object TextQueries {
       // r18: the previous shape ran 8 rounds × 2 distributed jobs
       // (pair-count/argmax + persist swap) over a frame that is
       // |vocab| rows from round 0 on — per-job scheduling floor was
-      // the entire cost (measured 2.1 → 0.35 s at sf0.1, same bytes).
+      // the entire cost (committed A/B record: 2.07 → 0.43 s at sf0.1
+      // under bench rules, same bytes — OPTIMIZATION_r18.md).
       // The collect is vocabulary-bounded, never corpus-bounded,
       // and capped loudly (the AsOf broadcast row-cap discipline).
       val dictRows = Tables.documents(s, dir)
@@ -1135,10 +1149,7 @@ object TextQueries {
           "\\s+")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
         .collect()
-      require(dictRows.length <= (1 << 22),
-        s"subword BPE dictionary has ${dictRows.length} entries — above " +
-          "the 4M driver-side training cap; sample the dictionary or " +
-          "raise the cap with driver memory to match")
+      requireSubwordDictCap(dictRows.length)
       // UTF-8 byte order == code-point order: matches Spark's
       // UTF8String and DuckDB's varchar ordering. Java String.compareTo
       // orders by UTF-16 unit and diverges on supplementary planes.

@@ -82,4 +82,13 @@ class BpeTrainSpec extends SparkSpec {
       d >= 1 && d <= c })
     out.unpersist()
   }
+
+  test("subword trainer's 4M dictionary cap refuses loudly at the boundary") {
+    TextQueries.requireSubwordDictCap(0)
+    TextQueries.requireSubwordDictCap(TextQueries.subwordDictCap)
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.requireSubwordDictCap(TextQueries.subwordDictCap + 1)
+    }
+    assert(e.getMessage.contains("4M driver-side training cap"))
+  }
 }
