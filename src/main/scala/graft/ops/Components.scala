@@ -185,18 +185,44 @@ object Components {
       (row.getLong(0), row.getLong(1))
     }
 
+    // r19 (one action per round instead of two): the per-round signature
+    // rides the checkpoint's own materialization as an OBSERVED metric
+    // (Dataset.observe — computed as the rows stream to the checkpoint
+    // writer, no second scan). Observed metrics are accumulator-backed,
+    // and accumulators can over-count under task re-execution, so the
+    // convergence DECISION never rests on them alone: when two
+    // consecutive observed signatures match, the loop confirms with the
+    // exact [[signature]] aggregation over both checkpointed edge sets
+    // (two cheap scans, once at convergence) — a phantom match keeps
+    // iterating (smallStar∘largeStar is idempotent at the fixpoint, so
+    // extra rounds cannot change the answer), a phantom mismatch only
+    // costs those extra rounds. Saves rounds−2 jobs per call; in local
+    // mode (no speculation, task failure fails the job) the observed
+    // values are exact anyway.
+    def observed(e: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (e.observe(obs, count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("x"))
+        .checkpoint(eager = true), obs)
+    }
+    def sigOf(obs: org.apache.spark.sql.Observation): (Long, Long) = {
+      val m = obs.get
+      (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long])
+    }
+
     val nodes = sym(edges.select(col("a"), col("b")))
       .select(col("a").as("node")).distinct()
-    var cur = edges.select(col("a"), col("b"))
-      .filter(col("a") =!= col("b")).distinct().checkpoint(eager = true)
-    var sig = signature(cur)
+    var (cur, obs0) = observed(
+      edges.select(col("a"), col("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    var sig = sigOf(obs0)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(cur)).checkpoint(eager = true)
-      val nextSig = signature(next)
+      val (next, obs) = observed(smallStar(largeStar(cur)))
+      val nextSig = sigOf(obs)
+      converged = nextSig == sig && signature(next) == signature(cur)
       cur = next
-      converged = nextSig == sig
       sig = nextSig
       rounds += 1
     }

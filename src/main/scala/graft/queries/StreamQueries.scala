@@ -277,11 +277,26 @@ object StreamQueries {
 
   /** Runs `body` with spark.sql.shuffle.partitions temporarily set to
     * [[streamStateParts]] (restored after — registry queries run
-    * sequentially, so the session-global conf swap cannot race). */
-  private def withStateParts[T](s: SparkSession, dir: String)(body: => T): T = {
+    * sequentially, so the session-global conf swap cannot race).
+    *
+    * `storeDivisor` (r19) normalizes the width by the query's state-store
+    * MULTIPLICITY: a stream-stream join commits FOUR stores per
+    * partition (keyToNumValues + keyWithIndex on each side) where an
+    * aggregation commits one, so at equal width it pays 4× the
+    * per-batch store-commit floor the volume ladder priced for one
+    * store. Halving the join's width keeps its total store-instance
+    * count in the ladder's intended band at ANY ladder rung (it scales
+    * the ladder's output, not a constant). Measured at sf0.1
+    * (width 8 → 4, join only): 3.63 → 3.32 s in r18's ladder A/B and
+    * 3.85 → 2.96 s probe median this round — the r18 global 8→4 was
+    * rejected only because single-store queries (neardup's md5-heavy
+    * batches) lost width they need. */
+  private def withStateParts[T](s: SparkSession, dir: String,
+                                storeDivisor: Int = 1)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, streamStateParts(s, dir).toString)
+    s.conf.set(key,
+      math.max(streamStateParts(s, dir) / storeDivisor, 2).toString)
     try body finally s.conf.set(key, prev)
   }
 
@@ -700,7 +715,7 @@ object StreamQueries {
     * matches and the 10× fixture 190 — the drop is discriminated by the
     * 10× bit-identity record, the gate by the join itself.) */
   val qStreamJoin = Q("q_stream_join",
-    (s, dir) => withStateParts(s, dir) {
+    (s, dir) => withStateParts(s, dir, storeDivisor = 2) {
       import org.apache.spark.sql.streaming.Trigger
       val sliced = lateSlicedEventsDir(s, dir, onParts = 2)
       val schema = s.read.parquet(sliced).schema
