@@ -513,7 +513,8 @@ object CurationQueries {
       val target = TextQueries.qualityScored(docs)
         .filter(col("quality") === 4 && col("lang") === "en")
         .select("doc_id")
-      val docBuckets = graft.ops.HashEmbed.termCounts(docs, "doc_id", "text")
+      val docBuckets = graft.ops.HashEmbed.termCounts(
+          Tables.loadSpread(s, dir, "documents", "doc_id"), "doc_id", "text")
         .select(col("doc_id"),
           graft.ops.HashEmbed.bucketIn(col("tkey"), dsirBuckets).as("dim"),
           col("tf"))
